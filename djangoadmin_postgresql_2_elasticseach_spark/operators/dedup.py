@@ -1,0 +1,247 @@
+"""Deduplication operators over the `documents` table — exact,
+n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Design for 100 TB:
+- exact dedup is a single hash-aggregate on a fingerprint column — one
+  shuffle of (hash, id), never of document bodies;
+- MinHash/LSH follows the classic shingle→minhash→band→bucket-join chain:
+  candidate generation is an equi-join on (band_idx, band_hash) — a plain
+  shuffle join on a short key, no pairwise O(n²) stage; only candidates
+  get the exact-Jaccard verification;
+- SimHash buckets by signature for Hamming-adjacent candidate lookup;
+- n-gram Jaccard all-pairs is the small-scale oracle/verification path
+  (and is bounded to candidate pairs when used behind LSH).
+
+Determinism / oracle parity: min-hashing uses the lexicographic MIN of
+``md5(seed || shingle)`` hex strings — md5 is identical everywhere, string
+MIN is total-ordered, so Spark and DuckDB agree bit-for-bit (no
+engine-specific integer hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles
+from ..functions.textstats import fingerprint
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BAND_SIZE = 2  # 8 hashes / 2 = 4 bands → catches J≳0.5 pairs
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: fingerprint → hash-aggregate. Returns one row
+    per duplicated fingerprint with the keeper (min id) and the group
+    size. Scale: shuffles only (fingerprint, id) pairs."""
+    fp = docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_set(F.col(id_col))).alias("member_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) exploded distinct word n-grams (see
+    functions/text.word_shingles for why word-level, not char-level)."""
+    return docs.select(
+        F.col(id_col).alias("sid"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via shingle inverted index: explode →
+    self-equi-join on shingle → per-pair intersection count → Jaccard.
+
+    This is index-join all-pairs (cost ∝ Σ postings²), not a cross join;
+    at scale it runs only on LSH candidates (minhash_lsh_candidates) —
+    kept standalone as the exactness oracle.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    sh = _shingled(docs, id_col, text_col, n)
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.sid") < F.col("b.sid")))
+        .groupBy(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("sid").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("sid").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """MinHash signature per doc: for seed s, sig_s = MIN(md5(s||shingle))
+    — a uniform random permutation per seed via md5, engine-portable.
+    One aggregation produces all signature slots (map-side combine)."""
+    sh = _shingled(docs, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(s) + "|"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(F.col("sid").alias(id_col)).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """LSH banding: signature → (band_idx, band_key=concat of band slots)
+    → self-equi-join per bucket → distinct candidate pairs (id_a < id_b).
+
+    The join key is (band_idx, band_key): candidate generation is a plain
+    shuffle join on a short string key — the scale path for near-dup at
+    100 TB. Verification (exact Jaccard) is then bounded to candidates.
+    """
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + i}") for i in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"), F.concat_ws("|", *cols).alias("band_key"))
+        )
+    exploded = sig.select(
+        F.col(id_col).alias("sid"), F.explode(F.array(*bands)).alias("band")
+    ).select("sid", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Full MinHash dedup: LSH candidates → exact-Jaccard verify ≥ τ.
+    Output: (id_a, id_b, jaccard)."""
+    cands = minhash_lsh_candidates(docs, id_col, text_col, n, num_hashes, band_size)
+    sh = _shingled(docs, id_col, text_col, n)
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # count common shingles per candidate pair: join candidates to both
+    # posting lists on (id, shingle) — bounded by the candidate set
+    sa = sh.select(F.col("sid").alias("id_a"), "shingle")
+    sb = sh.select(F.col("sid").alias("id_b"), F.col("shingle").alias("shingle"))
+    common = (
+        cands.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("sid").alias("id_a"), F.col("n_shingles").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("sid").alias("id_b"), F.col("n_shingles").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash signature as a `bits`-char bitstring over word tokens.
+
+    Bit i of the signature = sign of Σ_tokens (±1 by whether hex nibble i
+    of md5(token) ≥ 8). Engine-portable: md5 + substring + position
+    arithmetic only. 16 bits is the demo width; widen via `bits` ≤ 32.
+    Near-dup candidates come from equality on band substrings of the
+    signature (Hamming-adjacent lookup).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("sid"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{Nd}]+"), lambda t: t != "")
+            )
+        ).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    aggs = []
+    for i in range(bits):
+        nib = F.substring(F.col("h"), i + 1, 1)
+        contrib = F.when(F.lit("89abcdef").contains(nib), 1).otherwise(-1)
+        aggs.append(F.sum(contrib).alias(f"s{i}"))
+    summed = toks.groupBy("sid").agg(*aggs)
+    bit_cols = [F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bits)]
+    return summed.select(
+        F.col("sid").alias(id_col), F.concat(*bit_cols).alias("simhash")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ τ.
+
+    Correctness path: blocked all-pairs via a self-join (id_a < id_b) with
+    a native zip_with/aggregate dot product — no Python in the loop.
+    Scale path: pre-bucket by random-hyperplane LSH (similarity.py
+    `hyperplane_bucket`) and run this same verify join per bucket.
+    """
+    from .similarity import cosine  # local import to avoid cycle
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    out = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+    )
+    return out.filter(F.col("cos_sim") >= threshold)

@@ -1,0 +1,313 @@
+"""Reference-semantics relational queries mapped onto the driver's
+TPC-H-ish testdata (TESTDATA.md tables).
+
+Each function here exercises a block of SURVEY.md §2 operators — the same
+shapes the reference runs over its movies star schema (denormalizing
+join+agg, filtered aggregation, incremental predicate, pagination,
+icontains search, string_agg round-trips) — expressed Spark-first, with a
+DuckDB oracle in registry.py.
+
+Numeric parity with the oracle: money sums are cast per-row to
+DECIMAL(18,6) before aggregation. Decimal addition is exact and
+order-independent, so Spark's partial-aggregate tree and DuckDB's
+sequential sum produce identical values (double sums would differ in the
+last ulps and break the value-hash).
+
+Scale notes are inline per query; the common ones:
+- dims (region/nation/supplier/part/customer) are broadcast — fact-side
+  joins are map-side, no shuffle of the big table;
+- aggregates are partial (map-side combine) by construction of
+  groupBy().agg();
+- per-entity arrays are built by aggregating each bridge independently
+  (no cross-product; see operators/denorm.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+MONEY = "decimal(18,6)"
+
+
+def denorm_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-order denormalized doc — the movies-ETL shape
+    (reference etl/main.py:24-38) on orders/customer/lineitem/part.
+
+    One row per order: customer name, sorted distinct part-name array
+    (A2/A3), revenue (A-series agg), line count, and
+    ``last_activity = greatest(o_orderdate, max(l_shipdate))`` — the
+    change-version stamp (A6, reference etl/main.py:26).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    # Aggregate the lineitem "bridge" independently, then join once per
+    # order — no genres×persons-style cross-product (SURVEY §2.3 ⚠).
+    per_order = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_set(F.col("p_name"))).alias("part_names"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(MONEY)).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(per_order, orders.o_orderkey == per_order.l_orderkey, "left")
+        .select(
+            F.col("o_orderkey"),
+            F.col("c_name"),
+            F.col("o_orderstatus"),
+            F.coalesce(F.col("part_names"), F.array().cast("array<string>")).alias(
+                "part_names"
+            ),
+            # decimal sum (exact, order-independent) surfaced as double —
+            # deterministic nearest-double of the same rational in any engine
+            F.coalesce(F.col("revenue"), F.lit(0).cast(MONEY))
+            .cast("double")
+            .alias("revenue"),
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.greatest(F.col("o_orderdate"), F.col("last_ship")).alias("last_activity"),
+        )
+    )
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped grouped aggregation over the fact table (A1/A7
+    family): partial aggregation map-side, 4-6 groups out. The headline
+    scan+agg throughput query for bench."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(MONEY)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(MONEY))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(MONEY))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ).cast(MONEY)
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped multi-join through the dimension chain
+    lineitem→supplier→nation→region (J-family): every dim broadcast, so
+    the only shuffle is the final groupBy on n_name (25 groups)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        lineitem.join(
+            F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(MONEY))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def incremental_events(
+    spark: SparkSession, sf_dir: str, checkpoint: str = "2024-01-15 00:00:00"
+) -> DataFrame:
+    """Incremental predicate (P3/ST1): strict ``ts > checkpoint`` pushed
+    to the parquet scan (reference etl/main.py:35 ``modified > %s``).
+    With time-partitioned layout this prunes whole partitions at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("ts") > F.lit(checkpoint).cast("timestamp")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def customer_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered distinct-array aggregation — the API layer's
+    ``ArrayAgg('...', distinct=True, filter=Q(role=...))`` shape
+    (reference views.py:15-20,43-47; SURVEY A5/P6): per-customer sorted
+    distinct order-priority arrays, split by order status."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set(F.col("o_orderpriority"))).alias("priorities"),
+        F.array_sort(
+            F.collect_set(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_orderpriority"))
+            )
+        ).alias("finished_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.coalesce(F.col("priorities"), F.array().cast("array<string>")).alias(
+                "priorities"
+            ),
+            F.coalesce(
+                F.col("finished_priorities"), F.array().cast("array<string>")
+            ).alias("finished_priorities"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING_AGG round-trip (A4/F6/F7, reference etl/main.py:42): per-
+    nation ', '-joined sorted distinct customer-name string + re-split
+    array, preserving the reference's join/split pair exactly."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    agg = customer.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_set(F.col("c_name"))).alias("names_arr")
+    )
+    return (
+        nation.join(agg, nation.n_nationkey == agg.c_nationkey, "left")
+        .select(
+            F.col("n_nationkey"),
+            F.col("n_name"),
+            F.concat_ws(", ", F.col("names_arr")).alias("customer_names"),
+            # and the reference's .split(', ') round-trip (etl/main.py:101)
+            F.coalesce(
+                F.when(
+                    F.size(F.col("names_arr")) > 0,
+                    F.split(F.concat_ws(", ", F.col("names_arr")), ", "),
+                ),
+                F.array().cast("array<string>"),
+            ).alias("names_roundtrip"),
+        )
+    )
+
+
+def paginate_orders(
+    spark: SparkSession, sf_dir: str, page: int = 3, page_size: int = 50
+) -> DataFrame:
+    """Offset pagination (O2/O3, reference views.py:49,66): deterministic
+    ordering with a unique tiebreak, then offset/limit.
+
+    Scale note: global sort + offset is inherently a single-ordering
+    operation; Spark's rangepartition+limit handles it, but deep offsets
+    are O(offset) — at scale prefer keyset pagination (WHERE key > last)
+    which this engine exposes via paginate_after()."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .offset((page - 1) * page_size)
+        .limit(page_size)
+    )
+
+
+def paginate_after(
+    spark: SparkSession, sf_dir: str, after_key: int = 0, page_size: int = 50
+) -> DataFrame:
+    """Keyset pagination — the scale-correct variant of O3: strict
+    ``key > last_seen`` + limit; the predicate pushes to the scan, no
+    global offset scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") > F.lit(after_key))
+        .orderBy(F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .limit(page_size)
+    )
+
+
+def icontains_search(
+    spark: SparkSession, sf_dir: str, q: str = "red"
+) -> DataFrame:
+    """Admin/API icontains predicate (P7/P8/F9, reference views.py:92,
+    admin.py:21): case-insensitive substring OR across columns."""
+    part = load_table(spark, sf_dir, "part")
+    ql = q.lower()
+    return part.filter(
+        F.lower(F.col("p_name")).contains(ql)
+        | F.lower(F.col("p_type")).contains(ql)
+        | F.lower(F.col("p_brand")).contains(ql)
+    ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+def admin_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admin list filters (P9, reference admin.py:18,32): equality facet +
+    date-range filter, projected columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+
+
+def detail_lookup(spark: SparkSession, sf_dir: str, pk_fragment: str = "42") -> DataFrame:
+    """Detail endpoint's odd contains-on-PK semantics (P7, reference
+    views.py:92 ``id__icontains=pk``), preserved on the string form of the
+    key; first match by key order (reference takes .first())."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey").cast("string").contains(pk_fragment))
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .limit(1)
+    )
+
+
+def count_envelope(spark: SparkSession, sf_dir: str, page_size: int = 50) -> DataFrame:
+    """Pagination envelope (A8, reference views.py:66,71-77): COUNT(*) +
+    total_pages as a 1-row DataFrame."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.ceil(F.count(F.lit(1)) / F.lit(page_size)).alias("total_pages"),
+    )
+
+
+def terms_agg_parts(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """ES terms-aggregation analogue (A9/T6, reference ETLTests-2.json:318
+    expects 26 genre buckets): explode the denormalized array column and
+    count buckets, top-k by count then key."""
+    docs = denorm_orders(spark, sf_dir)
+    return (
+        docs.select(F.explode(F.col("part_names")).alias("part_name"))
+        .groupBy("part_name")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.col("part_name"))
+        .limit(k)
+    )
+
+
+def nested_exists(spark: SparkSession, sf_dir: str, token: str = "red") -> DataFrame:
+    """ES nested-query analogue (T4, reference ETLTests-2.json:171 match
+    inside the actors array): EXISTS over an array column element
+    predicate — higher-order `exists`, no explode+distinct round-trip."""
+    docs = denorm_orders(spark, sf_dir)
+    return docs.filter(
+        F.exists(F.col("part_names"), lambda p: F.lower(p).contains(token))
+    ).select("o_orderkey", "c_name", "part_names")

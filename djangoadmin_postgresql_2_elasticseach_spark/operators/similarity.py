@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (`embeddings` table:
+vec_id, embedding array<float>, label).
+
+Two paths, same contract:
+- `brute_force_topk`: exact cosine top-k — the correctness baseline.
+  Dot products are native `zip_with`+`aggregate` expressions (JVM-side,
+  no Python), accumulated in double left-to-right so the DuckDB oracle
+  (`list_cosine_similarity`) matches to ~1 ulp; results round to 6dp.
+- `ivf_topk`: IVF-style scale path — k-means-ish centroid assignment via
+  deterministic hyperplane buckets, probe only matching buckets. At 100 TB
+  this turns an O(N) scan per query into an O(N/buckets · probes) scan
+  with the bucket id as a partition-prunable column.
+
+Paper hooks (PAPERS.md): "Incremental ... Top-K Similarity Search" (EDBT
+2020), "Continuously Adaptive Similarity Search" (SIGMOD 2020) — the
+bucketed probe structure follows their filter-then-verify shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential fold (native, codegen-friendly)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a constant query vector.
+
+    The query vector is a literal array (broadcast by constant-folding);
+    the scan computes one fused projection then a global top-k
+    (TakeOrderedAndProject — no full sort of N rows).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def hyperplane_bucket(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Deterministic random-hyperplane LSH bucket id: bit i = sign(v·hᵢ).
+    Returns a bitstring column — the IVF partition key."""
+    bits = []
+    for h in planes:
+        hcol = F.array(*[F.lit(float(x)) for x in h])
+        bits.append(F.when(dot(vec, hcol) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def fixed_planes(dim: int, n_planes: int = 4) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG-based, no RNG dep)."""
+    planes = []
+    state = 1234567891
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Bucketed ANN: assign every vector to a hyperplane bucket, probe the
+    query's bucket ± `probe_hamming` bit flips, exact-rank within probes.
+
+    Scale path: the bucket column is computed once at ingest and stored/
+    partitioned on; a query then scans ~(probes/2^n_planes) of the data.
+    Recall < 1.0 by construction — `brute_force_topk` is the oracle.
+    """
+    dim = len(query_vec)
+    planes = fixed_planes(dim, n_planes)
+    bucketed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col).cast("array<double>"), planes).alias("bucket"),
+    )
+    # query bucket + all buckets within `probe_hamming` bit flips
+    qbits = ""
+    for h in planes:
+        qbits += "1" if sum(q * x for q, x in zip(query_vec, h)) >= 0 else "0"
+    probes = {qbits}
+    if probe_hamming >= 1:
+        for i in range(n_planes):
+            flipped = qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1 :]
+            probes.add(flipped)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        bucketed.filter(F.col("bucket").isin(list(probes)))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,620 @@
+"""Query registry: every implemented operator from SURVEY.md §2 (plus the
+LLM-data-pipeline extensions) as a named (spark_callable, duckdb_oracle)
+pair. ``__spark_entry__.py`` re-exports these for the driver harness.
+
+Parity rules used throughout (see tests/test_oracle_parity.py, which runs
+both sides at sf0.001/sf0.01 and diffs):
+- money aggregates: per-row CAST to DECIMAL(18,6) → exact sum → CAST to
+  DOUBLE at the end (order-independent, engine-identical);
+- arrays: DISTINCT via collect_set/list(DISTINCT..), always array_sort /
+  list_sort, NULLs filtered explicitly on both sides;
+- string hashing: md5 hex (identical everywhere), lexicographic MIN for
+  minhash permutations (no engine-specific integer hash);
+- regexes: identical patterns; DuckDB regexp_replace gets the 'g' flag
+  (Spark replaces globally by default);
+- top-k: total ordering with a unique id tiebreak before LIMIT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .functions import textstats as TS
+from .operators import dedup as D
+from .operators import relational as R
+from .operators import similarity as S
+from .search import query as SQ
+from .sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB)
+# ---------------------------------------------------------------------------
+
+TOKEN_RE = r"[^\p{L}\p{Nd}]+"
+
+# tokens of lower(text), empties dropped — mirror of functions.text.tokenize
+def _sql_tokens(col: str = "text") -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({col}), '{TOKEN_RE}'), t -> t <> '')"
+    )
+
+
+# distinct word-3-shingles — mirror of functions.text.word_shingles
+def _sql_shingles(tk: str = "tk", n: int = 3) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({tk})-{n - 1},0)+1), "
+        f"i -> array_to_string({tk}[i:i+{n - 1}], ' ')))"
+    )
+
+
+_MONEY = "DECIMAL(18,6)"
+
+DENORM_ORDERS_SQL = f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         list_sort(list(DISTINCT p_name) FILTER (WHERE p_name IS NOT NULL)) AS part_names,
+         SUM(CAST(l_extendedprice*(1-l_discount) AS {_MONEY})) AS revenue,
+         COUNT(*) AS n_lines,
+         MAX(l_shipdate) AS last_ship
+  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+  GROUP BY l_orderkey
+)
+SELECT o.o_orderkey,
+       c.c_name,
+       o.o_orderstatus,
+       COALESCE(po.part_names, CAST([] AS VARCHAR[])) AS part_names,
+       CAST(COALESCE(po.revenue, 0) AS DOUBLE) AS revenue,
+       COALESCE(po.n_lines, 0) AS n_lines,
+       greatest(o.o_orderdate, po.last_ship) AS last_activity
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN per_order po ON o.o_orderkey = po.l_orderkey
+"""
+
+_EN_SW_SQL = "[" + ", ".join(f"'{w}'" for w in T.EN_STOPWORDS) + "]"
+_ALL_SW_SQL = "[" + ", ".join(f"'{w}'" for w in T.ALL_STOPWORDS) + "]"
+
+# light stemmer chain — mirror of functions.text.stem_token
+_STEM_SQL = (
+    "(CASE WHEN length(t2) > 4 THEN regexp_replace(t2, "
+    "'(ами|ями|ого|его|ому|ему|ыми|ими|ая|яя|ые|ие|ий|ый|ой|ом|ов|ев|ах|ях|ам|ям|ет|ут|ют|ит|ат|ят|а|я|о|е|ы|и|у|ю|ь)$', '') "
+    "ELSE t2 END)"
+)
+
+
+def _minhash_sql_cte(num_hashes: int = D.DEFAULT_NUM_HASHES) -> str:
+    slots = ",\n         ".join(
+        f"MIN(md5('{s}|' || shingle)) AS mh{s}" for s in range(num_hashes)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens("text")} AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest({_sql_shingles("tk")}) AS shingle FROM toks
+),
+sig AS (
+  SELECT doc_id,
+         {slots}
+  FROM sh GROUP BY doc_id
+)"""
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """Exact mirror of operators.similarity.cosine: sequential double
+    fold of per-element products / (sqrt norms)."""
+    dot = (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+# ---------------------------------------------------------------------------
+# Spark callables that wrap column functions into (spark, sf_dir) queries
+# ---------------------------------------------------------------------------
+
+
+def _q_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return SQ.term_query(SQ.term_query(docs, "lang", "en"), "source", "src7")
+
+
+def _q_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return SQ.multi_match_fuzzy(
+        docs, "spark src1", [("text", 2.0), ("source", 1.0)], id_col="doc_id", k=20
+    )
+
+
+def _q_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.analyze(F.col("text")).alias("tokens")
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TS.lang_id("text").alias("lang_pred"))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TS.quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["digit_ratio"].alias("digit_ratio"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        TS.quality_score("text").alias("quality_score"),
+    )
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.token_count("text").cast("long").alias("n_ws_tokens"),
+        TS.token_estimate("text").cast("long").alias("n_bpe_est"),
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.fingerprint("text").alias("fp"))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_duplicates(docs)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.4)
+
+
+def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs)
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(docs, threshold=0.4)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, bits=16)
+
+
+def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_planes=4, probe_hamming=1)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # core relational (reference ETL/API semantics on testdata)
+    "denorm_orders": R.denorm_orders,
+    "pricing_summary": R.pricing_summary,
+    "revenue_by_nation": R.revenue_by_nation,
+    "incremental_events": R.incremental_events,
+    "customer_order_arrays": R.customer_order_arrays,
+    "string_agg_nations": R.string_agg_nations,
+    "paginate_orders": R.paginate_orders,
+    "paginate_after": R.paginate_after,
+    "icontains_search": R.icontains_search,
+    "admin_list_filter": R.admin_list_filter,
+    "detail_lookup": R.detail_lookup,
+    "count_envelope": R.count_envelope,
+    "terms_agg_parts": R.terms_agg_parts,
+    "nested_exists": R.nested_exists,
+    # search surface
+    "term_search": _q_term_search,
+    "multimatch_fuzzy": _q_multimatch,
+    "analyze_tokens": _q_analyze,
+    # text analysis
+    "lang_id": _q_lang_id,
+    "text_quality": _q_quality,
+    "token_counts": _q_token_counts,
+    "doc_fingerprint": _q_fingerprint,
+    # dedup
+    "dedup_exact": _q_dedup_exact,
+    "ngram_jaccard": _q_ngram_jaccard,
+    "minhash_signatures": _q_minhash_sig,
+    "minhash_dedup_pairs": _q_minhash_pairs,
+    "simhash": _q_simhash,
+    "embedding_neardup": _q_emb_neardup,
+    # similarity search
+    "ann_brute_topk": _q_ann_brute,
+    "ann_ivf_topk": _q_ann_ivf,
+}
+
+
+def _build_oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["denorm_orders"] = DENORM_ORDERS_SQL
+
+    o["pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS {_MONEY})) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS {_MONEY})) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS {_MONEY})) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS {_MONEY})) AS DOUBLE) AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+    o["revenue_by_nation"] = f"""
+SELECT r_name, n_name,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS {_MONEY})) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+    o["incremental_events"] = """
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+"""
+
+    o["customer_order_arrays"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+    list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+    COALESCE(list_sort(list(DISTINCT o_orderpriority) FILTER (WHERE o_orderstatus = 'F')),
+             CAST([] AS VARCHAR[])) AS finished_priorities,
+    COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name,
+  COALESCE(pc.priorities, CAST([] AS VARCHAR[])) AS priorities,
+  COALESCE(pc.finished_priorities, CAST([] AS VARCHAR[])) AS finished_priorities,
+  COALESCE(pc.n_orders, 0) AS n_orders
+FROM customer c LEFT JOIN per_cust pc ON c.c_custkey = pc.o_custkey
+"""
+
+    o["string_agg_nations"] = """
+WITH agg AS (
+  SELECT c_nationkey, list_sort(list(DISTINCT c_name)) AS names_arr
+  FROM customer GROUP BY c_nationkey
+)
+SELECT n_nationkey, n_name,
+  COALESCE(array_to_string(names_arr, ', '), '') AS customer_names,
+  CASE WHEN names_arr IS NOT NULL AND len(names_arr) > 0
+       THEN string_split(array_to_string(names_arr, ', '), ', ')
+       ELSE CAST([] AS VARCHAR[]) END AS names_roundtrip
+FROM nation LEFT JOIN agg ON n_nationkey = c_nationkey
+"""
+
+    o["paginate_orders"] = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 50 OFFSET 100
+"""
+
+    o["paginate_after"] = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders WHERE o_orderkey > 0 ORDER BY o_orderkey LIMIT 50
+"""
+
+    o["icontains_search"] = """
+SELECT p_partkey, p_name, p_brand, p_type FROM part
+WHERE contains(lower(p_name), 'red')
+   OR contains(lower(p_type), 'red')
+   OR contains(lower(p_brand), 'red')
+"""
+
+    o["admin_list_filter"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate FROM orders
+WHERE o_orderstatus = 'F'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+"""
+
+    o["detail_lookup"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+WHERE contains(CAST(o_orderkey AS VARCHAR), '42')
+ORDER BY o_orderkey LIMIT 1
+"""
+
+    o["count_envelope"] = """
+SELECT COUNT(*) AS n_rows, CAST(CEIL(COUNT(*) / 50.0) AS BIGINT) AS total_pages
+FROM orders
+"""
+
+    o["terms_agg_parts"] = """
+SELECT p_name AS part_name, COUNT(DISTINCT l_orderkey) AS doc_count
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_name ORDER BY doc_count DESC, part_name LIMIT 100
+"""
+
+    o["nested_exists"] = f"""
+SELECT o_orderkey, c_name, part_names FROM (
+{DENORM_ORDERS_SQL}
+) d
+WHERE len(list_filter(part_names, p -> contains(lower(p), 'red'))) > 0
+"""
+
+    o["term_search"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE lang = 'en' AND source = 'src7'
+"""
+
+    # fuzzy multi_match: score = Σ_field weight·(3·exact + 1·fuzzy) per query token
+    def _mm_field(col_tokens: str, tok: str, weight: float) -> str:
+        exact = f"CAST(list_contains({col_tokens}, '{tok}') AS INT)"
+        fuzzy = (
+            f"CAST(len(list_filter({col_tokens}, "
+            f"x -> levenshtein(x, '{tok}') <= 1 AND x <> '{tok}')) > 0 AS INT)"
+        )
+        return f"{weight} * (3 * {exact} + 1 * {fuzzy})"
+
+    mm_terms = []
+    for tok in ["spark", "src1"]:
+        mm_terms.append(_mm_field("ttoks", tok, 2.0))
+        mm_terms.append(_mm_field("stoks", tok, 1.0))
+    mm_score = " + ".join(mm_terms)
+    o["multimatch_fuzzy"] = f"""
+WITH toked AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         list_distinct({_sql_tokens("text")}) AS ttoks,
+         list_distinct({_sql_tokens("source")}) AS stoks
+  FROM documents
+)
+SELECT doc_id, text, lang, source, n_chars, score FROM (
+  SELECT doc_id, text, lang, source, n_chars, CAST({mm_score} AS DOUBLE) AS score
+  FROM toked
+) WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+    o["analyze_tokens"] = f"""
+SELECT doc_id,
+  list_transform(
+    list_transform(
+      list_transform(
+        list_filter({_sql_tokens("text")}, t -> NOT list_contains({_ALL_SW_SQL}, t)),
+        t -> regexp_replace(t, '''s$', '')
+      ),
+      t1 -> CASE WHEN length(t1) > 4 THEN regexp_replace(t1, '(ings?|edly|ed|ly|ies|es|s)$', '') ELSE t1 END
+    ),
+    t2 -> {_STEM_SQL}
+  ) AS tokens
+FROM documents
+"""
+
+    o["lang_id"] = """
+SELECT doc_id, lang,
+  CASE WHEN cyr + lat = 0 THEN 'und'
+       WHEN cyr * 2 > lat THEN 'ru'
+       ELSE 'en' END AS lang_pred
+FROM (
+  SELECT doc_id, lang,
+    length(regexp_replace(text, '[^а-яА-ЯёЁ]', '', 'g')) AS cyr,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS lat
+  FROM documents
+)
+"""
+
+    o["text_quality"] = f"""
+WITH feats AS (
+  SELECT doc_id,
+    length(text) AS n_chars_f,
+    {_sql_tokens("text")} AS words,
+    length(regexp_replace(text, '[\\p{{L}}\\p{{Nd}}\\s]', '', 'g')) AS n_punct,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+  FROM documents
+), d AS (
+  SELECT doc_id, n_chars_f, n_punct, n_digit,
+    len(words) AS n_words,
+    len(list_filter(words, t -> list_contains({_EN_SW_SQL}, t))) AS n_stop,
+    CASE WHEN len(words) > 0
+         THEN CAST(list_sum(list_transform(words, w -> CAST(length(w) AS DOUBLE))) AS DOUBLE) / len(words)
+         ELSE 0.0 END AS mean_word_len
+  FROM feats
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS stopword_ratio,
+  CASE WHEN n_chars_f > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_f ELSE 0.0 END AS punct_ratio,
+  CASE WHEN n_chars_f > 0 THEN CAST(n_digit AS DOUBLE) / n_chars_f ELSE 0.0 END AS digit_ratio,
+  mean_word_len,
+  (CAST(n_words >= 10 AS INT)
+   + CAST((CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE)/n_words ELSE 0.0 END) BETWEEN 0.05 AND 0.7 AS INT)
+   + CAST((CASE WHEN n_chars_f > 0 THEN CAST(n_punct AS DOUBLE)/n_chars_f ELSE 0.0 END) <= 0.2 AS INT)
+   + CAST((CASE WHEN n_chars_f > 0 THEN CAST(n_digit AS DOUBLE)/n_chars_f ELSE 0.0 END) <= 0.3 AS INT)
+   + CAST(mean_word_len BETWEEN 2.0 AND 12.0 AS INT)
+  ) / 5.0 AS quality_score
+FROM d
+"""
+
+    o["token_counts"] = f"""
+SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+  CAST(
+    COALESCE(list_sum(list_transform({_sql_tokens("text")}, w -> CAST(ceil(length(w)/4.0) AS BIGINT))), 0)
+    + length(regexp_replace(text, '[\\p{{L}}\\p{{Nd}}\\s]', '', 'g'))
+  AS BIGINT) AS n_bpe_est
+FROM documents
+"""
+
+    o["doc_fingerprint"] = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+    o["dedup_exact"] = """
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs,
+       list_sort(list(DISTINCT doc_id)) AS member_ids
+FROM fp GROUP BY fp HAVING COUNT(*) > 1
+"""
+
+    jaccard_core = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens("text")} AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest({_sql_shingles("tk")}) AS shingle FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY id_a, id_b
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.4
+"""
+    o["ngram_jaccard"] = jaccard_core
+
+    nh = D.DEFAULT_NUM_HASHES
+    sig_cols = ", ".join(f"mh{s}" for s in range(nh))
+    o["minhash_signatures"] = f"""
+{_minhash_sql_cte(nh)}
+SELECT doc_id, {sig_cols} FROM sig
+"""
+
+    bs = D.DEFAULT_BAND_SIZE
+    n_bands = nh // bs
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, "
+        + str(b)
+        + " AS band_idx, "
+        + " || '|' || ".join(f"mh{b * bs + i}" for i in range(bs))
+        + " AS band_key FROM sig"
+        for b in range(n_bands)
+    )
+    o["minhash_dedup_pairs"] = f"""
+{_minhash_sql_cte(nh)},
+bands AS (
+  {band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE round(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common), 6) >= 0.4
+"""
+
+    bits = 16
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN contains('89abcdef', substring(h, {i + 1}, 1)) THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    bitcat = " || ".join(
+        f"(CASE WHEN s{i} > 0 THEN '1' ELSE '0' END)" for i in range(bits)
+    )
+    o["simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_sql_tokens("text")})) AS tok FROM documents
+),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+summed AS (
+  SELECT doc_id,
+    {sums}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {bitcat} AS simhash FROM summed
+"""
+
+    cos_ab = _cosine_sql("a.embedding", "b.embedding")
+    o["embedding_neardup"] = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({cos_ab}, 6) >= 0.4
+"""
+
+    cos_q = _cosine_sql("e.embedding", "q.qe")
+    o["ann_brute_topk"] = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({cos_q}, 6) AS cos_sim
+FROM embeddings e, q
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+"""
+
+    # IVF oracle: same hyperplanes inlined; probe = Hamming<=1 buckets
+    planes = S.fixed_planes(64, 4)
+    def _plane_sql(vec: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            f"(CASE WHEN list_sum(list_transform(list_zip({vec}, {arr}), "
+            f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) >= 0 THEN '1' ELSE '0' END)"
+        )
+
+    bucket_e = " || ".join(_plane_sql("e.embedding", p) for p in planes)
+    bucket_q = " || ".join(_plane_sql("q.qe", p) for p in planes)
+    o["ann_ivf_topk"] = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+be AS (
+  SELECT e.vec_id, e.embedding, {bucket_e} AS bucket FROM embeddings e
+),
+bq AS (SELECT {bucket_q} AS qbucket FROM q)
+SELECT e.vec_id, round({cos_q}, 6) AS cos_sim
+FROM be e, q, bq
+WHERE hamming(e.bucket, bq.qbucket) <= 1
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+"""
+
+    return o
+
+
+ORACLES: dict[str, str] = _build_oracles()

@@ -1,0 +1,108 @@
+"""Elasticsearch-shaped bulk sink.
+
+The reference delivers documents with the ES bulk API — pairs of
+``{"index": {"_index": idx, "_id": id}}`` + doc, built at
+``etl/main.py:163-169`` — and relies on index-by-``_id`` being an upsert
+for at-least-once ⇒ effectively-once delivery (SURVEY §2.10 ST4).
+
+Spark-first design: the executor-side writer is a ``foreachPartition``
+that streams NDJSON bulk envelopes. One HTTP ``_bulk`` call per batch of
+``batch_size`` docs per partition — the parallelism is Spark's partition
+count, so a 1000-executor job drives 1000 concurrent bulk streams without
+any driver involvement (no ``collect()``).
+
+This container has no Elasticsearch, so the transport is pluggable:
+``transport=None`` writes the exact NDJSON bulk payload to files
+(one per partition) for assertion in tests; a real deployment passes
+``transport=callable`` that POSTs each payload to ``/_bulk`` with
+backoff (reference retries with ``backoff.expo`` at etl/main.py:141-143).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid as _uuid
+from typing import Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame
+
+
+def _bulk_lines(
+    rows: Iterable[dict], index: str, id_field: str
+) -> Iterator[str]:
+    """Yield ES bulk NDJSON action/doc line pairs (reference etl/main.py:165-167)."""
+    for row in rows:
+        doc = {k: v for k, v in row.items()}
+        yield json.dumps(
+            {"index": {"_index": index, "_id": str(doc[id_field])}},
+            ensure_ascii=False,
+            default=str,
+        )
+        yield json.dumps(doc, ensure_ascii=False, default=str)
+
+
+def write_bulk(
+    df: DataFrame,
+    index: str,
+    id_field: str = "id",
+    batch_size: int = 500,
+    transport: Callable[[str], None] | None = None,
+    spool_dir: str | None = None,
+    max_retries: int = 5,
+    backoff_base: float = 0.5,
+) -> None:
+    """Deliver ``df`` as ES bulk payloads, one stream per partition.
+
+    Executor-side only; no data returns to the driver. With
+    ``transport=None`` each partition spools its payloads to
+    ``spool_dir/part-<uuid>.ndjson`` (test/file mode).
+    """
+    if transport is None and spool_dir is None:
+        raise ValueError("need transport or spool_dir")
+
+    def handle_partition(it):
+        buf: list[str] = []
+
+        def flush():
+            if not buf:
+                return
+            payload = "\n".join(buf) + "\n"
+            if transport is not None:
+                # Exponential backoff mirrors the reference's
+                # @backoff.on_exception(expo, ...) (etl/main.py:141-143).
+                for attempt in range(max_retries):
+                    try:
+                        transport(payload)
+                        break
+                    except Exception:
+                        if attempt == max_retries - 1:
+                            raise
+                        time.sleep(backoff_base * (2**attempt))
+            else:
+                os.makedirs(spool_dir, exist_ok=True)
+                fname = os.path.join(spool_dir, f"part-{_uuid.uuid4().hex}.ndjson")
+                with open(fname, "a", encoding="utf-8") as f:
+                    f.write(payload)
+            buf.clear()
+
+        rows = (r.asDict(recursive=True) for r in it)
+        n_docs = 0
+        for pair in _bulk_lines(rows, index, id_field):
+            buf.append(pair)
+            n_docs += 1
+            if n_docs >= 2 * batch_size:
+                flush()
+                n_docs = 0
+        flush()
+
+    df.foreachPartition(handle_partition)
+
+
+def bootstrap_index_settings(settings_path: str) -> dict:
+    """Load index settings+mappings JSON (reference etl/main.py:296-311
+    creates the index from etl/json/es_*.json if absent). Returns the
+    parsed body; the caller PUTs it to the cluster out-of-band."""
+    with open(settings_path, "r", encoding="utf-8") as f:
+        return json.load(f)

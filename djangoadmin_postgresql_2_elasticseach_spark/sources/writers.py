@@ -1,0 +1,69 @@
+"""Sinks: overwrite refresh, idempotent append, and partitioned layout.
+
+Maps the reference's write paths to Spark:
+
+- destructive refresh ``TRUNCATE ... CASCADE`` then reload (reference
+  ``load_data.py:51``) → ``mode("overwrite")``.
+- idempotent row insert ``ON CONFLICT (id) DO NOTHING`` (reference
+  ``postgres_saver_file.py:17-38``) → stage + ``dropDuplicates([key])``
+  anti-join against the existing target, then append. (With a
+  transactional table format this is MERGE WHEN NOT MATCHED; plain
+  parquet gets the same effect via anti-join.)
+
+Scale note: ``write_partitioned`` lays fact tables out by a low-cardinality
+time-derived column so the incremental `modified > ckpt` scan prunes whole
+partitions — the Spark replacement for the reference's btree index on
+``modified``-adjacent columns (reference ``movies_database.ddl:47``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def overwrite(df: DataFrame, path: str) -> None:
+    """Full destructive refresh (reference load_data.py:51 TRUNCATE+reload)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def append_if_absent(
+    spark: SparkSession, df: DataFrame, path: str, key: str = "id"
+) -> int:
+    """Idempotent append: insert rows whose `key` is not already in the
+    target (reference postgres_saver_file.py:23 ON CONFLICT DO NOTHING).
+
+    Returns the number of rows appended. The anti-join broadcasts the
+    incoming (small) batch when possible; for large backfills the join is
+    a shuffle on `key`, which is unavoidable for exactly-once-by-key
+    semantics without a transactional format.
+    """
+    fresh = df.dropDuplicates([key])
+    if os.path.exists(path):
+        existing = spark.read.parquet(path).select(key)
+        fresh = fresh.join(existing, on=key, how="left_anti")
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(path)
+    return n
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "modified",
+    granularity: str = "month",
+    mode: str = "overwrite",
+) -> None:
+    """Write with a time-derived partition column for partition pruning.
+
+    ``granularity`` ∈ {date, month}. The incremental scan's
+    ``modified > ckpt`` predicate then skips whole directories.
+    """
+    fmt = "yyyy-MM-dd" if granularity == "date" else "yyyy-MM"
+    part = F.date_format(F.col(ts_col), fmt).alias("p_bucket")
+    df.withColumn("p_bucket", part).write.mode(mode).partitionBy(
+        "p_bucket"
+    ).parquet(path)

@@ -1,0 +1,77 @@
+"""The correctness gate, locally: run every registry query on Spark AND
+its DuckDB oracle on the same parquet tables, and compare row counts,
+column names, and (order-insensitively) values — the same shape of check
+the driver harness performs at sf0.01.
+
+Values are canonicalized before compare: timestamps → ISO strings,
+floats → repr of round(12), arrays → tuples (already deterministically
+sorted by the queries themselves), Decimals → str.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+
+import pytest
+
+from djangoadmin_postgresql_2_elasticseach_spark import registry
+from tests.conftest import SF_CORRECT, SF_SMOKE, register_views
+
+# sf0.001 always; sf0.01 (driver correctness scale) when SPARK_GRAFT_FULL=1
+SF_DIRS = [SF_SMOKE] + (
+    [SF_CORRECT] if os.environ.get("SPARK_GRAFT_FULL") == "1" else []
+)
+
+
+def _canon_val(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(round(v, 9))
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat(sep=" ") if isinstance(v, dt.datetime) else v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_val(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_val(x)) for k, x in v.items()))
+    if type(v).__name__ == "Decimal":
+        return repr(float(v))
+    return v
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(_canon_val(r[i]) for i in order))
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_query_matches_oracle(name, sf_dir, spark, duck):
+    register_views(duck, sf_dir)
+
+    sdf = registry.QUERIES[name](spark, sf_dir)
+    spark_cols = list(sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    assert name in registry.ORACLES, f"no oracle for {name}"
+    res = duck.execute(registry.ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    a = _canon_rows(spark_cols, spark_rows)
+    b = _canon_rows(duck_cols, duck_rows)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert a == b, f"{name}: value mismatch; first diffs: {mismatches[:3]}"
