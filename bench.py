@@ -1,0 +1,91 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver-side row transfer) — the honest analogue of writing to a real
+sink. Quadratic verification-path operators (all-pairs jaccard/cosine)
+are excluded; their LSH/banded scale paths are benched instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from djangoadmin_postgresql_2_elasticseach_spark import registry
+from djangoadmin_postgresql_2_elasticseach_spark.session import get_spark
+
+BENCH_QUERIES = [
+    # scan + group-agg throughput
+    "pricing_summary",
+    # broadcast join chains + agg
+    "revenue_by_nation",
+    # the flagship denormalizing doc build (reference ETL shape)
+    "denorm_orders",
+    # incremental predicate scan
+    "incremental_events",
+    # distinct-array aggregation (API layer shape)
+    "customer_order_arrays",
+    "string_agg_nations",
+    # search surface
+    "terms_agg_parts",
+    "nested_exists",
+    "multimatch_fuzzy",
+    "analyze_tokens",
+    # text analysis
+    "lang_id",
+    "text_quality",
+    "token_counts",
+    "doc_fingerprint",
+    # dedup scale paths (LSH/banded, not all-pairs)
+    "dedup_exact",
+    "minhash_dedup_pairs",
+    "simhash",
+    # similarity search
+    "ann_brute_topk",
+    "ann_ivf_topk",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen once with a trivial action
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
