@@ -1,0 +1,69 @@
+"""Structured Streaming wrapper — the reference's 10-second polling loop
+(reference etl/main.py:357-385 ``sleep(10)``) as a real stream.
+
+Design: ``readStream`` over the film_work storage path (parquet file
+stream; swap for Delta CDF / Kafka CDC in production), foreachBatch
+running the same incremental builders as streaming/incremental.py, with
+Spark's checkpointLocation replacing the JSON state file (ST3/ST8 —
+exactly-once batch tracking is built in).
+
+The dependency-recompute join (ST6: person/genre edits re-emitting
+movie docs) is a stream-static join here: the dimension DataFrames are
+re-read per micro-batch inside foreachBatch, so dimension edits are
+picked up at the next trigger — the same 10 s staleness contract the
+reference's poll loop has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from .. import schemas
+from ..operators.denorm import film_changeset, movie_docs
+
+
+def movie_docs_stream(
+    spark: SparkSession,
+    tables_dir: str,
+    checkpoint_dir: str,
+    sink,
+    trigger_seconds: int = 10,
+    max_files_per_trigger: int = 100,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Stream new/changed film_work files into denormalized movie docs.
+
+    ``sink(batch_df, batch_id)`` is called per micro-batch (foreachBatch)
+    — pair with sources.es_sink.write_bulk for ES-shaped delivery.
+    """
+    fw_stream = (
+        spark.readStream.schema(schemas.FILM_WORK)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(f"{tables_dir}/film_work")
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        genre = s.read.schema(schemas.GENRE).parquet(f"{tables_dir}/genre")
+        person = s.read.schema(schemas.PERSON).parquet(f"{tables_dir}/person")
+        gfw = s.read.schema(schemas.GENRE_FILM_WORK).parquet(
+            f"{tables_dir}/genre_film_work"
+        )
+        pfw = s.read.schema(schemas.PERSON_FILM_WORK).parquet(
+            f"{tables_dir}/person_film_work"
+        )
+        docs = movie_docs(film_changeset(batch_df, genre, person, gfw, pfw))
+        sink(docs, batch_id)
+
+    writer = fw_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        # drain everything then stop (test/backfill mode)
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
