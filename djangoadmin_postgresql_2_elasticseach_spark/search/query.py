@@ -19,10 +19,21 @@ equivalent of ES's inverted index build.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
+
+# Python twin of functions.text.tokenize for the query string itself —
+# the same analyzer must hit both sides of the match (ES analyzes the
+# query with the field's analyzer too).
+_QUERY_SPLIT = re.compile(r"[^0-9a-zA-ZЀ-ӿ]+")
+
+
+def query_tokens(query: str) -> list[str]:
+    return [t for t in _QUERY_SPLIT.split(query.lower()) if t]
 
 
 def term_query(docs: DataFrame, field: str, value: str) -> DataFrame:
@@ -37,7 +48,7 @@ def match_query(
     analyzed field tokens."""
     text_col = text_col or field
     toks = tokenize(F.col(text_col))
-    qtoks = [t for t in query.lower().split() if t]
+    qtoks = query_tokens(query)
     cond = None
     for t in qtoks:
         c = F.array_contains(toks, t)
@@ -61,7 +72,7 @@ def multi_match_fuzzy(
     oracle-reproducible; ranking by (score desc, id asc).
     """
     score = F.lit(0.0)
-    qtoks = [t for t in query.lower().split() if t]
+    qtoks = query_tokens(query)
     for field, weight in fields:
         toks = F.array_distinct(tokenize(F.col(field)))
         for t in qtoks:
