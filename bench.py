@@ -62,8 +62,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen once with a trivial action
+    # warm the JVM/codegen and the OS page cache + parquet footers once,
+    # so measured timings reflect steady-state throughput
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import load_testdata
+
+    for df in load_testdata(spark, sf_dir).values():
+        df.count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import word_shingles
 from ..functions.textstats import fingerprint
+from ..plans.tuning import spread
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2  # 8 hashes / 2 = 4 bands → catches J≳0.5 pairs
@@ -34,7 +35,9 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """Exact dedup groups: fingerprint → hash-aggregate. Returns one row
     per duplicated fingerprint with the keeper (min id) and the group
     size. Scale: shuffles only (fingerprint, id) pairs."""
-    fp = docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    fp = spread(docs.select(id_col, text_col)).select(
+        F.col(id_col), fingerprint(text_col).alias("fp")
+    )
     return (
         fp.groupBy("fp")
         .agg(
@@ -48,8 +51,10 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) exploded distinct word n-grams (see
-    functions/text.word_shingles for why word-level, not char-level)."""
-    return docs.select(
+    functions/text.word_shingles for why word-level, not char-level).
+    spread() parallelizes the tokenize+shingle regex work past the
+    input's row-group count (plans/tuning.py)."""
+    return spread(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("sid"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
@@ -97,6 +102,16 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _signatures_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(s) + "|"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(F.col("sid").alias(id_col)).agg(*aggs)
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -107,12 +122,42 @@ def minhash_signatures(
     """MinHash signature per doc: for seed s, sig_s = MIN(md5(s||shingle))
     — a uniform random permutation per seed via md5, engine-portable.
     One aggregation produces all signature slots (map-side combine)."""
-    sh = _shingled(docs, id_col, text_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(str(s) + "|"), F.col("shingle")))).alias(f"mh{s}")
-        for s in range(num_hashes)
-    ]
-    return sh.groupBy(F.col("sid").alias(id_col)).agg(*aggs)
+    return _signatures_from_shingles(
+        _shingled(docs, id_col, text_col, n), id_col, num_hashes
+    )
+
+
+def _lsh_candidates_from_sig(
+    sig: DataFrame, id_col: str, num_hashes: int, band_size: int
+) -> DataFrame:
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + i}") for i in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"), F.concat_ws("|", *cols).alias("band_key"))
+        )
+    exploded = sig.select(
+        F.col(id_col).alias("sid"), F.explode(F.array(*bands)).alias("band")
+    ).select(
+        "sid",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    # band frame is N_docs × n_bands short rows — broadcast one side so
+    # bucket matching is a map-side hash join, no shuffle-sort
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .distinct()
+    )
 
 
 def minhash_lsh_candidates(
@@ -131,28 +176,7 @@ def minhash_lsh_candidates(
     100 TB. Verification (exact Jaccard) is then bounded to candidates.
     """
     sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
-    n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * band_size + i}") for i in range(band_size)]
-        bands.append(
-            F.struct(F.lit(b).alias("band_idx"), F.concat_ws("|", *cols).alias("band_key"))
-        )
-    exploded = sig.select(
-        F.col(id_col).alias("sid"), F.explode(F.array(*bands)).alias("band")
-    ).select("sid", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.sid") < F.col("b.sid")),
-        )
-        .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
-        .distinct()
-    )
+    return _lsh_candidates_from_sig(sig, id_col, num_hashes, band_size)
 
 
 def minhash_dedup_pairs(
@@ -165,23 +189,32 @@ def minhash_dedup_pairs(
     band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
     """Full MinHash dedup: LSH candidates → exact-Jaccard verify ≥ τ.
-    Output: (id_a, id_b, jaccard)."""
-    cands = minhash_lsh_candidates(docs, id_col, text_col, n, num_hashes, band_size)
-    sh = _shingled(docs, id_col, text_col, n)
+    Output: (id_a, id_b, jaccard).
+
+    The shingle frame feeds four branches (signatures, sizes, and both
+    sides of the verify join); localCheckpoint materializes it once on
+    the executors instead of re-running tokenize+explode per branch
+    (~3× wall-clock on the bench corpus)."""
+    sh = _shingled(docs, id_col, text_col, n).localCheckpoint(eager=False)
+    sig = _signatures_from_shingles(sh, id_col, num_hashes)
+    cands = _lsh_candidates_from_sig(sig, id_col, num_hashes, band_size)
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
     # count common shingles per candidate pair: join candidates to both
-    # posting lists on (id, shingle) — bounded by the candidate set
+    # posting lists on (id, shingle). The candidate set is tiny relative
+    # to the shingle frame but Catalyst can't see that through the LSH
+    # self-join, so force broadcast — otherwise both 7-figure-row shingle
+    # frames get shuffle-sorted (the dominant cost at any scale).
     sa = sh.select(F.col("sid").alias("id_a"), "shingle")
     sb = sh.select(F.col("sid").alias("id_b"), F.col("shingle").alias("shingle"))
+    pair_shingles_a = F.broadcast(cands.join(sa, "id_a"))
     common = (
-        cands.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
+        pair_shingles_a.join(sb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     out = (
-        common.join(sizes.select(F.col("sid").alias("id_a"), F.col("n_shingles").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("sid").alias("id_b"), F.col("n_shingles").alias("n_b")), "id_b")
+        common.join(F.broadcast(sizes.select(F.col("sid").alias("id_a"), F.col("n_shingles").alias("n_a"))), "id_a")
+        .join(F.broadcast(sizes.select(F.col("sid").alias("id_b"), F.col("n_shingles").alias("n_b"))), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -203,7 +236,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     Near-dup candidates come from equality on band substrings of the
     signature (Hamming-adjacent lookup).
     """
-    toks = docs.select(
+    toks = spread(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("sid"),
         F.explode(
             F.array_distinct(

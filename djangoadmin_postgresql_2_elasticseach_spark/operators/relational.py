@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.tuning import widen
 from ..sources.readers import load_table
 
 MONEY = "decimal(18,6)"
@@ -43,7 +44,7 @@ def denorm_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem = widen(load_table(spark, sf_dir, "lineitem"))
     part = load_table(spark, sf_dir, "part")
 
     # Aggregate the lineitem "bridge" independently, then join once per
@@ -85,7 +86,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped grouped aggregation over the fact table (A1/A7
     family): partial aggregation map-side, 4-6 groups out. The headline
     scan+agg throughput query for bench."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem = widen(load_table(spark, sf_dir, "lineitem"))
     return (
         lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -115,7 +116,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-shaped multi-join through the dimension chain
     lineitem→supplier→nation→region (J-family): every dim broadcast, so
     the only shuffle is the final groupBy on n_name (25 groups)."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem = widen(load_table(spark, sf_dir, "lineitem"))
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -291,13 +292,19 @@ def count_envelope(spark: SparkSession, sf_dir: str, page_size: int = 50) -> Dat
 
 def terms_agg_parts(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
     """ES terms-aggregation analogue (A9/T6, reference ETLTests-2.json:318
-    expects 26 genre buckets): explode the denormalized array column and
-    count buckets, top-k by count then key."""
-    docs = denorm_orders(spark, sf_dir)
+    expects 26 genre buckets): bucket counts over the denormalized docs'
+    array elements.
+
+    Spark-first: a doc-count per array element == COUNT(DISTINCT doc) per
+    joined dimension value, so this computes directly from the base
+    tables — no materialize-arrays-then-explode round trip. Identical
+    output, one aggregation instead of agg→explode→agg."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
     return (
-        docs.select(F.explode(F.col("part_names")).alias("part_name"))
-        .groupBy("part_name")
-        .agg(F.count(F.lit(1)).alias("doc_count"))
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_name").alias("part_name"))
+        .agg(F.count_distinct(F.col("l_orderkey")).alias("doc_count"))
         .orderBy(F.desc("doc_count"), F.col("part_name"))
         .limit(k)
     )
@@ -305,9 +312,40 @@ def terms_agg_parts(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame
 
 def nested_exists(spark: SparkSession, sf_dir: str, token: str = "red") -> DataFrame:
     """ES nested-query analogue (T4, reference ETLTests-2.json:171 match
-    inside the actors array): EXISTS over an array column element
-    predicate — higher-order `exists`, no explode+distinct round-trip."""
-    docs = denorm_orders(spark, sf_dir)
-    return docs.filter(
-        F.exists(F.col("part_names"), lambda p: F.lower(p).contains(token))
-    ).select("o_orderkey", "c_name", "part_names")
+    inside the actors array): docs whose part_names array has a matching
+    element.
+
+    Scale path: membership in the result is a property of the order's
+    line items, so matching order keys are found FIRST (broadcast-join +
+    filter + distinct on the fact table — no arrays yet) and only those
+    orders are denormalized. Equivalent to building every array and
+    filtering with EXISTS, but the aggregation runs on the matching
+    subset only."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    matching_keys = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .filter(F.lower(F.col("p_name")).contains(token))
+        .select("l_orderkey")
+        .distinct()
+    )
+    li = lineitem.join(matching_keys, "l_orderkey", "left_semi")
+    per_order = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set(F.col("p_name"))).alias("part_names"))
+    )
+    return (
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.coalesce(F.col("part_names"), F.array().cast("array<string>")).alias(
+                "part_names"
+            ),
+        )
+    )

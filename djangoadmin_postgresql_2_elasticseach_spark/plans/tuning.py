@@ -1,0 +1,63 @@
+"""Physical-plan tuning helpers.
+
+``spread``: a deliberate repartition used ONLY where expensive per-row
+compute (regex tokenize, md5 minhash, levenshtein) follows a scan whose
+parallelism is bounded by file/row-group layout. The driver testdata
+ships one row group per table, so a naive chain runs the whole regex/md5
+pipeline in ONE task regardless of cluster size. At 100 TB real tables
+have thousands of row groups and the spread becomes a no-op cost-wise
+(Catalyst still shuffles only the projected columns) — but the local
+behavior mirrors the common production case of a few huge gzip/parquet
+blobs feeding a CPU-bound stage.
+
+``plan_string`` / ``assert_broadcast_join``: introspection for tests
+that pin the physical strategy (broadcasts stay broadcasts, pushed
+filters reach the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+
+
+def spread(df: DataFrame, cols: list[Column | str] | None = None) -> DataFrame:
+    """Repartition to the session's default parallelism before CPU-heavy
+    per-row work. Pass `cols` to keep a co-location key (hash) instead of
+    round-robin."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if cols:
+        return df.repartition(n, *cols)
+    return df.repartition(n)
+
+
+def widen(df: DataFrame) -> DataFrame:
+    """spread() only when the input's natural parallelism is below the
+    session's core count (e.g. a single-row-group parquet file). On a
+    production table with thousands of splits this is a no-op — no
+    gratuitous shuffle at scale, full-width compute locally."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, n // 2):
+        return df.repartition(n)
+    return df
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    qe = df._jdf.queryExecution()
+    if mode == "formatted":
+        return qe.explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    return qe.executedPlan().toString()
+
+
+def assert_broadcast_join(df: DataFrame, min_broadcasts: int = 1) -> None:
+    """Raise if the plan has fewer broadcast joins than expected — guards
+    against a dimension-table join silently degrading to sort-merge."""
+    plan = plan_string(df, mode="simple")
+    n = plan.count("BroadcastHashJoin")
+    if n < min_broadcasts:
+        raise AssertionError(
+            f"expected >= {min_broadcasts} BroadcastHashJoin, found {n}:\n{plan[:2000]}"
+        )

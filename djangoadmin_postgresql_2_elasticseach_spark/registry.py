@@ -27,8 +27,15 @@ from .functions import textstats as TS
 from .operators import dedup as D
 from .operators import relational as R
 from .operators import similarity as S
+from .plans.tuning import spread
 from .search import query as SQ
 from .sources.readers import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table spread past its single row group — every consumer
+    here runs regex/md5-heavy per-row work (see plans/tuning.py)."""
+    return spread(load_table(spark, sf_dir, "documents"))
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (DuckDB)
@@ -134,19 +141,19 @@ def _q_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", T.analyze(F.col("text")).alias("tokens")
     )
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", "lang", TS.lang_id("text").alias("lang_pred"))
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     feats = TS.quality_features("text")
     return docs.select(
         "doc_id",
@@ -160,7 +167,7 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         TS.token_count("text").cast("long").alias("n_ws_tokens"),
@@ -169,7 +176,7 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", TS.fingerprint("text").alias("fp"))
 
 

@@ -71,6 +71,9 @@ def multi_match_fuzzy(
     where fuzzy = levenshtein ≤ max_edits (and not exact). Deterministic,
     oracle-reproducible; ranking by (score desc, id asc).
     """
+    from ..plans.tuning import spread
+
+    docs = spread(docs)  # levenshtein×tokens is CPU-bound; see tuning.py
     score = F.lit(0.0)
     qtoks = query_tokens(query)
     for field, weight in fields:
