@@ -142,10 +142,29 @@ def incremental_events(
 ) -> DataFrame:
     """Incremental predicate (P3/ST1): strict ``ts > checkpoint`` pushed
     to the parquet scan (reference etl/main.py:35 ``modified > %s``).
-    With time-partitioned layout this prunes whole partitions at 100 TB."""
-    events = load_table(spark, sf_dir, "events")
-    return events.filter(F.col("ts") > F.lit(checkpoint).cast("timestamp")).select(
-        "event_id", "ts", "user_id", "event_type", "value"
+    With time-partitioned layout this prunes whole partitions at 100 TB.
+
+    The events ts column is physically nanosecond int64 (readers.py), so
+    the predicate is applied to the RAW column — a filter on the derived
+    timestamp would NOT reach the scan. ``raw_ts >= (ckpt_µs+1)·1000`` is
+    exactly ``floor_to_µs(ts) > ckpt`` (the engine's µs-truncation
+    semantics), and it shows up in PushedFilters (tests/test_plans.py).
+    """
+    import datetime as _dt
+
+    from ..sources.readers import load_events_raw
+
+    ckpt_us = int(
+        _dt.datetime.fromisoformat(checkpoint)
+        .replace(tzinfo=_dt.timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    raw = load_events_raw(spark, sf_dir)
+    return (
+        raw.filter(F.col("ts") >= F.lit((ckpt_us + 1) * 1000))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
     )
 
 

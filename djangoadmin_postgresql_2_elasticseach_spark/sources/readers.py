@@ -21,16 +21,25 @@ from pyspark.sql import DataFrame, SparkSession
 from .. import schemas
 
 
+def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as raw nanosecond longs — the form incremental
+    predicates should filter on (a comparison on the RAW column pushes
+    to the parquet scan; one on the derived timestamp does not)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.schema(schemas.EVENTS_RAW).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-testdata parquet table with its declared schema."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS): read raw ns as long, floor to µs
         # (identical to DuckDB's read-time truncation of the same file).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        raw = spark.read.schema(schemas.EVENTS_RAW).parquet(path)
+        raw = load_events_raw(spark, sf_dir)
         return raw.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         ).select([f.name for f in schemas.EVENTS.fields])

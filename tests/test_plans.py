@@ -1,0 +1,113 @@
+"""Physical-plan regression tests: the properties that decide whether a
+query survives a 100× scale-up — dimension joins stay broadcast, filters
+reach the parquet scan, column pruning holds, time-partitioned layouts
+prune partitions — pinned against `.explain` output.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from djangoadmin_postgresql_2_elasticseach_spark import registry
+from djangoadmin_postgresql_2_elasticseach_spark.plans.tuning import (
+    assert_broadcast_join,
+    plan_string,
+)
+from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import load_table
+from djangoadmin_postgresql_2_elasticseach_spark.sources.writers import write_partitioned
+from tests.conftest import SF_SMOKE
+
+
+def test_dimension_joins_broadcast(spark):
+    """Every dim join in the multi-join chain must be a broadcast — a
+    sort-merge here would shuffle the fact table three times."""
+    df = registry.QUERIES["revenue_by_nation"](spark, SF_SMOKE)
+    assert_broadcast_join(df, min_broadcasts=3)
+
+
+def test_denorm_orders_broadcasts_dims(spark):
+    df = registry.QUERIES["denorm_orders"](spark, SF_SMOKE)
+    assert_broadcast_join(df, min_broadcasts=2)  # part + customer
+
+
+def test_incremental_filter_pushed_to_scan(spark):
+    """The ts > ckpt predicate must appear in PushedFilters — that is
+    what makes the incremental scan prune row groups/partitions."""
+    df = registry.QUERIES["incremental_events"](spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert "PushedFilters" in plan
+    # predicate applies to the raw ns column so it reaches the scan
+    assert "GreaterThanOrEqual(ts" in plan, plan[:1500]
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection must not read the full lineitem schema."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_string(li)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, plan[-800:]
+
+
+def test_admin_filter_pushdown(spark):
+    df = registry.QUERIES["admin_list_filter"](spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    """Time-partitioned layout + a modified>ckpt filter ⇒ the scan lists
+    only matching partition directories (PartitionFilters present)."""
+    events = load_table(spark, SF_SMOKE, "events").withColumnRenamed("ts", "modified")
+    path = str(tmp_path / "events_parted")
+    write_partitioned(events, path, ts_col="modified", granularity="date")
+    # one directory per day
+    days = [d for d in os.listdir(path) if d.startswith("p_bucket=")]
+    assert len(days) == 30
+    back = spark.read.parquet(path).filter(F.col("p_bucket") > "2024-01-15")
+    plan = plan_string(back)
+    assert "PartitionFilters" in plan
+    assert plan.count("2024-01-15") >= 1
+    # pruned read touches only the matching files
+    assert back.select("event_id").count() == (
+        spark.read.parquet(path)
+        .filter(F.col("modified") >= "2024-01-16")
+        .count()
+    )
+
+
+def test_topk_uses_take_ordered(spark):
+    """Global top-k must compile to TakeOrderedAndProject, not a full
+    sort of N rows."""
+    df = registry.QUERIES["ann_brute_topk"](spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_agg_is_partial_then_final(spark):
+    """Aggregation must be partial (map-side combine) before the
+    exchange — only the per-partition partials shuffle, not rows."""
+    df = registry.QUERIES["pricing_summary"](spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange hashpartitioning"), (
+        "partial agg must sit below the shuffle"
+    )
+
+
+def test_whole_stage_codegen_on_agg(spark):
+    """The pricing aggregation's scan+partial-agg must live inside a
+    WholeStageCodegen span (JVM-compiled, no interpreter rows). AQE off
+    for the assertion — its wrapper hides codegen annotation pre-run."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.QUERIES["pricing_summary"](spark, SF_SMOKE)
+        plan = plan_string(df, mode="simple")
+        # codegen'd operators carry the `*(stage)` marker
+        import re
+
+        assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
