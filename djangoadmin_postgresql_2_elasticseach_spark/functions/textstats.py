@@ -104,6 +104,35 @@ def quality_score(text: Column | str) -> Column:
     return (total / F.lit(5.0)).alias("quality_score")
 
 
+def _hex_nibble(h: Column, i: int) -> Column:
+    """hex char at 1-based position i → int 0-15, via ascii arithmetic
+    (portable: ascii() exists and agrees in every engine)."""
+    a = F.ascii(F.substring(h, i, 1))
+    return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+
+def rolling_fingerprint(text: Column | str, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over the token stream:
+    ``h = fold(tokens, 7, (h, t) -> (h*31 + v(t)) % mod)`` with
+    ``v(t) = 16·nib₁ + nib₂`` of md5(t) — order-sensitive (unlike the
+    set-based md5 fingerprint), so re-ordered documents get different
+    prints. Native fold, engine-portable (DuckDB twin uses
+    list_prepend + list_reduce)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.filter(F.split(F.lower(c), r"[^\p{L}\p{Nd}]+"), lambda t: t != "")
+    vals = F.transform(
+        toks,
+        lambda t: (16 * _hex_nibble(F.md5(t), 1) + _hex_nibble(F.md5(t), 2)).cast(
+            "long"
+        ),
+    )
+    return F.aggregate(
+        vals,
+        F.lit(7).cast("long"),
+        lambda acc, x: (acc * 31 + x) % F.lit(mod).cast("long"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of the whitespace-collapsed, lowercased,
     trimmed text — the exact-dedup key. (The rolling-hash variant for

@@ -309,6 +309,53 @@ def count_envelope(spark: SparkSession, sf_dir: str, page_size: int = 50) -> Dat
     )
 
 
+def supplier_order_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-array aggregation (A2 shape, reference etl/main.py:27-28
+    ``json_agg(DISTINCT jsonb_build_object(...))``): per-supplier sorted
+    distinct {status, priority} structs from its line items' orders."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    joined = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).select("l_suppkey", "o_orderstatus", "o_orderpriority")
+    agg = joined.groupBy("l_suppkey").agg(
+        F.array_sort(
+            F.collect_set(
+                F.struct(
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_orderpriority").alias("priority"),
+                )
+            )
+        ).alias("order_kinds")
+    )
+    return supplier.join(agg, supplier.s_suppkey == agg.l_suppkey, "left").select(
+        "s_suppkey",
+        "s_name",
+        F.coalesce(
+            F.col("order_kinds"),
+            F.array().cast("array<struct<status:string,priority:string>>"),
+        ).alias("order_kinds"),
+    )
+
+
+def events_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability rollup (A10, reference logs batch counts per tick):
+    events per (day, event_type) — partial agg + tiny shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 def terms_agg_parts(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
     """ES terms-aggregation analogue (A9/T6, reference ETLTests-2.json:318
     expects 26 genre buckets): bucket counts over the denormalized docs'

@@ -66,6 +66,34 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+def label_centroid_sums(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label element-wise vector sums (long format: label, pos,
+    sum_val, n) — the shuffle-light building block for centroids /
+    k-means steps: posexplode → partial-aggregated sum per (label, pos).
+    Sums go through DECIMAL(18,9) so they are order-independent and
+    oracle-exact; centroid = sum_val / n."""
+    pos = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    # round-in-double before the decimal cast: Spark's float→decimal uses
+    # the float's shortest decimal repr while other engines expand the
+    # full binary value — a 9dp double round makes both sides land on the
+    # identical 9-decimal value before the exact decimal sum
+    return (
+        pos.groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("val").cast("double"), 9).cast("decimal(18,9)"))
+            .cast("double")
+            .alias("sum_val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
 def hyperplane_bucket(
     vec: Column, planes: list[list[float]]
 ) -> Column:

@@ -180,6 +180,31 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TS.fingerprint("text").alias("fp"))
 
 
+def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 query_string: analyzed OR-match of a multi-token query."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SQ.match_query(docs, "text", "spark merge")
+
+
+def _q_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 match-all with size (reference README smoke URLs q=*:*&size=1000),
+    deterministic via id order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.orderBy("doc_id").limit(1000)
+
+
+def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", TS.rolling_fingerprint("text").alias("roll_fp")
+    )
+
+
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.label_centroid_sums(emb)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.exact_duplicates(docs)
@@ -246,15 +271,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_envelope": R.count_envelope,
     "terms_agg_parts": R.terms_agg_parts,
     "nested_exists": R.nested_exists,
+    "supplier_order_structs": R.supplier_order_structs,
+    "events_daily_counts": R.events_daily_counts,
     # search surface
     "term_search": _q_term_search,
     "multimatch_fuzzy": _q_multimatch,
     "analyze_tokens": _q_analyze,
+    "query_string_search": _q_query_string,
+    "match_all_limit": _q_match_all,
     # text analysis
     "lang_id": _q_lang_id,
     "text_quality": _q_quality,
     "token_counts": _q_token_counts,
     "doc_fingerprint": _q_fingerprint,
+    "rolling_fingerprint": _q_rolling_fp,
     # dedup
     "dedup_exact": _q_dedup_exact,
     "ngram_jaccard": _q_ngram_jaccard,
@@ -265,6 +295,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # similarity search
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
+    "label_centroids": _q_label_centroids,
 }
 
 
@@ -382,6 +413,64 @@ WHERE len(list_filter(part_names, p -> contains(lower(p), 'red'))) > 0
     o["term_search"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 WHERE lang = 'en' AND source = 'src7'
+"""
+
+    o["supplier_order_structs"] = """
+WITH j AS (
+  SELECT l_suppkey, o_orderstatus AS status, o_orderpriority AS priority
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+agg AS (
+  SELECT l_suppkey,
+         list_sort(list(DISTINCT {'status': status, 'priority': priority})) AS order_kinds
+  FROM j GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       COALESCE(order_kinds, CAST([] AS STRUCT(status VARCHAR, priority VARCHAR)[])) AS order_kinds
+FROM supplier LEFT JOIN agg ON s_suppkey = l_suppkey
+"""
+
+    o["events_daily_counts"] = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+    o["query_string_search"] = f"""
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, {_sql_tokens("text")} AS ttoks FROM documents
+) WHERE list_contains(ttoks, 'spark') OR list_contains(ttoks, 'merge')
+"""
+
+    o["match_all_limit"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+ORDER BY doc_id LIMIT 1000
+"""
+
+    _nib1 = "(CASE WHEN ascii(substring(md5(t), 1, 1)) <= 57 THEN ascii(substring(md5(t), 1, 1)) - 48 ELSE ascii(substring(md5(t), 1, 1)) - 87 END)"
+    _nib2 = "(CASE WHEN ascii(substring(md5(t), 2, 1)) <= 57 THEN ascii(substring(md5(t), 2, 1)) - 48 ELSE ascii(substring(md5(t), 2, 1)) - 87 END)"
+    o["rolling_fingerprint"] = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(7 AS BIGINT),
+      list_transform({_sql_tokens("text")}, t -> CAST(16*{_nib1} + {_nib2} AS BIGINT))),
+    (a, b) -> (a * 31 + b) % 1000000007
+  ) AS roll_fp
+FROM documents
+"""
+
+    o["label_centroids"] = """
+SELECT label, pos - 1 AS pos,
+       CAST(SUM(CAST(round(CAST(val AS DOUBLE), 9) AS DECIMAL(18,9))) AS DOUBLE) AS sum_val,
+       COUNT(*) AS n
+FROM (
+  SELECT label, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+)
+GROUP BY label, pos
+ORDER BY label, pos
 """
 
     # fuzzy multi_match: score = Σ_field weight·(3·exact + 1·fuzzy) per query token

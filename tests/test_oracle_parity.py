@@ -28,6 +28,9 @@ SF_DIRS = [SF_SMOKE] + (
 def _canon_val(v):
     if v is None:
         return None
+    # Spark Row (nested struct) ≙ DuckDB dict: compare as sorted items
+    if hasattr(v, "asDict"):
+        return tuple(sorted((k, _canon_val(x)) for k, x in v.asDict().items()))
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
