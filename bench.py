@@ -33,16 +33,20 @@ BENCH_QUERIES = [
     # distinct-array aggregation (API layer shape)
     "customer_order_arrays",
     "string_agg_nations",
+    "supplier_order_structs",
+    "events_daily_counts",
     # search surface
     "terms_agg_parts",
     "nested_exists",
     "multimatch_fuzzy",
     "analyze_tokens",
+    "query_string_search",
     # text analysis
     "lang_id",
     "text_quality",
     "token_counts",
     "doc_fingerprint",
+    "rolling_fingerprint",
     # dedup scale paths (LSH/banded, not all-pairs)
     "dedup_exact",
     "minhash_dedup_pairs",
@@ -50,6 +54,7 @@ BENCH_QUERIES = [
     # similarity search
     "ann_brute_topk",
     "ann_ivf_topk",
+    "label_centroids",
 ]
 
 

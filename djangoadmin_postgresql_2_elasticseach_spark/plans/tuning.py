@@ -41,6 +41,35 @@ def widen(df: DataFrame) -> DataFrame:
     return df
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the skewed (left) side's key into `salt`
+    sub-keys and replicate the right side across all salts, so one hot
+    key spreads over `salt` reducers instead of one straggler task.
+
+    AQE's skew-join split handles sort-merge skew automatically; this is
+    the explicit tool for when a single key exceeds what one task can
+    hold even after AQE splitting (e.g. a celebrity entity in the
+    person_film_work bridge at 100 TB). Cost: right side is replicated
+    ×salt — use with the smaller side on the right.
+    """
+    from pyspark.sql import functions as F
+
+    salted_left = left.withColumn(
+        "_salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = salted_left.join(salted_right, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
 def plan_string(df: DataFrame, mode: str = "formatted") -> str:
     qe = df._jdf.queryExecution()
     if mode == "formatted":

@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) for the engine's algorithmic
+invariants — run on driver-side mirrors where the property is about the
+algorithm, and on small Spark frames where it is about the operator.
+
+Properties:
+- Jaccard pairs: symmetric inputs, bounded [0,1], exact-dup pairs hit 1.0
+- MinHash: signature equality for identical docs; LSH catches exact dups
+- pagination: pages partition the ordered set for any page size
+- rolling fingerprint: permutation-sensitive, md5 fingerprint is not
+- quality score ∈ {0, .2, .4, .6, .8, 1}
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+words = st.sampled_from(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+)
+texts = st.lists(words, min_size=3, max_size=30).map(" ".join)
+
+
+@pytest.fixture(scope="module")
+def sdocs(spark):
+    def make(docs: list[str]):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+        )
+
+    return make
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(texts, min_size=2, max_size=6))
+def test_jaccard_bounds_and_exact_dups(spark, sdocs, docs):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import ngram_jaccard_pairs
+
+    frame = sdocs(docs + [docs[0]])  # guaranteed exact dup of doc 0
+    pairs = ngram_jaccard_pairs(frame, threshold=0.0).collect()
+    for r in pairs:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["id_a"] < r["id_b"]
+    if len(" ".join(docs[0].split())) and len(docs[0].split()) >= 3:
+        dup = [r for r in pairs if r["id_a"] == 0 and r["id_b"] == len(docs)]
+        assert dup and dup[0]["jaccard"] == 1.0
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(texts, min_size=2, max_size=5))
+def test_minhash_identical_docs_identical_sigs(spark, sdocs, docs):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import minhash_signatures
+
+    frame = sdocs([docs[0], docs[0]] + docs[1:])
+    sigs = {r["doc_id"]: tuple(r)[1:] for r in minhash_signatures(frame).collect()}
+    if 0 in sigs and 1 in sigs:
+        assert sigs[0] == sigs[1]
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=1, max_value=7), st.integers(min_value=5, max_value=20))
+def test_pagination_partitions(spark, page_size, n_rows):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.api import paginate
+
+    listing = spark.createDataFrame(
+        [(f"id{i:03d}", f"t{i:03d}") for i in range(n_rows)], ["id", "title"]
+    ).orderBy("title", "id")
+    seen: list[str] = []
+    page = 1
+    while True:
+        env = paginate(listing, page=page, page_size=page_size)
+        assert env["count"] == n_rows
+        seen.extend(r["id"] for r in env["results"])
+        if env["next"] is None:
+            break
+        page = env["next"]
+    assert seen == sorted(seen) and len(seen) == n_rows
+    assert len(set(seen)) == n_rows
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(words, min_size=4, max_size=12, unique=True))
+def test_fingerprints_order_sensitivity(spark, toks):
+    """md5 set-fingerprint equal under reorder iff same multiset-ish
+    (whitespace-normalized string differs → differs); rolling hash must
+    differ for a genuine permutation."""
+    from djangoadmin_postgresql_2_elasticseach_spark.functions.textstats import (
+        fingerprint,
+        rolling_fingerprint,
+    )
+
+    a = " ".join(toks)
+    b = " ".join(reversed(toks))
+    frame = spark.createDataFrame([(0, a), (1, b)], ["doc_id", "text"])
+    out = frame.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        rolling_fingerprint("text").alias("rfp"),
+    ).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert by[0]["fp"] != by[1]["fp"]  # different normalized strings
+    assert by[0]["rfp"] != by[1]["rfp"]  # order-sensitive hash
+    # self-consistency: same text → same prints
+    again = frame.select(rolling_fingerprint("text").alias("rfp")).collect()
+    assert again[0]["rfp"] == by[0]["rfp"]
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts)
+def test_quality_score_domain(spark, text):
+    from djangoadmin_postgresql_2_elasticseach_spark.functions.textstats import quality_score
+
+    frame = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    v = frame.select(quality_score("text").alias("q")).first()["q"]
+    assert round(v * 5) / 5 == pytest.approx(v)
+    assert 0.0 <= v <= 1.0

@@ -1,0 +1,88 @@
+"""Inverted-index materialization: posting-table lookups must equal the
+scan-based search results; analyzer config parses from the reference's
+actual ES settings JSON; salted join equals plain join."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from djangoadmin_postgresql_2_elasticseach_spark.plans.tuning import salted_join
+from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+    analyzed_docs,
+    analyzer_from_es_settings,
+    doc_frequencies,
+    load_es_settings,
+    posting_table,
+    term_lookup,
+)
+from djangoadmin_postgresql_2_elasticseach_spark.search.query import match_query
+from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+REF_ES_SETTINGS = "/root/reference/etl/json/es_movies.json"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+@pytest.fixture(scope="module")
+def postings(docs):
+    return posting_table(docs, ["text"], id_col="doc_id").cache()
+
+
+def test_posting_lookup_equals_scan(docs, postings):
+    """Index path ≡ scan path for a term query (stemmed token)."""
+    via_index = term_lookup(postings, docs, "doc_id", "text", "spark")
+    via_scan = match_query(docs, "text", "spark")
+    a = {r["doc_id"] for r in via_index.collect()}
+    b = {r["doc_id"] for r in via_scan.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_analyzed_docs_columns(docs):
+    out = analyzed_docs(docs, ["text"])
+    assert "text_tokens" in out.columns
+    row = out.filter(F.col("doc_id") == 0).first()
+    assert len(row["text_tokens"]) > 0
+    assert all(t == t.lower() for t in row["text_tokens"])
+
+
+def test_doc_frequencies(postings, docs):
+    df_stats = {r["token"]: r["df"] for r in doc_frequencies(postings).collect()}
+    n_docs = docs.count()
+    assert 0 < df_stats["spark"] <= n_docs
+    # df can never exceed corpus size
+    assert all(v <= n_docs for v in df_stats.values())
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REF_ES_SETTINGS), reason="reference repo not mounted"
+)
+def test_analyzer_config_from_reference_settings():
+    """The engine's analyzer chain is derivable from the reference's own
+    ES settings JSON (etl/json/es_movies.json:4-40)."""
+    cfg = analyzer_from_es_settings(load_es_settings(REF_ES_SETTINGS))
+    assert cfg["tokenizer"] == "standard"
+    assert cfg["stem"] is True
+    # both builtin stop sets resolved
+    assert "the" in cfg["stopwords"] and "не" in cfg["stopwords"]
+    # the chain the reference declares
+    for expected in ("lowercase", "english_stop", "russian_stop"):
+        assert any(expected in f for f in cfg["filters"]), cfg["filters"]
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(customer, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, customer, "o_custkey", salt=4).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
