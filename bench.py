@@ -67,9 +67,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen and the OS page cache + parquet footers once,
-    # so measured timings reflect steady-state throughput
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # warm the JVM/codegen, the noop sink, and the OS page cache +
+    # parquet footers once, so measured timings reflect steady-state
+    # throughput rather than first-touch costs
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
     from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import load_testdata
 
     for df in load_testdata(spark, sf_dir).values():

@@ -67,3 +67,81 @@ def movie_docs_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def dimension_edit_stream(
+    spark: SparkSession,
+    tables_dir: str,
+    checkpoint_dir: str,
+    sink,
+    dimension: str = "person",
+    trigger_seconds: int = 10,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """ST6 in streaming mode: a stream of edited dimension rows
+    (person/genre) re-emits the affected movie docs.
+
+    Per micro-batch: changed dim keys → semi-join the bridge → affected
+    film ids → denormalize ONLY those films (the same pruned-recompute
+    shape as streaming/incremental.changed_movie_docs). This is the
+    piece the reference's 3-way OR predicate does implicitly
+    (etl/main.py:35); here each dimension has its own stream + the
+    movie stream handles films' own edits.
+    """
+    if dimension == "person":
+        dim_schema, bridge_name, bridge_key = (
+            schemas.PERSON,
+            "person_film_work",
+            "person_id",
+        )
+        bridge_schema = schemas.PERSON_FILM_WORK
+    elif dimension == "genre":
+        dim_schema, bridge_name, bridge_key = (
+            schemas.GENRE,
+            "genre_film_work",
+            "genre_id",
+        )
+        bridge_schema = schemas.GENRE_FILM_WORK
+    else:
+        raise ValueError(dimension)
+
+    dim_stream = spark.readStream.schema(dim_schema).parquet(
+        f"{tables_dir}/{dimension}"
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import functions as F
+
+        s = batch_df.sparkSession
+        bridge = s.read.schema(bridge_schema).parquet(f"{tables_dir}/{bridge_name}")
+        changed_keys = batch_df.select(F.col("id").alias("dim_id")).distinct()
+        affected = (
+            bridge.join(
+                F.broadcast(changed_keys), bridge[bridge_key] == F.col("dim_id")
+            )
+            .select(F.col("film_work_id").alias("film_id"))
+            .distinct()
+        )
+        fw = s.read.schema(schemas.FILM_WORK).parquet(f"{tables_dir}/film_work")
+        fw = fw.join(affected, fw.id == affected.film_id, "left_semi")
+        genre = s.read.schema(schemas.GENRE).parquet(f"{tables_dir}/genre")
+        person = s.read.schema(schemas.PERSON).parquet(f"{tables_dir}/person")
+        gfw = s.read.schema(schemas.GENRE_FILM_WORK).parquet(
+            f"{tables_dir}/genre_film_work"
+        )
+        pfw = s.read.schema(schemas.PERSON_FILM_WORK).parquet(
+            f"{tables_dir}/person_film_work"
+        )
+        docs = movie_docs(film_changeset(fw, genre, person, gfw, pfw))
+        sink(docs, batch_id)
+
+    writer = dim_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -1,0 +1,156 @@
+"""Sink/source edge behavior: bulk-sink retry/backoff (ST7), JDBC reader
+option construction (S1/S3 — no live DB in this container), ES settings
+bootstrap, and the dimension-edit stream (ST6 in streaming mode)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from djangoadmin_postgresql_2_elasticseach_spark.sources.es_sink import (
+    bootstrap_index_settings,
+    write_bulk,
+)
+from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import jdbc_reader, load_movies
+from tests import movies_fixtures
+
+
+def test_bulk_sink_retries_with_backoff(spark, tmp_path):
+    """Transport failing twice then succeeding ⇒ payload delivered once,
+    3 attempts total (reference @backoff.on_exception, etl/main.py:141)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).coalesce(1)
+    attempts_file = str(tmp_path / "attempts")
+    delivered_file = str(tmp_path / "delivered")
+
+    def flaky_transport(payload: str) -> None:
+        n = 0
+        if os.path.exists(attempts_file):
+            with open(attempts_file) as f:
+                n = int(f.read() or 0)
+        with open(attempts_file, "w") as f:
+            f.write(str(n + 1))
+        if n < 2:
+            raise ConnectionError("synthetic transport failure")
+        with open(delivered_file, "a") as f:
+            f.write(payload)
+
+    write_bulk(
+        df, index="t", id_field="id", transport=flaky_transport,
+        max_retries=5, backoff_base=0.01,
+    )
+    with open(attempts_file) as f:
+        assert int(f.read()) == 3
+    with open(delivered_file) as f:
+        lines = [l for l in f.read().splitlines() if l.strip()]
+    assert len(lines) == 4  # 2 docs × (action + doc)
+
+
+def test_bulk_sink_raises_after_max_retries(spark):
+    df = spark.createDataFrame([(1, "a")], ["id", "v"]).coalesce(1)
+
+    def always_fail(payload: str) -> None:
+        raise ConnectionError("down")
+
+    with pytest.raises(Exception):
+        write_bulk(
+            df, index="t", id_field="id", transport=always_fail,
+            max_retries=2, backoff_base=0.01,
+        )
+
+
+def test_jdbc_reader_builds_partitioned_options(spark):
+    """S1/S3: the reader must carry url/dbtable/fetchsize and the
+    partitioned-read bounds (no OFFSET loop). No live DB here — assert
+    the reader's option map, the part Spark hands the JDBC source."""
+    reader = jdbc_reader(
+        spark,
+        url="jdbc:postgresql://host/db",
+        table_or_query="(SELECT * FROM content.film_work WHERE modified > ?) q",
+        partition_column="id_hash",
+        lower_bound=0,
+        upper_bound=1 << 32,
+        num_partitions=64,
+        fetchsize=10_000,
+    )
+    # options are private on DataFrameReader; validate via failure mode —
+    # loading must fail with a missing-JDBC-driver error (not an option
+    # error), proving url/dbtable/partitioning made it through intact.
+    with pytest.raises(Exception) as exc:
+        reader.load()
+    msg = str(exc.value)
+    assert "driver" in msg.lower() or "jdbc" in msg.lower() or "postgresql" in msg.lower()
+
+
+def test_bootstrap_index_settings_reads_reference_shape(tmp_path):
+    p = str(tmp_path / "es.json")
+    with open(p, "w") as f:
+        f.write('{"settings": {"refresh_interval": "1s"}, "mappings": {"dynamic": "strict"}}')
+    body = bootstrap_index_settings(p)
+    assert body["mappings"]["dynamic"] == "strict"
+
+
+def test_dimension_edit_stream_reemits_movies(spark, tmp_path):
+    """ST6 streaming: a person edit arriving on the dimension stream
+    re-emits exactly the affected films' docs."""
+    from djangoadmin_postgresql_2_elasticseach_spark.streaming.stream import dimension_edit_stream
+
+    fixture = str(tmp_path / "fix")
+    movies_fixtures.build(fixture)
+    tables_dir = str(tmp_path / "tables")
+    os.makedirs(tables_dir)
+    for name in "film_work genre person genre_film_work person_film_work".split():
+        sub = os.path.join(tables_dir, name)
+        os.makedirs(sub)
+        shutil.copy(
+            os.path.join(fixture, f"{name}.parquet"),
+            os.path.join(sub, "part-000.parquet"),
+        )
+
+    got: list = []
+    q = dimension_edit_stream(
+        spark,
+        tables_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sink=lambda df, bid: got.extend(df.collect()),
+        dimension="person",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    # initial drain: every person is "new" ⇒ all films with any person
+    ids = {r["id"] for r in got}
+    u = movies_fixtures._u
+    assert u("6f", 5) in ids
+    assert u("6f", 4) not in ids  # film with no persons is unaffected
+
+    # append an edited person file → only their films re-emit
+    got.clear()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    edited = pa.table(
+        {
+            "id": [u("70", 1)],
+            "full_name": ["Greg Camp Jr"],
+            "created": pa.array([dt.datetime(2024, 1, 1)], pa.timestamp("us")),
+            "modified": pa.array([dt.datetime(2024, 3, 1)], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(edited, os.path.join(tables_dir, "person", "part-001.parquet"))
+    q2 = dimension_edit_stream(
+        spark,
+        tables_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sink=lambda df, bid: got.extend(df.collect()),
+        dimension="person",
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    ids2 = {r["id"] for r in got}
+    # Greg Camp (person 1): acts in 1, 2, 5, 8; directs 7; writes on 6
+    assert ids2 == {
+        u("6f", 1), u("6f", 2), u("6f", 5), u("6f", 6), u("6f", 7), u("6f", 8)
+    }
