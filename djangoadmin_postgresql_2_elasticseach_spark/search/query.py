@@ -74,10 +74,18 @@ def multi_match_fuzzy(
     from ..plans.tuning import spread
 
     docs = spread(docs)  # levenshtein×tokens is CPU-bound; see tuning.py
+    dtypes = dict(docs.dtypes)
     score = F.lit(0.0)
     qtoks = query_tokens(query)
     for field, weight in fields:
-        toks = F.array_distinct(tokenize(F.col(field)))
+        if dtypes.get(field, "").startswith("array"):
+            # analyzed keyword arrays (ES: text multi-fields on arrays):
+            # tokenize each element, flatten to one token set
+            toks = F.array_distinct(
+                F.flatten(F.transform(F.col(field), lambda e: tokenize(e)))
+            )
+        else:
+            toks = F.array_distinct(tokenize(F.col(field)))
         for t in qtoks:
             exact = F.array_contains(toks, t).cast("int")
             fuzzy = (
