@@ -12,10 +12,13 @@ Design for 100 TB:
 - n-gram Jaccard all-pairs is the small-scale oracle/verification path
   (and is bounded to candidate pairs when used behind LSH).
 
-Determinism / oracle parity: min-hashing uses the lexicographic MIN of
-``md5(seed || shingle)`` hex strings — md5 is identical everywhere, string
-MIN is total-ordered, so Spark and DuckDB agree bit-for-bit (no
-engine-specific integer hashing).
+Determinism / oracle parity: min-hashing derives its hash family from a
+single ``md5(shingle)`` via the Kirsch–Mitzenmacher construction
+``g_i = (h1 + i·(h2+1)) mod p`` where h1/h2 are the first/second 8 hex
+chars as integers and p = 4294967311 (first prime > 2^32) — md5 and
+64-bit integer arithmetic are identical everywhere, so Spark and DuckDB
+agree bit-for-bit with ONE digest per shingle instead of one per seed
+(8× less hashing, and a far smaller codegen unit).
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ from ..plans.tuning import spread
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2  # 8 hashes / 2 = 4 bands → catches J≳0.5 pairs
+MINHASH_PRIME = 4294967311  # first prime > 2^32; KM hash-family modulus
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -105,11 +109,22 @@ def ngram_jaccard_pairs(
 def _signatures_from_shingles(
     sh: DataFrame, id_col: str, num_hashes: int
 ) -> DataFrame:
+    """Kirsch–Mitzenmacher family over one md5 per shingle:
+    g_i = (h1 + i·(h2+1)) mod p. h2+1 avoids the degenerate h2=0 row
+    collapsing all slots to h1."""
+    h = F.md5(F.col("shingle"))
+    hashed = sh.select(
+        "sid",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+        (F.conv(F.substring(h, 9, 8), 16, 10).cast("long") + 1).alias("h2"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(s) + "|"), F.col("shingle")))).alias(f"mh{s}")
-        for s in range(num_hashes)
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MINHASH_PRIME)).alias(
+            f"mh{i}"
+        )
+        for i in range(num_hashes)
     ]
-    return sh.groupBy(F.col("sid").alias(id_col)).agg(*aggs)
+    return hashed.groupBy(F.col("sid").alias(id_col)).agg(*aggs)
 
 
 def minhash_signatures(
@@ -119,8 +134,9 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    """MinHash signature per doc: for seed s, sig_s = MIN(md5(s||shingle))
-    — a uniform random permutation per seed via md5, engine-portable.
+    """MinHash signature per doc: slot i = MIN over shingles of the
+    KM-derived hash g_i(shingle) (see _signatures_from_shingles) —
+    engine-portable, one md5 per shingle for ALL slots.
     One aggregation produces all signature slots (map-side combine)."""
     return _signatures_from_shingles(
         _shingled(docs, id_col, text_col, n), id_col, num_hashes

@@ -94,8 +94,11 @@ _STEM_SQL = (
 
 
 def _minhash_sql_cte(num_hashes: int = D.DEFAULT_NUM_HASHES) -> str:
+    # Kirsch-Mitzenmacher family, mirror of dedup._signatures_from_shingles:
+    # one md5 per shingle, slot i = MIN((h1 + i*(h2+1)) mod p)
+    p = D.MINHASH_PRIME
     slots = ",\n         ".join(
-        f"MIN(md5('{s}|' || shingle)) AS mh{s}" for s in range(num_hashes)
+        f"MIN((h1 + {s} * h2) % {p}) AS mh{s}" for s in range(num_hashes)
     )
     return f"""
 WITH toks AS (
@@ -104,10 +107,16 @@ WITH toks AS (
 sh AS (
   SELECT doc_id, unnest({_sql_shingles("tk")}) AS shingle FROM toks
 ),
+hs AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 9, 8))::BIGINT + 1 AS h2
+  FROM sh
+),
 sig AS (
   SELECT doc_id,
          {slots}
-  FROM sh GROUP BY doc_id
+  FROM hs GROUP BY doc_id
 )"""
 
 
