@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     # similarity search
     "ann_brute_topk",
     "ann_ivf_topk",
+    "embedding_neardup_lsh",
     "label_centroids",
 ]
 

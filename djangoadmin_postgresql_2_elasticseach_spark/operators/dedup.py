@@ -294,3 +294,46 @@ def embedding_neardup_pairs(
         "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
     )
     return out.filter(F.col("cos_sim") >= threshold)
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Embedding near-dup, LSH scale path: hyperplane-bucket every vector
+    (similarity.fixed_planes — deterministic, engine-portable), then run
+    the exact-cosine verify ONLY within a bucket.
+
+    The O(N²) all-pairs join becomes an equi-join on the bucket key —
+    Σ_b O(n_b²) with 2^n_planes buckets — and the bucket id is a plain
+    shuffle/partition column at 100 TB (compute once at ingest, store,
+    co-partition both sides). Near-identical vectors agree on every
+    hyperplane sign except measure-zero boundary cases, so recall at
+    cos ≥ 0.95 is ≈1; `embedding_neardup_pairs` is the exactness oracle
+    (every LSH pair is an all-pairs pair — pinned by test).
+    """
+    from .similarity import cosine, fixed_planes, hyperplane_bucket  # no cycle
+
+    planes = fixed_planes(dim, n_planes)
+    bucketed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col).cast("array<double>"), planes).alias(
+            "bucket"
+        ),
+    )
+    a = bucketed.select(
+        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = bucketed.select(
+        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    out = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+    )
+    return out.filter(F.col("cos_sim") >= threshold)

@@ -86,7 +86,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped grouped aggregation over the fact table (A1/A7
     family): partial aggregation map-side, 4-6 groups out. The headline
     scan+agg throughput query for bench."""
-    lineitem = widen(load_table(spark, sf_dir, "lineitem"))
+    lineitem = widen(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        )
+    )
     return (
         lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(

@@ -244,6 +244,11 @@ def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_neardup_pairs(emb, threshold=0.4)
 
 
+def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_lsh(emb, threshold=0.4)
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
@@ -301,6 +306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_pairs": _q_minhash_pairs,
     "simhash": _q_simhash,
     "embedding_neardup": _q_emb_neardup,
+    "embedding_neardup_lsh": _q_emb_neardup_lsh,
     # similarity search
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
@@ -685,6 +691,28 @@ SELECT doc_id, {bitcat} AS simhash FROM summed
     o["embedding_neardup"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({cos_ab}, 6) >= 0.4
+"""
+
+    # LSH-bucketed near-dup: same hyperplanes as the Spark side inlined as
+    # list literals; verify join restricted to equal buckets (scale-path
+    # semantics mirrored exactly — recall < 1 vs all-pairs by design)
+    nd_planes = S.fixed_planes(64, 4)
+
+    def _nd_plane_sql(vec: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            f"(CASE WHEN list_sum(list_transform(list_zip({vec}, {arr}), "
+            f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) >= 0 THEN '1' ELSE '0' END)"
+        )
+
+    nd_bucket = " || ".join(_nd_plane_sql("embedding", p) for p in nd_planes)
+    o["embedding_neardup_lsh"] = f"""
+WITH be AS (
+  SELECT vec_id, embedding, {nd_bucket} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 6) AS cos_sim
+FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round({cos_ab}, 6) >= 0.4
 """
 

@@ -117,3 +117,34 @@ def test_quality_score_domain(spark, text):
     v = frame.select(quality_score("text").alias("q")).first()["q"]
     assert round(v * 5) / 5 == pytest.approx(v)
     assert 0.0 <= v <= 1.0
+
+
+def test_embedding_lsh_pairs_subset_of_allpairs(spark):
+    """Every LSH-bucketed near-dup pair is an all-pairs pair with the
+    same cosine (recall<1 is allowed, precision must be exact), and
+    identical vectors always share a bucket (recall 1.0 at cos=1)."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)]))
+    rows.append((30, list(rows[0][1])))  # exact duplicate of vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    all_pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh_pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_neardup_lsh(emb, threshold=0.4, dim=8).collect()
+    }
+    assert set(lsh_pairs) <= set(all_pairs)
+    for k, v in lsh_pairs.items():
+        assert all_pairs[k] == v
+    assert (0, 30) in lsh_pairs and lsh_pairs[(0, 30)] == 1.0
