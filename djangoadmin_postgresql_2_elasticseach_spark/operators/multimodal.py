@@ -28,7 +28,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -157,6 +159,43 @@ def frame_sample_stub(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
                 for i, off in enumerate(range(0, len(body), every_n_bytes)):
                     rows.append((mid, i, body[off]))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_byte"])
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+def feature_extract_stub(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction plumbing: payload → fixed-``dim`` float
+    embedding via Arrow-batched mapInPandas. The deterministic fake is a
+    normalized byte histogram of the body (a real impl swaps in a model
+    forward pass — identical schema/batch shape).
+
+    Output (media_id, embedding array<float>) composes directly with the
+    similarity operators (brute_force_topk / ivf_topk /
+    embedding_neardup_lsh) — the multimodal → embedding → ANN pipeline.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for payload in pdf["payload"]:
+                if payload is None or len(payload) <= _HEADER_LEN:
+                    embs.append(None)
+                    continue
+                body = payload[_HEADER_LEN:]
+                hist = [0.0] * dim
+                for b in body:
+                    hist[b % dim] += 1.0
+                total = sum(hist) or 1.0
+                embs.append([v / total for v in hist])
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "embedding": embs}
+            )
 
     return media.mapInPandas(run, schema=out_schema)
 

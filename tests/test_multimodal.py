@@ -63,3 +63,27 @@ def test_frame_sample(media):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_real(b"anything")
+
+
+def test_feature_extract_composes_with_similarity(media):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.multimodal import (
+        feature_extract_stub,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = feature_extract_stub(media, dim=8)
+    rows = {r["media_id"]: r["embedding"] for r in emb.collect()}
+    # valid payloads embed to a dim-8 unit-sum histogram; nulls stay null
+    assert rows[3] is None
+    vec = rows[0]
+    assert len(vec) == 8 and abs(sum(vec) - 1.0) < 1e-6
+    # determinism: same payload -> identical embedding
+    assert rows[0] == {r["media_id"]: r["embedding"] for r in emb.collect()}[0]
+    # composes with the ANN operator (media_id as vec_id)
+    valid = emb.filter("embedding is not null").withColumnRenamed(
+        "media_id", "vec_id"
+    )
+    top = brute_force_topk(valid, [float(x) for x in vec], k=2).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cos_sim"] == 1.0
