@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "terms_agg_parts",
     "nested_exists",
     "multimatch_fuzzy",
+    "bm25_topk",
     "analyze_tokens",
     "query_string_search",
     # text analysis

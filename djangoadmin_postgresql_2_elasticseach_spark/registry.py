@@ -249,6 +249,16 @@ def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_neardup_lsh(emb, threshold=0.4)
 
 
+BM25_QUERY = "spark vector join"
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .search.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERY, k=10)
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
@@ -307,6 +317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": _q_simhash,
     "embedding_neardup": _q_emb_neardup,
     "embedding_neardup_lsh": _q_emb_neardup_lsh,
+    "bm25_topk": _q_bm25,
     # similarity search
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
@@ -692,6 +703,48 @@ SELECT doc_id, {bitcat} AS simhash FROM summed
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round({cos_ab}, 6) >= 0.4
+"""
+
+    # BM25: exact mirror of search/bm25.bm25_topk — pivoted tf sums, one
+    # global stats row, RSJ idf, 4dp rounding, (score desc, id) order
+    from .search.bm25 import B as _b, K1 as _k1
+    from .search.query import query_tokens as _qt
+
+    bm_terms = _qt(BM25_QUERY)
+    bm_tfs = ",\n         ".join(
+        f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(bm_terms)
+    )
+    bm_dfs = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(bm_terms))
+    )
+    bm_score = " + ".join(
+        f"(ln(1.0 + (n_docs - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * CAST(tf{i} AS DOUBLE) * {_k1 + 1.0}"
+        f" / (CAST(tf{i} AS DOUBLE) + {_k1} * ({1.0 - _b} + ({_b} * dl) / avgdl)))"
+        for i in range(len(bm_terms))
+    )
+    bm_matched = ", ".join(f"tf{i}" for i in range(len(bm_terms)))
+    o["bm25_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_tokens("text")}) AS term FROM documents
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS dl,
+         {bm_tfs}
+  FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         {bm_dfs}
+  FROM per_doc
+)
+SELECT doc_id, round(0.0 + {bm_score}, 4) AS score
+FROM per_doc, stats
+WHERE greatest({bm_matched}) > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
 """
 
     # LSH-bucketed near-dup: same hyperplanes as the Spark side inlined as

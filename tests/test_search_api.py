@@ -219,3 +219,29 @@ def test_migrate_and_constraints(spark, movies, tmp_path):
     # constraint checks all clean (reference dataclass + DDL constraints)
     v = check_constraints(back)
     assert all(n == 0 for n in v.values()), v
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 invariants: more occurrences of a query term rank higher at
+    equal length; a rare term outscores a ubiquitous one; non-matching
+    docs are excluded."""
+    from djangoadmin_postgresql_2_elasticseach_spark.search.bm25 import bm25_topk
+
+    rows = [
+        (1, "spark spark spark pad pad"),
+        (2, "spark pad pad pad pad"),
+        (3, "pad pad pad pad pad"),
+        (4, "rare pad pad pad pad"),
+        (5, "spark pad rare pad pad"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = bm25_topk(docs, "spark", k=10).collect()
+    ids = [r["doc_id"] for r in top]
+    assert 3 not in ids and 4 not in ids
+    assert ids[0] == 1  # tf dominance at equal dl
+    # 'rare' (df=2) carries more idf than 'spark' (df=3): doc 5 (both
+    # terms) must beat doc 2 (spark only) on the combined query
+    both = {r["doc_id"]: r["score"] for r in bm25_topk(docs, "spark rare", k=10).collect()}
+    assert both[5] > both[2]
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
