@@ -111,3 +111,12 @@ def test_whole_stage_codegen_on_agg(spark):
         assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:1500]
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_bm25_topk_plan(spark):
+    """BM25 must compile to TakeOrderedAndProject (no global sort) and a
+    single broadcast of the 1-row stats frame (no shuffle join)."""
+    df = registry.QUERIES["bm25_topk"](spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

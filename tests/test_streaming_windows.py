@@ -1,0 +1,93 @@
+"""Watermarked tumbling-window aggregation: append-mode emission of
+closed windows, late-data drop, and batch/stream equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from djangoadmin_postgresql_2_elasticseach_spark.streaming.windows import (
+    windowed_event_counts,
+)
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+def test_windowed_counts_batch_semantics(spark):
+    rows = [
+        (1, "2026-01-01 00:10:00", "click", 1.0),
+        (2, "2026-01-01 00:40:00", "click", 2.0),
+        (3, "2026-01-01 01:05:00", "click", 4.0),
+        (4, "2026-01-01 00:20:00", "view", 8.0),
+    ]
+    out = windowed_event_counts(_events_df(spark, rows)).collect()
+    by = {(str(r["window_start"]), r["event_type"]): r for r in out}
+    assert by[("2026-01-01 00:00:00", "click")]["n_events"] == 2
+    assert by[("2026-01-01 00:00:00", "click")]["sum_value"] == 3.0
+    assert by[("2026-01-01 01:00:00", "click")]["n_events"] == 1
+    assert by[("2026-01-01 00:00:00", "view")]["sum_value"] == 8.0
+
+
+def test_windowed_stream_append_and_late_drop(spark, tmp_path):
+    """File-stream in three micro-batches: batch 2 advances the
+    watermark past hour-0 (closing + emitting that window in append
+    mode); batch 3's hour-0 straggler is behind the watermark — its
+    window already closed — so it is dropped, not re-emitted."""
+    src = str(tmp_path / "ev")
+
+    emitted: list = []
+
+    def run_available(qname: str):
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        ).parquet(src)
+        q = (
+            windowed_event_counts(stream, watermark_delay="15 minutes")
+            .writeStream.foreachBatch(
+                lambda df, _bid: emitted.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: hour-0 clicks + an 03:00 event → final watermark 02:45
+    # (persisted in the checkpoint); hour-0 window is closed state
+    _events_df(
+        spark,
+        [
+            (1, "2026-01-01 00:10:00", "click", 1.0),
+            (2, "2026-01-01 00:40:00", "click", 2.0),
+            (3, "2026-01-01 03:00:00", "view", 4.0),
+        ],
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_available("win_run1")
+
+    # run 2 (same checkpoint): a straggler behind the persisted
+    # watermark — its window end (01:00) ≤ wm (02:45) → dropped; the
+    # closed hour-0 window emits with the ORIGINAL two rows only
+    _events_df(spark, [(4, "2026-01-01 00:50:00", "click", 8.0)]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_available("win_run2")
+
+    out = emitted
+    closed = {(str(r["window_start"]), r["event_type"]): r for r in out}
+    key = ("2026-01-01 00:00:00", "click")
+    # hour-0 click window closed by the batch-2 watermark; the late row
+    # (event 4) was NOT included, file order decides it arrived after
+    assert key in closed
+    r = closed[key]
+    assert (r["n_events"], r["sum_value"]) == (2, 3.0)
+    # the 03:00 window is still open (watermark), so not emitted
+    assert ("2026-01-01 03:00:00", "view") not in closed
