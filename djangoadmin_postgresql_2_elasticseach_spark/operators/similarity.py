@@ -119,6 +119,115 @@ def fixed_planes(dim: int, n_planes: int = 4) -> list[list[float]]:
     return planes
 
 
+def assign_clusters(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, vec, _dist): nearest-centroid assignment by squared
+    L2 — a native argmin over the centroid MATRIX joined in as broadcast
+    DATA on a constant key (map-side hash join, no shuffle).
+
+    Data-not-literals matters twice: the expression tree is identical
+    every iteration, so whole-stage codegen compiles ONCE for the whole
+    k-means run (literal centroids would re-codegen k·dim constants per
+    iteration); and at 100 TB the centroid matrix rides the broadcast
+    path like any dimension table instead of bloating the plan.
+    Tie-break: array_min over (dist, cluster) structs — lowest cluster
+    id wins equal distances, deterministically.
+    """
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(1, [[float(x) for x in c] for c in centroids])],
+        "_ck int, _cents array<array<double>>",
+    )
+    v = F.col(vec_col).cast("array<double>")
+    darr = F.transform(
+        F.col("_cents"),
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    ds = F.zip_with(
+        darr,
+        F.sequence(F.lit(0), F.size(F.col("_cents")) - 1),
+        lambda d, i: F.struct(d.alias("d"), i.alias("c")),
+    )
+    m = F.array_min(ds)
+    return (
+        emb.withColumn("_ck", F.lit(1))
+        .join(F.broadcast(cdf), "_ck")
+        .select(
+            F.col(id_col),
+            m["c"].cast("int").alias("cluster"),
+            F.col(vec_col),
+            m["d"].alias("_dist"),
+        )
+    )
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float]]:
+    """Lloyd's k-means, the engine's iterative-algorithm representative.
+
+    Per iteration: one scan with the broadcast-centroid argmin
+    (assign_clusters) + one (cluster, pos) aggregation whose k×dim
+    result is collected to the driver — the ONLY driver-side data is
+    the centroid matrix (k·dim floats), never rows. Deterministic:
+    init = the k lowest-id vectors, ties impossible; at 100 TB each
+    iteration is a single map + partial-agg shuffle of k×dim×partitions
+    partials.
+
+    Returns (final assignment DataFrame, per-iteration inertia list —
+    non-increasing by Lloyd's guarantee, pinned in tests).
+    """
+    first = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in first]
+    inertia: list[float] = []
+    assigned = None
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = assign_clusters(emb, centroids, id_col, vec_col)
+        # one pass: per-(cluster,pos) sums for the new centroids AND the
+        # _dist sum (each row contributes its _dist at every pos, so the
+        # global inertia is Σ sum_dist / dim)
+        stats = (
+            assigned.select(
+                "cluster",
+                "_dist",
+                F.posexplode(F.col(vec_col).cast("array<double>")),
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum("col").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("_dist").alias("sd"),
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        inertia.append(sum(r["sd"] for r in stats) / dim)
+        centroids = [
+            [by_cluster[c][p] / counts[c] for p in range(dim)]
+            if c in by_cluster
+            else centroids[c]  # empty cluster keeps its centroid
+            for c in range(k)
+        ]
+    return assign_clusters(emb, centroids, id_col, vec_col).drop("_dist"), inertia
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],

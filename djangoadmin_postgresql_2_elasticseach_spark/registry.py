@@ -249,6 +249,15 @@ def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_neardup_lsh(emb, threshold=0.4)
 
 
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm (Lloyd's k-means) — deliberately NO oracle_sql
+    entry: the driver records the weaker rows-only check for it (unrolled
+    iterative SQL would test the unrolling, not the operator)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = S.kmeans(emb, k=4, iters=3)
+    return assigned.select("vec_id", "cluster")
+
+
 BM25_QUERY = "spark vector join"
 
 
@@ -318,6 +327,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": _q_emb_neardup,
     "embedding_neardup_lsh": _q_emb_neardup_lsh,
     "bm25_topk": _q_bm25,
+    "kmeans_assign": _q_kmeans,
     # similarity search
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,

@@ -148,3 +148,30 @@ def test_embedding_lsh_pairs_subset_of_allpairs(spark):
     for k, v in lsh_pairs.items():
         assert all_pairs[k] == v
     assert (0, 30) in lsh_pairs and lsh_pairs[(0, 30)] == 1.0
+
+
+def test_kmeans_lloyd_invariants(spark):
+    """Lloyd's guarantees on a separable corpus: inertia non-increasing,
+    assignment deterministic across runs, clusters partition the ids."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import kmeans
+
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        base = [5.0, 0.0] if i % 3 == 0 else ([0.0, 5.0] if i % 3 == 1 else [-5.0, -5.0])
+        rows.append((i, [b + rng.uniform(-0.5, 0.5) for b in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    assigned, inertia = kmeans(emb, k=3, iters=4)
+    for a, b in zip(inertia, inertia[1:]):
+        assert b <= a + 1e-9
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert len(got) == 60 and set(got.values()) <= {0, 1, 2}
+    # separable data converges to the true partition: members of the
+    # same residue class share a cluster
+    for i in range(0, 57, 3):
+        assert got[i] == got[i + 3] and got[i + 1] == got[i + 4]
+    again, _ = kmeans(emb, k=3, iters=4)
+    assert {r["vec_id"]: r["cluster"] for r in again.collect()} == got
