@@ -319,13 +319,16 @@ def embedding_neardup_lsh(
     from .similarity import cosine, fixed_planes, hyperplane_bucket  # no cycle
 
     planes = fixed_planes(dim, n_planes)
+    # both join sides read the bucketed frame — materialize it once on
+    # the executors instead of recomputing the n_planes×dim dot products
+    # (and their codegen) per side
     bucketed = emb.select(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_bucket(F.col(vec_col).cast("array<double>"), planes).alias(
             "bucket"
         ),
-    )
+    ).localCheckpoint(eager=False)
     a = bucketed.select(
         "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
