@@ -2,11 +2,13 @@
 accepts ES DSL JSON (Postman corpus etl/json/ETLTests-2.json, README
 smoke URLs); this module runs the same JSON against our DataFrames.
 
-Supported subset = exactly what the reference's test corpus exercises
-(SURVEY §2.9): match_all, term, query_string, multi_match (with
-fuzziness), nested(match), bool/must wrapping, terms aggregation, size,
-sort. Unknown constructs raise NotImplementedError loudly — no silent
-wrong answers.
+Supported subset = what the reference's test corpus exercises
+(SURVEY §2.9) plus the adjacent constructs an ES user reaches for next:
+match_all, term, query_string, multi_match (with fuzziness),
+nested(match), match_phrase, range (gte/gt/lte/lt), bool
+(must/filter/should/must_not), terms aggregation, size, from, sort.
+Unknown constructs raise NotImplementedError loudly — no silent wrong
+answers.
 
 `search(docs, body)` → dict shaped like an ES response subset:
 {"hits": {"total": {"value": N}, "hits": [{"_id", "_source", ...}]},
@@ -96,14 +98,55 @@ def _apply_query(docs: DataFrame, q: dict, id_col: str) -> tuple[DataFrame, bool
         for t in toks:
             cond = cond | F.array_contains(tokenize(F.col(field)), t)
         return docs.filter(cond), False
+    if "range" in q:
+        field, spec = next(iter(q["range"].items()))
+        cond = F.lit(True)
+        c = F.col(field)
+        ops = {
+            "gte": lambda b: c >= F.lit(b),
+            "gt": lambda b: c > F.lit(b),
+            "lte": lambda b: c <= F.lit(b),
+            "lt": lambda b: c < F.lit(b),
+        }
+        for op, bound in spec.items():
+            if op not in ops:
+                raise NotImplementedError(f"range op: {op}")
+            cond = cond & ops[op](bound)
+        return docs.filter(cond), False
+    if "match_phrase" in q:
+        field, value = next(iter(q["match_phrase"].items()))
+        if isinstance(value, dict):
+            value = value["query"]
+        toks = query_tokens(str(value))
+        # consecutive-token semantics: the analyzed field, re-joined on
+        # single spaces, must contain the analyzed phrase as a substring
+        joined = F.concat_ws(
+            " ", F.concat(F.array(F.lit("")), tokenize(F.col(field)), F.array(F.lit("")))
+        )
+        needle = " " + " ".join(toks) + " "
+        return docs.filter(joined.contains(needle)), False
     if "bool" in q:
-        clauses = q["bool"].get("must", [])
-        if isinstance(clauses, dict):
-            clauses = [clauses]
+        b = q["bool"]
+
+        def as_list(x):
+            return [x] if isinstance(x, dict) else list(x or [])
+
         out, scored = docs, False
-        for c in clauses:
+        for c in as_list(b.get("must")) + as_list(b.get("filter")):
             out, s = _apply_query(out, c, id_col)
             scored = scored or s
+        should = as_list(b.get("should"))
+        # ES default minimum_should_match: 1 when no must/filter present,
+        # else 0 (should only boosts scores — we don't re-rank here)
+        if should and not (b.get("must") or b.get("filter")):
+            ids = None
+            for c in should:
+                m = _apply_query(docs, c, id_col)[0].select(id_col)
+                ids = m if ids is None else ids.unionByName(m)
+            out = out.join(ids.distinct(), id_col, "left_semi")
+        for c in as_list(b.get("must_not")):
+            m = _apply_query(docs, c, id_col)[0].select(id_col)
+            out = out.join(m, id_col, "left_anti")
         return out, scored
     raise NotImplementedError(f"query construct: {list(q)}")
 
@@ -145,6 +188,8 @@ def search(docs: DataFrame, body: dict, id_col: str = "id") -> dict:
     total = frame.count()
     size = body.get("size", DEFAULT_SIZE)
 
+    offset = body.get("from", 0)
+
     hits = []
     if size:
         page = frame
@@ -159,6 +204,8 @@ def search(docs: DataFrame, body: dict, id_col: str = "id") -> dict:
                 )
         else:
             page = page.orderBy(F.col(id_col))
+        if offset:
+            page = page.offset(offset)
         for r in page.limit(size).collect():
             d = r.asDict(recursive=True)
             score = d.pop("score", None)

@@ -121,3 +121,47 @@ def test_reference_terms_agg_body(docs):
 def test_unknown_construct_raises(docs):
     with pytest.raises(NotImplementedError):
         search(docs, {"query": {"more_like_this": {"like": "x"}}})
+
+
+def test_bool_should_or_semantics(docs):
+    resp = search(docs, {"query": {"bool": {"should": [
+        {"term": {"id": {"value": _u("6f", 1)}}},
+        {"term": {"id": {"value": _u("6f", 2)}}},
+    ]}}, "size": 10})
+    assert {h["_id"] for h in resp["hits"]["hits"]} == {_u("6f", 1), _u("6f", 2)}
+
+
+def test_bool_must_not_excludes(docs):
+    resp = search(docs, {"query": {"bool": {
+        "must": [{"match_all": {}}],
+        "must_not": [{"match": {"title": "camp"}}],
+    }}, "size": 20})
+    ids = {h["_id"] for h in resp["hits"]["hits"]}
+    assert _u("6f", 1) not in ids  # 'camp' in its title
+    assert resp["hits"]["total"]["value"] < 10
+
+
+def test_range_query_on_rating(docs):
+    resp = search(docs, {"query": {"range": {"imdb_rating": {"gte": 8.0}}}, "size": 20})
+    src = [h["_source"] for h in resp["hits"]["hits"]]
+    assert src and all(s["imdb_rating"] >= 8.0 for s in src)
+
+
+def test_match_phrase_consecutive(docs):
+    # construct a guaranteed phrase from the corpus itself: find any doc
+    # with >= 2 description tokens and assert its own bigram matches
+    row = [
+        h["_source"] for h in
+        search(docs, {"query": {"match_all": {}}, "size": 10})["hits"]["hits"]
+        if h["_source"]["description"] and len(h["_source"]["description"].split()) >= 2
+    ][0]
+    toks = [t.lower() for t in row["description"].split()[:2]]
+    phrase = " ".join(toks)
+    got = search(docs, {"query": {"match_phrase": {"description": phrase}}, "size": 10})
+    assert got["hits"]["total"]["value"] >= 1
+
+
+def test_from_pagination(docs):
+    all_ids = [h["_id"] for h in search(docs, {"query": {"match_all": {}}, "size": 10})["hits"]["hits"]]
+    page2 = [h["_id"] for h in search(docs, {"query": {"match_all": {}}, "size": 3, "from": 3})["hits"]["hits"]]
+    assert page2 == all_ids[3:6]
