@@ -67,3 +67,30 @@ def write_partitioned(
     df.withColumn("p_bucket", part).write.mode(mode).partitionBy(
         "p_bucket"
     ).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table write — the co-located-join layout.
+
+    Both sides of a recurring equi-join written with the SAME
+    (bucket_col, n_buckets) join WITHOUT a shuffle: each task zips
+    matching bucket files (pinned by tests/test_plans.py — zero Exchange
+    in the joined plan). At 100 TB this is the difference between
+    re-shuffling the fact table on every join and never shuffling it;
+    size n_buckets so one bucket of the largest table fits an executor
+    core (e.g. 100 TB / 2^15 buckets ≈ 3 GB).
+
+    Spark bucketing requires the table catalog (saveAsTable), not bare
+    paths — callers use spark.table(name) to read back.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

@@ -120,3 +120,35 @@ def test_bm25_topk_plan(spark):
     plan = plan_string(df, mode="simple")
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Tables bucketed on the join key must join with ZERO Exchange —
+    the co-located-join contract write_bucketed exists for."""
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import load_table
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.writers import write_bucketed
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    write_bucketed(orders.select("o_orderkey", "o_orderstatus"), "t_orders_b", "o_orderkey", 8)
+    write_bucketed(lineitem.select("l_orderkey", "l_quantity"), "t_lineitem_b", "l_orderkey", 8)
+    # disable auto-broadcast so the join strategy is the one the layout
+    # exists for at scale (both sides too big to broadcast)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey).groupBy("o_orderstatus").count()
+        plan = plan_string(joined, mode="simple")
+        assert "SortMergeJoin" in plan, plan[:2000]
+        # the JOIN itself must not shuffle; the only allowed Exchange is
+        # the final tiny groupBy ABOVE it. Below the SortMergeJoin the
+        # bucketed scans feed sorts directly — zero Exchange.
+        join_part = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in join_part, plan[:2000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
