@@ -272,6 +272,75 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     )
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    n_bands: int = 2,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded candidate lookup + Hamming verify.
+
+    Two near-identical docs differ in ≤ max_hamming signature bits, so
+    (pigeonhole) they agree on at least one of ``n_bands`` bands whenever
+    max_hamming < n_bands — candidate generation is an equi-join on
+    (band_idx, band_bits), the same scale shape as MinHash banding; the
+    Hamming distance is verified only on candidates.
+
+    Output: (id_a, id_b, hamming) with hamming ≤ max_hamming.
+    """
+    sig = simhash(docs, id_col, text_col, bits).localCheckpoint(eager=False)
+    width = bits // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.substring(F.col("simhash"), b * width + 1, width).alias(
+                    "band_bits"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig.select(
+        F.col(id_col).alias("sid"), F.col("simhash"), F.explode(bands).alias("band")
+    ).select(
+        "sid",
+        "simhash",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_bits").alias("band_bits"),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(
+            F.col("a.sid").alias("id_a"),
+            F.col("b.sid").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = sum(
+        (
+            F.substring(F.col("sa"), i + 1, 1)
+            != F.substring(F.col("sb"), i + 1, 1)
+        ).cast("int")
+        for i in range(bits)
+    )
+    return (
+        cands.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

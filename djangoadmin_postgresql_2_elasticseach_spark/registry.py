@@ -239,6 +239,11 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs, bits=16)
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_neardup_pairs(docs, bits=32, n_bands=4, max_hamming=1)
+
+
 def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_neardup_pairs(emb, threshold=0.4)
@@ -328,6 +333,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_lsh": _q_emb_neardup_lsh,
     "bm25_topk": _q_bm25,
     "kmeans_assign": _q_kmeans,
+    "simhash_neardup_pairs": _q_simhash_pairs,
     # similarity search
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
@@ -706,6 +712,54 @@ summed AS (
   FROM hashed GROUP BY doc_id
 )
 SELECT doc_id, {bitcat} AS simhash FROM summed
+"""
+
+    # SimHash banded near-dup: mirror of dedup.simhash_neardup_pairs at
+    # the registry parameters (bits=32, 4 bands of 8, hamming <= 1)
+    sh_bits, sh_bands, sh_maxham = 32, 4, 1
+    sh_sums = ",\n    ".join(
+        f"SUM(CASE WHEN contains('89abcdef', substring(h, {i + 1}, 1)) THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(sh_bits)
+    )
+    sh_bitcat = " || ".join(
+        f"(CASE WHEN s{i} > 0 THEN '1' ELSE '0' END)" for i in range(sh_bits)
+    )
+    sh_width = sh_bits // sh_bands
+    sh_band_sel = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_idx, "
+        f"substring(simhash, {b * sh_width + 1}, {sh_width}) AS band_bits FROM sigs"
+        for b in range(sh_bands)
+    )
+    sh_ham = " + ".join(
+        f"(CASE WHEN substring(sa, {i + 1}, 1) <> substring(sb, {i + 1}, 1) THEN 1 ELSE 0 END)"
+        for i in range(sh_bits)
+    )
+    o["simhash_neardup_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_sql_tokens("text")})) AS tok FROM documents
+),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+summed AS (
+  SELECT doc_id,
+    {sh_sums}
+  FROM hashed GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {sh_bitcat} AS simhash FROM summed
+),
+bands AS (
+  {sh_band_sel}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, {sh_ham} AS hamming
+FROM cands
+WHERE {sh_ham} <= {sh_maxham}
 """
 
     cos_ab = _cosine_sql("a.embedding", "b.embedding")

@@ -175,3 +175,22 @@ def test_kmeans_lloyd_invariants(spark):
         assert got[i] == got[i + 3] and got[i + 1] == got[i + 4]
     again, _ = kmeans(emb, k=3, iters=4)
     assert {r["vec_id"]: r["cluster"] for r in again.collect()} == got
+
+
+def test_simhash_neardup_banding(spark, sdocs):
+    """Exact duplicates hit hamming 0 through the banded join; output is
+    bounded by max_hamming and candidates only (id_a < id_b)."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "totally different words entirely unrelated content here now",
+        "alpha beta gamma delta epsilon zeta eta theta",  # dup of 0
+    ]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(sdocs(docs), bits=32, n_bands=4, max_hamming=1).collect()
+    }
+    assert pairs.get((0, 2)) == 0
+    for (a, b), h in pairs.items():
+        assert a < b and 0 <= h <= 1
