@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "string_agg_nations",
     "supplier_order_structs",
     "events_daily_counts",
+    "user_sessions",
     # search surface
     "terms_agg_parts",
     "nested_exists",

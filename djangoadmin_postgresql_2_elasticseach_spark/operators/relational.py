@@ -424,3 +424,55 @@ def nested_exists(spark: SparkSession, sf_dir: str, token: str = "red") -> DataF
             ),
         )
     )
+
+
+def user_sessions(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Sessionization of the events stream (gaps-and-islands): a session
+    breaks when a user is idle longer than ``gap_minutes``.
+
+    Extension operator (the reference has no window functions — SURVEY
+    §2.5; this is the training-pipeline/analytics addition): two window
+    functions over ONE partitioning — lag(ts) flags session starts, a
+    running sum of flags numbers them — so the whole query is a single
+    shuffle on user_id, then an ordinary grouped aggregation. At 100 TB
+    the user_id partitioning bounds per-task state to one user's events;
+    skewed power-users are split by AQE.
+
+    Output: (user_id, session_id, session_start, session_end, n_events).
+    Deterministic: window ordered by (ts, event_id) — unique tiebreak.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer µs arithmetic — identical in any engine (no float
+    # epoch, no truncation ambiguity)
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            > gap_minutes * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(w).cast("long").alias("session_id"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -334,6 +334,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": _q_bm25,
     "kmeans_assign": _q_kmeans,
     "simhash_neardup_pairs": _q_simhash_pairs,
+    "user_sessions": R.user_sessions,
     # similarity search
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
@@ -760,6 +761,32 @@ cands AS (
 SELECT id_a, id_b, {sh_ham} AS hamming
 FROM cands
 WHERE {sh_ham} <= {sh_maxham}
+"""
+
+    # sessionization: gaps-and-islands, 30-min idle gap; exact µs integer
+    # arithmetic and a unique (ts, event_id) window order on both engines
+    gap_us = 30 * 60 * 1_000_000
+    o["user_sessions"] = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > {gap_us}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
 """
 
     cos_ab = _cosine_sql("a.embedding", "b.embedding")

@@ -194,3 +194,39 @@ def test_simhash_neardup_banding(spark, sdocs):
     assert pairs.get((0, 2)) == 0
     for (a, b), h in pairs.items():
         assert a < b and 0 <= h <= 1
+
+
+def test_sessionization_gap_semantics(spark, tmp_path):
+    """A gap strictly greater than the idle threshold starts a new
+    session; an exactly-threshold gap does not."""
+    import os
+    from pyspark.sql import functions as F
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.relational import user_sessions
+    from djangoadmin_postgresql_2_elasticseach_spark import schemas
+
+    rows = [
+        (1, "2026-01-01 00:00:00", 7, "click", 1.0, "{}"),
+        (2, "2026-01-01 00:30:00", 7, "click", 1.0, "{}"),  # gap == 30m: same session
+        (3, "2026-01-01 01:00:01", 7, "click", 1.0, "{}"),  # gap > 30m: new session
+        (4, "2026-01-01 00:10:00", 8, "view", 1.0, "{}"),   # other user independent
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    d = str(tmp_path / "events_fixture")
+    os.makedirs(d)
+    # write via raw-ns layout shim: user_sessions loads through load_table,
+    # which expects the nanosecond events layout — write plain parquet and
+    # monkey-load instead
+    import djangoadmin_postgresql_2_elasticseach_spark.operators.relational as R
+
+    orig = R.load_table
+    try:
+        R.load_table = lambda s, sf, name: df
+        out = {(r["user_id"], r["session_id"]): r for r in user_sessions(spark, "ignored").collect()}
+    finally:
+        R.load_table = orig
+    assert (7, 0) in out and out[(7, 0)]["n_events"] == 2
+    assert (7, 1) in out and out[(7, 1)]["n_events"] == 1
+    assert (8, 0) in out and out[(8, 0)]["n_events"] == 1
