@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_dedup_pairs",
     "simhash",
+    # corpus preparation
+    "chunk_documents",
+    "scrub_pii",
+    "clean_corpus",
     # similarity search
     "ann_brute_topk",
     "ann_ivf_topk",

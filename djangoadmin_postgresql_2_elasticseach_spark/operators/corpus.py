@@ -1,0 +1,118 @@
+"""Corpus-preparation operators — the document-side steps of a
+training-data pipeline, composed from the engine's own primitives:
+
+- ``chunk_documents``: split long docs into overlapping token-window
+  chunks (the LLM-context-window shape). Native: sequence → posexplode →
+  slice — one narrow explode, no Python, chunk count ∝ tokens/stride.
+- ``scrub_pii``: mask emails / URLs / long digit runs with regexp_replace
+  chains (JVM-side, inside whole-stage codegen) + per-doc match counts.
+- ``clean_corpus``: the composed filter-and-dedup pass — language gate →
+  quality gate → exact-dedup keep-lowest-id — one scan + one
+  fingerprint shuffle, the same shapes the standalone queries use.
+
+All three are oracle-checked (registry.py) — the SQL mirrors each
+expression including evaluation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import fingerprint, lang_id, quality_score
+from ..plans.tuning import spread
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+NUM_RE = r"[0-9]{6,}"
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per overlapping token-window chunk:
+    (id, chunk_idx, chunk_text, n_tokens).
+
+    Stride = chunk_tokens − overlap; chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens). Whitespace tokenization
+    (content-preserving — the analyzer chain is for matching, not for
+    reconstructing text). Docs with no tokens produce no chunks.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = spread(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(starts).alias("_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        (F.col("_start") / stride).cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
+def scrub_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mask emails → <EMAIL>, URLs → <URL>, ≥6-digit runs → <NUM>;
+    count matches per doc. URL masking runs first so an email-looking
+    userinfo inside a URL is counted once, as a URL."""
+    c = F.col(text_col)
+    n_urls = F.size(F.regexp_extract_all(c, F.lit(URL_RE), 0))
+    after_url = F.regexp_replace(c, URL_RE, "<URL>")
+    n_emails = F.size(F.regexp_extract_all(after_url, F.lit(EMAIL_RE), 0))
+    after_email = F.regexp_replace(after_url, EMAIL_RE, "<EMAIL>")
+    n_nums = F.size(F.regexp_extract_all(after_email, F.lit(NUM_RE), 0))
+    clean = F.regexp_replace(after_email, NUM_RE, "<NUM>")
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_urls.cast("int").alias("n_urls"),
+        n_emails.cast("int").alias("n_emails"),
+        n_nums.cast("int").alias("n_nums"),
+    )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Composed corpus filter: keep `lang` docs with quality ≥ threshold,
+    then exact-dedup keeping the lowest id per content fingerprint.
+
+    Plan: one scan computes lang/quality/fingerprint columns, the gates
+    filter BEFORE the dedup shuffle (only surviving (fp, id) pairs cross
+    the wire), and the keeper join is an aggregation + semi-join on fp.
+    """
+    scored = spread(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.col(text_col),
+        lang_id(text_col).alias("lang_pred"),
+        quality_score(text_col).alias("q"),
+        fingerprint(text_col).alias("fp"),
+    )
+    kept = scored.filter(
+        (F.col("lang_pred") == lang) & (F.col("q") >= min_quality)
+    )
+    keepers = kept.groupBy("fp").agg(F.min(id_col).alias("_keeper"))
+    return (
+        kept.join(keepers, "fp")
+        .filter(F.col(id_col) == F.col("_keeper"))
+        .select(id_col, text_col, F.col("q").alias("quality_score"))
+    )

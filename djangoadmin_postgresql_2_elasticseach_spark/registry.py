@@ -263,6 +263,24 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select("vec_id", "cluster")
 
 
+def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"), 50, 10)
+
+
+def _q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import scrub_pii
+
+    return scrub_pii(load_table(spark, sf_dir, "documents"))
+
+
+def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import clean_corpus
+
+    return clean_corpus(load_table(spark, sf_dir, "documents"))
+
+
 BM25_QUERY = "spark vector join"
 
 
@@ -335,6 +353,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_assign": _q_kmeans,
     "simhash_neardup_pairs": _q_simhash_pairs,
     "user_sessions": R.user_sessions,
+    "chunk_documents": _q_chunks,
+    "scrub_pii": _q_scrub,
+    "clean_corpus": _q_clean_corpus,
     # similarity search
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
@@ -761,6 +782,80 @@ cands AS (
 SELECT id_a, id_b, {sh_ham} AS hamming
 FROM cands
 WHERE {sh_ham} <= {sh_maxham}
+"""
+
+    # corpus preparation: chunking / PII scrub / composed clean pass
+    from .operators.corpus import EMAIL_RE, NUM_RE, URL_RE
+
+    stride, chunk = 40, 50
+    o["chunk_documents"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS w
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, w,
+         unnest(CASE WHEN len(w) > 0 THEN range(0, len(w), {stride})
+                     ELSE []::BIGINT[] END) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST(s // {stride} AS INT) AS chunk_idx,
+       array_to_string(list_slice(w, s + 1, s + {chunk}), ' ') AS chunk_text,
+       CAST(len(list_slice(w, s + 1, s + {chunk})) AS INT) AS n_tokens
+FROM ex
+"""
+
+    _after_url = f"regexp_replace(text, '{URL_RE}', '<URL>', 'g')"
+    _after_email = f"regexp_replace({_after_url}, '{EMAIL_RE}', '<EMAIL>', 'g')"
+    o["scrub_pii"] = f"""
+SELECT doc_id,
+  regexp_replace({_after_email}, '{NUM_RE}', '<NUM>', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(text, '{URL_RE}')) AS INT) AS n_urls,
+  CAST(len(regexp_extract_all({_after_url}, '{EMAIL_RE}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all({_after_email}, '{NUM_RE}')) AS INT) AS n_nums
+FROM documents
+"""
+
+    _q_gates = """
+  (CAST(n_words >= 10 AS INT)
+   + CAST((CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE)/n_words ELSE 0.0 END) BETWEEN 0.05 AND 0.7 AS INT)
+   + CAST((CASE WHEN n_chars_f > 0 THEN CAST(n_punct AS DOUBLE)/n_chars_f ELSE 0.0 END) <= 0.2 AS INT)
+   + CAST((CASE WHEN n_chars_f > 0 THEN CAST(n_digit AS DOUBLE)/n_chars_f ELSE 0.0 END) <= 0.3 AS INT)
+   + CAST(mean_word_len BETWEEN 2.0 AND 12.0 AS INT)
+  ) / 5.0"""
+    o["clean_corpus"] = f"""
+WITH feats AS (
+  SELECT doc_id, text,
+    length(text) AS n_chars_f,
+    {_sql_tokens("text")} AS words,
+    length(regexp_replace(text, '[\\p{{L}}\\p{{Nd}}\\s]', '', 'g')) AS n_punct,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+    length(regexp_replace(text, '[^а-яА-ЯёЁ]', '', 'g')) AS cyr,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS lat,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), d AS (
+  SELECT doc_id, text, n_chars_f, n_punct, n_digit, cyr, lat, fp,
+    len(words) AS n_words,
+    len(list_filter(words, t -> list_contains({_EN_SW_SQL}, t))) AS n_stop,
+    CASE WHEN len(words) > 0
+         THEN CAST(list_sum(list_transform(words, w -> CAST(length(w) AS DOUBLE))) AS DOUBLE) / len(words)
+         ELSE 0.0 END AS mean_word_len
+  FROM feats
+), kept AS (
+  SELECT doc_id, text, fp, {_q_gates} AS q
+  FROM d
+  WHERE (CASE WHEN cyr + lat = 0 THEN 'und'
+              WHEN cyr * 2 > lat THEN 'ru'
+              ELSE 'en' END) = 'en'
+    AND {_q_gates} >= 0.6
+)
+SELECT k.doc_id, k.text, k.q AS quality_score
+FROM kept k
+JOIN (SELECT fp, MIN(doc_id) AS keeper FROM kept GROUP BY fp) m
+  ON k.fp = m.fp AND k.doc_id = m.keeper
 """
 
     # sessionization: gaps-and-islands, 30-min idle gap; exact µs integer

@@ -1,0 +1,75 @@
+"""Corpus-preparation operators: chunk boundaries, PII masking, and the
+composed clean pass — semantics the homogeneous synthetic corpus cannot
+discriminate (the oracle parity covers engine-equality; these pin the
+behaviors)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_chunk_documents_windows(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import chunk_documents
+
+    words = [f"w{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_documents(docs, chunk_tokens=5, overlap=2).collect()
+    }
+    # doc 1: stride 3 → starts 0,3,6,9 → 4 chunks
+    assert [k for k in out if k[0] == 1] == [(1, 0), (1, 1), (1, 2), (1, 3)]
+    assert out[(1, 0)]["chunk_text"] == "w0 w1 w2 w3 w4"
+    assert out[(1, 1)]["chunk_text"] == "w3 w4 w5 w6 w7"  # 2-token overlap
+    assert out[(1, 3)]["chunk_text"] == "w9 w10 w11"  # trailing partial
+    assert out[(1, 3)]["n_tokens"] == 3
+    # doc 2 fits one chunk; empty doc 3 emits nothing
+    assert out[(2, 0)]["chunk_text"] == "short doc"
+    assert not [k for k in out if k[0] == 3]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=5, overlap=5)
+
+
+def test_scrub_pii_masking(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "see https://example.com/a?b=c and card 1234567890"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[1]["clean_text"] == "mail <EMAIL> now"
+    assert out[1]["n_emails"] == 1
+    assert out[2]["clean_text"] == "see <URL> and card <NUM>"
+    assert out[2]["n_urls"] == 1 and out[2]["n_nums"] == 1
+    assert out[3]["clean_text"] == "clean text only"
+    assert (out[3]["n_urls"], out[3]["n_emails"], out[3]["n_nums"]) == (0, 0, 0)
+
+
+def test_clean_corpus_gates_and_dedup(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import clean_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "into the quiet forest before the rain starts to fall"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "и в не что он на я с как а то все она так его но да ты"),  # ru
+            (3, "x" * 40),  # low quality: 1 word, no stopwords
+            (4, good),  # exact dup of 1 → dropped (keep lowest id)
+            (5, good + " extra tail words here"),  # near-dup but distinct fp
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"]: r for r in clean_corpus(docs).collect()}
+    assert set(kept) == {1, 5}
+    assert kept[1]["quality_score"] >= 0.6
