@@ -116,3 +116,33 @@ def clean_corpus(
         .filter(F.col(id_col) == F.col("_keeper"))
         .select(id_col, text_col, F.col("q").alias("quality_score"))
     )
+
+
+def split_corpus(
+    docs: DataFrame,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash — the
+    split survives re-runs, re-partitioning, and incremental appends
+    (a doc's split never depends on what else is in the corpus).
+
+    bucket = first 8 hex chars of md5(fingerprint-normalized text) mod
+    100; [0, test) → test, [test, test+val) → val, rest → train.
+    Hashing CONTENT (not id) keeps exact duplicates in the same split —
+    no train/test leakage through dup pairs.
+    """
+    bucket = (
+        F.conv(F.substring(fingerprint(text_col), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select(
+        F.col(id_col), bucket.cast("int").alias("bucket"), split.alias("split")
+    )

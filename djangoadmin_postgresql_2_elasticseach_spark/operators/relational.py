@@ -476,3 +476,41 @@ def user_sessions(
         )
         .orderBy("user_id", "session_id")
     )
+
+
+def top_parts_per_nation(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Top-k per group (window rank): the k highest-revenue parts per
+    supplier nation. Extension operator (no window functions in the
+    reference — SURVEY §2.5).
+
+    Shape: broadcast dim joins → one (nation, part) aggregation → window
+    row_number over the nation partitioning → rank filter. The window
+    runs on the AGGREGATED frame (|nations|×|parts| rows at most), never
+    on the fact table; ordering has a unique (revenue desc, part) key so
+    the rank is total and engine-portable.
+    """
+    from pyspark.sql import Window
+
+    lineitem = widen(load_table(spark, sf_dir, "lineitem"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    per = (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("n_name", "p_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(MONEY))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.col("p_name"))
+    return (
+        per.select("n_name", "p_name", "revenue", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("n_name", "rnk")
+    )

@@ -281,6 +281,12 @@ def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(load_table(spark, sf_dir, "documents"))
 
 
+def _q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import split_corpus
+
+    return split_corpus(load_table(spark, sf_dir, "documents"))
+
+
 BM25_QUERY = "spark vector join"
 
 
@@ -356,6 +362,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": _q_chunks,
     "scrub_pii": _q_scrub,
     "clean_corpus": _q_clean_corpus,
+    "split_corpus": _q_split_corpus,
+    "top_parts_per_nation": R.top_parts_per_nation,
     # similarity search
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
@@ -856,6 +864,41 @@ SELECT k.doc_id, k.text, k.q AS quality_score
 FROM kept k
 JOIN (SELECT fp, MIN(doc_id) AS keeper FROM kept GROUP BY fp) m
   ON k.fp = m.fp AND k.doc_id = m.keeper
+"""
+
+    o["split_corpus"] = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 8))::BIGINT % 100 AS INT) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 10 THEN 'test'
+            WHEN bucket < 20 THEN 'val'
+            ELSE 'train' END AS split
+FROM b
+"""
+
+    # top-k per group: window rank over the aggregated (nation, part)
+    # frame; unique (revenue desc, p_name) order makes the rank total
+    o["top_parts_per_nation"] = f"""
+WITH per AS (
+  SELECT n_name, p_name,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {_MONEY})) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY n_name, p_name
+),
+ranked AS (
+  SELECT n_name, p_name, revenue,
+         row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, p_name) AS rnk
+  FROM per
+)
+SELECT n_name, p_name, revenue, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY n_name, rnk
 """
 
     # sessionization: gaps-and-islands, 30-min idle gap; exact µs integer

@@ -73,3 +73,23 @@ def test_clean_corpus_gates_and_dedup(spark):
     kept = {r["doc_id"]: r for r in clean_corpus(docs).collect()}
     assert set(kept) == {1, 5}
     assert kept[1]["quality_score"] >= 0.6
+
+
+def test_split_corpus_content_deterministic(spark):
+    """Same content → same split regardless of id (dup-leakage guard);
+    percentages partition the bucket space."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import split_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "the same text"), (2, "THE  same   text "), (3, "different entirely")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in split_corpus(docs).collect()}
+    # fingerprint normalizes case+whitespace: 1 and 2 land identically
+    assert out[1]["bucket"] == out[2]["bucket"]
+    assert out[1]["split"] == out[2]["split"]
+    for r in out.values():
+        assert 0 <= r["bucket"] < 100
+        assert r["split"] in {"train", "val", "test"}
+        expected = "test" if r["bucket"] < 10 else ("val" if r["bucket"] < 20 else "train")
+        assert r["split"] == expected
