@@ -146,3 +146,54 @@ def split_corpus(
     return docs.select(
         F.col(id_col), bucket.cast("int").alias("bucket"), split.alias("split")
     )
+
+
+def tfidf_vectors(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed TF-IDF document vectors (the text → embedding bridge):
+    term slots by md5-hash mod `dim` (feature hashing — no vocabulary
+    build, no driver state), weight = tf · ln(1 + N/df), densified to a
+    fixed-width array<double> that composes with the similarity
+    operators (brute_force_topk / ivf_topk / embedding_neardup_*).
+
+    Plan: explode → (doc, term) tf agg → broadcast df + N → per-slot
+    sum → one map_from_entries per doc. Two aggregations over postings,
+    dims broadcast; no UDF.
+    """
+    from ..functions.text import tokenize
+
+    toks = spread(docs.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    slot = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long") % dim
+    ).cast("int")
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            slot.alias("slot"),
+            (
+                F.col("tf")
+                * F.log(F.lit(1.0) + F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    per_slot = w.groupBy(id_col, "slot").agg(F.round(F.sum("w"), 6).alias("wv"))
+    return per_slot.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("slot", "wv"))).alias("_m")
+    ).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(F.element_at("_m", i.cast("int")), F.lit(0.0)),
+        ).alias("tfidf"),
+    )

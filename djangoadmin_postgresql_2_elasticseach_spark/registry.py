@@ -287,6 +287,12 @@ def _q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_corpus(load_table(spark, sf_dir, "documents"))
 
 
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import tfidf_vectors
+
+    return tfidf_vectors(load_table(spark, sf_dir, "documents"), dim=64)
+
+
 BM25_QUERY = "spark vector join"
 
 
@@ -364,6 +370,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_corpus": _q_clean_corpus,
     "split_corpus": _q_split_corpus,
     "top_parts_per_nation": R.top_parts_per_nation,
+    "tfidf_vectors": _q_tfidf,
     # similarity search
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
@@ -877,6 +884,31 @@ SELECT doc_id, bucket,
             WHEN bucket < 20 THEN 'val'
             ELSE 'train' END AS split
 FROM b
+"""
+
+    # hashed TF-IDF vectors: exact mirror of corpus.tfidf_vectors (dim 64)
+    tfdim = 64
+    o["tfidf_vectors"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_tokens("text")}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 8))::BIGINT % {tfdim} AS INT) AS slot,
+         tf * ln(1.0 + CAST(n_docs AS DOUBLE) / df) AS w
+  FROM tf JOIN dfreq USING (term), stats
+),
+per_slot AS (SELECT doc_id, slot, round(sum(w), 6) AS wv FROM w GROUP BY doc_id, slot),
+dense AS (
+  SELECT doc_id, map_from_entries(list(struct_pack(k := slot, v := wv))) AS m
+  FROM per_slot GROUP BY doc_id
+)
+SELECT doc_id,
+       [coalesce((m[i])[1], 0.0) for i in range(0, {tfdim})] AS tfidf
+FROM dense
 """
 
     # top-k per group: window rank over the aggregated (nation, part)

@@ -93,3 +93,31 @@ def test_split_corpus_content_deterministic(spark):
         assert r["split"] in {"train", "val", "test"}
         expected = "test" if r["bucket"] < 10 else ("val" if r["bucket"] < 20 else "train")
         assert r["split"] == expected
+
+
+def test_tfidf_vectors_compose_with_ann(spark):
+    """Hashed TF-IDF properties: fixed width, rare terms weigh more than
+    common ones, and the output feeds the ANN operator directly."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import tfidf_vectors
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import brute_force_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rare"),
+            (2, "common common common"),
+            (3, "common unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    vecs = {r["doc_id"]: r["tfidf"] for r in tfidf_vectors(docs, dim=32).collect()}
+    assert all(len(v) == 32 for v in vecs.values())
+    # 'rare' (df=1) must out-weigh a single 'common' (df=3) occurrence
+    import hashlib
+
+    def slot(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % 32
+
+    assert vecs[1][slot("rare")] > vecs[1][slot("common")] / 2  # tf=2 for common
+    emb = tfidf_vectors(docs, dim=32).withColumnRenamed("doc_id", "vec_id").withColumnRenamed("tfidf", "embedding")
+    top = brute_force_topk(emb, [float(x) for x in vecs[1]], k=1).collect()
+    assert top[0]["vec_id"] == 1 and top[0]["cos_sim"] == 1.0

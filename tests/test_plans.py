@@ -152,3 +152,14 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_topk_per_group_broadcasts_dims(spark):
+    """The window rank must run on the aggregated frame with all three
+    dims broadcast — the fact table is never shuffled for a dim join."""
+    from djangoadmin_postgresql_2_elasticseach_spark.plans.tuning import assert_broadcast_join
+
+    df = registry.QUERIES["top_parts_per_nation"](spark, SF_SMOKE)
+    assert_broadcast_join(df, min_broadcasts=3)
+    plan = plan_string(df, mode="simple")
+    assert "Window" in plan
