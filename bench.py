@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "supplier_order_structs",
     "events_daily_counts",
     "user_sessions",
+    "top_parts_per_nation",
     # search surface
     "terms_agg_parts",
     "nested_exists",
@@ -57,6 +58,8 @@ BENCH_QUERIES = [
     "chunk_documents",
     "scrub_pii",
     "clean_corpus",
+    "split_corpus",
+    "tfidf_vectors",
     # similarity search
     "ann_brute_topk",
     "ann_ivf_topk",
