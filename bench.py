@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "clean_corpus",
     "split_corpus",
     "tfidf_vectors",
+    "top_bigrams",
+    "event_value_percentiles",
     # similarity search
     "ann_brute_topk",
     "ann_ivf_topk",

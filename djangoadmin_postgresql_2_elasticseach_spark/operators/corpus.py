@@ -197,3 +197,37 @@ def tfidf_vectors(
             lambda i: F.coalesce(F.element_at("_m", i.cast("int")), F.lit(0.0)),
         ).alias("tfidf"),
     )
+
+
+def top_bigrams(
+    docs: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k token bigrams — the n-gram statistics pass of a
+    language-modeling pipeline. One narrow explode + one count
+    aggregation (map-side partial) + TakeOrderedAndProject; ties broken
+    by the bigram string so the top-k is total-ordered.
+    """
+    from ..functions.text import tokenize
+
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        spread(docs.select(text_col))
+        .select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("bigram"))
+        .limit(k)
+    )

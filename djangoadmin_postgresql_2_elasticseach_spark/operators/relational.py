@@ -514,3 +514,24 @@ def top_parts_per_nation(
         .filter(F.col("rnk") <= k)
         .orderBy("n_name", "rnk")
     )
+
+
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of event value per type — the latency-style
+    distribution rollup. Exact `percentile` (interpolating, identical to
+    DuckDB's quantile_cont on the same data) — sorts within each group.
+    At 100 TB switch to `approx_percentile` (t-digest sketch, one pass,
+    mergeable partials) and accept the documented error bound; the exact
+    form is the oracle for that swap.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

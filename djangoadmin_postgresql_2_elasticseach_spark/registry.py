@@ -293,6 +293,12 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_vectors(load_table(spark, sf_dir, "documents"), dim=64)
 
 
+def _q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import top_bigrams
+
+    return top_bigrams(load_table(spark, sf_dir, "documents"), k=50)
+
+
 BM25_QUERY = "spark vector join"
 
 
@@ -371,6 +377,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_corpus": _q_split_corpus,
     "top_parts_per_nation": R.top_parts_per_nation,
     "tfidf_vectors": _q_tfidf,
+    "top_bigrams": _q_bigrams,
+    "event_value_percentiles": R.event_value_percentiles,
     # similarity search
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
@@ -909,6 +917,33 @@ dense AS (
 SELECT doc_id,
        [coalesce((m[i])[1], 0.0) for i in range(0, {tfdim})] AS tfidf
 FROM dense
+"""
+
+    o["top_bigrams"] = f"""
+WITH toks AS (
+  SELECT {_sql_tokens("text")} AS w FROM documents
+),
+grams AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+                     THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+                     ELSE []::VARCHAR[] END) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS n
+FROM grams GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 50
+"""
+
+    o["event_value_percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
 """
 
     # top-k per group: window rank over the aggregated (nation, part)
