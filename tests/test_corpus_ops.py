@@ -121,3 +121,73 @@ def test_tfidf_vectors_compose_with_ann(spark):
     emb = tfidf_vectors(docs, dim=32).withColumnRenamed("doc_id", "vec_id").withColumnRenamed("tfidf", "embedding")
     top = brute_force_topk(emb, [float(x) for x in vecs[1]], k=1).collect()
     assert top[0]["vec_id"] == 1 and top[0]["cos_sim"] == 1.0
+
+
+def test_chunk_reconstruction_property(spark):
+    """Dropping each chunk's overlap prefix (except the first) and
+    concatenating reproduces the original token stream exactly."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(137))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        chunk_documents(docs, chunk_tokens=50, overlap=10).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    rebuilt = chunks[0]["chunk_text"].split()
+    for c in chunks[1:]:
+        rebuilt.extend(c["chunk_text"].split()[10:])
+    assert rebuilt == text.split()
+
+
+def test_training_pipeline_end_to_end(spark):
+    """The composed flow a training-data user runs: clean -> scrub ->
+    chunk -> vectorize -> split; every stage feeds the next and the
+    output is ready for similarity search."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        chunk_documents,
+        clean_corpus,
+        scrub_pii,
+        split_corpus,
+        tfidf_vectors,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import brute_force_topk
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs into "
+        "the quiet forest before the rain starts to fall on the hills"
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, good + " contact me at a.b@example.com for more"),
+            (2, good + " contact me at a.b@example.com for more"),  # dup
+            (3, "и в не что он на я с как а то все она так его но да"),
+            (4, good + " but this one is a different document entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    cleaned = clean_corpus(raw)
+    scrubbed = scrub_pii(cleaned, text_col="text").withColumnRenamed(
+        "clean_text", "text"
+    )
+    assert {r["doc_id"] for r in scrubbed.collect()} == {1, 4}
+    assert all("@" not in r["text"] for r in scrubbed.collect())
+    chunks = chunk_documents(scrubbed, chunk_tokens=12, overlap=4)
+    ch = chunks.collect()
+    assert ch and all(r["n_tokens"] <= 12 for r in ch)
+    # vectorize chunks (chunk id = doc_id*1000 + chunk_idx), then search
+    from pyspark.sql import functions as F
+
+    chunk_docs = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    vecs = tfidf_vectors(chunk_docs, dim=32)
+    emb = vecs.withColumnRenamed("doc_id", "vec_id").withColumnRenamed(
+        "tfidf", "embedding"
+    )
+    probe = vecs.filter(F.col("doc_id") == 1000).collect()[0]["tfidf"]
+    top = brute_force_topk(emb, [float(x) for x in probe], k=1).collect()
+    assert top[0]["vec_id"] == 1000
+    splits = split_corpus(chunk_docs)
+    assert {r["split"] for r in splits.collect()} <= {"train", "val", "test"}
