@@ -385,27 +385,34 @@ def embedding_neardup_lsh(
     cos ≥ 0.95 is ≈1; `embedding_neardup_pairs` is the exactness oracle
     (every LSH pair is an all-pairs pair — pinned by test).
     """
-    from .similarity import cosine, fixed_planes, hyperplane_bucket  # no cycle
+    from .similarity import dot, fixed_planes, hyperplane_bucket, norm  # no cycle
 
     planes = fixed_planes(dim, n_planes)
     # both join sides read the bucketed frame — materialize it once on
     # the executors instead of recomputing the n_planes×dim dot products
-    # (and their codegen) per side
+    # (and their codegen) per side. Norms are precomputed PER VECTOR here
+    # (once each) instead of per candidate pair — value-identical (same
+    # fold, same operands), 3 aggregates per pair become 1.
+    v = F.col(vec_col).cast("array<double>")
     bucketed = emb.select(
         F.col(id_col),
         F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col).cast("array<double>"), planes).alias(
-            "bucket"
-        ),
+        hyperplane_bucket(v, planes).alias("bucket"),
+        norm(v).alias("nrm"),
     ).localCheckpoint(eager=False)
     a = bucketed.select(
-        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        "bucket",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = bucketed.select(
-        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        "bucket",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    out = pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
-    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    out = pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
     return out.filter(F.col("cos_sim") >= threshold)
