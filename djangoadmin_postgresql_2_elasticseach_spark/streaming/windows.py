@@ -55,3 +55,42 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def session_event_counts(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "15 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization via native session windows: events from
+    one user merge while each arrives within ``gap`` of the session's
+    end; the session closes (and emits, in append mode) once the
+    watermark passes session_end.
+
+    Boundary note vs the batch operator (relational.user_sessions):
+    session_window starts a NEW session when the gap is ≥ `gap`; the
+    batch gaps-and-islands splits only when strictly > — an
+    exactly-on-the-boundary event lands differently. Both are
+    deterministic; the difference is pinned in tests.
+
+    State per (user, open session) is one merged window — bounded by the
+    watermark horizon, merged incrementally by the state store (no
+    per-event rows retained).
+    """
+    return (
+        events_stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -91,3 +91,72 @@ def test_windowed_stream_append_and_late_drop(spark, tmp_path):
     assert (r["n_events"], r["sum_value"]) == (2, 3.0)
     # the 03:00 window is still open (watermark), so not emitted
     assert ("2026-01-01 03:00:00", "view") not in closed
+
+
+def test_session_window_batch_semantics(spark):
+    """Native session windows merge events within the gap; a >=gap idle
+    period starts a new session (boundary differs from the batch
+    gaps-and-islands operator by design — documented)."""
+    from djangoadmin_postgresql_2_elasticseach_spark.streaming.windows import (
+        session_event_counts,
+    )
+
+    rows = [
+        (1, "2026-01-01 00:00:00", "click", 1.0),
+        (2, "2026-01-01 00:20:00", "click", 2.0),  # within 30m → same session
+        (3, "2026-01-01 01:10:00", "click", 4.0),  # 50m idle → new session
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).select(
+        F.lit(7).alias("user_id"),
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "value",
+    )
+    out = sorted(
+        session_event_counts(df).collect(), key=lambda r: r["session_start"]
+    )
+    assert len(out) == 2
+    assert out[0]["n_events"] == 2 and out[0]["sum_value"] == 3.0
+    # session end extends gap past the last event
+    assert str(out[0]["session_end"]) == "2026-01-01 00:50:00"
+    assert out[1]["n_events"] == 1
+
+
+def test_session_window_stream_append(spark, tmp_path):
+    """Streaming: a watermark advance past session_end + gap closes and
+    emits the session exactly once."""
+    from djangoadmin_postgresql_2_elasticseach_spark.streaming.windows import (
+        session_event_counts,
+    )
+
+    src = str(tmp_path / "sess_ev")
+    emitted: list = []
+
+    def run(qname):
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        q = (
+            session_event_counts(stream)
+            .writeStream.foreachBatch(lambda df, _b: emitted.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id long, ts_s string, value double").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write([(7, "2026-01-01 00:00:00", 1.0), (7, "2026-01-01 00:10:00", 2.0)])
+    run("r1")  # watermark ends below session end — nothing emitted yet
+    write([(7, "2026-01-01 03:00:00", 4.0)])
+    run("r2")  # wm 02:45 > 00:40 session end → first session closes
+    closed = [r for r in emitted if r["n_events"] == 2]
+    assert len(closed) == 1
+    assert closed[0]["sum_value"] == 3.0
+    assert str(closed[0]["session_start"]) == "2026-01-01 00:00:00"
