@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "split_corpus",
     "tfidf_vectors",
     "top_bigrams",
+    "bigram_pmi",
     "event_value_percentiles",
     # similarity search
     "ann_brute_topk",

@@ -231,3 +231,66 @@ def top_bigrams(
         .orderBy(F.desc("n"), F.col("bigram"))
         .limit(k)
     )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    pmi = ln(N_uni · c(ab) / (c(a) · c(b))) over corpus token counts —
+    the phrase-detection pass of an LM data pipeline.
+
+    Plan: one token explode feeds BOTH the unigram count and (shifted by
+    one) the bigram count; unigram counts are broadcast twice into the
+    bigram frame (vocabulary ≪ corpus); min_count guards the PMI tail.
+    """
+    from ..functions.text import tokenize
+
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    base = spread(docs.select(text_col)).select(toks.alias("w"), n.alias("n"))
+    base = base.localCheckpoint(eager=False)
+    uni = (
+        base.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grams = base.filter(F.col("n") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("w"), i).alias("a"),
+                    F.element_at(F.col("w"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("g")
+    ).select(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+    big = grams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    total = uni.agg(F.sum("c").alias("n_uni"))
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    scored = (
+        big.filter(F.col("c_ab") >= min_count)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("n_uni").cast("double")
+                    * F.col("c_ab")
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.col("a"), F.col("b")).limit(k)

@@ -299,6 +299,12 @@ def _q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_bigrams(load_table(spark, sf_dir, "documents"), k=50)
 
 
+def _q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import bigram_pmi
+
+    return bigram_pmi(load_table(spark, sf_dir, "documents"), min_count=5, k=50)
+
+
 BM25_QUERY = "spark vector join"
 
 
@@ -378,6 +384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_parts_per_nation": R.top_parts_per_nation,
     "tfidf_vectors": _q_tfidf,
     "top_bigrams": _q_bigrams,
+    "bigram_pmi": _q_bigram_pmi,
     "event_value_percentiles": R.event_value_percentiles,
     # similarity search
     "ann_brute_topk": _q_ann_brute,
@@ -932,6 +939,33 @@ grams AS (
 SELECT bigram, count(*) AS n
 FROM grams GROUP BY bigram
 ORDER BY n DESC, bigram
+LIMIT 50
+"""
+
+    o["bigram_pmi"] = f"""
+WITH toks AS (
+  SELECT {_sql_tokens("text")} AS w FROM documents
+),
+uni AS (
+  SELECT unnest(w) AS tok FROM toks
+),
+unic AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+total AS (SELECT sum(c) AS n_uni FROM unic),
+grams AS (
+  SELECT unnest([struct_pack(a := w[i], b := w[i+1]) for i in range(1, len(w))]) AS g
+  FROM toks WHERE len(w) >= 2
+),
+big AS (
+  SELECT g.a AS a, g.b AS b, count(*) AS c_ab FROM grams GROUP BY g.a, g.b
+)
+SELECT a, b, c_ab,
+       round(ln(CAST(n_uni AS DOUBLE) * c_ab / (CAST(ua.c AS DOUBLE) * ub.c)), 6) AS pmi
+FROM big
+JOIN unic ua ON ua.tok = a
+JOIN unic ub ON ub.tok = b
+CROSS JOIN total
+WHERE c_ab >= 5
+ORDER BY pmi DESC, a, b
 LIMIT 50
 """
 
