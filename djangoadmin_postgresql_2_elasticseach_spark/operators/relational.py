@@ -535,3 +535,28 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-value totals bucketed into quartiles (ntile) —
+    the cohort-bucketing shape. Window runs over the AGGREGATED per-user
+    frame (|users| rows) with a unique (total desc, user_id) order, so
+    the quartile assignment is total and engine-portable; the decimal
+    per-row cast keeps the totals bit-identical to the oracle."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy(F.desc("total_value"), F.col("user_id"))
+    return (
+        per_user.select(
+            "user_id",
+            F.round("total_value", 6).alias("total_value"),
+            "n_events",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("quartile", F.desc("total_value"), "user_id")
+    )

@@ -386,6 +386,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_bigrams": _q_bigrams,
     "bigram_pmi": _q_bigram_pmi,
     "event_value_percentiles": R.event_value_percentiles,
+    "user_value_quartiles": R.user_value_quartiles,
     # similarity search
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
@@ -967,6 +968,19 @@ CROSS JOIN total
 WHERE c_ab >= 5
 ORDER BY pmi DESC, a, b
 LIMIT 50
+"""
+
+    o["user_value_quartiles"] = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+         count(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, round(total_value, 6) AS total_value, n_events,
+       CAST(ntile(4) OVER (ORDER BY total_value DESC, user_id) AS INT) AS quartile
+FROM per_user
+ORDER BY quartile, total_value DESC, user_id
 """
 
     o["event_value_percentiles"] = """
