@@ -1,0 +1,83 @@
+"""Empty-input robustness: every operator family must return an empty
+(or well-defined) result on an empty frame — not crash. At 100 TB an
+empty partition/filter result is an everyday occurrence (cold-start
+ticks, fully-pruned scans), and a crash there kills the whole job."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def _empty_emb(spark):
+    return spark.createDataFrame([], "vec_id long, embedding array<float>")
+
+
+def test_dedup_family_empty(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators import dedup as D
+
+    docs = _empty_docs(spark)
+    assert D.exact_duplicates(docs).count() == 0
+    assert D.minhash_signatures(docs).count() == 0
+    assert D.minhash_dedup_pairs(docs).count() == 0
+    assert D.simhash(docs).count() == 0
+    assert D.simhash_neardup_pairs(docs).count() == 0
+    assert D.ngram_jaccard_pairs(docs).count() == 0
+    assert D.embedding_neardup_pairs(_empty_emb(spark)).count() == 0
+    assert D.embedding_neardup_lsh(_empty_emb(spark), dim=8).count() == 0
+
+
+def test_corpus_family_empty(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators import corpus as C
+
+    docs = _empty_docs(spark)
+    assert C.chunk_documents(docs).count() == 0
+    assert C.scrub_pii(docs).count() == 0
+    assert C.clean_corpus(docs).count() == 0
+    assert C.split_corpus(docs).count() == 0
+    assert C.tfidf_vectors(docs, dim=8).count() == 0
+    assert C.top_bigrams(docs).count() == 0
+    assert C.bigram_pmi(docs).count() == 0
+
+
+def test_search_family_empty(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.search.bm25 import bm25_topk
+    from djangoadmin_postgresql_2_elasticseach_spark.search.dsl import search
+    from djangoadmin_postgresql_2_elasticseach_spark.search.query import (
+        match_query,
+        multi_match_fuzzy,
+    )
+
+    docs = _empty_docs(spark)
+    assert bm25_topk(docs, "anything").count() == 0
+    assert match_query(docs, "text", "anything").count() == 0
+    assert multi_match_fuzzy(docs, "q", [("text", 1.0)]).count() == 0
+    resp = search(docs, {"query": {"match_all": {}}}, id_col="doc_id")
+    assert resp["hits"]["total"]["value"] == 0 and resp["hits"]["hits"] == []
+
+
+def test_similarity_family_empty(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators import similarity as S
+
+    emb = _empty_emb(spark)
+    assert S.brute_force_topk(emb, [1.0] * 8).count() == 0
+    assert S.ivf_topk(emb, [1.0] * 8).count() == 0
+    assert S.label_centroid_sums(
+        spark.createDataFrame([], "label int, embedding array<float>")
+    ).count() == 0
+
+
+def test_filtered_to_empty_then_aggregate(spark):
+    """The everyday case: a filter prunes everything, downstream agg
+    still yields a sane frame (0 rows, right schema)."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import exact_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    ).filter(F.col("doc_id") > 100)
+    out = exact_duplicates(docs)
+    assert out.columns == ["fp", "keeper_id", "n_docs", "member_ids"]
+    assert out.count() == 0
