@@ -13,6 +13,14 @@ both sides at sf0.001/sf0.01 and diffs):
 - regexes: identical patterns; DuckDB regexp_replace gets the 'g' flag
   (Spark replaces globally by default);
 - top-k: total ordering with a unique id tiebreak before LIMIT.
+
+Known cross-engine lowercasing divergence (pinned in
+tests/test_unicode_tokens.py): Java's case mapping is context-aware —
+Turkish dotted capital İ lowers to "i"+combining-dot (the mark then
+splits the token) and Greek capital sigma in final position lowers to
+'ς' while DuckDB/RE2 produce plain "i"/'σ'. Corpora containing these
+code points should be NFKC/casefold-normalized at ingest; the driver
+testdata contains neither.
 """
 
 from __future__ import annotations
