@@ -294,3 +294,41 @@ def bigram_pmi(
         )
     )
     return scored.orderBy(F.desc("pmi"), F.col("a"), F.col("b")).limit(k)
+
+
+def normalize_text(
+    docs: DataFrame,
+    form: str = "NFKC",
+    casefold: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode-normalize (and optionally casefold) the text column —
+    the ingest step that removes the cross-engine case-mapping
+    divergences documented in registry.py (Turkish dotted I, Greek
+    final sigma, fullwidth forms, compatibility ligatures).
+
+    Python's unicodedata is the reference implementation here, so this
+    is a Pandas UDF (Arrow-batched — the one place in the text stack
+    where Python is the correct tool, not a fallback); all downstream
+    tokenization stays native."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm_fn(s):
+        def f(x):
+            if x is None:
+                return None
+            y = unicodedata.normalize(form, x)
+            return y.casefold() if casefold else y
+
+        return s.map(f)
+
+    # set real (non-stringified) annotations — `from __future__ import
+    # annotations` at module level would otherwise break pandas_udf's
+    # signature inspection
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = pandas_udf(_norm_fn, "string")
+
+    return docs.withColumn(text_col, _norm(F.col(text_col)))

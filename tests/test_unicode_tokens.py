@@ -61,3 +61,20 @@ def test_known_casefold_divergences_still_diverge(spark, duck):
     assert diffs == KNOWN_DIVERGENT, (
         "documented divergence set changed — update registry.py notes"
     )
+
+
+def test_normalize_text_removes_divergences(spark, duck):
+    """After NFKC+casefold ingest normalization, the previously
+    divergent inputs tokenize identically in both engines."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import normalize_text
+
+    docs = spark.createDataFrame(
+        list(enumerate(KNOWN_DIVERGENT)), "doc_id long, text string"
+    )
+    normed = normalize_text(docs)
+    rows = {r["doc_id"]: r["text"] for r in normed.collect()}
+    toks = _spark_tokens(spark, [rows[i] for i in range(len(KNOWN_DIVERGENT))])
+    for i in range(len(KNOWN_DIVERGENT)):
+        assert toks[i] == _duck_tokens(duck, rows[i]), rows[i]
+    # casefold resolves the final-sigma contextual form to σ everywhere
+    assert "σισυφοσ" in toks[1]
