@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "top_bigrams",
     "bigram_pmi",
     "event_value_percentiles",
+    "user_value_quartiles",
     # similarity search
     "ann_brute_topk",
     "ann_ivf_topk",

@@ -8,8 +8,9 @@ both sides at sf0.001/sf0.01 and diffs):
   DOUBLE at the end (order-independent, engine-identical);
 - arrays: DISTINCT via collect_set/list(DISTINCT..), always array_sort /
   list_sort, NULLs filtered explicitly on both sides;
-- string hashing: md5 hex (identical everywhere), lexicographic MIN for
-  minhash permutations (no engine-specific integer hash);
+- string hashing: md5 hex (identical everywhere); minhash uses the
+  Kirsch–Mitzenmacher family over one md5 per shingle (64-bit integer
+  arithmetic, no engine-specific hash);
 - regexes: identical patterns; DuckDB regexp_replace gets the 'g' flag
   (Spark replaces globally by default);
 - top-k: total ordering with a unique id tiebreak before LIMIT.
