@@ -314,6 +314,29 @@ def _q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_pmi(load_table(spark, sf_dir, "documents"), min_count=5, k=50)
 
 
+DSL_BODY = {
+    "query": {
+        "bool": {
+            "must": [{"match": {"text": "spark"}}],
+            "filter": [{"range": {"n_chars": {"gte": 150, "lt": 400}}}],
+            "must_not": [{"term": {"lang": "zh"}}],
+        }
+    }
+}
+
+
+def _q_dsl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES-DSL interpreter as a driver-checked query: the same
+    `_apply_query` path the `search()` response builder uses, returning
+    the filtered frame (ordering/envelope handled by the oracle's
+    column set)."""
+    from .search.dsl import _apply_query
+
+    docs = load_table(spark, sf_dir, "documents")
+    frame, _scored = _apply_query(docs, DSL_BODY["query"], id_col="doc_id")
+    return frame.select("doc_id", "lang", "n_chars")
+
+
 BM25_QUERY = "spark vector join"
 
 
@@ -383,6 +406,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": _q_emb_neardup,
     "embedding_neardup_lsh": _q_emb_neardup_lsh,
     "bm25_topk": _q_bm25,
+    "dsl_bool_search": _q_dsl_search,
     "kmeans_assign": _q_kmeans,
     "simhash_neardup_pairs": _q_simhash_pairs,
     "user_sessions": R.user_sessions,
@@ -822,6 +846,14 @@ cands AS (
 SELECT id_a, id_b, {sh_ham} AS hamming
 FROM cands
 WHERE {sh_ham} <= {sh_maxham}
+"""
+
+    # ES-DSL bool search: must(match) + filter(range) + must_not(term)
+    o["dsl_bool_search"] = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE list_contains({_sql_tokens("text")}, 'spark')
+  AND n_chars >= 150 AND n_chars < 400
+  AND lang <> 'zh'
 """
 
     # corpus preparation: chunking / PII scrub / composed clean pass
