@@ -1,0 +1,25 @@
+.PHONY: test test-full bench smoke lint
+
+# fast suite: oracle parity at sf0.001 + unit/property/plan/streaming tests
+test:
+	python -m pytest tests/ -q
+
+# CI gate: parity at BOTH sf0.001 and sf0.01 (driver correctness scale)
+test-full:
+	SPARK_GRAFT_FULL=1 python -m pytest tests/ -q
+
+# one JSON line of per-query wall times at $(or $(SPARK_GRAFT_SF_DIR),/root/testdata/sf0.1)
+bench:
+	python bench.py
+
+# driver-contract smoke: entry() rows + queries()/oracle_sql() key invariant
+smoke:
+	python -c "import __spark_entry__ as E; \
+	from pyspark.sql import SparkSession; \
+	s = SparkSession.builder.master('local[8]').config('spark.sql.shuffle.partitions','8').config('spark.ui.enabled','false').getOrCreate(); \
+	print('entry rows:', E.entry(s).count()); \
+	q, o = E.queries(), E.oracle_sql(); assert set(q) >= set(o); \
+	print('queries:', len(q), 'oracles:', len(o))"
+
+lint:
+	python -m compileall -q djangoadmin_postgresql_2_elasticseach_spark tests bench.py __spark_entry__.py
