@@ -836,10 +836,19 @@ sigs AS (
 bands AS (
   {sh_band_sel}
 ),
+bsizes AS (
+  SELECT band_idx, band_bits, count(*) AS bn
+  FROM bands GROUP BY band_idx, band_bits
+),
+kept AS (
+  SELECT b.* FROM bands b
+  JOIN bsizes s ON s.band_idx = b.band_idx AND s.band_bits = b.band_bits
+  WHERE s.bn <= 500
+),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          a.simhash AS sa, b.simhash AS sb
-  FROM bands a JOIN bands b
+  FROM kept a JOIN kept b
     ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
    AND a.doc_id < b.doc_id
 )
