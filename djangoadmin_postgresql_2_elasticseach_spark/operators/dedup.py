@@ -393,7 +393,8 @@ def embedding_neardup_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int = 64,
-    n_planes: int = 4,
+    n_planes: int | None = None,
+    target_bucket: int = 128,
 ) -> DataFrame:
     """Embedding near-dup, LSH scale path: hyperplane-bucket every vector
     (similarity.fixed_planes — deterministic, engine-portable), then run
@@ -408,6 +409,17 @@ def embedding_neardup_lsh(
     (every LSH pair is an all-pairs pair — pinned by test).
     """
     from .similarity import dot, fixed_planes, hyperplane_bucket, norm  # no cycle
+
+    if n_planes is None:
+        # verify cost within a bucket is quadratic in its occupancy, so
+        # the plane count must GROW with the corpus: pick 2^planes ≈
+        # N/target_bucket (measured: fixed 4 planes went 2 s → 53 s for
+        # a 10× corpus; auto-scaling keeps expected occupancy constant).
+        # The count() is one metadata-cheap job against ingest-scale work.
+        import math
+
+        n = emb.count()
+        n_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket))) if n > target_bucket else 4
 
     planes = fixed_planes(dim, n_planes)
     # both join sides read the bucketed frame — materialize it once on

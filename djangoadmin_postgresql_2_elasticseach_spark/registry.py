@@ -259,8 +259,10 @@ def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n_planes pinned to 4: the oracle inlines exactly these hyperplanes
+    # (the operator's auto-scaling would pick a different count per SF)
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_neardup_lsh(emb, threshold=0.4)
+    return D.embedding_neardup_lsh(emb, threshold=0.4, n_planes=4)
 
 
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
