@@ -144,8 +144,28 @@ def minhash_signatures(
 
 
 def _lsh_candidates_from_sig(
-    sig: DataFrame, id_col: str, num_hashes: int, band_size: int
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    band_size: int,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
+    """Bucket self-join on (band_idx, band_key) as a PLAIN shuffle
+    equi-join — the band frame is N_docs × n_bands rows, so neither side
+    may ever be broadcast (the round-1 shape hinted F.broadcast on the
+    full frame: a driver-killing collect at corpus scale).
+
+    ``max_bucket`` is the stop-bucket guard (same rationale and default
+    as simhash_neardup_pairs): a band value shared by more than
+    ``max_bucket`` docs is non-discriminating boilerplate and would make
+    the hot bucket quadratic. Counted via a window over the SAME
+    (band_idx, band_key) partitioning the join shuffles on — no separate
+    size frame to join or broadcast (for minhash the distinct-key count
+    is itself O(N_docs), so a broadcast size-join would reintroduce the
+    bug the guard exists to prevent).
+    """
+    from pyspark.sql import Window
+
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -160,13 +180,18 @@ def _lsh_candidates_from_sig(
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_key").alias("band_key"),
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_key")
+        exploded = (
+            exploded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
-    # band frame is N_docs × n_bands short rows — broadcast one side so
-    # bucket matching is a map-side hash join, no shuffle-sort
     return (
         a.join(
-            F.broadcast(b),
+            b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.sid") < F.col("b.sid")),
@@ -183,6 +208,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """LSH banding: signature → (band_idx, band_key=concat of band slots)
     → self-equi-join per bucket → distinct candidate pairs (id_a < id_b).
@@ -190,9 +216,11 @@ def minhash_lsh_candidates(
     The join key is (band_idx, band_key): candidate generation is a plain
     shuffle join on a short string key — the scale path for near-dup at
     100 TB. Verification (exact Jaccard) is then bounded to candidates.
+    ``max_bucket`` drops non-discriminating hot buckets from candidate
+    generation (see _lsh_candidates_from_sig).
     """
     sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
-    return _lsh_candidates_from_sig(sig, id_col, num_hashes, band_size)
+    return _lsh_candidates_from_sig(sig, id_col, num_hashes, band_size, max_bucket)
 
 
 def minhash_dedup_pairs(
@@ -203,6 +231,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.4,
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """Full MinHash dedup: LSH candidates → exact-Jaccard verify ≥ τ.
     Output: (id_a, id_b, jaccard).
@@ -213,7 +242,7 @@ def minhash_dedup_pairs(
     (~3× wall-clock on the bench corpus)."""
     sh = _shingled(docs, id_col, text_col, n).localCheckpoint(eager=False)
     sig = _signatures_from_shingles(sh, id_col, num_hashes)
-    cands = _lsh_candidates_from_sig(sig, id_col, num_hashes, band_size)
+    cands = _lsh_candidates_from_sig(sig, id_col, num_hashes, band_size, max_bucket)
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
     # count common shingles per candidate pair: join candidates to both
     # posting lists on (id, shingle). Broadcast ONLY the slim (id_a,
@@ -231,9 +260,12 @@ def minhash_dedup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # sizes is one row PER DOC — never hint it broadcast (O(N_docs) rows
+    # at corpus scale); plain equi-joins let AQE pick broadcast when the
+    # runtime size actually fits
     out = (
-        common.join(F.broadcast(sizes.select(F.col("sid").alias("id_a"), F.col("n_shingles").alias("n_a"))), "id_a")
-        .join(F.broadcast(sizes.select(F.col("sid").alias("id_b"), F.col("n_shingles").alias("n_b"))), "id_b")
+        common.join(sizes.select(F.col("sid").alias("id_a"), F.col("n_shingles").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("sid").alias("id_b"), F.col("n_shingles").alias("n_b")), "id_b")
         .select(
             "id_a",
             "id_b",

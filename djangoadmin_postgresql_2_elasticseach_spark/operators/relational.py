@@ -538,25 +538,41 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user event-value totals bucketed into quartiles (ntile) —
-    the cohort-bucketing shape. Window runs over the AGGREGATED per-user
-    frame (|users| rows) with a unique (total desc, user_id) order, so
-    the quartile assignment is total and engine-portable; the decimal
-    per-row cast keeps the totals bit-identical to the oracle."""
-    from pyspark.sql import Window
+    """Per-user event-value totals bucketed into quartiles — the
+    cohort-bucketing shape, via two-pass quantile cut-points:
+    pass 1 computes the p75/p50/p25 cut values of the per-user totals
+    (one 3-number row), pass 2 assigns quartile = 1 + #cuts above the
+    user's total through a broadcast of that row — entirely map-side.
 
+    This replaces the previous global ``ntile(4)`` window (an
+    unpartitioned Window.orderBy forces every per-user row through ONE
+    task — a straggler at 100 TB); value-cut bucketing is the
+    scale-correct cohort semantics (equal-value users always share a
+    quartile). Exact `percentile` keeps the oracle bit-exact; at 100 TB
+    swap to `approx_percentile` (t-digest, mergeable partials) the same
+    way event_value_percentiles documents its approx swap."""
     events = load_table(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w = Window.orderBy(F.desc("total_value"), F.col("user_id"))
+    cuts = per_user.agg(
+        F.expr("percentile(total_value, array(0.75, 0.5, 0.25))").alias("_cuts")
+    )
+    tv = F.col("total_value")
+    quartile = (
+        F.lit(1)
+        + (tv < F.col("_cuts")[0]).cast("int")
+        + (tv < F.col("_cuts")[1]).cast("int")
+        + (tv < F.col("_cuts")[2]).cast("int")
+    )
     return (
-        per_user.select(
+        per_user.crossJoin(F.broadcast(cuts))
+        .select(
             "user_id",
             F.round("total_value", 6).alias("total_value"),
             "n_events",
-            F.ntile(4).over(w).alias("quartile"),
+            quartile.alias("quartile"),
         )
         .orderBy("quartile", F.desc("total_value"), "user_id")
     )

@@ -22,9 +22,14 @@ from pyspark.sql import Column, DataFrame
 
 def spread(df: DataFrame, cols: list[Column | str] | None = None) -> DataFrame:
     """Repartition to the session's default parallelism before CPU-heavy
-    per-row work. Pass `cols` to keep a co-location key (hash) instead of
-    round-robin."""
+    per-row work — but ONLY when the input is under-partitioned (same
+    conditional as ``widen``): on a production table with thousands of
+    splits this is a no-op, so document bodies are never gratuitously
+    re-shuffled at scale. Pass `cols` to keep a co-location key (hash)
+    instead of round-robin when a repartition does happen."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, n // 2):
+        return df
     if cols:
         return df.repartition(n, *cols)
     return df.repartition(n)

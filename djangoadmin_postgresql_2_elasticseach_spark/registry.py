@@ -30,6 +30,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, FloatType, StructType
 
 from .functions import text as T
 from .functions import textstats as TS
@@ -45,6 +46,72 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table spread past its single row group — every consumer
     here runs regex/md5-heavy per-row work (see plans/tuning.py)."""
     return spread(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Driver-harness boundary: array outputs → deterministic delimited strings
+# ---------------------------------------------------------------------------
+#
+# The driver canonicalizes query output with a pandas sort over all
+# columns; Python lists are unhashable there, so any array-typed output
+# column breaks the compare before values are seen. Every registry query
+# therefore flattens array columns at the boundary (typed-array variants
+# stay available on the operators themselves); each oracle mirrors the
+# flattening with array_to_string/list_transform so both sides hash the
+# same scalar strings.
+#   - array<string> / array<integral>: elements joined with '|'
+#   - array<struct>: fields joined with '#', elements with '|'
+#   - array<double/float>: '%.6f' per element (queries round to 6dp
+#     upstream, so the fixed-width format is exact on both engines)
+
+_ARR_SEP = "|"
+_FIELD_SEP = "#"
+
+
+def _struct_joiner(names: tuple[str, ...]):
+    """Single-arg lambda factory (F.transform treats a 2-arg callable as
+    (element, index) — binding names via closure keeps the arity at 1)."""
+
+    def ser(s):
+        return F.concat_ws(_FIELD_SEP, *[s[n] for n in names])
+
+    return ser
+
+
+def _serialize_array_cols(df: DataFrame) -> DataFrame:
+    out = []
+    changed = False
+    for fld in df.schema.fields:
+        if not isinstance(fld.dataType, ArrayType):
+            out.append(F.col(fld.name))
+            continue
+        changed = True
+        el = fld.dataType.elementType
+        c = F.col(fld.name)
+        if isinstance(el, StructType):
+            ser = F.concat_ws(
+                _ARR_SEP,
+                F.transform(c, _struct_joiner(tuple(sf.name for sf in el.fields))),
+            )
+        elif isinstance(el, (DoubleType, FloatType)):
+            ser = F.concat_ws(
+                _ARR_SEP, F.transform(c, lambda x: F.format_string("%.6f", x))
+            )
+        else:
+            ser = F.concat_ws(_ARR_SEP, c.cast("array<string>"))
+        out.append(ser.alias(fld.name))
+    return df.select(*out) if changed else df
+
+
+def _scalarized(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str, _fn=fn) -> DataFrame:
+        return _serialize_array_cols(_fn(spark, sf_dir))
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (DuckDB)
@@ -265,13 +332,21 @@ def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_neardup_lsh(emb, threshold=0.4, n_planes=4)
 
 
+KMEANS_K = 4
+
+
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative algorithm (Lloyd's k-means) — deliberately NO oracle_sql
-    entry: the driver records the weaker rows-only check for it (unrolled
-    iterative SQL would test the unrolling, not the operator)."""
+    """ONE nearest-centroid assignment pass (the k-means inner step,
+    operators/similarity.assign_clusters) with the deterministic init
+    centroids (= the k lowest-id vectors) — SQL-expressible, so it gets
+    a full value-hash oracle. The iterative Lloyd loop composed from this
+    step stays under pytest invariants (tests/test_properties.py:
+    non-increasing inertia) — an unrolled iterative SQL oracle would test
+    the unrolling, not the operator."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, _ = S.kmeans(emb, k=4, iters=3)
-    return assigned.select("vec_id", "cluster")
+    first = emb.orderBy("vec_id").limit(KMEANS_K).select("embedding").collect()
+    cents = [[float(x) for x in r[0]] for r in first]
+    return S.assign_clusters(emb, cents).select("vec_id", "cluster")
 
 
 def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,11 +503,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroids": _q_label_centroids,
 }
 
+# Flatten array outputs on EVERY query (no-op select for scalar-only
+# frames) so no future query can reintroduce the unhashable-list failure
+# mode at the driver boundary; tests/test_registry_contract.py asserts
+# the invariant.
+QUERIES = {name: _scalarized(fn) for name, fn in QUERIES.items()}
+
+# Queries with NO SQL oracle (driver applies its weaker rows-only check).
+# Adding a key here REQUIRES a justification string; the contract test
+# pins QUERIES == ORACLES ∪ ROWS_ONLY so this set cannot silently grow.
+ROWS_ONLY: dict[str, str] = {}
+
 
 def _build_oracles() -> dict[str, str]:
     o: dict[str, str] = {}
 
-    o["denorm_orders"] = DENORM_ORDERS_SQL
+    # outer projection mirrors the registry boundary: arrays → '|' strings
+    o["denorm_orders"] = f"""
+SELECT o_orderkey, c_name, o_orderstatus,
+       COALESCE(array_to_string(part_names, '|'), '') AS part_names,
+       revenue, n_lines, last_activity
+FROM ({DENORM_ORDERS_SQL})
+"""
 
     o["pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
@@ -473,8 +565,8 @@ WITH per_cust AS (
   FROM orders GROUP BY o_custkey
 )
 SELECT c.c_custkey, c.c_name,
-  COALESCE(pc.priorities, CAST([] AS VARCHAR[])) AS priorities,
-  COALESCE(pc.finished_priorities, CAST([] AS VARCHAR[])) AS finished_priorities,
+  COALESCE(array_to_string(pc.priorities, '|'), '') AS priorities,
+  COALESCE(array_to_string(pc.finished_priorities, '|'), '') AS finished_priorities,
   COALESCE(pc.n_orders, 0) AS n_orders
 FROM customer c LEFT JOIN per_cust pc ON c.c_custkey = pc.o_custkey
 """
@@ -486,9 +578,10 @@ WITH agg AS (
 )
 SELECT n_nationkey, n_name,
   COALESCE(array_to_string(names_arr, ', '), '') AS customer_names,
-  CASE WHEN names_arr IS NOT NULL AND len(names_arr) > 0
-       THEN string_split(array_to_string(names_arr, ', '), ', ')
-       ELSE CAST([] AS VARCHAR[]) END AS names_roundtrip
+  COALESCE(array_to_string(
+    CASE WHEN names_arr IS NOT NULL AND len(names_arr) > 0
+         THEN string_split(array_to_string(names_arr, ', '), ', ')
+         ELSE CAST([] AS VARCHAR[]) END, '|'), '') AS names_roundtrip
 FROM nation LEFT JOIN agg ON n_nationkey = c_nationkey
 """
 
@@ -534,7 +627,7 @@ GROUP BY p_name ORDER BY doc_count DESC, part_name LIMIT 100
 """
 
     o["nested_exists"] = f"""
-SELECT o_orderkey, c_name, part_names FROM (
+SELECT o_orderkey, c_name, COALESCE(array_to_string(part_names, '|'), '') AS part_names FROM (
 {DENORM_ORDERS_SQL}
 ) d
 WHERE len(list_filter(part_names, p -> contains(lower(p), 'red'))) > 0
@@ -556,7 +649,9 @@ agg AS (
   FROM j GROUP BY l_suppkey
 )
 SELECT s_suppkey, s_name,
-       COALESCE(order_kinds, CAST([] AS STRUCT(status VARCHAR, priority VARCHAR)[])) AS order_kinds
+       COALESCE(array_to_string(
+         list_transform(order_kinds, s -> s.status || '#' || s.priority),
+         '|'), '') AS order_kinds
 FROM supplier LEFT JOIN agg ON s_suppkey = l_suppkey
 """
 
@@ -633,16 +728,17 @@ ORDER BY score DESC, doc_id LIMIT 20
 
     o["analyze_tokens"] = f"""
 SELECT doc_id,
-  list_transform(
+  COALESCE(array_to_string(
     list_transform(
       list_transform(
-        list_filter({_sql_tokens("text")}, t -> NOT list_contains({_ALL_SW_SQL}, t)),
-        t -> regexp_replace(t, '''s$', '')
+        list_transform(
+          list_filter({_sql_tokens("text")}, t -> NOT list_contains({_ALL_SW_SQL}, t)),
+          t -> regexp_replace(t, '''s$', '')
+        ),
+        t1 -> CASE WHEN length(t1) > 4 THEN regexp_replace(t1, '(ings?|edly|ed|ly|ies|es|s)$', '') ELSE t1 END
       ),
-      t1 -> CASE WHEN length(t1) > 4 THEN regexp_replace(t1, '(ings?|edly|ed|ly|ies|es|s)$', '') ELSE t1 END
-    ),
-    t2 -> {_STEM_SQL}
-  ) AS tokens
+      t2 -> {_STEM_SQL}
+    ), '|'), '') AS tokens
 FROM documents
 """
 
@@ -712,7 +808,9 @@ WITH fp AS (
   FROM documents
 )
 SELECT fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs,
-       list_sort(list(DISTINCT doc_id)) AS member_ids
+       array_to_string(
+         list_transform(list_sort(list(DISTINCT doc_id)), x -> CAST(x AS VARCHAR)),
+         '|') AS member_ids
 FROM fp GROUP BY fp HAVING COUNT(*) > 1
 """
 
@@ -760,9 +858,18 @@ SELECT doc_id, {sig_cols} FROM sig
 bands AS (
   {band_selects}
 ),
+bsizes AS (
+  SELECT band_idx, band_key, count(*) AS bn
+  FROM bands GROUP BY band_idx, band_key
+),
+kept AS (
+  SELECT b.* FROM bands b
+  JOIN bsizes s ON s.band_idx = b.band_idx AND s.band_key = b.band_key
+  WHERE s.bn <= 500
+),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
+  FROM kept a JOIN kept b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -975,7 +1082,9 @@ dense AS (
   FROM per_slot GROUP BY doc_id
 )
 SELECT doc_id,
-       [coalesce((m[i])[1], 0.0) for i in range(0, {tfdim})] AS tfidf
+       array_to_string(
+         list_transform([coalesce((m[i])[1], 0.0) for i in range(0, {tfdim})],
+                        x -> printf('%.6f', x)), '|') AS tfidf
 FROM dense
 """
 
@@ -1022,16 +1131,26 @@ ORDER BY pmi DESC, a, b
 LIMIT 50
 """
 
+    # quantile-cutpoint quartiles — mirror of relational.user_value_quartiles
+    # (comparisons on the UNROUNDED totals, same interpolated quantiles)
     o["user_value_quartiles"] = """
 WITH per_user AS (
   SELECT user_id,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
          count(*) AS n_events
   FROM events GROUP BY user_id
+),
+cuts AS (
+  SELECT quantile_cont(total_value, 0.75) AS c1,
+         quantile_cont(total_value, 0.50) AS c2,
+         quantile_cont(total_value, 0.25) AS c3
+  FROM per_user
 )
 SELECT user_id, round(total_value, 6) AS total_value, n_events,
-       CAST(ntile(4) OVER (ORDER BY total_value DESC, user_id) AS INT) AS quartile
-FROM per_user
+       CAST(1 + CAST(total_value < c1 AS INT)
+              + CAST(total_value < c2 AS INT)
+              + CAST(total_value < c3 AS INT) AS INT) AS quartile
+FROM per_user, cuts
 ORDER BY quartile, total_value DESC, user_id
 """
 
@@ -1194,6 +1313,29 @@ SELECT e.vec_id, round({cos_q}, 6) AS cos_sim
 FROM be e, q, bq
 WHERE hamming(e.bucket, bq.qbucket) <= 1
 ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+"""
+
+    # nearest-centroid assignment: centroids = the KMEANS_K lowest-id
+    # vectors (mirror of _q_kmeans); argmin over squared L2 with the
+    # cluster id as tiebreak — same (dist, cluster) ordering as
+    # similarity.assign_clusters' array_min over structs
+    o["kmeans_assign"] = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+),
+d AS (
+  SELECT e.vec_id, cents.c,
+         list_sum(list_transform(list_zip(e.embedding, cents.cvec),
+           x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+              * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS dist
+  FROM embeddings e CROSS JOIN cents
+)
+SELECT vec_id, CAST(c AS INT) AS cluster FROM (
+  SELECT vec_id, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+  FROM d
+) WHERE rn = 1
 """
 
     return o
