@@ -41,6 +41,13 @@ def chunk_documents(
     [i·stride, i·stride + chunk_tokens). Whitespace tokenization
     (content-preserving — the analyzer chain is for matching, not for
     reconstructing text). Docs with no tokens produce no chunks.
+
+    A chunk is emitted only when it contributes tokens beyond the
+    previous chunk's overlap: starts run to ``n − overlap − 1`` (not
+    ``n − 1``), else a short tail (e.g. n=45, chunk=50, overlap=10 →
+    start 40) would be entirely contained in the previous chunk —
+    duplicate training text as a distinct row. One chunk always exists
+    for n ≤ chunk_tokens (the bound floors at 0).
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
@@ -48,7 +55,10 @@ def chunk_documents(
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     n = F.size(toks)
     starts = F.when(
-        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+        n > 0,
+        F.sequence(
+            F.lit(0), F.greatest(F.lit(0), n - overlap - 1), F.lit(stride)
+        ),
     ).otherwise(F.array().cast("array<int>"))
     exploded = spread(docs.select(id_col, text_col)).select(
         F.col(id_col),

@@ -977,7 +977,10 @@ WHERE list_contains({_sql_tokens("text")}, 'spark')
     # corpus preparation: chunking / PII scrub / composed clean pass
     from .operators.corpus import EMAIL_RE, NUM_RE, URL_RE
 
-    stride, chunk = 40, 50
+    stride, chunk, overlap = 40, 50, 10
+    # starts bounded at len(w) - overlap - 1 inclusive (mirror of
+    # corpus.chunk_documents' no-duplicate-tail rule); DuckDB range()
+    # excludes its stop, so the bound is greatest(1, len - overlap)
     o["chunk_documents"] = f"""
 WITH toks AS (
   SELECT doc_id,
@@ -986,7 +989,8 @@ WITH toks AS (
 ),
 ex AS (
   SELECT doc_id, w,
-         unnest(CASE WHEN len(w) > 0 THEN range(0, len(w), {stride})
+         unnest(CASE WHEN len(w) > 0
+                     THEN range(0, greatest(1, len(w) - {overlap}), {stride})
                      ELSE []::BIGINT[] END) AS s
   FROM toks
 )

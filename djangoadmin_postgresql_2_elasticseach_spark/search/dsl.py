@@ -52,14 +52,13 @@ def _apply_query(docs: DataFrame, q: dict, id_col: str) -> tuple[DataFrame, bool
     if "multi_match" in q:
         mm = q["multi_match"]
         fields = [(f, 1.0) for f in mm["fields"]]
-        max_edits = 1 if mm.get("fuzziness") else 0
+        # no fuzziness → max_edits=0 → multi_match_fuzzy skips the fuzzy
+        # term entirely, so exact-only semantics are real (a doc with
+        # zero exact token hits cannot score)
         scored = multi_match_fuzzy(
             docs, mm["query"], fields, id_col=id_col, k=1_000_000,
-            max_edits=max_edits or 1,
+            max_edits=1 if mm.get("fuzziness") else 0,
         )
-        if not mm.get("fuzziness"):
-            # exact-only: drop rows whose score came purely from fuzzy
-            scored = scored  # scoring already weights exact 3×; keep all hits
         return scored, True
     if "nested" in q:
         path = q["nested"]["path"]
@@ -196,12 +195,18 @@ def search(docs: DataFrame, body: dict, id_col: str = "id") -> dict:
         if scored:
             page = page.orderBy(F.desc("score"), F.col(id_col))
         elif body.get("sort"):
+            # ES sort keys apply lexicographically (first key primary) —
+            # ONE orderBy over all of them (per-key orderBy calls would
+            # each replace the previous), with the id as final tiebreak
+            # so from/size pages are stable across runs
+            exprs = []
             for s in body["sort"]:
                 field, spec = next(iter(s.items()))
                 order = spec.get("order", "asc") if isinstance(spec, dict) else spec
-                page = page.orderBy(
+                exprs.append(
                     F.col(field).desc() if order == "desc" else F.col(field).asc()
                 )
+            page = page.orderBy(*exprs, F.col(id_col))
         else:
             page = page.orderBy(F.col(id_col))
         if offset:

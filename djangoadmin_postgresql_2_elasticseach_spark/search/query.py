@@ -70,6 +70,11 @@ def multi_match_fuzzy(
     score = Σ_fields weight · (3·#exact-token-hits + 1·#fuzzy-hits)
     where fuzzy = levenshtein ≤ max_edits (and not exact). Deterministic,
     oracle-reproducible; ranking by (score desc, id asc).
+
+    ``max_edits=0`` is exact-only: the fuzzy term is SKIPPED entirely
+    (not levenshtein≤0 — that predicate still costs a scan of every
+    token), so a non-fuzzy multi_match can never match a doc with zero
+    exact hits.
     """
     from ..plans.tuning import spread
 
@@ -88,16 +93,19 @@ def multi_match_fuzzy(
             toks = F.array_distinct(tokenize(F.col(field)))
         for t in qtoks:
             exact = F.array_contains(toks, t).cast("int")
-            fuzzy = (
-                F.size(
-                    F.filter(
-                        toks,
-                        lambda x: (F.levenshtein(x, F.lit(t)) <= max_edits)
-                        & (x != F.lit(t)),
+            if max_edits > 0:
+                fuzzy = (
+                    F.size(
+                        F.filter(
+                            toks,
+                            lambda x: (F.levenshtein(x, F.lit(t)) <= max_edits)
+                            & (x != F.lit(t)),
+                        )
                     )
-                )
-                > 0
-            ).cast("int")
-            score = score + F.lit(weight) * (3 * exact + 1 * fuzzy)
+                    > 0
+                ).cast("int")
+                score = score + F.lit(weight) * (3 * exact + 1 * fuzzy)
+            else:
+                score = score + F.lit(weight) * (3 * exact)
     scored = docs.withColumn("score", score).filter(F.col("score") > 0)
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)

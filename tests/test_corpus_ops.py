@@ -191,3 +191,25 @@ def test_training_pipeline_end_to_end(spark):
     assert top[0]["vec_id"] == 1000
     splits = split_corpus(chunk_docs)
     assert {r["split"] for r in splits.collect()} <= {"train", "val", "test"}
+
+
+def test_chunk_tail_contained_in_previous_not_emitted(spark):
+    """n=45, chunk=50, overlap=10: the old start grid emitted start 40,
+    whose chunk [41..45] is entirely inside chunk 0 — duplicate training
+    text. The start bound n-overlap-1 emits exactly one chunk."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(45)))], "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, chunk_tokens=50, overlap=10).collect()
+    assert len(rows) == 1 and rows[0]["n_tokens"] == 45
+    # and a tail that DOES contribute new tokens is still emitted
+    docs2 = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(51)))], "doc_id long, text string"
+    )
+    rows2 = sorted(
+        chunk_documents(docs2, chunk_tokens=50, overlap=10).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["n_tokens"] for r in rows2] == [50, 11]

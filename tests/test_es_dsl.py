@@ -165,3 +165,35 @@ def test_from_pagination(docs):
     all_ids = [h["_id"] for h in search(docs, {"query": {"match_all": {}}, "size": 10})["hits"]["hits"]]
     page2 = [h["_id"] for h in search(docs, {"query": {"match_all": {}}, "size": 3, "from": 3})["hits"]["hits"]]
     assert page2 == all_ids[3:6]
+
+
+def test_multimatch_without_fuzziness_is_exact_only(spark):
+    # "sparc" is levenshtein-1 from "spark": it must match ONLY when
+    # fuzziness is requested (regression: max_edits=0 used to be coerced
+    # to 1, making non-fuzzy multi_match fuzzy anyway)
+    frame = spark.createDataFrame(
+        [(1, "spark engine"), (2, "sparc engine x"), (3, "nothing here")],
+        "doc_id long, text string",
+    )
+    body = {"query": {"multi_match": {"query": "spark", "fields": ["text"]}}, "size": 10}
+    exact = search(frame, body, id_col="doc_id")
+    assert [h["_id"] for h in exact["hits"]["hits"]] == ["1"]
+    body["query"]["multi_match"]["fuzziness"] = "auto"
+    fuzzy = search(frame, body, id_col="doc_id")
+    assert [h["_id"] for h in fuzzy["hits"]["hits"]] == ["1", "2"]
+
+
+def test_multi_field_sort_lexicographic(spark):
+    # ES applies sort keys first-key-primary; regression: a per-key
+    # orderBy loop kept only the LAST key
+    frame = spark.createDataFrame(
+        [(1, "b", 10), (2, "a", 5), (3, "a", 9), (4, "b", 1)],
+        "doc_id long, grp string, val long",
+    )
+    body = {
+        "query": {"match_all": {}},
+        "sort": [{"grp": {"order": "asc"}}, {"val": {"order": "desc"}}],
+        "size": 10,
+    }
+    got = [h["_id"] for h in search(frame, body, id_col="doc_id")["hits"]["hits"]]
+    assert got == ["3", "2", "1", "4"]
