@@ -19,30 +19,63 @@ from pyspark.sql import functions as F
 # Unicode-aware token boundary: any run of non-letter/digit characters.
 TOKEN_SPLIT_RE = r"[^\p{L}\p{Nd}]+"
 
-# Minimal en+ru stopword lists — the `_english_`/`_russian_` sets trimmed
-# to high-frequency members (reference es_movies.json:9-19 uses the full
-# lucene sets; the engine keeps the list as data, swap in the full set for
-# production parity).
+# The COMPLETE Lucene `_english_` stopword set (33 words — Lucene
+# EnglishAnalyzer's default stop set; reference es_movies.json:9-13 names
+# it as `_english_`).
 EN_STOPWORDS = [
     "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
     "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
     "that", "the", "their", "then", "there", "these", "they", "this",
     "to", "was", "will", "with",
 ]
+# The COMPLETE Lucene `_russian_` stopword set (the Snowball russian stop
+# list Lucene ships as russian_stop.txt; reference es_movies.json:14-18
+# names it as `_russian_`).
 RU_STOPWORDS = [
     "и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как", "а",
     "то", "все", "она", "так", "его", "но", "да", "ты", "к", "у", "же",
     "вы", "за", "бы", "по", "только", "ее", "мне", "было", "вот", "от",
-    "меня", "еще", "нет", "о", "из", "ему",
+    "меня", "еще", "нет", "о", "из", "ему", "теперь", "когда", "даже",
+    "ну", "вдруг", "ли", "если", "уже", "или", "ни", "быть", "был",
+    "него", "до", "вас", "нибудь", "опять", "уж", "вам", "ведь", "там",
+    "потом", "себя", "ничего", "ей", "может", "они", "тут", "где",
+    "есть", "надо", "ней", "для", "мы", "тебя", "их", "чем", "была",
+    "сам", "чтоб", "без", "будто", "чего", "раз", "тоже", "себе", "под",
+    "будет", "ж", "тогда", "кто", "этот", "того", "потому", "этого",
+    "какой", "совсем", "ним", "здесь", "этом", "один", "почти", "мой",
+    "тем", "чтобы", "нее", "сейчас", "были", "куда", "зачем", "всех",
+    "никогда", "можно", "при", "наконец", "два", "об", "другой", "хоть",
+    "после", "над", "больше", "тот", "через", "эти", "нас", "про",
+    "всего", "них", "какая", "много", "разве", "три", "эту", "моя",
+    "впрочем", "хорошо", "свою", "этой", "перед", "иногда", "лучше",
+    "чуть", "том", "нельзя", "такой", "им", "более", "всегда", "конечно",
+    "всю", "между",
 ]
 ALL_STOPWORDS = EN_STOPWORDS + RU_STOPWORDS
 
 # English possessive stemmer (reference analyzer's english_possessive_stemmer)
 POSSESSIVE_RE = r"'s$"
-# Light English suffix stripper (stand-in for the snowball `english` stemmer)
-EN_SUFFIX_RE = r"(ings?|edly|ed|ly|ies|es|s)$"
-# Light Russian suffix stripper (stand-in for `russian` snowball)
-RU_SUFFIX_RE = r"(ами|ями|ого|его|ому|ему|ыми|ими|ая|яя|ые|ие|ий|ый|ой|ом|ов|ев|ах|ях|ам|ям|ет|ут|ют|ит|ат|ят|а|я|о|е|ы|и|у|ю|ь)$"
+# Light English stemmer — Porter2(snowball `english`)-style step-1a plus
+# suffix stripping, kept RE2-safe (no backreferences) so the DuckDB
+# oracle mirrors the chain verbatim:
+#   sses→ss | ies→i | (ss|us)→keep | else: undouble+strip ing/ed on a
+#   doubled consonant, then strip the general suffix alternation.
+SSES_RE = r"sses$"
+IES_RE = r"ies$"
+EN_KEEP_RE = r"(ss|us)$"
+# Porter2's undoubling set (ll/ss excluded, as in Porter2)
+EN_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+EN_SUFFIX_RE = r"(ings?|edly|ed|ly|es|s)$"
+# Light Russian suffix stripper (toward snowball `russian`: noun/adj
+# endings plus the productive verb/derivational endings — ость/ство/
+# ение families, reflexive -ся forms; longest-first alternation)
+RU_SUFFIX_RE = (
+    r"(ениями|ениях|ениям|ением|ствами|ствах|ствам|ством|остями|остях"
+    r"|остям|остью|ость|ости|ство|ства|ение|ения|ении|ению|ться|тся"
+    r"|лась|лось|лись|лся|ешь|ете|ите"
+    r"|ами|ями|ого|его|ому|ему|ыми|ими|ая|яя|ые|ие|ий|ый|ой|ом|ов|ев"
+    r"|ах|ях|ам|ям|ет|ут|ют|ит|ат|ят|а|я|о|е|ы|и|у|ю|ь)$"
+)
 
 
 def tokenize(col: Column | str) -> Column:
@@ -63,13 +96,60 @@ def remove_stopwords(tokens: Column, stopwords: list[str] | None = None) -> Colu
     return F.filter(tokens, lambda t: ~F.array_contains(sw, t))
 
 
+def _en_stem(t1: Column) -> Column:
+    """Porter2-style English step on a possessive-stripped token (one
+    branch applies, mirroring Porter2 step-1a's longest-match-wins):
+    sses→ss; ies→i; ss/us kept; otherwise a doubled consonant before
+    ing/ed undoubles as it strips (running→run, hopped→hop — ll is not
+    in Porter2's undouble set, so falling→fall), then the general
+    suffix alternation strips once. len ≤ 4 tokens pass through."""
+    stripped = t1
+    for d in EN_DOUBLES:
+        stripped = F.regexp_replace(stripped, d + r"(ings?|ed)$", d[0])
+    stripped = F.regexp_replace(stripped, EN_SUFFIX_RE, "")
+    return (
+        F.when(F.length(t1) <= 4, t1)
+        .when(t1.rlike(SSES_RE), F.regexp_replace(t1, SSES_RE, "ss"))
+        .when(t1.rlike(IES_RE), F.regexp_replace(t1, IES_RE, "i"))
+        .when(t1.rlike(EN_KEEP_RE), t1)
+        .otherwise(stripped)
+    )
+
+
 def stem_token(t: Column) -> Column:
-    """Light stemmer: possessive strip → en suffix strip (len>4 guard) →
-    ru suffix strip (len>4 guard). Guards keep short roots intact."""
+    """Light stemmer: possessive strip → Porter2-style en step (len>4
+    guard) → ru suffix strip (len>4 guard). Guards keep short roots
+    intact. SQL mirror: stem_sql_stages()."""
     t1 = F.regexp_replace(t, POSSESSIVE_RE, "")
-    t2 = F.when(F.length(t1) > 4, F.regexp_replace(t1, EN_SUFFIX_RE, "")).otherwise(t1)
+    t2 = _en_stem(t1)
     t3 = F.when(F.length(t2) > 4, F.regexp_replace(t2, RU_SUFFIX_RE, "")).otherwise(t2)
     return t3
+
+
+def stem_sql_stages() -> tuple[str, str, str]:
+    """DuckDB mirrors of the three stem_token stages, as SQL expression
+    templates over lambda variables ``t`` / ``t1`` / ``t2`` — generated
+    from the SAME pattern constants the Column chain uses, so the two
+    engines cannot drift. Compose as
+    ``list_transform(list_transform(list_transform(toks, t -> <s0>),
+    t1 -> <s1>), t2 -> <s2>)``."""
+    s0 = f"regexp_replace(t, '{POSSESSIVE_RE}', '')"
+    stripped = "t1"
+    for d in EN_DOUBLES:
+        stripped = f"regexp_replace({stripped}, '{d}(ings?|ed)$', '{d[0]}')"
+    stripped = f"regexp_replace({stripped}, '{EN_SUFFIX_RE}', '')"
+    s1 = (
+        "(CASE WHEN length(t1) <= 4 THEN t1 "
+        f"WHEN regexp_matches(t1, '{SSES_RE}') THEN regexp_replace(t1, '{SSES_RE}', 'ss') "
+        f"WHEN regexp_matches(t1, '{IES_RE}') THEN regexp_replace(t1, '{IES_RE}', 'i') "
+        f"WHEN regexp_matches(t1, '{EN_KEEP_RE}') THEN t1 "
+        f"ELSE {stripped} END)"
+    )
+    s2 = (
+        "(CASE WHEN length(t2) > 4 "
+        f"THEN regexp_replace(t2, '{RU_SUFFIX_RE}', '') ELSE t2 END)"
+    )
+    return s0, s1, s2
 
 
 def analyze(col: Column | str, stem: bool = True) -> Column:

@@ -161,12 +161,9 @@ LEFT JOIN per_order po ON o.o_orderkey = po.l_orderkey
 _EN_SW_SQL = "[" + ", ".join(f"'{w}'" for w in T.EN_STOPWORDS) + "]"
 _ALL_SW_SQL = "[" + ", ".join(f"'{w}'" for w in T.ALL_STOPWORDS) + "]"
 
-# light stemmer chain — mirror of functions.text.stem_token
-_STEM_SQL = (
-    "(CASE WHEN length(t2) > 4 THEN regexp_replace(t2, "
-    "'(ами|ями|ого|его|ому|ему|ыми|ими|ая|яя|ые|ие|ий|ый|ой|ом|ов|ев|ах|ях|ам|ям|ет|ут|ют|ит|ат|ят|а|я|о|е|ы|и|у|ю|ь)$', '') "
-    "ELSE t2 END)"
-)
+# light stemmer chain — generated from the SAME constants as
+# functions.text.stem_token (see text.stem_sql_stages)
+_STEM_S0, _STEM_S1, _STEM_S2 = T.stem_sql_stages()
 
 
 def _minhash_sql_cte(num_hashes: int = D.DEFAULT_NUM_HASHES) -> str:
@@ -726,6 +723,7 @@ SELECT doc_id, text, lang, source, n_chars, score FROM (
 ORDER BY score DESC, doc_id LIMIT 20
 """
 
+    _s0 = _STEM_S0.replace("'s$", "''s$")  # escape the quote for SQL literal
     o["analyze_tokens"] = f"""
 SELECT doc_id,
   COALESCE(array_to_string(
@@ -733,11 +731,11 @@ SELECT doc_id,
       list_transform(
         list_transform(
           list_filter({_sql_tokens("text")}, t -> NOT list_contains({_ALL_SW_SQL}, t)),
-          t -> regexp_replace(t, '''s$', '')
+          t -> {_s0}
         ),
-        t1 -> CASE WHEN length(t1) > 4 THEN regexp_replace(t1, '(ings?|edly|ed|ly|ies|es|s)$', '') ELSE t1 END
+        t1 -> {_STEM_S1}
       ),
-      t2 -> {_STEM_SQL}
+      t2 -> {_STEM_S2}
     ), '|'), '') AS tokens
 FROM documents
 """

@@ -78,3 +78,93 @@ def test_normalize_text_removes_divergences(spark, duck):
         assert toks[i] == _duck_tokens(duck, rows[i]), rows[i]
     # casefold resolves the final-sigma contextual form to σ everywhere
     assert "σισυφοσ" in toks[1]
+
+
+# ---------------------------------------------------------------------------
+# Stemmer ↔ Snowball parity (reference es_movies.json:24-33 uses the real
+# snowball `english`/`russian` stemmers; ours is a light regex stand-in).
+# CONVERGED pins vocabulary where the light stemmer now MATCHES snowball;
+# DIVERGENT pins the remaining known gaps with the light stemmer's actual
+# output. The rule: DIVERGENT may only SHRINK — moving a word from
+# DIVERGENT to CONVERGED is progress, the reverse is a regression.
+# ---------------------------------------------------------------------------
+
+SNOWBALL_CONVERGED = {
+    # english (Porter2 outputs)
+    "running": "run",
+    "hopping": "hop",
+    "falling": "fall",
+    "flies": "fli",
+    "movies": "movi",
+    "ponies": "poni",
+    "caresses": "caress",
+    "classes": "class",
+    "watches": "watch",
+    "played": "play",
+    "agreed": "agre",
+    "discussed": "discuss",
+    "quickly": "quick",
+    "address": "address",
+    # russian (snowball `russian` outputs)
+    "фильмы": "фильм",
+    "фильмами": "фильм",
+    "красивая": "красив",
+    "человека": "человек",
+    "возможностью": "возможн",
+    "возможности": "возможн",
+}
+
+SNOWBALL_DIVERGENT = {
+    # word: (light-stemmer output, snowball output)
+    "cats": ("cats", "cat"),          # len<=4 guard keeps short roots whole
+    "dies": ("dies", "die"),
+    "relational": ("relational", "relat"),  # no -ational family
+    "happily": ("happi", "happili"),  # porter2 y→i precedes -li handling
+}
+
+
+def _stem(spark, words):
+    from djangoadmin_postgresql_2_elasticseach_spark.functions.text import stem_token
+
+    df = spark.createDataFrame(
+        list(enumerate(words)), "id long, w string"
+    ).select("id", stem_token(F.col("w")).alias("s"))
+    return {r["id"]: r["s"] for r in df.collect()}
+
+
+def test_stemmer_matches_snowball_on_converged_vocab(spark):
+    words = list(SNOWBALL_CONVERGED)
+    got = _stem(spark, words)
+    bad = {
+        w: (got[i], SNOWBALL_CONVERGED[w])
+        for i, w in enumerate(words)
+        if got[i] != SNOWBALL_CONVERGED[w]
+    }
+    assert not bad, f"light stemmer diverged from snowball on: {bad}"
+
+
+def test_stemmer_known_divergences_pinned(spark):
+    words = list(SNOWBALL_DIVERGENT)
+    got = _stem(spark, words)
+    for i, w in enumerate(words):
+        light, snowball = SNOWBALL_DIVERGENT[w]
+        assert got[i] == light, f"{w}: light output changed {got[i]} != {light}"
+        assert got[i] != snowball, (
+            f"{w}: now matches snowball — move it to SNOWBALL_CONVERGED"
+        )
+
+
+def test_full_lucene_stopword_sets():
+    from djangoadmin_postgresql_2_elasticseach_spark.functions.text import (
+        EN_STOPWORDS,
+        RU_STOPWORDS,
+    )
+
+    # lucene _english_ is exactly 33 entries; _russian_ (snowball
+    # russian_stop.txt) has 151 — the trimmed round-1 list had 40
+    assert len(EN_STOPWORDS) == 33
+    assert len(set(EN_STOPWORDS)) == 33
+    assert len(RU_STOPWORDS) >= 150
+    assert len(set(RU_STOPWORDS)) == len(RU_STOPWORDS)
+    for w in ("были", "чтобы", "конечно", "между", "никогда"):
+        assert w in RU_STOPWORDS
