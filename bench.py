@@ -80,7 +80,19 @@ def force(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="bench")
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            # The ContextCleaner races task-completion events against
+            # accumulator GC when queries are dropped back-to-back,
+            # logging spurious "non-existent accumulator" stack traces
+            # into the bench tail. The bench process lives ~1 min;
+            # skipping cleanup entirely removes the race at no cost.
+            "spark.cleaner.referenceTracking": "false",
+            # progress bars are noise in a captured bench tail
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/codegen, the noop sink, and the OS page cache +

@@ -263,7 +263,7 @@ def bigram_pmi(
     toks = tokenize(F.col(text_col))
     n = F.size(toks)
     base = spread(docs.select(text_col)).select(toks.alias("w"), n.alias("n"))
-    base = base.localCheckpoint(eager=False)
+    base = base.localCheckpoint(eager=True)
     uni = (
         base.select(F.explode("w").alias("tok"))
         .groupBy("tok")

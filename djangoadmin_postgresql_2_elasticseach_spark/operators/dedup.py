@@ -240,7 +240,7 @@ def minhash_dedup_pairs(
     sides of the verify join); localCheckpoint materializes it once on
     the executors instead of re-running tokenize+explode per branch
     (~3× wall-clock on the bench corpus)."""
-    sh = _shingled(docs, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = _shingled(docs, id_col, text_col, n).localCheckpoint(eager=True)
     sig = _signatures_from_shingles(sh, id_col, num_hashes)
     cands = _lsh_candidates_from_sig(sig, id_col, num_hashes, band_size, max_bucket)
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -335,7 +335,7 @@ def simhash_neardup_pairs(
 
     Output: (id_a, id_b, hamming) with hamming ≤ max_hamming.
     """
-    sig = simhash(docs, id_col, text_col, bits).localCheckpoint(eager=False)
+    sig = simhash(docs, id_col, text_col, bits).localCheckpoint(eager=True)
     width = bits // n_bands
     bands = F.array(
         *[
@@ -465,7 +465,7 @@ def embedding_neardup_lsh(
         F.col(vec_col),
         hyperplane_bucket(v, planes).alias("bucket"),
         norm(v).alias("nrm"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     a = bucketed.select(
         "bucket",
         F.col(id_col).alias("id_a"),
