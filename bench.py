@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "tfidf_vectors",
     "top_bigrams",
     "bigram_pmi",
+    "repetition_stats",
+    "decontaminate",
+    "dedup_clusters",
+    "source_quota",
     "event_value_percentiles",
     "user_value_quartiles",
     # similarity search

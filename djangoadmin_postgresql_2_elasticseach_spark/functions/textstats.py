@@ -140,3 +140,25 @@ def fingerprint(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     return F.md5(norm)
+
+
+def doc_lines(text: Column | str) -> Column:
+    """Non-empty trimmed lines of the document (the unit of the
+    duplicate-line repetition signals)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.transform(F.split(c, r"\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+
+
+def dup_line_fraction(text: Column | str) -> Column:
+    """Fraction of lines that repeat an earlier line — the Gopher-rules
+    `duplicate_line_fraction` repetition signal (Rae et al. 2021, table
+    A1; public filter used by most LLM corpus pipelines). Native:
+    1 − |distinct lines| / |lines|; 0 for line-less docs."""
+    lines = doc_lines(text)
+    n = F.size(lines)
+    return F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(lines)) / n.cast("double")
+    ).otherwise(F.lit(0.0))

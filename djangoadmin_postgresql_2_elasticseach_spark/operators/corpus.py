@@ -306,6 +306,150 @@ def bigram_pmi(
     return scored.orderBy(F.desc("pmi"), F.col("a"), F.col("b")).limit(k)
 
 
+def repetition_stats(
+    docs: DataFrame,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, appendix A1 —
+    the public repetition rules most LLM corpus pipelines apply):
+    per-doc duplicate-line fraction and the token fraction covered by
+    the single most frequent bigram, plus the keep/drop gate at the
+    paper's thresholds (dup lines ≤ 0.30, top 2-gram ≤ 0.20).
+
+    Plan: the line signal is a pure Column expression (no shuffle);
+    the bigram signal is one narrow explode → (doc, bigram) count →
+    per-doc max/sum — two partial-aggregated shuffles keyed by doc id,
+    independent of corpus width. Output:
+    (id, dup_line_frac, top_bigram_frac, keep).
+    """
+    from ..functions.text import tokenize
+    from ..functions.textstats import dup_line_fraction
+
+    base = spread(docs.select(id_col, text_col))
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        base.select(F.col(id_col), F.explode(grams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.max("c").alias("_top"), F.sum("c").alias("_total")
+    )
+    lines = base.select(
+        F.col(id_col), F.round(dup_line_fraction(text_col), 6).alias("dup_line_frac")
+    )
+    out = lines.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("dup_line_frac"),
+        F.round(
+            F.coalesce(F.col("_top") / F.col("_total"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )
+    return out.select(
+        id_col,
+        "dup_line_frac",
+        "top_bigram_frac",
+        (
+            (F.col("dup_line_frac") <= max_dup_line_frac)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        ).alias("keep"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap — the standard
+    train/test-leakage scrub (13-gram overlap is the published GPT-3 /
+    Gopher convention): a training doc is contaminated when it shares
+    any word n-gram with the benchmark corpus.
+
+    Plan: shingle both sides (distinct per doc), equi-join on the
+    shingle, count distinct overlapping shingles per training doc, left
+    join back. The benchmark side is tiny relative to the corpus —
+    its shingle set is broadcast, so the scan of the training corpus
+    never shuffles. Output: (id, n_overlap, contaminated).
+    """
+    from ..functions.text import word_shingles
+
+    d = spread(docs.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("sh")
+    )
+    b = benchmark.select(
+        F.explode(word_shingles(text_col, n)).alias("sh")
+    ).distinct()
+    overlap = (
+        d.join(F.broadcast(b), "sh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("sh").alias("n_overlap"))
+    )
+    return (
+        docs.select(id_col)
+        .join(overlap, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def source_quota(
+    docs: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source document quota: keep the k highest-quality docs per
+    source — the domain-balancing step of corpus assembly (caps
+    boilerplate-heavy domains from dominating the token budget).
+
+    Window row_number PARTITIONED by source (never global — per-task
+    state is one source's docs, AQE splits skewed sources), ordered by
+    (quality desc, id) so the cut is total and engine-portable.
+    Output: (id, source, quality_score, rnk) for kept docs.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.textstats import quality_score
+
+    scored = spread(docs.select(id_col, source_col, text_col)).select(
+        F.col(id_col),
+        F.col(source_col),
+        quality_score(text_col).alias("quality_score"),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc("quality_score"), F.col(id_col)
+    )
+    return (
+        scored.select(
+            id_col,
+            source_col,
+            "quality_score",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def normalize_text(
     docs: DataFrame,
     form: str = "NFKC",

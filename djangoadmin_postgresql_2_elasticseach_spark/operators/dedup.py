@@ -278,6 +278,78 @@ def minhash_dedup_pairs(
     return out
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph — the step that
+    turns pairwise dedup output into per-document cluster assignments
+    (cluster id = min doc id in the component; the keeper).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; converged
+    when no label changes (checked per round, so the loop runs
+    diameter(graph) rounds, not max_iter). Per round: one equi-join on
+    the node id + one min-aggregation — all shuffles on the node key,
+    only the converged/changed COUNT reaches the driver. Near-dup
+    components are overwhelmingly small (pairs of boilerplate
+    variants), so diameters are single-digit; for adversarial
+    chain-shaped graphs at 100 TB, switch to the large-star/small-star
+    algorithm (Kiveris et al. 2014) — same join primitives, O(log n)
+    rounds.
+
+    Output: (doc_id, cluster, cluster_size) for every doc that appears
+    in `pairs`; singletons (docs with no dup pair) are not rows — their
+    cluster is trivially themselves.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # truncate the per-round lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster"),
+        "cluster_size",
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash signature as a `bits`-char bitstring over word tokens.
 

@@ -388,6 +388,36 @@ def _q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_pmi(load_table(spark, sf_dir, "documents"), min_count=5, k=50)
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+DECONTAM_MOD = 50  # every 50th doc plays the held-out benchmark set
+DECONTAM_N = 13  # published GPT-3/Gopher 13-gram convention
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+    return decontaminate(docs, benchmark, n=DECONTAM_N)
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.4)
+    return D.dedup_clusters(pairs)
+
+
+def _q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import source_quota
+
+    return source_quota(load_table(spark, sf_dir, "documents"), k=20)
+
+
 DSL_BODY = {
     "query": {
         "bool": {
@@ -492,6 +522,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_vectors": _q_tfidf,
     "top_bigrams": _q_bigrams,
     "bigram_pmi": _q_bigram_pmi,
+    "repetition_stats": _q_repetition,
+    "decontaminate": _q_decontaminate,
+    "dedup_clusters": _q_dedup_clusters,
+    "source_quota": _q_source_quota,
     "event_value_percentiles": R.event_value_percentiles,
     "user_value_quartiles": R.user_value_quartiles,
     # similarity search
@@ -1315,6 +1349,103 @@ SELECT e.vec_id, round({cos_q}, 6) AS cos_sim
 FROM be e, q, bq
 WHERE hamming(e.bucket, bq.qbucket) <= 1
 ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+"""
+
+    # Gopher repetition rules — mirror of corpus.repetition_stats
+    o["repetition_stats"] = f"""
+WITH lf AS (
+  SELECT doc_id,
+    CASE WHEN len(ls) > 0
+         THEN round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 6)
+         ELSE 0.0 END AS dup_line_frac
+  FROM (
+    SELECT doc_id,
+      list_filter(list_transform(string_split(text, chr(10)), ln -> trim(ln)),
+                  ln -> ln <> '') AS ls
+    FROM documents
+  )
+),
+toks AS (SELECT doc_id, {_sql_tokens("text")} AS w FROM documents),
+grams AS (
+  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+  FROM toks WHERE len(w) >= 2
+),
+pg AS (SELECT doc_id, bigram, count(*) AS c FROM grams GROUP BY doc_id, bigram),
+pd AS (SELECT doc_id, max(c) AS top, sum(c) AS total FROM pg GROUP BY doc_id)
+SELECT l.doc_id, l.dup_line_frac,
+  round(COALESCE(CAST(pd.top AS DOUBLE) / pd.total, 0.0), 6) AS top_bigram_frac,
+  (l.dup_line_frac <= 0.3
+   AND round(COALESCE(CAST(pd.top AS DOUBLE) / pd.total, 0.0), 6) <= 0.2) AS keep
+FROM lf l LEFT JOIN pd ON l.doc_id = pd.doc_id
+"""
+
+    # 13-gram benchmark decontamination — mirror of corpus.decontaminate
+    o["decontaminate"] = f"""
+WITH dt AS (SELECT doc_id, {_sql_tokens("text")} AS tk FROM documents),
+d AS (
+  SELECT doc_id, unnest({_sql_shingles("tk", DECONTAM_N)}) AS sh FROM dt
+),
+b AS (
+  SELECT DISTINCT unnest({_sql_shingles("tk", DECONTAM_N)}) AS sh
+  FROM dt WHERE doc_id % {DECONTAM_MOD} = 0
+),
+ov AS (
+  SELECT doc_id, count(DISTINCT d.sh) AS n_overlap
+  FROM d JOIN b ON d.sh = b.sh GROUP BY doc_id
+)
+SELECT doc_id, COALESCE(n_overlap, 0) AS n_overlap,
+       COALESCE(n_overlap, 0) > 0 AS contaminated
+FROM documents LEFT JOIN ov USING (doc_id)
+"""
+
+    # connected components over the minhash near-dup pairs: min reachable
+    # id per node via a recursive CTE (the SQL fixpoint matches Spark's
+    # converged min-label propagation exactly)
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+{o["minhash_dedup_pairs"]}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
+SELECT node AS doc_id, cluster,
+       count(*) OVER (PARTITION BY cluster) AS cluster_size
+FROM comp
+"""
+
+    # per-source quality quota — mirror of corpus.source_quota (k=20)
+    o["source_quota"] = f"""
+WITH feats AS (
+  SELECT doc_id, source,
+    length(text) AS n_chars_f,
+    {_sql_tokens("text")} AS words,
+    length(regexp_replace(text, '[\\p{{L}}\\p{{Nd}}\\s]', '', 'g')) AS n_punct,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+  FROM documents
+), d AS (
+  SELECT doc_id, source, n_chars_f, n_punct, n_digit,
+    len(words) AS n_words,
+    len(list_filter(words, t -> list_contains({_EN_SW_SQL}, t))) AS n_stop,
+    CASE WHEN len(words) > 0
+         THEN CAST(list_sum(list_transform(words, w -> CAST(length(w) AS DOUBLE))) AS DOUBLE) / len(words)
+         ELSE 0.0 END AS mean_word_len
+  FROM feats
+), scored AS (
+  SELECT doc_id, source, {_q_gates} AS quality_score FROM d
+)
+SELECT doc_id, source, quality_score, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY quality_score DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= 20
 """
 
     # nearest-centroid assignment: centroids = the KMEANS_K lowest-id

@@ -213,3 +213,78 @@ def test_chunk_tail_contained_in_previous_not_emitted(spark):
         key=lambda r: r["chunk_idx"],
     )
     assert [r["n_tokens"] for r in rows2] == [50, 11]
+
+
+def test_repetition_stats_flags_repeats(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import repetition_stats
+
+    clean = " ".join(f"word{i}" for i in range(40))
+    spammy = "buy now " * 30                      # one bigram dominates
+    dup_lines = "\n".join(["same line here"] * 8 + ["unique one"])
+    docs = spark.createDataFrame(
+        [(1, clean), (2, spammy.strip()), (3, dup_lines)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[1]["keep"] and rows[1]["dup_line_frac"] == 0.0
+    assert not rows[2]["keep"] and rows[2]["top_bigram_frac"] > 0.2
+    assert not rows[3]["keep"] and rows[3]["dup_line_frac"] > 0.3
+
+
+def test_decontaminate_flags_overlap(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import decontaminate
+
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    # doc 2 embeds a full 13-gram run of the benchmark; doc 1 shares none
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"x{i}" for i in range(30))),
+            (2, "prefix " + " ".join(f"b{i}" for i in range(13)) + " suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame([(99, bench_text)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in decontaminate(docs, benchmark, n=13).collect()}
+    assert not rows[1]["contaminated"] and rows[1]["n_overlap"] == 0
+    assert rows[2]["contaminated"] and rows[2]["n_overlap"] == 1
+
+
+def test_source_quota_caps_per_source(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import source_quota
+
+    good = ("this is a reasonably long and clean document that with luck "
+            "passes all of the quality gates because it has many words")
+    docs = spark.createDataFrame(
+        [(i, "srcA" if i < 6 else "srcB", good + f" tail{i}") for i in range(9)],
+        "doc_id long, source string, text string",
+    )
+    out = source_quota(docs, k=2).collect()
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append(r["doc_id"])
+    # equal quality everywhere → id ascending wins within each source
+    assert sorted(per_src["srcA"]) == [0, 1]
+    assert sorted(per_src["srcB"]) == [6, 7]
+
+
+def test_dedup_clusters_transitive(spark):
+    """a-b and b-c pairs (without a-c) must land in ONE cluster labeled
+    by the min id — the transitivity the pairwise output lacks. Two
+    separate components must stay separate."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert {rows[i]["cluster"] for i in (1, 2, 3)} == {1}
+    assert rows[1]["cluster_size"] == 3
+    assert rows[10]["cluster"] == rows[11]["cluster"] == 10
+    assert rows[10]["cluster_size"] == 2
+    # a longer chain exercises multi-round propagation (diameter 5)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20, 25)], "id_a long, id_b long"
+    )
+    crows = dedup_clusters(chain).collect()
+    assert {r["cluster"] for r in crows} == {20}
+    assert all(r["cluster_size"] == 6 for r in crows)
