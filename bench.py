@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "supplier_order_structs",
     "events_daily_counts",
     "user_sessions",
+    "asof_last_purchase",
+    "range_purchase_windows",
     "top_parts_per_nation",
     # search surface
     "terms_agg_parts",

@@ -1,0 +1,148 @@
+"""Temporal join operators — as-of join and range (interval) join.
+
+The reference engine has neither (its ETL is pure equi-join relational —
+SURVEY §2.3); these are the two temporal shapes every event-analytics
+engine needs, built as compositions of native DataFrame ops per the
+"custom operators" doctrine: express the semantics with existing
+operators if possible, never a Python loop.
+
+- ``asof_join``: each left row is enriched with the LATEST right row at
+  or before its timestamp (per key) — the union-merge realization: tag
+  both sides, sort within a single key-partitioned window, propagate the
+  last seen right value forward. ONE shuffle on the key; no inequality
+  join, no per-row probe. At 100 TB this is the same cost class as
+  sessionization (user_sessions).
+- ``range_join``: match points to intervals via TIME BUCKETIZATION:
+  intervals explode to the fixed-width buckets they cover, points map to
+  their single bucket, and the match is a plain equi-join on
+  (key, bucket) + an exact bound filter. The naive formulation is an
+  inequality join (BroadcastNestedLoop — quadratic); the bucketed form
+  is an equi-join whose fan-out is interval_len/bucket_width, the
+  standard scale shape (used by every production range-join engine).
+
+Both are oracle-checked in registry.py — asof against DuckDB's native
+ASOF JOIN (an independent implementation of the same semantics), range
+against the plain inequality join the bucketed plan must reproduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Enrich each left row with `value_cols` (+ the timestamp) of the
+    latest right row whose ts ≤ the left row's ts, per `key_col`
+    (inclusive match — a right row AT the left timestamp wins).
+
+    Right side must be unique per (key, ts) — pre-aggregate ties before
+    calling (the registry query keeps max-event_id per tie) so the
+    match is deterministic.
+
+    Plan: union the tagged sides, one window partitioned by key ordered
+    by (ts, side) — right rows sort before left rows at equal ts so the
+    inclusive bound holds — with ``last(..., ignorenulls)`` propagating
+    right values forward; filter back to left rows. Single shuffle on
+    the key, linear in |left| + |right|.
+    """
+    from pyspark.sql import Window
+
+    lcols = left.columns
+    l_tagged = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(
+            dict(right.dtypes)[ts_col]
+        ).alias(f"{prefix}{ts_col}"),
+        *[
+            F.lit(None).cast(dict(right.dtypes)[v]).alias(f"{prefix}{v}")
+            for v in value_cols
+        ],
+    )
+    r_tagged = right.select(
+        *[
+            F.col(c) if c in (key_col, ts_col) else F.lit(None).cast(t).alias(c)
+            for c, t in left.dtypes
+        ],
+        F.lit(0).alias("_side"),
+        F.col(ts_col).alias(f"{prefix}{ts_col}"),
+        *[F.col(v).alias(f"{prefix}{v}") for v in value_cols],
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cols = [f"{prefix}{ts_col}"] + [f"{prefix}{v}" for v in value_cols]
+    filled = merged.select(
+        *lcols,
+        "_side",
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in out_cols],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def _bucket_of(ts: Column, bucket_minutes: int) -> Column:
+    """Fixed-width time bucket index (integer µs floor-division —
+    engine-exact, no timezone arithmetic)."""
+    return (F.unix_micros(ts) / F.lit(bucket_minutes * 60 * 1_000_000)).cast(
+        "long"
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    ts_col: str,
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_minutes: int = 30,
+) -> DataFrame:
+    """All (interval, point) matches where the point's ts lies in the
+    interval's [start, end] (inclusive) and the keys are equal.
+
+    Bucketized equi-join: an interval explodes to the bucket indices it
+    covers (⌈len/bucket⌉+1 rows), a point maps to its single bucket, the
+    join runs on (key, bucket), and the exact bounds filter afterwards.
+    Each (interval, bucket) pair is distinct and a point has one bucket,
+    so matches are emitted exactly once — no post-join dedup. Size
+    ``bucket_minutes`` near the typical interval length: fan-out stays
+    ≈2 while each bucket's population stays bounded.
+
+    Output: all interval columns + all point columns.
+    """
+    b_start = _bucket_of(F.col(start_col), bucket_minutes)
+    b_end = _bucket_of(F.col(end_col), bucket_minutes)
+    # string aliases (not DataFrame[col] refs): both sides commonly
+    # derive from the same source table, and lineage-ambiguous column
+    # refs degrade to trivially-true predicates on a self-join
+    iv = intervals.select(
+        *intervals.columns,
+        F.explode(F.sequence(b_start, b_end)).alias("_bucket"),
+    ).alias("_iv")
+    pt = points.select(
+        *points.columns, _bucket_of(F.col(ts_col), bucket_minutes).alias("_bucket")
+    ).alias("_pt")
+    joined = iv.join(
+        pt,
+        (F.col(f"_iv.{key_col}") == F.col(f"_pt.{key_col}"))
+        & (F.col("_iv._bucket") == F.col("_pt._bucket")),
+    )
+    matched = joined.filter(
+        (F.col(f"_pt.{ts_col}") >= F.col(f"_iv.{start_col}"))
+        & (F.col(f"_pt.{ts_col}") <= F.col(f"_iv.{end_col}"))
+    )
+    keep = [F.col(f"_iv.{c}") for c in intervals.columns] + [
+        F.col(f"_pt.{c}") for c in points.columns if c != key_col
+    ]
+    return matched.select(*keep)

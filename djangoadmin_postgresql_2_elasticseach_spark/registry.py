@@ -418,6 +418,51 @@ def _q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_quota(load_table(spark, sf_dir, "documents"), k=20)
 
 
+def _q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event enriched with the user's latest purchase at-or-before
+    it (ties within one (user, ts) resolved to the max event_id before
+    the join, so the as-of match is deterministic)."""
+    from .operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    left = events.select("event_id", "ts", "user_id")
+    return asof_join(left, purchases, "user_id", "ts", ["value"])
+
+
+RANGE_WINDOW_MIN = 30
+
+
+def _q_range_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase 30-minute follow-up window: count the user's events
+    (and errors) inside [purchase_ts, purchase_ts + 30 min] — the
+    bucketized range join aggregated per interval."""
+    from .operators.temporal import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    iv = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr(f"INTERVAL {RANGE_WINDOW_MIN} MINUTES")).alias(
+            "w_end"
+        ),
+    )
+    pts = events.select("user_id", "ts", "event_type")
+    matched = range_join(
+        pts, iv, "user_id", "ts", "w_start", "w_end",
+        bucket_minutes=RANGE_WINDOW_MIN,
+    )
+    return matched.groupBy("interval_id", "user_id", "w_start", "w_end").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+    )
+
+
 DSL_BODY = {
     "query": {
         "bool": {
@@ -526,6 +571,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": _q_decontaminate,
     "dedup_clusters": _q_dedup_clusters,
     "source_quota": _q_source_quota,
+    "asof_last_purchase": _q_asof_purchase,
+    "range_purchase_windows": _q_range_purchases,
     "event_value_percentiles": R.event_value_percentiles,
     "user_value_quartiles": R.user_value_quartiles,
     # similarity search
@@ -1446,6 +1493,33 @@ SELECT doc_id, source, quality_score, CAST(rnk AS INT) AS rnk FROM (
     PARTITION BY source ORDER BY quality_score DESC, doc_id) AS rnk
   FROM scored
 ) WHERE rnk <= 20
+"""
+
+    # as-of join oracle: DuckDB's NATIVE ASOF JOIN — an independent
+    # implementation of the same latest-at-or-before semantics
+    o["asof_last_purchase"] = """
+WITH p AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.ts, e.user_id, p.ts AS asof_ts, p.value AS asof_value
+FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+    # range join oracle: the PLAIN inequality join the bucketized
+    # equi-join plan must reproduce exactly
+    o["range_purchase_windows"] = f"""
+WITH iv AS (
+  SELECT event_id AS interval_id, user_id, ts AS w_start,
+         ts + INTERVAL {RANGE_WINDOW_MIN} MINUTE AS w_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT iv.interval_id, iv.user_id, iv.w_start, iv.w_end,
+       count(*) AS n_events,
+       sum(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+FROM iv JOIN events e
+  ON e.user_id = iv.user_id AND e.ts >= iv.w_start AND e.ts <= iv.w_end
+GROUP BY iv.interval_id, iv.user_id, iv.w_start, iv.w_end
 """
 
     # nearest-centroid assignment: centroids = the KMEANS_K lowest-id
