@@ -163,3 +163,62 @@ def test_topk_per_group_broadcasts_dims(spark):
     assert_broadcast_join(df, min_broadcasts=3)
     plan = plan_string(df, mode="simple")
     assert "Window" in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The bucketized range join must compile to an equi-join (sort-merge
+    or hash) — a BroadcastNestedLoopJoin means the inequality leaked into
+    the join condition and the operator is quadratic again."""
+    df = registry.QUERIES["range_purchase_windows"](spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_asof_join_single_key_window(spark):
+    """The as-of join is one key-partitioned window — no join operator at
+    all in the plan (the union-merge shape), and the window partitioning
+    is by the key, never global."""
+    df = registry.QUERIES["asof_last_purchase"](spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the enrich path has no equi-join either: union + window only
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "windowspecdefinition(user_id" in plan, plan[:2000]
+
+
+def test_source_quota_window_is_partitioned(spark):
+    """Domain balancing must never degrade to a global window — the
+    row_number partitioning by source is the scale guarantee."""
+    df = registry.QUERIES["source_quota"](spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "windowspecdefinition(source" in plan, plan[:2000]
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set is the small side by construction; the
+    corpus scan must join against it broadcast, never shuffle itself."""
+    df = registry.QUERIES["decontaminate"](spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_minhash_band_join_never_broadcasts_band_frame(spark):
+    """The LSH band self-join must stay a shuffle equi-join in the LOGIC:
+    no broadcast HINT on the band frame (ResolvedHint in the analyzed
+    plan). Catalyst may still pick broadcast from tiny local statistics —
+    the guard is that WE never force it."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    analyzed = (
+        minhash_lsh_candidates(docs)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "UnresolvedHint" not in analyzed
+    assert "ResolvedHint (strategy=broadcast)" not in analyzed, analyzed[:2000]
