@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "dedup_clusters",
     "source_quota",
+    "sample_to_budget",
     "event_value_percentiles",
     "user_value_quartiles",
     # similarity search

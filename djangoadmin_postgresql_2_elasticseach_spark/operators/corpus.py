@@ -450,6 +450,58 @@ def source_quota(
     )
 
 
+def sample_to_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic per-stratum token-budget sampling — the corpus
+    mixing step: keep documents per stratum (language/domain) until the
+    stratum's whitespace-token budget is reached.
+
+    Selection order is md5(id) — a content-independent deterministic
+    shuffle, so the sample is stable across runs/partitioning and is
+    unbiased w.r.t. document order. A doc is kept while the RUNNING
+    total of tokens before it is under budget (so the budget may be
+    exceeded by at most one document — the standard greedy cut).
+
+    Plan: one window (cumulative sum) PARTITIONED by the stratum —
+    per-task state is one stratum, never global; at 100 TB strata are
+    the natural unit of corpus mixing so the partitioning is the one
+    you already want. Output: (id, stratum, n_tokens, cum_before, kept).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.textstats import token_count
+
+    scored = spread(docs.select(id_col, stratum_col, text_col)).select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_ord"),
+    )
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = scored.select(
+        id_col,
+        "stratum",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return out.select(
+        id_col,
+        "stratum",
+        "n_tokens",
+        "cum_before",
+        (F.col("cum_before") < budget_tokens).alias("kept"),
+    )
+
+
 def normalize_text(
     docs: DataFrame,
     form: str = "NFKC",

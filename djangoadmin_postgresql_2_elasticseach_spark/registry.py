@@ -418,6 +418,17 @@ def _q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_quota(load_table(spark, sf_dir, "documents"), k=20)
 
 
+TOKEN_BUDGET = 5000
+
+
+def _q_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import sample_to_budget
+
+    return sample_to_budget(
+        load_table(spark, sf_dir, "documents"), budget_tokens=TOKEN_BUDGET
+    )
+
+
 def _q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each event enriched with the user's latest purchase at-or-before
     it (ties within one (user, ts) resolved to the max event_id before
@@ -573,6 +584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_quota": _q_source_quota,
     "asof_last_purchase": _q_asof_purchase,
     "range_purchase_windows": _q_range_purchases,
+    "sample_to_budget": _q_sample_budget,
     "event_value_percentiles": R.event_value_percentiles,
     "user_value_quartiles": R.user_value_quartiles,
     # similarity search
@@ -1493,6 +1505,26 @@ SELECT doc_id, source, quality_score, CAST(rnk AS INT) AS rnk FROM (
     PARTITION BY source ORDER BY quality_score DESC, doc_id) AS rnk
   FROM scored
 ) WHERE rnk <= 20
+"""
+
+    # token-budget sampling — mirror of corpus.sample_to_budget
+    o["sample_to_budget"] = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS stratum,
+    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+    md5(CAST(doc_id AS VARCHAR)) AS _ord
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, stratum, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY stratum ORDER BY _ord, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM scored
+)
+SELECT doc_id, stratum, n_tokens, cum_before,
+       cum_before < {TOKEN_BUDGET} AS kept
+FROM cum
 """
 
     # as-of join oracle: DuckDB's NATIVE ASOF JOIN — an independent

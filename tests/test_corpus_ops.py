@@ -288,3 +288,25 @@ def test_dedup_clusters_transitive(spark):
     crows = dedup_clusters(chain).collect()
     assert {r["cluster"] for r in crows} == {20}
     assert all(r["cluster_size"] == 6 for r in crows)
+
+
+def test_sample_to_budget_deterministic_cut(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import sample_to_budget
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "ru", " ".join(["w"] * 10)) for i in range(10)],
+        "doc_id long, lang string, text string",
+    )
+    out = sample_to_budget(docs, budget_tokens=25).collect()
+    kept = {r["doc_id"] for r in out if r["kept"]}
+    # each stratum has 5 docs x 10 tokens; budget 25 → exactly 3 kept per
+    # stratum (cum_before of the 3rd is 20 < 25, of the 4th is 30)
+    by_stratum = {}
+    for r in out:
+        if r["kept"]:
+            by_stratum.setdefault(r["stratum"], 0)
+            by_stratum[r["stratum"]] += 1
+    assert by_stratum == {"en": 3, "ru": 3}
+    # deterministic: same input → same kept set
+    again = {r["doc_id"] for r in sample_to_budget(docs, budget_tokens=25).collect() if r["kept"]}
+    assert again == kept
