@@ -230,3 +230,82 @@ def test_sessionization_gap_semantics(spark, tmp_path):
     assert (7, 0) in out and out[(7, 0)]["n_events"] == 2
     assert (7, 1) in out and out[(7, 1)]["n_events"] == 1
     assert (8, 0) in out and out[(8, 0)]["n_events"] == 1
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 1)),
+        min_size=1, max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=0, max_size=10,
+    ),
+)
+def test_asof_join_matches_python_reference(spark, left_rows, right_rows):
+    """asof_join vs a brute-force python reference: for each left row
+    the matched right value is the max right ts <= left ts per key."""
+    import datetime as dt
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.temporal import asof_join
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    # dedup right per (key, ts) — the operator's documented precondition
+    rmap = {}
+    for k, m in right_rows:
+        rmap[(k, m)] = float(k * 1000 + m)
+    left = spark.createDataFrame(
+        [(i, ts(m), k) for i, (k, m, _) in enumerate(left_rows)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(m), v) for (k, m), v in rmap.items()] or [(0, ts(0), 0.0)],
+        "user_id long, ts timestamp, value double",
+    ) if rmap else spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(left, right, "user_id", "ts", ["value"]).collect()
+    }
+    for i, (k, m, _) in enumerate(left_rows):
+        cands = [((km, mm), v) for (km, mm), v in rmap.items() if km == k and mm <= m]
+        want = max(cands, key=lambda x: x[0][1])[1] if cands else None
+        assert got[i] == want, (i, k, m, got[i], want)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=0, max_size=20,
+    )
+)
+def test_dedup_clusters_matches_union_find(spark, edges):
+    """dedup_clusters vs a python union-find on random small graphs."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import dedup_clusters
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
+    assert got == want
