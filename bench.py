@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "multimatch_fuzzy",
     "bm25_topk",
     "analyze_tokens",
+    "inverted_df",
     "query_string_search",
     # text analysis
     "lang_id",

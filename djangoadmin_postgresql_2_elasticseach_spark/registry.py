@@ -229,6 +229,16 @@ def _q_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_inverted_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build surfaced as data: per-token document
+    frequency from the posting table (search/index.py — the ES
+    index-time-analysis equivalent)."""
+    from .search.index import doc_frequencies, posting_table
+
+    docs = _docs(spark, sf_dir)
+    return doc_frequencies(posting_table(docs, ["text"], "doc_id"))
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", "lang", TS.lang_id("text").alias("lang_pred"))
@@ -549,6 +559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_search": _q_term_search,
     "multimatch_fuzzy": _q_multimatch,
     "analyze_tokens": _q_analyze,
+    "inverted_df": _q_inverted_df,
     "query_string_search": _q_query_string,
     "match_all_limit": _q_match_all,
     # text analysis
@@ -817,10 +828,9 @@ ORDER BY score DESC, doc_id LIMIT 20
 """
 
     _s0 = _STEM_S0.replace("'s$", "''s$")  # escape the quote for SQL literal
-    o["analyze_tokens"] = f"""
-SELECT doc_id,
-  COALESCE(array_to_string(
-    list_transform(
+    # full ru_en analyzer chain on `text` — shared by analyze_tokens and
+    # the inverted-index oracle
+    _analyze_sql = f"""list_transform(
       list_transform(
         list_transform(
           list_filter({_sql_tokens("text")}, t -> NOT list_contains({_ALL_SW_SQL}, t)),
@@ -829,8 +839,22 @@ SELECT doc_id,
         t1 -> {_STEM_S1}
       ),
       t2 -> {_STEM_S2}
-    ), '|'), '') AS tokens
+    )"""
+    o["analyze_tokens"] = f"""
+SELECT doc_id,
+  COALESCE(array_to_string({_analyze_sql}, '|'), '') AS tokens
 FROM documents
+"""
+
+    # inverted-index document frequencies — mirror of
+    # search.index.posting_table → doc_frequencies on the text field
+    o["inverted_df"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({_analyze_sql}) AS tks FROM documents
+)
+SELECT 'text' AS field, token, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(tks) AS token FROM toks)
+GROUP BY token
 """
 
     o["lang_id"] = """
