@@ -104,3 +104,37 @@ def test_coverage_doc_in_sync():
     phantom = {r for r in referenced if r not in implemented and "_" in r}
     assert not missing_from_doc, f"queries not documented in COVERAGE.md: {sorted(missing_from_doc)}"
     assert not phantom, f"COVERAGE.md references unknown queries: {sorted(phantom)}"
+
+
+def test_corpus_assembly_family_empty(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators import corpus as C
+
+    docs = _empty_docs(spark)
+    docs_src = spark.createDataFrame([], "doc_id long, source string, text string")
+    docs_lang = spark.createDataFrame([], "doc_id long, lang string, text string")
+    assert C.repetition_stats(docs).count() == 0
+    assert C.decontaminate(docs, docs).count() == 0
+    assert C.source_quota(docs_src).count() == 0
+    assert C.sample_to_budget(docs_lang, budget_tokens=100).count() == 0
+
+
+def test_temporal_family_empty(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.temporal import asof_join, range_join
+
+    left = spark.createDataFrame([], "event_id long, ts timestamp, user_id long")
+    right = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    assert asof_join(left, right, "user_id", "ts", ["value"]).count() == 0
+    iv = spark.createDataFrame(
+        [], "interval_id long, user_id long, w_start timestamp, w_end timestamp"
+    )
+    pts = spark.createDataFrame([], "user_id long, ts timestamp")
+    assert range_join(pts, iv, "user_id", "ts", "w_start", "w_end").count() == 0
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = dedup_clusters(pairs)
+    assert out.columns == ["doc_id", "cluster", "cluster_size"]
+    assert out.count() == 0
