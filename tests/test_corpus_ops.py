@@ -310,3 +310,65 @@ def test_sample_to_budget_deterministic_cut(spark):
     # deterministic: same input → same kept set
     again = {r["doc_id"] for r in sample_to_budget(docs, budget_tokens=25).collect() if r["kept"]}
     assert again == kept
+
+
+def test_assembly_pipeline_end_to_end(spark):
+    """The round-2 assembly flow on top of the cleaning flow: repetition
+    gate -> decontaminate vs a benchmark -> near-dup clusters pick
+    keepers -> per-source quota -> token-budget sample. Every stage
+    feeds the next; the surviving set is exactly the docs that pass
+    every gate."""
+    from pyspark.sql import functions as F
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        decontaminate,
+        repetition_stats,
+        sample_to_budget,
+        source_quota,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    bench_text = " ".join(f"secret{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (1, "srcA", base + " one"),
+            (2, "srcA", base + " two"),                       # near-dup of 1
+            (3, "srcA", "spam " * 40),                        # repetition-gated
+            (4, "srcB", base + " " + bench_text),             # contaminated
+            (5, "srcB", " ".join(f"tok{i}" for i in range(20))),
+        ],
+        "doc_id long, source string, text string",
+    )
+    benchmark = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+
+    rep = repetition_stats(docs)
+    kept1 = docs.join(rep.filter(F.col("keep")).select("doc_id"), "doc_id")
+    assert {r["doc_id"] for r in kept1.select("doc_id").collect()} == {1, 2, 4, 5}
+
+    cont = decontaminate(kept1, benchmark, n=13)
+    kept2 = kept1.join(
+        cont.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    assert {r["doc_id"] for r in kept2.select("doc_id").collect()} == {1, 2, 5}
+
+    pairs = ngram_jaccard_pairs(kept2, threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster")).select("doc_id")
+    kept3 = kept2.join(losers, "doc_id", "left_anti")
+    assert {r["doc_id"] for r in kept3.select("doc_id").collect()} == {1, 5}
+
+    quota = source_quota(kept3, k=1)
+    assert quota.count() == 2  # one per source
+
+    sampled = sample_to_budget(
+        kept3.withColumn("lang", F.lit("en")), budget_tokens=21
+    )
+    kept_final = {r["doc_id"] for r in sampled.filter(F.col("kept")).collect()}
+    # budget 21: first doc in md5(id) order fits (20/21 tokens), the
+    # second starts at cum>=20 < 21 is false once the first used 20+
+    assert len(kept_final) >= 1
