@@ -4,9 +4,10 @@ smoke URLs); this module runs the same JSON against our DataFrames.
 
 Supported subset = what the reference's test corpus exercises
 (SURVEY §2.9) plus the adjacent constructs an ES user reaches for next:
-match_all, term, query_string, multi_match (with fuzziness),
-nested(match), match_phrase, range (gte/gt/lte/lt), bool
-(must/filter/should/must_not), terms aggregation, size, from, sort.
+match_all, term, terms, ids, exists, prefix, wildcard, query_string,
+multi_match (with fuzziness), nested(match), match_phrase, range
+(gte/gt/lte/lt), bool (must/filter/should/must_not), terms aggregation,
+size, from, sort (multi-key, id tiebreak).
 Unknown constructs raise NotImplementedError loudly — no silent wrong
 answers.
 
@@ -37,6 +38,31 @@ def _apply_query(docs: DataFrame, q: dict, id_col: str) -> tuple[DataFrame, bool
         field, spec = next(iter(q["term"].items()))
         value = spec["value"] if isinstance(spec, dict) else spec
         return docs.filter(F.col(field) == F.lit(value)), False
+    if "terms" in q:
+        # keyword OR-list: {"terms": {"field": [v1, v2, ...]}}
+        field, values = next(iter(q["terms"].items()))
+        return docs.filter(F.col(field).isin(list(values))), False
+    if "ids" in q:
+        return docs.filter(F.col(id_col).isin(list(q["ids"]["values"]))), False
+    if "exists" in q:
+        return docs.filter(F.col(q["exists"]["field"]).isNotNull()), False
+    if "prefix" in q:
+        field, spec = next(iter(q["prefix"].items()))
+        value = spec["value"] if isinstance(spec, dict) else spec
+        # ES prefix runs on the keyword (unanalyzed) field
+        return docs.filter(F.col(field).startswith(str(value))), False
+    if "wildcard" in q:
+        field, spec = next(iter(q["wildcard"].items()))
+        value = spec["value"] if isinstance(spec, dict) else spec
+        # translate ES wildcard (*, ?) to an anchored regex, escaping
+        # everything else
+        import re as _re
+
+        pattern = "^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in str(value)
+        ) + "$"
+        return docs.filter(F.col(field).rlike(pattern)), False
     if "query_string" in q:
         qs = q["query_string"]["query"]
         if qs == "*:*":

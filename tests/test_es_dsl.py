@@ -197,3 +197,48 @@ def test_multi_field_sort_lexicographic(spark):
     }
     got = [h["_id"] for h in search(frame, body, id_col="doc_id")["hits"]["hits"]]
     assert got == ["3", "2", "1", "4"]
+
+
+def test_terms_ids_exists_prefix_wildcard(spark):
+    frame = spark.createDataFrame(
+        [
+            (1, "en", "alpha story"),
+            (2, "ru", "beta story"),
+            (3, "de", None),
+            (4, "en", "alphabet soup"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+
+    def ids(body):
+        return sorted(
+            int(h["_id"])
+            for h in search(frame, body, id_col="doc_id")["hits"]["hits"]
+        )
+
+    assert ids({"query": {"terms": {"lang": ["en", "de"]}}, "size": 10}) == [1, 3, 4]
+    assert ids({"query": {"ids": {"values": [2, 4]}}, "size": 10}) == [2, 4]
+    assert ids({"query": {"exists": {"field": "text"}}, "size": 10}) == [1, 2, 4]
+    assert ids({"query": {"prefix": {"text": "alpha"}}, "size": 10}) == [1, 4]
+    assert ids({"query": {"wildcard": {"text": "alpha* soup"}}, "size": 10}) == [4]
+    assert ids({"query": {"wildcard": {"text": "?eta story"}}, "size": 10}) == [2]
+    # wildcard escaping: a literal dot must not regex-match any char
+    frame2 = spark.createDataFrame(
+        [(1, "a.b"), (2, "axb")], "doc_id long, text string"
+    )
+    got = sorted(
+        int(h["_id"])
+        for h in search(
+            frame2, {"query": {"wildcard": {"text": "a.b"}}, "size": 10},
+            id_col="doc_id",
+        )["hits"]["hits"]
+    )
+    assert got == [1]
+    # composes inside bool
+    assert ids({
+        "query": {"bool": {
+            "must": [{"prefix": {"text": "alpha"}}],
+            "must_not": [{"ids": {"values": [4]}}],
+        }},
+        "size": 10,
+    }) == [1]
