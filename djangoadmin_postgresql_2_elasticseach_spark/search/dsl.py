@@ -176,31 +176,110 @@ def _apply_query(docs: DataFrame, q: dict, id_col: str) -> tuple[DataFrame, bool
     raise NotImplementedError(f"query construct: {list(q)}")
 
 
+_METRIC_AGGS = {
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "value_count": F.count,
+    "cardinality": F.count_distinct,
+}
+
+_CALENDAR_TRUNC = {
+    "second": "second", "minute": "minute", "hour": "hour", "day": "day",
+    "week": "week", "month": "month", "quarter": "quarter", "year": "year",
+    "1s": "second", "1m": "minute", "1h": "hour", "1d": "day",
+    "1w": "week", "1M": "month", "1q": "quarter", "1y": "year",
+}
+
+
+def _metric_exprs(sub_aggs: dict) -> list:
+    """Column expressions for metric sub-aggregations, aliased by name."""
+    exprs = []
+    for sname, sspec in (sub_aggs or {}).items():
+        stype, sbody = next(iter(sspec.items()))
+        if stype not in _METRIC_AGGS:
+            raise NotImplementedError(f"sub-aggregation type: {stype}")
+        exprs.append(_METRIC_AGGS[stype](F.col(sbody["field"])).alias(sname))
+    return exprs
+
+
+def _bucket_response(rows, sub_aggs: dict, key_fn=lambda k: k) -> list[dict]:
+    buckets = []
+    for r in rows:
+        b: dict[str, Any] = {"key": key_fn(r["key"]), "doc_count": r["doc_count"]}
+        for sname in sub_aggs or {}:
+            b[sname] = {"value": r[sname]}
+        buckets.append(b)
+    return buckets
+
+
 def _apply_aggs(docs: DataFrame, aggs: dict) -> dict:
+    """Aggregations: terms / date_histogram / histogram buckets (each
+    with optional metric sub-aggs) and top-level metric aggs
+    (avg/sum/min/max/value_count/cardinality). All compile to ONE
+    groupBy per bucket agg — partial map-side combine, the same plan an
+    analytics rollup writes by hand."""
     out: dict[str, Any] = {}
     for name, spec in aggs.items():
-        if "terms" not in spec:
-            raise NotImplementedError(f"aggregation type: {list(spec)}")
-        field = spec["terms"]["field"]
-        size = spec["terms"].get("size", 10)
-        src = docs
-        col = F.col(field)
-        # array fields aggregate per element (ES semantics for keyword arrays)
-        if dict(docs.dtypes).get(field, "").startswith("array"):
-            src = docs.select(F.explode(col).alias(field))
+        sub = spec.get("aggs") or spec.get("aggregations")
+        if "terms" in spec:
+            field = spec["terms"]["field"]
+            size = spec["terms"].get("size", 10)
+            src = docs
             col = F.col(field)
-        buckets = (
-            src.groupBy(col.alias("key"))
-            .agg(F.count(F.lit(1)).alias("doc_count"))
-            .orderBy(F.desc("doc_count"), F.col("key"))
-            .limit(size)
-            .collect()
-        )
-        out[name] = {
-            "buckets": [
-                {"key": r["key"], "doc_count": r["doc_count"]} for r in buckets
-            ]
-        }
+            # array fields aggregate per element (ES keyword-array semantics)
+            if dict(docs.dtypes).get(field, "").startswith("array"):
+                src = docs.select(F.explode(col).alias(field), *[
+                    c for c in docs.columns if c != field
+                ])
+                col = F.col(field)
+            rows = (
+                src.groupBy(col.alias("key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_exprs(sub))
+                .orderBy(F.desc("doc_count"), F.col("key"))
+                .limit(size)
+                .collect()
+            )
+            out[name] = {"buckets": _bucket_response(rows, sub)}
+        elif "date_histogram" in spec:
+            body = spec["date_histogram"]
+            interval = body.get("calendar_interval") or body.get(
+                "fixed_interval"
+            )
+            if interval not in _CALENDAR_TRUNC:
+                raise NotImplementedError(f"date_histogram interval: {interval}")
+            key = F.date_trunc(_CALENDAR_TRUNC[interval], F.col(body["field"]))
+            rows = (
+                docs.groupBy(key.alias("key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_exprs(sub))
+                .orderBy("key")
+                .collect()
+            )
+            out[name] = {
+                "buckets": _bucket_response(
+                    rows, sub, key_fn=lambda k: k.isoformat()
+                )
+            }
+        elif "histogram" in spec:
+            body = spec["histogram"]
+            step = float(body["interval"])
+            key = (F.floor(F.col(body["field"]) / step) * step).cast("double")
+            rows = (
+                docs.groupBy(key.alias("key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_exprs(sub))
+                .orderBy("key")
+                .collect()
+            )
+            out[name] = {"buckets": _bucket_response(rows, sub)}
+        else:
+            atype, abody = next(iter(spec.items()))
+            if atype not in _METRIC_AGGS:
+                raise NotImplementedError(f"aggregation type: {atype}")
+            row = docs.agg(
+                _METRIC_AGGS[atype](F.col(abody["field"])).alias("v")
+            ).collect()[0]
+            out[name] = {"value": row["v"]}
     return out
 
 

@@ -242,3 +242,49 @@ def test_terms_ids_exists_prefix_wildcard(spark):
         }},
         "size": 10,
     }) == [1]
+
+
+def test_metric_and_histogram_aggregations(spark):
+    import datetime as dt
+
+    def ts(day, hour):
+        return dt.datetime(2024, 3, day, hour, 30)
+
+    frame = spark.createDataFrame(
+        [
+            (1, "en", 10.0, ts(1, 9)),
+            (2, "en", 30.0, ts(1, 15)),
+            (3, "ru", 20.0, ts(2, 9)),
+            (4, "ru", 40.0, ts(2, 10)),
+        ],
+        "doc_id long, lang string, price double, created timestamp",
+    )
+    resp = search(frame, {
+        "query": {"match_all": {}},
+        "size": 0,
+        "aggs": {
+            "avg_price": {"avg": {"field": "price"}},
+            "n_langs": {"cardinality": {"field": "lang"}},
+            "by_day": {
+                "date_histogram": {"field": "created", "calendar_interval": "day"},
+                "aggs": {"day_rev": {"sum": {"field": "price"}}},
+            },
+            "price_bands": {"histogram": {"field": "price", "interval": 25.0}},
+            "by_lang": {
+                "terms": {"field": "lang"},
+                "aggs": {"max_price": {"max": {"field": "price"}}},
+            },
+        },
+    }, id_col="doc_id")
+    a = resp["aggregations"]
+    assert a["avg_price"]["value"] == 25.0
+    assert a["n_langs"]["value"] == 2
+    days = {b["key"][:10]: b for b in a["by_day"]["buckets"]}
+    assert days["2024-03-01"]["doc_count"] == 2
+    assert days["2024-03-01"]["day_rev"]["value"] == 40.0
+    assert days["2024-03-02"]["day_rev"]["value"] == 60.0
+    bands = {b["key"]: b["doc_count"] for b in a["price_bands"]["buckets"]}
+    assert bands == {0.0: 2, 25.0: 2}  # 10,20 → [0,25); 30,40 → [25,50)
+    langs = {b["key"]: b for b in a["by_lang"]["buckets"]}
+    assert langs["en"]["max_price"]["value"] == 30.0
+    assert langs["ru"]["max_price"]["value"] == 40.0
