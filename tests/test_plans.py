@@ -222,3 +222,16 @@ def test_minhash_band_join_never_broadcasts_band_frame(spark):
     )
     assert "UnresolvedHint" not in analyzed
     assert "ResolvedHint (strategy=broadcast)" not in analyzed, analyzed[:2000]
+
+
+def test_corpus_queries_prune_document_columns(spark):
+    """Document-table queries must push column pruning to the scan — a
+    corpus scan that reads all columns for a 3-column operator drags the
+    full text+metadata width through the shuffle at 100 TB."""
+    df = registry.QUERIES["source_quota"](spark, SF_SMOKE)
+    plan = plan_string(df)
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m, plan[:1000]
+    schema_line = m[0]
+    assert "doc_id" in schema_line and "source" in schema_line
+    assert "n_chars" not in schema_line and "lang" not in schema_line
