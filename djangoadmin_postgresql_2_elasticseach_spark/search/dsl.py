@@ -283,10 +283,55 @@ def _apply_aggs(docs: DataFrame, aggs: dict) -> dict:
     return out
 
 
+def _sort_keys(body: dict, scored: bool, id_col: str) -> list[tuple[str, str]]:
+    """The effective sort key list [(column, asc|desc), ...] — ES
+    semantics: relevance order when scored, else the body's sort keys
+    lexicographically, always with the id as the final tiebreak so
+    pagination (from/size AND search_after) is total-ordered."""
+    if scored:
+        return [("score", "desc"), (id_col, "asc")]
+    keys: list[tuple[str, str]] = []
+    for s in body.get("sort") or []:
+        field, spec = next(iter(s.items()))
+        order = spec.get("order", "asc") if isinstance(spec, dict) else spec
+        keys.append((field, order))
+    keys.append((id_col, "asc"))
+    return keys
+
+
+def _after_predicate(keys: list[tuple[str, str]], values: list):
+    """Lexicographic strictly-after filter for search_after: row > the
+    cursor tuple under the sort order — the keyset-pagination predicate
+    (pushes to the scan on the leading key; no O(offset) skip)."""
+    if len(values) != len(keys):
+        raise ValueError(
+            f"search_after needs {len(keys)} values (one per sort key "
+            f"incl. the id tiebreak), got {len(values)}"
+        )
+    cond = None
+    for i, (field, order) in enumerate(keys):
+        eq = None
+        for j in range(i):
+            c = F.col(keys[j][0]) == F.lit(values[j])
+            eq = c if eq is None else (eq & c)
+        strict = (
+            F.col(field) < F.lit(values[i])
+            if order == "desc"
+            else F.col(field) > F.lit(values[i])
+        )
+        clause = strict if eq is None else (eq & strict)
+        cond = clause if cond is None else (cond | clause)
+    return cond
+
+
 def search(docs: DataFrame, body: dict, id_col: str = "id") -> dict:
     """Run an ES-DSL body against a document DataFrame; returns an
-    ES-response-shaped dict (hits.total.value, hits.hits[]._id/_source,
-    aggregations.<name>.buckets)."""
+    ES-response-shaped dict (hits.total.value, hits.hits[]._id/_source/
+    sort, aggregations.<name>...). Supports from/size, search_after
+    (keyset pagination — each hit carries its `sort` cursor), and
+    collapse (one top hit per field value via a partitioned window)."""
+    from pyspark.sql import Window
+
     q = body.get("query")
     frame, scored = _apply_query(docs, q, id_col)
     total = frame.count()
@@ -296,30 +341,29 @@ def search(docs: DataFrame, body: dict, id_col: str = "id") -> dict:
 
     hits = []
     if size:
+        keys = _sort_keys(body, scored, id_col)
+        exprs = [
+            F.col(f).desc() if d == "desc" else F.col(f).asc() for f, d in keys
+        ]
         page = frame
-        if scored:
-            page = page.orderBy(F.desc("score"), F.col(id_col))
-        elif body.get("sort"):
-            # ES sort keys apply lexicographically (first key primary) —
-            # ONE orderBy over all of them (per-key orderBy calls would
-            # each replace the previous), with the id as final tiebreak
-            # so from/size pages are stable across runs
-            exprs = []
-            for s in body["sort"]:
-                field, spec = next(iter(s.items()))
-                order = spec.get("order", "asc") if isinstance(spec, dict) else spec
-                exprs.append(
-                    F.col(field).desc() if order == "desc" else F.col(field).asc()
-                )
-            page = page.orderBy(*exprs, F.col(id_col))
-        else:
-            page = page.orderBy(F.col(id_col))
+        if body.get("collapse"):
+            cfield = body["collapse"]["field"]
+            w = Window.partitionBy(cfield).orderBy(*exprs)
+            page = (
+                page.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        if body.get("search_after"):
+            page = page.filter(_after_predicate(keys, body["search_after"]))
+        page = page.orderBy(*exprs)
         if offset:
             page = page.offset(offset)
         for r in page.limit(size).collect():
             d = r.asDict(recursive=True)
+            sort_vals = [d[f] for f, _ in keys]
             score = d.pop("score", None)
-            hit = {"_id": str(d[id_col]), "_source": d}
+            hit = {"_id": str(d[id_col]), "_source": d, "sort": sort_vals}
             if score is not None:
                 hit["_score"] = score
             hits.append(hit)

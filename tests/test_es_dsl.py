@@ -288,3 +288,46 @@ def test_metric_and_histogram_aggregations(spark):
     langs = {b["key"]: b for b in a["by_lang"]["buckets"]}
     assert langs["en"]["max_price"]["value"] == 30.0
     assert langs["ru"]["max_price"]["value"] == 40.0
+
+
+def test_search_after_keyset_pagination(spark):
+    frame = spark.createDataFrame(
+        [(i, "en", float(100 - i)) for i in range(1, 8)],
+        "doc_id long, lang string, price double",
+    )
+    body = {
+        "query": {"match_all": {}},
+        "sort": [{"price": {"order": "desc"}}],
+        "size": 3,
+    }
+    p1 = search(frame, body, id_col="doc_id")["hits"]["hits"]
+    assert [h["_id"] for h in p1] == ["1", "2", "3"]
+    assert p1[-1]["sort"] == [97.0, 3]          # cursor = sort keys + id
+    body["search_after"] = p1[-1]["sort"]
+    p2 = search(frame, body, id_col="doc_id")["hits"]["hits"]
+    assert [h["_id"] for h in p2] == ["4", "5", "6"]
+    body["search_after"] = p2[-1]["sort"]
+    p3 = search(frame, body, id_col="doc_id")["hits"]["hits"]
+    assert [h["_id"] for h in p3] == ["7"]
+
+
+def test_collapse_one_hit_per_field_value(spark):
+    frame = spark.createDataFrame(
+        [
+            (1, "srcA", 5.0),
+            (2, "srcA", 9.0),
+            (3, "srcB", 7.0),
+            (4, "srcB", 2.0),
+        ],
+        "doc_id long, source string, price double",
+    )
+    body = {
+        "query": {"match_all": {}},
+        "sort": [{"price": {"order": "desc"}}],
+        "collapse": {"field": "source"},
+        "size": 10,
+    }
+    resp = search(frame, body, id_col="doc_id")
+    assert resp["hits"]["total"]["value"] == 4   # total is pre-collapse
+    got = [h["_id"] for h in resp["hits"]["hits"]]
+    assert got == ["2", "3"]                     # best per source, by sort
