@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "asof_last_purchase",
     "range_purchase_windows",
     "top_parts_per_nation",
+    "revenue_rollup",
+    "order_status_pivot",
     # search surface
     "terms_agg_parts",
     "nested_exists",

@@ -537,6 +537,51 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical revenue totals via ROLLUP(region, nation): per-nation
+    rows, per-region subtotals, and the grand total in ONE aggregation
+    pass (Catalyst expands the grouping sets; partial aggregation still
+    applies). grouping_id disambiguates rolled-up NULLs from natural
+    NULLs — the standard cube/rollup analytics shape the reference's
+    admin would hand-compute with three queries."""
+    lineitem = widen(load_table(spark, sf_dir, "lineitem"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(MONEY))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts pivoted to one column per status (O/F/P) per
+    priority — the admin dashboard crosstab. The status domain is pinned
+    (TPC-H statuses), so the pivot compiles to one pass of conditional
+    aggregates — no two-phase distinct-value discovery job."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
 def user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-value totals bucketed into quartiles — the
     cohort-bucketing shape, via two-pass quantile cut-points:

@@ -598,6 +598,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_to_budget": _q_sample_budget,
     "event_value_percentiles": R.event_value_percentiles,
     "user_value_quartiles": R.user_value_quartiles,
+    "revenue_rollup": R.revenue_rollup,
+    "order_status_pivot": R.order_status_pivot,
     # similarity search
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
@@ -1529,6 +1531,29 @@ SELECT doc_id, source, quality_score, CAST(rnk AS INT) AS rnk FROM (
     PARTITION BY source ORDER BY quality_score DESC, doc_id) AS rnk
   FROM scored
 ) WHERE rnk <= 20
+"""
+
+    # ROLLUP totals — mirror of relational.revenue_rollup. DuckDB's
+    # GROUPING() bit order matches Spark's grouping_id on the same
+    # column list.
+    o["revenue_rollup"] = f"""
+SELECT r_name, n_name,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS {_MONEY})) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items,
+  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+    o["order_status_pivot"] = """
+SELECT o_orderpriority,
+  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+FROM orders GROUP BY o_orderpriority
 """
 
     # token-budget sampling — mirror of corpus.sample_to_budget
