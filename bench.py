@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "top_parts_per_nation",
     "revenue_rollup",
     "order_status_pivot",
+    "json_props_stats",
     # search surface
     "terms_agg_parts",
     "nested_exists",

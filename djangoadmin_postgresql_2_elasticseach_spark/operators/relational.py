@@ -582,6 +582,28 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull `k` out of the events.props JSON
+    string (get_json_object — JVM-side JSON path, no UDF) and roll up
+    per event type. avg is emitted as exact-integer sum / count in
+    double — division of identical integers is bit-identical in any
+    engine (no accumulation-order sensitivity)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-value totals bucketed into quartiles — the
     cohort-bucketing shape, via two-pass quantile cut-points:

@@ -600,6 +600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_value_quartiles": R.user_value_quartiles,
     "revenue_rollup": R.revenue_rollup,
     "order_status_pivot": R.order_status_pivot,
+    "json_props_stats": R.json_props_stats,
     # similarity search
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
@@ -1554,6 +1555,19 @@ SELECT o_orderpriority,
   SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
   SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
 FROM orders GROUP BY o_orderpriority
+"""
+
+    # JSON extraction rollup — mirror of relational.json_props_stats
+    o["json_props_stats"] = """
+SELECT event_type,
+  COUNT(k) AS n,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  MIN(k) AS min_k,
+  MAX(k) AS max_k,
+  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+GROUP BY event_type
+ORDER BY event_type
 """
 
     # token-budget sampling — mirror of corpus.sample_to_budget
