@@ -309,3 +309,46 @@ def test_dedup_clusters_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["doc_id"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
     assert got == want
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500)), min_size=1, max_size=20),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(0, 120)),
+        min_size=1, max_size=10,
+    ),
+    st.sampled_from([7, 30, 60]),
+)
+def test_range_join_equals_naive_filter(spark, points, intervals, bucket_minutes):
+    """Bucketized range_join produces EXACTLY the naive inequality-join
+    match set, for arbitrary interval lengths vs bucket widths
+    (intervals spanning 0..many buckets, zero-length intervals,
+    boundary-aligned points)."""
+    import datetime as dt
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.temporal import range_join
+
+    def ts(m):
+        return dt.datetime(2024, 5, 1) + dt.timedelta(minutes=m)
+
+    pts = spark.createDataFrame(
+        [(i, k, ts(m)) for i, (k, m) in enumerate(points)],
+        "pid long, user_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(i, k, ts(s), ts(s + ln)) for i, (k, s, ln) in enumerate(intervals)],
+        "interval_id long, user_id long, w_start timestamp, w_end timestamp",
+    )
+    got = {
+        (r["interval_id"], r["pid"])
+        for r in range_join(
+            pts, iv, "user_id", "ts", "w_start", "w_end", bucket_minutes
+        ).collect()
+    }
+    want = set()
+    for ii, (ik, s, ln) in enumerate(intervals):
+        for pi, (pk, m) in enumerate(points):
+            if ik == pk and s <= m <= s + ln:
+                want.add((ii, pi))
+    assert got == want
