@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "supplier_order_structs",
     "events_daily_counts",
     "user_sessions",
+    "user_sessions_sliced",
     "asof_last_purchase",
     "range_purchase_windows",
     "top_parts_per_nation",

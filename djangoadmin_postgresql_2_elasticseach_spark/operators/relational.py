@@ -478,6 +478,102 @@ def user_sessions(
     )
 
 
+def user_sessions_sliced(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Skew-safe sessionization — value-identical to ``user_sessions``
+    (same oracle) but no unsplittable per-user window over raw events.
+
+    An ordered window is inherently one-task-per-key (AQE cannot split
+    it), so a power user with 10⁹ events turns the plain gaps-and-
+    islands into an hours-long straggler. Two passes fix the shape:
+
+    1. sessionize within (user, day) slices — partitions are bounded by
+       a key's events per day, not its lifetime;
+    2. gaps-and-islands AGAIN over the per-slice session summaries
+       (one row per session — smaller than events by the mean session
+       size), merging sessions whose boundary gap ≤ the idle gap.
+
+    Equivalence: a session is a maximal event chain with inter-event
+    gaps ≤ G. Pass 1 can only split such a chain at slice boundaries,
+    and the boundary gap between the resulting sub-sessions is exactly
+    the inter-event gap there, so pass 2 re-merges precisely the splits
+    pass 1 introduced — pinned by sharing user_sessions' oracle AND by
+    tests/test_temporal.py boundary cases. For keys pathological even
+    per-day, slice hierarchically (hour → day → week) — same operator.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    gap_us = gap_minutes * 60 * 1_000_000
+    w1 = Window.partitionBy("user_id", "_slice").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.date_trunc("day", F.col("ts")).alias("_slice"),
+    ).select(
+        "user_id",
+        "ts",
+        "_slice",
+        "event_id",
+        F.when(
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w1)
+            > gap_us,
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    per_slice = (
+        flagged.select(
+            "user_id",
+            "ts",
+            "_slice",
+            F.sum("_new").over(w1).cast("long").alias("_sid"),
+        )
+        .groupBy("user_id", "_slice", "_sid")
+        .agg(
+            F.min("ts").alias("_start"),
+            F.max("ts").alias("_end"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    # pass 2: islands over SESSIONS (starts are distinct per user, so the
+    # ordering is total without a tiebreak)
+    w2 = Window.partitionBy("user_id").orderBy("_start")
+    merged = per_slice.select(
+        "user_id",
+        "_start",
+        "_end",
+        "_n",
+        F.when(
+            F.unix_micros(F.col("_start"))
+            - F.lag(F.unix_micros(F.col("_end"))).over(w2)
+            > gap_us,
+            1,
+        )
+        .otherwise(0)
+        .alias("_new2"),
+    ).select(
+        "user_id",
+        "_start",
+        "_end",
+        "_n",
+        F.sum("_new2").over(w2).cast("long").alias("session_id"),
+    )
+    return (
+        merged.groupBy("user_id", "session_id")
+        .agg(
+            F.min("_start").alias("session_start"),
+            F.max("_end").alias("session_end"),
+            F.sum("_n").alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
 def top_parts_per_nation(
     spark: SparkSession, sf_dir: str, k: int = 3
 ) -> DataFrame:

@@ -581,6 +581,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_assign": _q_kmeans,
     "simhash_neardup_pairs": _q_simhash_pairs,
     "user_sessions": R.user_sessions,
+    "user_sessions_sliced": R.user_sessions_sliced,
     "chunk_documents": _q_chunks,
     "scrub_pii": _q_scrub,
     "clean_corpus": _q_clean_corpus,
@@ -1334,6 +1335,10 @@ FROM numbered
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """
+
+    # the skew-safe two-pass variant must produce the IDENTICAL result —
+    # it shares the plain sessionization oracle verbatim
+    o["user_sessions_sliced"] = o["user_sessions"]
 
     cos_ab = _cosine_sql("a.embedding", "b.embedding")
     o["embedding_neardup"] = f"""

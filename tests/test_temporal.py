@@ -60,3 +60,48 @@ def test_range_join_no_duplicate_matches(spark):
     pts = spark.createDataFrame([(7, _ts(30))], "user_id long, ts timestamp")
     out = range_join(pts, iv, "user_id", "ts", "w_start", "w_end", bucket_minutes=30)
     assert out.count() == 1
+
+
+def test_sliced_sessionization_merges_midnight_spans(spark, tmp_path):
+    """A session crossing midnight (and one spanning THREE days via a
+    chain of short gaps) must come out identical to the plain
+    single-window sessionization."""
+    import os
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.relational import (
+        user_sessions,
+        user_sessions_sliced,
+    )
+
+    rows = []
+    eid = 0
+
+    def ev(user, day, hour, minute):
+        nonlocal eid
+        eid += 1
+        return (eid, dt.datetime(2024, 1, day, hour, minute), user, "view", 1.0, "{}")
+
+    # user 1: one session crossing midnight (23:50 → 00:10)
+    rows += [ev(1, 1, 23, 50), ev(1, 2, 0, 10)]
+    # user 1: separate later session (gap > 30 min)
+    rows += [ev(1, 2, 6, 0)]
+    # user 2: a chain alive across three days via 20-min steps at the edges
+    rows += [ev(2, 1, 23, 40), ev(2, 2, 0, 0), ev(2, 2, 0, 20)]
+    rows += [ev(2, 2, 23, 55), ev(2, 3, 0, 15)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "events_midnight")
+    os.makedirs(d, exist_ok=True)
+    # the loaders read ts as raw nanosecond longs (driver testdata format)
+    raw = df.withColumn("ts", (F.unix_micros(F.col("ts")) * 1000))
+    raw.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+    plain = sorted(map(tuple, user_sessions(spark, d).collect()))
+    sliced = sorted(map(tuple, user_sessions_sliced(spark, d).collect()))
+    assert plain == sliced
+    # and the midnight span really is ONE session
+    u1 = [r for r in plain if r[0] == 1]
+    assert len(u1) == 2 and u1[0][4] == 2  # 2 events in the crossing session
+    u2 = [r for r in plain if r[0] == 2]
+    assert len(u2) == 2  # 23:40-00:20 chain, then 23:55-00:15 chain
