@@ -352,3 +352,30 @@ def test_range_join_equals_naive_filter(spark, points, intervals, bucket_minutes
             if ik == pk and s <= m <= s + ln:
                 want.add((ii, pi))
     assert got == want
+
+
+def test_approx_percentile_swap_within_rank_error(spark):
+    """event_value_percentiles documents `approx_percentile` as the
+    100 TB swap for the exact form. Pin the swap's contract: with
+    accuracy A, the sketch's value lies between the exact percentiles
+    at p ± 1/A (the rank-error guarantee) — so the documented swap is
+    a bounded approximation, not a hope."""
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    acc = 1000
+    rows = events.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.489, 0.5, 0.511))").alias("exact_band_p50"),
+        F.expr("percentile(value, array(0.939, 0.95, 0.961))").alias("exact_band_p95"),
+        F.expr(f"approx_percentile(value, 0.5, {acc})").alias("a50"),
+        F.expr(f"approx_percentile(value, 0.95, {acc})").alias("a95"),
+    ).collect()
+    assert rows
+    for r in rows:
+        lo50, _, hi50 = r["exact_band_p50"]
+        lo95, _, hi95 = r["exact_band_p95"]
+        # band = exact values at p ± 10/acc (10x slack over the 1/acc
+        # guarantee to keep the test non-flaky on small groups)
+        assert lo50 <= r["a50"] <= hi50, (r["event_type"], r["a50"], lo50, hi50)
+        assert lo95 <= r["a95"] <= hi95, (r["event_type"], r["a95"], lo95, hi95)
