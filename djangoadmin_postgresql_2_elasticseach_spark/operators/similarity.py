@@ -228,6 +228,70 @@ def kmeans(
     return assign_clusters(emb, centroids, id_col, vec_col).drop("_dist"), inertia
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+) -> list[list[float]]:
+    """Persist the IVF index: vectors written PARTITIONED BY their
+    hyperplane bucket. At query time only the probed buckets' files are
+    read (partition pruning — tests pin PartitionFilters in the scan),
+    so a query touches ~probes/2^n_planes of the stored bytes. This is
+    the ingest-side half of the scale path `ivf_topk` computes on the
+    fly. Returns the plane matrix (persist alongside the index in a
+    real deployment)."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = fixed_planes(dim, n_planes)
+    bucketed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col).cast("array<double>"), planes).alias(
+            "bucket"
+        ),
+    )
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    return planes
+
+
+def ivf_query_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Top-k over a persisted IVF index: filter on the bucket PARTITION
+    column (prunes to the probed directories before any file is opened),
+    exact-rank within the probes. Same probe set as ivf_topk."""
+    qbits = ""
+    for h in planes:
+        qbits += "1" if sum(q * x for q, x in zip(query_vec, h)) >= 0 else "0"
+    probes = {qbits}
+    if probe_hamming >= 1:
+        for i in range(len(planes)):
+            probes.add(
+                qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1 :]
+            )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    indexed = spark.read.parquet(path)
+    return (
+        indexed.filter(F.col("bucket").isin(list(probes)))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],

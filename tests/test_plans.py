@@ -235,3 +235,36 @@ def test_corpus_queries_prune_document_columns(spark):
     schema_line = m[0]
     assert "doc_id" in schema_line and "source" in schema_line
     assert "n_chars" not in schema_line and "lang" not in schema_line
+
+
+def test_persisted_ivf_index_prunes_partitions(spark, tmp_path):
+    """The stored IVF index must answer a query from the probed bucket
+    PARTITIONS only: PartitionFilters carries the bucket predicate (no
+    full-index scan), and results equal the on-the-fly ivf_topk."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query_indexed,
+        ivf_topk,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.plans.tuning import plan_string
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    planes = build_ivf_index(emb, path, n_planes=4)
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+
+    got = ivf_query_indexed(spark, path, qvec, planes, k=10)
+    plan = plan_string(got)
+    # the bucket predicate must reach the partition-pruning layer
+    assert "PartitionFilters" in plan
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "bucket" in pf_line, pf_line
+    # parity with the on-the-fly path (same planes, same probes)
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivf_topk(emb, qvec, k=10, n_planes=4, probe_hamming=1).collect()
+    ]
+    have = [(r["vec_id"], r["cos_sim"]) for r in got.collect()]
+    assert have == want
