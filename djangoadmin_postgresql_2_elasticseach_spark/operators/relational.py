@@ -479,7 +479,10 @@ def user_sessions(
 
 
 def user_sessions_sliced(
-    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    slice_unit: str = "day",
 ) -> DataFrame:
     """Skew-safe sessionization — value-identical to ``user_sessions``
     (same oracle) but no unsplittable per-user window over raw events.
@@ -500,7 +503,8 @@ def user_sessions_sliced(
     the inter-event gap there, so pass 2 re-merges precisely the splits
     pass 1 introduced — pinned by sharing user_sessions' oracle AND by
     tests/test_temporal.py boundary cases. For keys pathological even
-    per-day, slice hierarchically (hour → day → week) — same operator.
+    per-day, pass ``slice_unit="hour"`` (any date_trunc unit works —
+    the equivalence argument is boundary-agnostic).
     """
     from pyspark.sql import Window
 
@@ -511,7 +515,7 @@ def user_sessions_sliced(
         "user_id",
         "ts",
         "event_id",
-        F.date_trunc("day", F.col("ts")).alias("_slice"),
+        F.date_trunc(slice_unit, F.col("ts")).alias("_slice"),
     ).select(
         "user_id",
         "ts",

@@ -100,6 +100,11 @@ def test_sliced_sessionization_merges_midnight_spans(spark, tmp_path):
     plain = sorted(map(tuple, user_sessions(spark, d).collect()))
     sliced = sorted(map(tuple, user_sessions_sliced(spark, d).collect()))
     assert plain == sliced
+    # hierarchical slicing: hourly slices give the identical result too
+    hourly = sorted(
+        map(tuple, user_sessions_sliced(spark, d, slice_unit="hour").collect())
+    )
+    assert hourly == plain
     # and the midnight span really is ONE session
     u1 = [r for r in plain if r[0] == 1]
     assert len(u1) == 2 and u1[0][4] == 2  # 2 events in the crossing session
