@@ -94,3 +94,51 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_col: str | None = None,
+) -> tuple[int, int]:
+    """Compact a small-files parquet directory into ~``target_file_mb``
+    files — the maintenance pass every streaming/incremental sink needs:
+    micro-batch appends accumulate files far below the row-group size
+    the scan planner wants, and at 100 TB the file-listing + footer
+    reads dominate query startup long before data volume does.
+
+    File count is sized from the directory's actual bytes (not row
+    counts — compression ratio varies per table). The rewrite is atomic
+    per call: written to a sibling temp dir, then swapped in via two
+    renames (the window where neither dir exists is the same one
+    ``mode("overwrite")`` has; a transactional table format removes it).
+    Passing ``partition_col`` preserves a partitioned layout (each
+    partition compacts independently — pruning contracts keep holding).
+
+    Returns (files_before, files_after).
+    """
+    import shutil
+
+    def _parquet_files(root: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, files in os.walk(root):
+            out += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
+        return out
+
+    before = _parquet_files(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_col:
+        writer = df.repartition(n_files, partition_col).write.mode(
+            "overwrite"
+        ).partitionBy(partition_col)
+    writer.parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(before), len(_parquet_files(path))

@@ -154,3 +154,38 @@ def test_dimension_edit_stream_reemits_movies(spark, tmp_path):
     assert ids2 == {
         u("6f", 1), u("6f", 2), u("6f", 5), u("6f", 6), u("6f", 7), u("6f", 8)
     }
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # simulate micro-batch accumulation: 20 tiny appends
+    for i in range(20):
+        spark.range(i * 100, (i + 1) * 100).withColumnRenamed("id", "k") \
+            .repartition(2).write.mode("append").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    n_before, n_after = compact_parquet(spark, path, target_file_mb=128)
+    assert n_before >= 20 and n_after < n_before
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows == 2000
+    # values intact, not just counts
+    assert after.agg({"k": "sum"}).collect()[0][0] == sum(range(2000))
+
+
+def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.writers import compact_parquet
+    import os
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "fragp")
+    for i in range(6):
+        (spark.range(i * 50, (i + 1) * 50).withColumnRenamed("id", "k")
+         .withColumn("part", (F.col("k") % 3).cast("int"))
+         .repartition(2).write.mode("append").partitionBy("part").parquet(path))
+    n_before, n_after = compact_parquet(spark, path, target_file_mb=128, partition_col="part")
+    assert n_after < n_before
+    assert sorted(d for d in os.listdir(path) if d.startswith("part=")) == [
+        "part=0", "part=1", "part=2"
+    ]
+    assert spark.read.parquet(path).count() == 300
