@@ -132,8 +132,9 @@ def stem_sql_stages() -> tuple[str, str, str]:
     from the SAME pattern constants the Column chain uses, so the two
     engines cannot drift. Compose as
     ``list_transform(list_transform(list_transform(toks, t -> <s0>),
-    t1 -> <s1>), t2 -> <s2>)``."""
-    s0 = f"regexp_replace(t, '{POSSESSIVE_RE}', '')"
+    t1 -> <s1>), t2 -> <s2>)``. Pattern quotes are SQL-escaped here —
+    each stage pastes into DuckDB SQL verbatim."""
+    s0 = f"regexp_replace(t, '{POSSESSIVE_RE.replace(chr(39), chr(39) * 2)}', '')"
     stripped = "t1"
     for d in EN_DOUBLES:
         stripped = f"regexp_replace({stripped}, '{d}(ings?|ed)$', '{d[0]}')"
@@ -158,6 +159,34 @@ def analyze(col: Column | str, stem: bool = True) -> Column:
     if stem:
         toks = F.transform(toks, stem_token)
     return toks
+
+
+def token_bigrams(toks: Column, as_struct: bool = False) -> Column:
+    """Adjacent token pairs of a token array (empty array below 2
+    tokens) — the ONE definition of "bigram" shared by top_bigrams,
+    bigram_pmi, and repetition_stats, so a tokenizer or boundary change
+    lands everywhere at once. String form joins with a single space
+    (tokens never contain spaces — tokenize splits on non-alphanumerics);
+    struct form keeps (a, b) separate for per-side count joins."""
+    n = F.size(toks)
+    if as_struct:
+        def pair(i):
+            return F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + 1).alias("b"),
+            )
+
+        empty = F.array().cast("array<struct<a:string,b:string>>")
+    else:
+        def pair(i):
+            return F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            )
+
+        empty = F.array().cast("array<string>")
+    return F.when(n >= 2, F.transform(F.sequence(F.lit(1), n - 1), pair)).otherwise(
+        empty
+    )
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:

@@ -220,19 +220,9 @@ def top_bigrams(
     aggregation (map-side partial) + TakeOrderedAndProject; ties broken
     by the bigram string so the top-k is total-ordered.
     """
-    from ..functions.text import tokenize
+    from ..functions.text import token_bigrams, tokenize
 
-    toks = tokenize(F.col(text_col))
-    n = F.size(toks)
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = token_bigrams(tokenize(F.col(text_col)))
     return (
         spread(docs.select(text_col))
         .select(F.explode(grams).alias("bigram"))
@@ -258,7 +248,7 @@ def bigram_pmi(
     one) the bigram count; unigram counts are broadcast twice into the
     bigram frame (vocabulary ≪ corpus); min_count guards the PMI tail.
     """
-    from ..functions.text import tokenize
+    from ..functions.text import token_bigrams, tokenize
 
     toks = tokenize(F.col(text_col))
     n = F.size(toks)
@@ -270,15 +260,7 @@ def bigram_pmi(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     grams = base.filter(F.col("n") >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n") - 1),
-                lambda i: F.struct(
-                    F.element_at(F.col("w"), i).alias("a"),
-                    F.element_at(F.col("w"), i + 1).alias("b"),
-                ),
-            )
-        ).alias("g")
+        F.explode(token_bigrams(F.col("w"), as_struct=True)).alias("g")
     ).select(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
     big = grams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     total = uni.agg(F.sum("c").alias("n_uni"))
@@ -325,21 +307,11 @@ def repetition_stats(
     independent of corpus width. Output:
     (id, dup_line_frac, top_bigram_frac, keep).
     """
-    from ..functions.text import tokenize
+    from ..functions.text import token_bigrams, tokenize
     from ..functions.textstats import dup_line_fraction
 
     base = spread(docs.select(id_col, text_col))
-    toks = tokenize(text_col)
-    n = F.size(toks)
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = token_bigrams(tokenize(text_col))
     per_gram = (
         base.select(F.col(id_col), F.explode(grams).alias("bigram"))
         .groupBy(id_col, "bigram")

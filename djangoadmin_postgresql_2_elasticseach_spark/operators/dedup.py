@@ -298,7 +298,9 @@ def dedup_clusters(
     variants), so diameters are single-digit; for adversarial
     chain-shaped graphs at 100 TB, switch to the large-star/small-star
     algorithm (Kiveris et al. 2014) — same join primitives, O(log n)
-    rounds.
+    rounds. If `max_iter` rounds pass with labels still changing the
+    call RAISES rather than returning a partially-propagated (wrong)
+    clustering.
 
     Output: (doc_id, cluster, cluster_size) for every doc that appears
     in `pairs`; singletons (docs with no dup pair) are not rows — their
@@ -317,6 +319,7 @@ def dedup_clusters(
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -342,6 +345,13 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — the pair graph has a "
+            f"component with diameter > max_iter; raise max_iter or use a "
+            f"star-contraction variant for chain-shaped graphs"
+        )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),

@@ -242,7 +242,13 @@ def build_ivf_index(
     the ingest-side half of the scale path `ivf_topk` computes on the
     fly. Returns the plane matrix (persist alongside the index in a
     real deployment)."""
-    dim = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError(
+            "build_ivf_index: embeddings frame is empty — the plane "
+            "dimension cannot be probed; nothing to index"
+        )
+    dim = len(first[0])
     planes = fixed_planes(dim, n_planes)
     bucketed = emb.select(
         F.col(id_col),

@@ -50,22 +50,27 @@ def asof_join(
     Plan: union the tagged sides, one window partitioned by key ordered
     by (ts, side) — right rows sort before left rows at equal ts so the
     inclusive bound holds — with ``last(..., ignorenulls)`` propagating
-    right values forward; filter back to left rows. Single shuffle on
-    the key, linear in |left| + |right|.
+    the right row's (ts, values) packed in ONE struct, so every output
+    column comes from the SAME right row even when a value column is
+    NULL (per-column propagation would skip a NULL value and pair it
+    with an older row's value). Filter back to left rows. Single
+    shuffle on the key, linear in |left| + |right|.
     """
     from pyspark.sql import Window
 
     lcols = left.columns
+    rtypes = dict(right.dtypes)
+    payload_type = (
+        "struct<"
+        + ",".join(
+            f"`{c}`:{rtypes[c]}" for c in [ts_col, *value_cols]
+        )
+        + ">"
+    )
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias("_side"),
-        F.lit(None).cast(
-            dict(right.dtypes)[ts_col]
-        ).alias(f"{prefix}{ts_col}"),
-        *[
-            F.lit(None).cast(dict(right.dtypes)[v]).alias(f"{prefix}{v}")
-            for v in value_cols
-        ],
+        F.lit(None).cast(payload_type).alias("_asof_payload"),
     )
     r_tagged = right.select(
         *[
@@ -73,8 +78,9 @@ def asof_join(
             for c, t in left.dtypes
         ],
         F.lit(0).alias("_side"),
-        F.col(ts_col).alias(f"{prefix}{ts_col}"),
-        *[F.col(v).alias(f"{prefix}{v}") for v in value_cols],
+        F.struct(F.col(ts_col), *[F.col(v) for v in value_cols]).alias(
+            "_asof_payload"
+        ),
     )
     merged = l_tagged.unionByName(r_tagged)
     w = (
@@ -82,13 +88,16 @@ def asof_join(
         .orderBy(F.col(ts_col), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out_cols = [f"{prefix}{ts_col}"] + [f"{prefix}{v}" for v in value_cols]
     filled = merged.select(
         *lcols,
         "_side",
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in out_cols],
+        F.last(F.col("_asof_payload"), ignorenulls=True).over(w).alias("_p"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return filled.filter(F.col("_side") == 1).select(
+        *lcols,
+        F.col("_p")[ts_col].alias(f"{prefix}{ts_col}"),
+        *[F.col("_p")[v].alias(f"{prefix}{v}") for v in value_cols],
+    )
 
 
 def _bucket_of(ts: Column, bucket_minutes: int) -> Column:

@@ -20,6 +20,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 
 
+# The under-partitioned probe (df.rdd.getNumPartitions) compiles the
+# physical plan — cheap once, but spread() wraps ~every corpus query, so
+# repeated construction of the same plan (bench loops, registry
+# re-invocations, tests) would pay the compile each time. Memoize the
+# verdict per (session, analyzed-plan semantic hash): identical frames
+# probe once per driver lifetime.
+_UNDER_PART_CACHE: dict[tuple[int, int], bool] = {}
+
+
+def _under_partitioned(df: DataFrame, threshold: int) -> bool:
+    try:
+        key = (id(df.sparkSession), df.semanticHash())
+    except Exception:  # semanticHash is a developer API — fall back to probing
+        return df.rdd.getNumPartitions() < threshold
+    hit = _UNDER_PART_CACHE.get(key)
+    if hit is None:
+        hit = df.rdd.getNumPartitions() < threshold
+        _UNDER_PART_CACHE[key] = hit
+    return hit
+
+
 def spread(df: DataFrame, cols: list[Column | str] | None = None) -> DataFrame:
     """Repartition to the session's default parallelism before CPU-heavy
     per-row work — but ONLY when the input is under-partitioned (same
@@ -28,7 +49,7 @@ def spread(df: DataFrame, cols: list[Column | str] | None = None) -> DataFrame:
     re-shuffled at scale. Pass `cols` to keep a co-location key (hash)
     instead of round-robin when a repartition does happen."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, n // 2):
+    if not _under_partitioned(df, max(2, n // 2)):
         return df
     if cols:
         return df.repartition(n, *cols)
@@ -41,7 +62,7 @@ def widen(df: DataFrame) -> DataFrame:
     production table with thousands of splits this is a no-op — no
     gratuitous shuffle at scale, full-width compute locally."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, n // 2):
+    if _under_partitioned(df, max(2, n // 2)):
         return df.repartition(n)
     return df
 

@@ -831,7 +831,7 @@ SELECT doc_id, text, lang, source, n_chars, score FROM (
 ORDER BY score DESC, doc_id LIMIT 20
 """
 
-    _s0 = _STEM_S0.replace("'s$", "''s$")  # escape the quote for SQL literal
+    _s0 = _STEM_S0  # quotes already SQL-escaped inside stem_sql_stages
     # full ru_en analyzer chain on `text` — shared by analyze_tokens and
     # the inverted-index oracle
     _analyze_sql = f"""list_transform(

@@ -226,12 +226,13 @@ def _apply_aggs(docs: DataFrame, aggs: dict) -> dict:
         if "terms" in spec:
             field = spec["terms"]["field"]
             size = spec["terms"].get("size", 10)
-            src = docs
+            # ES bucket aggs omit docs missing the field entirely
+            src = docs.filter(F.col(field).isNotNull())
             col = F.col(field)
             # array fields aggregate per element (ES keyword-array semantics)
             if dict(docs.dtypes).get(field, "").startswith("array"):
-                src = docs.select(F.explode(col).alias(field), *[
-                    c for c in docs.columns if c != field
+                src = src.select(F.explode(col).alias(field), *[
+                    c for c in src.columns if c != field
                 ])
                 col = F.col(field)
             rows = (
@@ -251,7 +252,8 @@ def _apply_aggs(docs: DataFrame, aggs: dict) -> dict:
                 raise NotImplementedError(f"date_histogram interval: {interval}")
             key = F.date_trunc(_CALENDAR_TRUNC[interval], F.col(body["field"]))
             rows = (
-                docs.groupBy(key.alias("key"))
+                docs.filter(F.col(body["field"]).isNotNull())
+                .groupBy(key.alias("key"))
                 .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_exprs(sub))
                 .orderBy("key")
                 .collect()
@@ -266,7 +268,8 @@ def _apply_aggs(docs: DataFrame, aggs: dict) -> dict:
             step = float(body["interval"])
             key = (F.floor(F.col(body["field"]) / step) * step).cast("double")
             rows = (
-                docs.groupBy(key.alias("key"))
+                docs.filter(F.col(body["field"]).isNotNull())
+                .groupBy(key.alias("key"))
                 .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_exprs(sub))
                 .orderBy("key")
                 .collect()
@@ -285,16 +288,21 @@ def _apply_aggs(docs: DataFrame, aggs: dict) -> dict:
 
 def _sort_keys(body: dict, scored: bool, id_col: str) -> list[tuple[str, str]]:
     """The effective sort key list [(column, asc|desc), ...] — ES
-    semantics: relevance order when scored, else the body's sort keys
-    lexicographically, always with the id as the final tiebreak so
-    pagination (from/size AND search_after) is total-ordered."""
-    if scored:
-        return [("score", "desc"), (id_col, "asc")]
+    semantics: an explicit body `sort` takes precedence even on scored
+    queries (first key primary; `_score` names the relevance column),
+    relevance order when scored with no sort, plain id order otherwise
+    — always with the id as the final tiebreak so pagination (from/size
+    AND search_after) is total-ordered."""
     keys: list[tuple[str, str]] = []
     for s in body.get("sort") or []:
-        field, spec = next(iter(s.items()))
-        order = spec.get("order", "asc") if isinstance(spec, dict) else spec
-        keys.append((field, order))
+        if isinstance(s, str):
+            field, order = s, "asc"
+        else:
+            field, spec = next(iter(s.items()))
+            order = spec.get("order", "asc") if isinstance(spec, dict) else spec
+        keys.append(("score" if field == "_score" else field, order))
+    if not keys and scored:
+        keys.append(("score", "desc"))
     keys.append((id_col, "asc"))
     return keys
 

@@ -113,8 +113,15 @@ def compact_parquet(
     per call: written to a sibling temp dir, then swapped in via two
     renames (the window where neither dir exists is the same one
     ``mode("overwrite")`` has; a transactional table format removes it).
+    A leftover ``._compact_old`` / ``._compact_tmp`` from a crashed
+    prior call is recovered at entry (old restored if the swap died
+    mid-rename, garbage removed otherwise) so compaction is re-runnable.
     Passing ``partition_col`` preserves a partitioned layout (each
-    partition compacts independently — pruning contracts keep holding).
+    partition compacts independently — pruning contracts keep holding);
+    partition VALUES round-trip verbatim — partition-column type
+    inference is disabled for the rewrite, otherwise numeric-looking
+    string values ('0101', '007') would be silently rewritten as
+    integers (101, 7) with a changed column type.
 
     Returns (files_before, files_after).
     """
@@ -126,18 +133,32 @@ def compact_parquet(
             out += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
         return out
 
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)  # prior call crashed after swap-in
+        else:
+            os.rename(old, path)  # prior call crashed mid-swap: restore
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
     before = _parquet_files(path)
     total_bytes = sum(os.path.getsize(f) for f in before)
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "._compact_tmp"
-    writer = df.repartition(n_files).write.mode("overwrite")
-    if partition_col:
-        writer = df.repartition(n_files, partition_col).write.mode(
-            "overwrite"
-        ).partitionBy(partition_col)
-    writer.parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
+    _INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    infer_prev = spark.conf.get(_INFER)
+    spark.conf.set(_INFER, "false")
+    try:
+        df = spark.read.parquet(path)
+        writer = df.repartition(n_files).write.mode("overwrite")
+        if partition_col:
+            writer = df.repartition(n_files, partition_col).write.mode(
+                "overwrite"
+            ).partitionBy(partition_col)
+        writer.parquet(tmp)
+    finally:
+        spark.conf.set(_INFER, infer_prev)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

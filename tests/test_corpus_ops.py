@@ -372,3 +372,21 @@ def test_assembly_pipeline_end_to_end(spark):
     # budget 21: first doc in md5(id) order fits (20/21 tokens), the
     # second starts at cum>=20 < 21 is false once the first used 20+
     assert len(kept_final) >= 1
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    """A chain whose diameter exceeds max_iter must RAISE, not return a
+    partially-propagated (wrong) clustering — regression for the silent
+    max_iter exhaustion."""
+    import pytest
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iter=2)
+    # and succeeds (identically) once max_iter covers the diameter
+    rows = dedup_clusters(chain, max_iter=10).collect()
+    assert {r["cluster"] for r in rows} == {1}

@@ -138,3 +138,15 @@ def test_dedup_clusters_empty_pairs(spark):
     out = dedup_clusters(pairs)
     assert out.columns == ["doc_id", "cluster", "cluster_size"]
     assert out.count() == 0
+
+
+def test_build_ivf_index_empty_raises(spark, tmp_path):
+    """An empty embeddings frame has no dimension to probe — the index
+    build must fail with a clear ValueError, not a NoneType subscript."""
+    import pytest
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import build_ivf_index
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        build_ivf_index(empty, str(tmp_path / "ivf"))

@@ -331,3 +331,63 @@ def test_collapse_one_hit_per_field_value(spark):
     assert resp["hits"]["total"]["value"] == 4   # total is pre-collapse
     got = [h["_id"] for h in resp["hits"]["hits"]]
     assert got == ["2", "3"]                     # best per source, by sort
+
+
+def test_bucket_aggs_omit_docs_missing_field(spark):
+    """ES bucket aggs skip docs without the field — a NULL key must not
+    crash the bucket builder (regression: None.isoformat())."""
+    import datetime as dt
+
+    frame = spark.createDataFrame(
+        [
+            (1, "en", 10.0, dt.datetime(2024, 3, 1, 9, 0)),
+            (2, None, None, None),
+            (3, "en", 30.0, dt.datetime(2024, 3, 1, 15, 0)),
+        ],
+        "doc_id long, lang string, price double, created timestamp",
+    )
+    resp = search(frame, {
+        "query": {"match_all": {}},
+        "size": 0,
+        "aggs": {
+            "by_day": {"date_histogram": {"field": "created", "calendar_interval": "day"}},
+            "by_lang": {"terms": {"field": "lang"}},
+            "bands": {"histogram": {"field": "price", "interval": 25.0}},
+        },
+    }, id_col="doc_id")
+    a = resp["aggregations"]
+    assert [b["doc_count"] for b in a["by_day"]["buckets"]] == [2]
+    assert {b["key"]: b["doc_count"] for b in a["by_lang"]["buckets"]} == {"en": 2}
+    assert sum(b["doc_count"] for b in a["bands"]["buckets"]) == 2
+
+
+def test_explicit_sort_overrides_relevance(spark):
+    """An explicit body sort takes precedence over relevance order on a
+    scored query (ES semantics); `_score` in the sort list names the
+    relevance column. search_after cursors then follow the body keys."""
+    frame = spark.createDataFrame(
+        [
+            (1, "spark alpha", 10.0),
+            (2, "spark", 99.0),
+            (3, "spark alpha beta", 50.0),
+        ],
+        "doc_id long, text string, price double",
+    )
+    # relevance order would be [1, 3, 2] (scores 6, 6, 3; id tiebreak)
+    mm = {"multi_match": {"query": "spark alpha", "fields": ["text"]}}
+    rel = [h["_id"] for h in search(frame, {"query": mm, "size": 10}, id_col="doc_id")["hits"]["hits"]]
+    assert rel == ["1", "3", "2"]
+    body = {"query": mm, "sort": [{"price": {"order": "desc"}}], "size": 10}
+    got = [h["_id"] for h in search(frame, body, id_col="doc_id")["hits"]["hits"]]
+    assert got == ["2", "3", "1"]  # by price, NOT by relevance
+    # the per-hit sort cursor carries the body keys (price, id)
+    first = search(frame, body, id_col="doc_id")["hits"]["hits"][0]
+    assert first["sort"] == [99.0, 2]
+    # search_after resumes on the price cursor
+    body2 = dict(body, search_after=[99.0, 2])
+    got2 = [h["_id"] for h in search(frame, body2, id_col="doc_id")["hits"]["hits"]]
+    assert got2 == ["3", "1"]
+    # _score in the sort maps to the relevance column
+    body3 = {"query": mm, "sort": [{"_score": {"order": "asc"}}], "size": 10}
+    got3 = [h["_id"] for h in search(frame, body3, id_col="doc_id")["hits"]["hits"]]
+    assert got3 == ["2", "1", "3"]  # ascending score, id tiebreak in the 6-6 tie

@@ -189,3 +189,58 @@ def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
         "part=0", "part=1", "part=2"
     ]
     assert spark.read.parquet(path).count() == 300
+
+
+def test_compact_parquet_preserves_string_partition_values(spark, tmp_path):
+    """Numeric-looking STRING partition values ('0101', '007') must
+    round-trip verbatim — partition-column type inference would rewrite
+    them as integers (101, 7) and change the column type on disk."""
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.writers import compact_parquet
+    import os
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "fragz")
+    df = spark.createDataFrame(
+        [(1, "0101"), (2, "0101"), (3, "007")], "k long, part string"
+    )
+    for _ in range(3):
+        df.write.mode("append").partitionBy("part").parquet(path)
+    compact_parquet(spark, path, target_file_mb=128, partition_col="part")
+    # the on-disk layout still carries the verbatim string values
+    assert sorted(d for d in os.listdir(path) if d.startswith("part=")) == [
+        "part=007", "part=0101"
+    ]
+    # an inference-off reader recovers them exactly (an inference-on
+    # reader converts at READ time by its own choice — the fix is that
+    # compaction no longer bakes that conversion into the layout)
+    infer = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(infer)
+    spark.conf.set(infer, "false")
+    try:
+        vals = {r["part"] for r in spark.read.parquet(path).collect()}
+    finally:
+        spark.conf.set(infer, prev)
+    assert vals == {"0101", "007"}
+
+
+def test_compact_parquet_recovers_stale_swap_dirs(spark, tmp_path):
+    """Leftover ._compact_old/_tmp from a crashed prior call must not
+    wedge every later compaction (os.rename to an existing dir fails)."""
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.writers import compact_parquet
+    import os
+
+    path = str(tmp_path / "fragc")
+    for i in range(4):
+        spark.range(i * 10, (i + 1) * 10).write.mode("append").parquet(path)
+    # crash leftovers: garbage old + tmp dirs alongside a healthy path
+    os.makedirs(path + "._compact_old/junk")
+    os.makedirs(path + "._compact_tmp/junk")
+    n_before, n_after = compact_parquet(spark, path)
+    assert n_after <= n_before
+    assert spark.read.parquet(path).count() == 40
+    assert not os.path.exists(path + "._compact_old")
+    assert not os.path.exists(path + "._compact_tmp")
+    # crash mid-swap (path gone, old present) is restored from old
+    os.rename(path, path + "._compact_old")
+    n_before2, _ = compact_parquet(spark, path)
+    assert spark.read.parquet(path).count() == 40

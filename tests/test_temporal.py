@@ -110,3 +110,24 @@ def test_sliced_sessionization_merges_midnight_spans(spark, tmp_path):
     assert len(u1) == 2 and u1[0][4] == 2  # 2 events in the crossing session
     u2 = [r for r in plain if r[0] == 2]
     assert len(u2) == 2  # 23:40-00:20 chain, then 23:55-00:15 chain
+
+
+def test_asof_null_value_in_latest_right_row(spark):
+    # The LATEST right row's value is NULL: per-column last(ignorenulls)
+    # would skip it and pair asof_ts=11:00 with the OLDER row's 5.0 —
+    # the struct-packed propagation must return the whole latest row,
+    # NULL value included (matches DuckDB ASOF JOIN).
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 11, 30), 7)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, dt.datetime(2024, 1, 1, 10, 0), 5.0),
+            (7, dt.datetime(2024, 1, 1, 11, 0), None),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    row = asof_join(left, right, "user_id", "ts", ["value"]).collect()[0]
+    assert row["asof_ts"] == dt.datetime(2024, 1, 1, 11, 0)
+    assert row["asof_value"] is None

@@ -168,3 +168,20 @@ def test_full_lucene_stopword_sets():
     assert len(set(RU_STOPWORDS)) == len(RU_STOPWORDS)
     for w in ("были", "чтобы", "конечно", "между", "никогда"):
         assert w in RU_STOPWORDS
+
+
+def test_stem_sql_stages_paste_verbatim_into_duckdb():
+    """Each stage is documented as paste-ready SQL — the possessive
+    pattern's quote must be escaped INSIDE stem_sql_stages (regression:
+    only registry.py's call site patched it)."""
+    import duckdb
+
+    from djangoadmin_postgresql_2_elasticseach_spark.functions.text import stem_sql_stages
+
+    s0, s1, s2 = stem_sql_stages()
+    q = (
+        "SELECT list_transform(list_transform(list_transform("
+        f"['dogs''s', 'running', 'stories'], t -> {s0}), t1 -> {s1}), t2 -> {s2}) AS r"
+    )
+    (r,) = duckdb.sql(q).fetchone()
+    assert r[0] in ("dog", "dogs")  # possessive stripped, no parse error
