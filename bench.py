@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     # similarity search
     "ann_brute_topk",
     "ann_ivf_topk",
+    "ann_knn_join",
     "embedding_neardup_lsh",
     "label_centroids",
     # kmeans_assign excluded: driver-coordinated iterative loop — at bench

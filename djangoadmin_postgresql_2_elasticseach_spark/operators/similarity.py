@@ -228,6 +228,152 @@ def kmeans(
     return assign_clusters(emb, centroids, id_col, vec_col).drop("_dist"), inertia
 
 
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact kNN join: for EVERY left row, the top-k right rows by
+    cosine — the batch retrieval primitive (RAG candidate generation,
+    embedding-dedup verification, eval-set nearest-neighbor audits).
+
+    Contract: `left` is the QUERY BATCH (small — thousands), `right` is
+    the corpus (arbitrarily large). The plan broadcasts the query batch
+    against the corpus scan (one fused projection per right row, no
+    shuffle of the corpus), then takes top-k per query through a
+    rank-limit window: Spark's WindowGroupLimit pushes the k-limit
+    below the exchange, so each map task emits at most k rows per query
+    and the post-shuffle state is |L|·k rows — never |L|·|R|. Both
+    norms are computed once per side, not per pair.
+
+    Output: (query_id, neighbor_id, cos_sim, rank), rank 1-based by
+    (cos_sim desc, neighbor_id) — total-ordered, oracle-exact.
+    `exclude_self` drops query_id == neighbor_id rows (self-join use).
+    """
+    from pyspark.sql import Window
+
+    l = left.select(
+        F.col(left_id).alias("query_id"),
+        F.col(left_vec).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", norm(F.col("_qv")))
+    r = right.select(
+        F.col(right_id).alias("neighbor_id"),
+        F.col(right_vec).cast("array<double>").alias("_nv"),
+    ).withColumn("_nn", norm(F.col("_nv")))
+    pairs = r.join(F.broadcast(l))
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("_qv"), F.col("_nv")) / (F.col("_qn") * F.col("_nn")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _probe_buckets(vec: Column, planes: list[list[float]]) -> Column:
+    """Array of bucket ids within Hamming distance 1 of the vector's own
+    hyperplane bucket (own bucket first) — the query-side probe set."""
+    n = len(planes)
+    bits = hyperplane_bucket(vec, planes)
+    probes = [bits]
+    for i in range(n):
+        flipped = F.when(
+            F.substring(bits, i + 1, 1) == "1", F.lit("0")
+        ).otherwise(F.lit("1"))
+        probes.append(
+            F.concat(F.substring(bits, 1, i), flipped, F.substring(bits, i + 2, n - i - 1))
+        )
+    return F.array(*probes)
+
+
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    exclude_self: bool = False,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Approximate kNN join — the scale path when the corpus side is too
+    large for per-query full scans: bucket both sides by hyperplane LSH,
+    expand each query to its Hamming≤1 probe buckets, equi-join on the
+    bucket, exact-rank within candidates. Probes cover (n_planes+1)/2^n
+    of the space, so a full-corpus scan per query becomes a bucket-local
+    one; recall < 1.0 by construction — `knn_join` is the oracle (tests
+    pin candidates ⊆ brute ranking and measured recall).
+
+    The probe-expanded query batch ((n_planes+1)·|L| rows) is broadcast
+    — it is the SMALL side by the same contract as knn_join; the corpus
+    band frame is never collected or shuffled. Each (query, neighbor)
+    pair arises at most once: a right row has exactly one bucket and the
+    probe set is duplicate-free, so no distinct stage is needed before
+    ranking. Output schema matches knn_join.
+    """
+    from pyspark.sql import Window
+
+    first = left.select(left_vec).first()
+    if first is None:
+        raise ValueError(
+            "knn_join_lsh: query batch is empty — the plane dimension "
+            "cannot be probed; nothing to search"
+        )
+    planes = fixed_planes(len(first[0]), n_planes)
+    l = left.select(
+        F.col(left_id).alias("query_id"),
+        F.col(left_vec).cast("array<double>").alias("_qv"),
+    ).select(
+        "query_id",
+        "_qv",
+        norm(F.col("_qv")).alias("_qn"),
+        F.explode(_probe_buckets(F.col("_qv"), planes)).alias("_bucket"),
+    )
+    r = right.select(
+        F.col(right_id).alias("neighbor_id"),
+        F.col(right_vec).cast("array<double>").alias("_nv"),
+    ).select(
+        "neighbor_id",
+        "_nv",
+        norm(F.col("_nv")).alias("_nn"),
+        hyperplane_bucket(F.col("_nv"), planes).alias("_bucket"),
+    )
+    pairs = r.join(F.broadcast(l), "_bucket")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("_qv"), F.col("_nv")) / (F.col("_qn") * F.col("_nn")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def build_ivf_index(
     emb: DataFrame,
     path: str,

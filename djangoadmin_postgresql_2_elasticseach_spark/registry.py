@@ -533,6 +533,15 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_planes=4, probe_hamming=1)
 
 
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch retrieval: the 5 lowest-id vectors as the query batch, the
+    # whole table as the corpus, self-matches excluded
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_join(
+        emb.filter(F.col("vec_id") < 5), emb, k=5, exclude_self=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -605,6 +614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # similarity search
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
+    "ann_knn_join": _q_knn_join,
     "label_centroids": _q_label_centroids,
 }
 
@@ -1417,6 +1427,23 @@ WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id, round({cos_q}, 6) AS cos_sim
 FROM embeddings e, q
 ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+"""
+
+    # kNN join: per-query top-k via row_number over the (small) query
+    # batch × corpus product — mirror of similarity.knn_join
+    cos_lr = _cosine_sql("l.embedding", "r.embedding")
+    o["ann_knn_join"] = f"""
+WITH l AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT l.query_id, r.vec_id AS neighbor_id, round({cos_lr}, 6) AS cos_sim
+  FROM l, embeddings r
+  WHERE r.vec_id <> l.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+  ) AS rank FROM scored
+) WHERE rank <= 5
 """
 
     # IVF oracle: same hyperplanes inlined; probe = Hamming<=1 buckets

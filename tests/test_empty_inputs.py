@@ -150,3 +150,25 @@ def test_build_ivf_index_empty_raises(spark, tmp_path):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         build_ivf_index(empty, str(tmp_path / "ivf"))
+
+
+def test_knn_join_empty_sides(spark):
+    """Empty query batch or empty corpus → empty result with the full
+    output schema; the LSH variant raises on an empty query batch (no
+    dimension to derive the planes from — same contract as the IVF
+    index build)."""
+    import pytest
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators import similarity as S
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    one = spark.createDataFrame(
+        [(1, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    cols = ["query_id", "neighbor_id", "cos_sim", "rank"]
+    assert S.knn_join(empty, one).columns == cols
+    assert S.knn_join(empty, one).count() == 0
+    assert S.knn_join(one, empty).count() == 0
+    with pytest.raises(ValueError, match="empty"):
+        S.knn_join_lsh(empty, one)
+    assert S.knn_join_lsh(one, empty).count() == 0

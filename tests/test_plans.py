@@ -268,3 +268,18 @@ def test_persisted_ivf_index_prunes_partitions(spark, tmp_path):
     ]
     have = [(r["vec_id"], r["cos_sim"]) for r in got.collect()]
     assert have == want
+
+
+def test_knn_join_rank_limit_pushdown(spark):
+    """The kNN join's top-k must run as a rank-limit window
+    (WindowGroupLimit — each map task emits ≤k rows per query before
+    the exchange, so post-shuffle state is |L|·k, never |L|·|R|) with
+    the query batch on the broadcast side."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import knn_join
+    from djangoadmin_postgresql_2_elasticseach_spark.plans.tuning import plan_string
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    df = knn_join(emb.filter("vec_id < 5"), emb, k=5, exclude_self=True)
+    plan = plan_string(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "Broadcast" in plan, plan

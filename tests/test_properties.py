@@ -379,3 +379,41 @@ def test_approx_percentile_swap_within_rank_error(spark):
         # guarantee to keep the test non-flaky on small groups)
         assert lo50 <= r["a50"] <= hi50, (r["event_type"], r["a50"], lo50, hi50)
         assert lo95 <= r["a95"] <= hi95, (r["event_type"], r["a95"], lo95, hi95)
+
+
+def test_knn_join_lsh_subset_of_brute(spark):
+    """Every (query, neighbor) the LSH kNN join returns must carry the
+    exact brute-force cosine for that pair (precision exact, recall<1
+    allowed), per-query ranks must be 1..n with no gaps, and an exact
+    duplicate of the query vector is always recalled at rank 1 (it
+    shares every probe bucket)."""
+    import random
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import (
+        knn_join,
+        knn_join_lsh,
+    )
+
+    rng = random.Random(11)
+    corpus = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    queries = [(100, list(corpus[3][1])), (101, [rng.uniform(-1, 1) for _ in range(8)])]
+    emb = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(queries, "vec_id long, embedding array<float>")
+
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in knn_join(q, emb, k=40).collect()
+    }
+    lsh = knn_join_lsh(q, emb, k=5, n_planes=3).collect()
+    by_q: dict[int, list] = {}
+    for r in lsh:
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        ranks = sorted(x["rank"] for x in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        sims = [x["cos_sim"] for x in sorted(rows, key=lambda x: x["rank"])]
+        assert sims == sorted(sims, reverse=True)
+    # the exact-duplicate query recalls its twin (vec 3) at rank 1
+    top = [r for r in by_q[100] if r["rank"] == 1][0]
+    assert top["neighbor_id"] == 3 and top["cos_sim"] == 1.0
