@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     # dedup scale paths (LSH/banded, not all-pairs)
     "dedup_exact",
     "minhash_dedup_pairs",
+    "incremental_minhash_dedup",
     "simhash",
     # corpus preparation
     "chunk_documents",

@@ -278,6 +278,138 @@ def minhash_dedup_pairs(
     return out
 
 
+def minhash_index_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """The MinHash band INDEX of a corpus: one row per (doc, band) —
+    (doc_id, band_idx, band_key, sig, bucket_n). `sig` is the full
+    signature (array<long>), carried so an incremental batch can
+    estimate Jaccard against index hits without touching the corpus
+    text; `bucket_n` is the bucket's size, PRECOMPUTED at build time
+    over the same (band_idx, band_key) grouping the lookup joins on —
+    so the hot-bucket guard at query time is a stored-column filter,
+    not a shuffle of the index."""
+    from pyspark.sql import Window
+
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    n_bands = num_hashes // band_size
+    slots = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + i}") for i in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws("|", *cols).alias("band_key"),
+            )
+        )
+    exploded = sig.select(
+        F.col(id_col).alias("doc_id"),
+        slots.alias("sig"),
+        F.explode(F.array(*bands)).alias("band"),
+    ).select(
+        "doc_id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+        "sig",
+    )
+    w = Window.partitionBy("band_idx", "band_key")
+    return exploded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> None:
+    """Persist the band index PARTITIONED BY band_idx — the dedup-side
+    sibling of similarity.build_ivf_index. The point of persistence:
+    each incremental batch deduplicates against signatures computed
+    ONCE at ingest instead of re-shingling the whole corpus per tick.
+    Appending a processed batch (mode("append") of its
+    minhash_index_frame) keeps the index current; appended rows carry
+    their own-batch bucket_n, so the hot-bucket guard UNDERCOUNTS
+    merged buckets until the next rebuild — compaction refreshes it
+    (guard stays conservative: stale counts only ever let extra
+    candidates through, never drop true ones beyond max_bucket's
+    intent)."""
+    minhash_index_frame(
+        docs, id_col, text_col, n, num_hashes, band_size
+    ).write.mode("overwrite").partitionBy("band_idx").parquet(path)
+
+
+def incremental_dedup_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    max_bucket: int | None = 500,
+) -> DataFrame:
+    """Deduplicate an incremental batch AGAINST the indexed corpus:
+    signature+band the new batch, equi-join its bands to the index on
+    (band_idx, band_key), estimate Jaccard as the fraction of equal
+    signature slots (the standard MinHash estimator — resolution
+    1/num_hashes), keep pairs ≥ threshold.
+
+    Output: (new_id, old_id, est_jaccard). The streaming-ingest shape
+    at 100 TB: the probe side is one batch (minutes of ingest — small
+    by contract), so its band frame is BROADCAST and the index scan
+    joins map-side: the corpus is never re-shingled, re-shuffled, or
+    collected. The hot-bucket guard is the stored bucket_n column
+    (filter, no shuffle — see minhash_index_frame). Re-running a batch
+    whose docs were already appended to the index is harmless: equal
+    ids are excluded, and duplicate pairs collapse in the distinct.
+    """
+    new_idx = minhash_index_frame(
+        new_docs, id_col, text_col, n, num_hashes, band_size
+    ).select(
+        F.col("doc_id").alias("new_id"),
+        "band_idx",
+        "band_key",
+        F.col("sig").alias("new_sig"),
+    )
+    old = index
+    if max_bucket is not None:
+        old = old.filter(F.col("bucket_n") <= max_bucket)
+    est = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("sig"),
+                F.col("new_sig"),
+                lambda a, b: (a == b).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(num_hashes),
+        6,
+    )
+    return (
+        old.join(F.broadcast(new_idx), ["band_idx", "band_key"])
+        .filter(F.col("doc_id") != F.col("new_id"))
+        .select(
+            "new_id",
+            F.col("doc_id").alias("old_id"),
+            est.alias("est_jaccard"),
+        )
+        .distinct()
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -302,6 +302,16 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(docs)
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental-ingest shape: docs < 400 are the indexed corpus, the
+    # rest arrive as a new batch deduped against the index
+    docs = load_table(spark, sf_dir, "documents")
+    index = D.minhash_index_frame(docs.filter(F.col("doc_id") < 400))
+    return D.incremental_dedup_pairs(
+        docs.filter(F.col("doc_id") >= 400), index, threshold=0.5
+    )
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, threshold=0.4)
@@ -582,6 +592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": _q_ngram_jaccard,
     "minhash_signatures": _q_minhash_sig,
     "minhash_dedup_pairs": _q_minhash_pairs,
+    "incremental_minhash_dedup": _q_incremental_dedup,
     "simhash": _q_simhash,
     "embedding_neardup": _q_emb_neardup,
     "embedding_neardup_lsh": _q_emb_neardup_lsh,
@@ -1015,6 +1026,43 @@ FROM common c
 JOIN sizes sa ON sa.doc_id = c.id_a
 JOIN sizes sb ON sb.doc_id = c.id_b
 WHERE round(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common), 6) >= 0.4
+"""
+
+    # incremental dedup: docs < 400 = indexed corpus, rest = new batch;
+    # candidates via band match against the OLD side only, verified by
+    # the slot-equality MinHash estimator — mirror of
+    # dedup.incremental_dedup_pairs over dedup.minhash_index_frame
+    slot_eq = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(nh)
+    )
+    o["incremental_minhash_dedup"] = f"""
+{_minhash_sql_cte(nh)},
+bands AS (
+  {band_selects}
+),
+old_b AS (SELECT * FROM bands WHERE doc_id < 400),
+new_b AS (SELECT * FROM bands WHERE doc_id >= 400),
+osz AS (
+  SELECT band_idx, band_key, count(*) AS bn
+  FROM old_b GROUP BY band_idx, band_key
+),
+kept AS (
+  SELECT o.* FROM old_b o
+  JOIN osz s ON s.band_idx = o.band_idx AND s.band_key = o.band_key
+  WHERE s.bn <= 500
+),
+cands AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM new_b n JOIN kept o
+    ON o.band_idx = n.band_idx AND o.band_key = n.band_key
+   AND o.doc_id <> n.doc_id
+)
+SELECT c.new_id, c.old_id,
+       round(({slot_eq}) / CAST({nh} AS DOUBLE), 6) AS est_jaccard
+FROM cands c
+JOIN sig a ON a.doc_id = c.new_id
+JOIN sig b ON b.doc_id = c.old_id
+WHERE round(({slot_eq}) / CAST({nh} AS DOUBLE), 6) >= 0.5
 """
 
     bits = 16

@@ -390,3 +390,46 @@ def test_dedup_clusters_raises_on_nonconvergence(spark):
     # and succeeds (identically) once max_iter covers the diameter
     rows = dedup_clusters(chain, max_iter=10).collect()
     assert {r["cluster"] for r in rows} == {1}
+
+
+def test_minhash_index_persist_and_incremental(spark, tmp_path):
+    """The persisted band index answers an incremental batch identically
+    to the in-memory frame; re-running an already-appended batch adds no
+    self-pairs; the hot-bucket guard filter reaches the index scan as a
+    pushed filter (no shuffle of the index at query time) and the new
+    batch is the broadcast side."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_dedup_pairs,
+        minhash_index_frame,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.plans.tuning import plan_string
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    old = docs.filter("doc_id < 400")
+    new = docs.filter("doc_id >= 400")
+    path = str(tmp_path / "mh_index")
+    build_minhash_index(old, path)
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"doc_id", "band_idx", "band_key", "sig", "bucket_n"}
+
+    want = sorted(
+        tuple(r)
+        for r in incremental_dedup_pairs(new, minhash_index_frame(old)).collect()
+    )
+    got_df = incremental_dedup_pairs(new, stored)
+    got = sorted(tuple(r) for r in got_df.collect())
+    assert got == want and len(got) > 0
+
+    plan = plan_string(got_df)
+    assert "PushedFilters" in plan and "bucket_n" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+    # append the processed batch; re-running it must not pair docs with
+    # themselves, and the original cross-batch pairs are still found
+    minhash_index_frame(new).write.mode("append").partitionBy("band_idx").parquet(path)
+    rerun = incremental_dedup_pairs(new, spark.read.parquet(path)).collect()
+    assert all(r["new_id"] != r["old_id"] for r in rerun)
+    assert {(r["new_id"], r["old_id"]) for r in rerun} >= {(a, b) for a, b, _ in want}

@@ -172,3 +172,20 @@ def test_knn_join_empty_sides(spark):
     with pytest.raises(ValueError, match="empty"):
         S.knn_join_lsh(empty, one)
     assert S.knn_join_lsh(one, empty).count() == 0
+
+
+def test_incremental_dedup_empty_sides(spark):
+    """Empty new batch or empty index → empty result, full schema."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_index_frame,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    one = spark.createDataFrame([(1, "alpha beta gamma delta epsilon")],
+                                "doc_id long, text string")
+    cols = ["new_id", "old_id", "est_jaccard"]
+    out = incremental_dedup_pairs(empty, minhash_index_frame(one))
+    assert out.columns == cols and out.count() == 0
+    out2 = incremental_dedup_pairs(one, minhash_index_frame(empty))
+    assert out2.columns == cols and out2.count() == 0
