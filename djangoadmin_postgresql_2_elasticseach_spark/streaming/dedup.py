@@ -93,3 +93,86 @@ def streaming_exact_dedup_watermarked(
     dropped, state older than the horizon is evicted automatically."""
     fp = docs_stream.withColumn("fp", fingerprint(text_col))
     return fp.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(["fp"])
+
+
+def streaming_neardup_dedup(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    available_now: bool = False,
+    trigger_seconds: int = 10,
+):
+    """NEAR-duplicate filtering over an unbounded document stream, built
+    on the persisted MinHash band index (operators/dedup.py): each
+    micro-batch is deduplicated against every document kept so far —
+    cross-batch AND cross-restart — then appended to both the clean
+    corpus at `out_path` and the index itself.
+
+    Per micro-batch: (1) `incremental_dedup_pairs` joins the batch's
+    broadcast band frame against the index scan (the corpus is never
+    re-shingled — see the batch operator for the scale contract);
+    (2) batch docs matching an indexed doc are dropped; (3) survivors
+    are self-deduplicated (lowest id per near-dup pair wins, the same
+    keeper rule as the batch operators); (4) survivors' text goes to
+    `out_path`, their band rows to the index. State is the index itself
+    — restartable and shared with batch consumers, unlike state-store
+    operators; bucket_n staleness after appends is the documented
+    conservative guard from build_minhash_index.
+
+    Parquet appends inside foreachBatch are at-least-once on batch
+    retry; route `out_path` through writers.append_if_absent keyed on
+    the id for an effectively-once corpus (same seam as the ES sink).
+    """
+    from ..operators.dedup import incremental_dedup_pairs, minhash_index_frame
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
+        try:
+            idx = s.read.parquet(index_path)
+            dup_ids = (
+                incremental_dedup_pairs(
+                    batch, idx, id_col, text_col, threshold=threshold
+                )
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+            kept = batch.join(dup_ids, id_col, "left_anti")
+        except Exception as e:  # first batch: no index yet
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            kept = batch
+        intra_dups = (
+            incremental_dedup_pairs(
+                kept,
+                minhash_index_frame(kept, id_col, text_col),
+                id_col,
+                text_col,
+                threshold=threshold,
+            )
+            .filter(F.col("old_id") < F.col("new_id"))
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        kept = kept.join(intra_dups, id_col, "left_anti").localCheckpoint(eager=True)
+        kept.write.mode("append").parquet(out_path)
+        minhash_index_frame(kept, id_col, text_col).write.mode("append").partitionBy(
+            "band_idx"
+        ).parquet(index_path)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -80,3 +80,55 @@ def test_streaming_dedup_watermarked(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("select doc_id, text from dedup_wm_out").collect()
     assert sorted(r["text"] for r in out) == ["alpha beta", "gamma delta"]
+
+
+def test_streaming_neardup_dedup_via_persisted_index(spark, tmp_path):
+    """Cross-batch near-dups are dropped against the persisted MinHash
+    index; intra-batch near-dups keep the lowest id; a SECOND streaming
+    query (fresh checkpoint — a restart) still drops dups of docs kept
+    by the first run because the state IS the index on disk."""
+    from djangoadmin_postgresql_2_elasticseach_spark.streaming.dedup import (
+        streaming_neardup_dedup,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    t2 = "completely different content about spark structured streaming state"
+    t3 = "unrelated third document mentioning parquet row groups and codecs"
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    _write_doc_file(spark, src, [(1, t1), (2, t2)])
+    # file 2: exact near-dup of doc 1 (cross-batch), one new doc, and an
+    # intra-batch dup pair (5 dups 4 -> 4 kept)
+    _write_doc_file(spark, src, [(3, t1), (4, t3), (5, t3)])
+
+    index_path = str(tmp_path / "mh_index")
+    out_path = str(tmp_path / "clean")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_neardup_dedup(
+        stream, index_path, out_path, str(tmp_path / "ckpt1"), available_now=True
+    )
+    q.awaitTermination(180)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out_path).collect())
+    assert kept == [1, 2, 4]
+    idx_docs = {r["doc_id"] for r in spark.read.parquet(index_path).collect()}
+    assert idx_docs == {1, 2, 4}
+
+    # restart: new source dir, new checkpoint — dup of doc 2 still dies
+    src2 = str(tmp_path / "docs2")
+    os.makedirs(src2)
+    _write_doc_file(spark, src2, [(6, t2), (7, "a genuinely new sixth document here")])
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src2)
+    )
+    q2 = streaming_neardup_dedup(
+        stream2, index_path, out_path, str(tmp_path / "ckpt2"), available_now=True
+    )
+    q2.awaitTermination(180)
+    kept2 = sorted(r["doc_id"] for r in spark.read.parquet(out_path).collect())
+    assert kept2 == [1, 2, 4, 7]
