@@ -244,3 +244,52 @@ def test_compact_parquet_recovers_stale_swap_dirs(spark, tmp_path):
     os.rename(path, path + "._compact_old")
     n_before2, _ = compact_parquet(spark, path)
     assert spark.read.parquet(path).count() == 40
+
+
+def test_jsonl_corpus_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL corpus IO: declared schema (no inference), malformed lines
+    land in quarantine as raw text instead of failing the read or
+    silently dropping; clean rows round-trip through the gzip writer;
+    a partitioned write lays out per-source directories."""
+    import gzip
+    import os
+
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.corpus_io import (
+        read_jsonl_corpus,
+        split_corrupt,
+        write_jsonl_corpus,
+    )
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    lines = [
+        '{"doc_id": 1, "text": "alpha", "source": "web"}',
+        '{"doc_id": 2, "text": "beta", "source": "books"}',
+        'not json at all {{{',
+        '{"doc_id": "NOT_A_NUMBER", "text": "gamma", "source": "web"}',
+        '{"doc_id": 3, "text": "delta", "source": "web"}',
+    ]
+    with gzip.open(src / "part-000.jsonl.gz", "wt") as f:
+        f.write("\n".join(lines))
+
+    df = read_jsonl_corpus(
+        spark, str(src), "doc_id long, text string, source string"
+    )
+    clean, bad = split_corrupt(df)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2, 3]
+    assert clean.columns == ["doc_id", "text", "source"]
+    raw = sorted(r["raw_line"] for r in bad.collect())
+    assert len(raw) == 2 and any("NOT_A_NUMBER" in x for x in raw)
+
+    out = str(tmp_path / "handoff")
+    write_jsonl_corpus(clean, out, partition_col="source")
+    assert sorted(d for d in os.listdir(out) if d.startswith("source=")) == [
+        "source=books", "source=web"
+    ]
+    back = read_jsonl_corpus(spark, out + "/source=web", "doc_id long, text string")
+    got, bad2 = split_corrupt(back)
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 3]
+    assert bad2.count() == 0
+    # the written files are actually gzip members
+    files = [f for f in os.listdir(out + "/source=web") if f.endswith(".gz")]
+    assert files
