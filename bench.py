@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_dedup_pairs",
     "incremental_minhash_dedup",
+    "duplicated_passages",
     "simhash",
     # corpus preparation
     "chunk_documents",

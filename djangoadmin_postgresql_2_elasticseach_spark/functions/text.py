@@ -189,6 +189,48 @@ def token_bigrams(toks: Column, as_struct: bool = False) -> Column:
     )
 
 
+def winnow_fingerprints(toks: Column, k: int = 8, w: int = 16) -> Column:
+    """Winnowing fingerprints of a token array (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS algorithm): hash every k-token gram,
+    then keep the MINIMUM hash of each w-gram window, distinct. The
+    winnowing guarantee: two documents sharing a verbatim token run of
+    ≥ w+k-1 tokens (23 at the defaults) ALWAYS share at least one
+    fingerprint — exact-substring duplicate detection with ~n/w
+    fingerprints per doc instead of n (the suffix-array result of Lee
+    et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better", re-expressed as a per-row column expression + equi-join
+    instead of a monolithic offline index).
+
+    Docs with ≥1 gram but fewer than w windows contribute their single
+    global-min fingerprint; docs under k tokens contribute none. Gram
+    hash = first 8 md5 hex chars of the space-joined gram as a long —
+    the same engine-portable construction as the MinHash family."""
+    n = F.size(toks)
+
+    def gram_hash(i):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8), 16, 10
+        ).cast("long")
+
+    grams = F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - k + 1), gram_hash)
+    ).otherwise(F.array().cast("array<long>"))
+    ng = F.size(grams)
+    return (
+        F.when(
+            ng >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), ng - w + 1),
+                    lambda i: F.array_min(F.slice(grams, i, w)),
+                )
+            ),
+        )
+        .when(ng >= 1, F.array(F.array_min(grams)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (space-joined) of the lowercased
     tokenized text — the dedup shingle unit.

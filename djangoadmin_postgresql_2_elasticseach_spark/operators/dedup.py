@@ -278,6 +278,57 @@ def minhash_dedup_pairs(
     return out
 
 
+def duplicated_passage_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 1,
+    max_bucket: int | None = 500,
+) -> DataFrame:
+    """Exact-substring duplicate detection: doc pairs sharing at least
+    `min_shared` winnowing fingerprints — by the winnowing guarantee
+    (functions/text.winnow_fingerprints), every pair sharing a verbatim
+    run of ≥ w+k-1 tokens (23 at the defaults) is reported. This is the
+    passage-level complement of MinHash (which scores WHOLE-doc
+    similarity and misses a long quote inside two otherwise-different
+    docs).
+
+    Shape: explode fingerprints → hot-fingerprint stop-bucket guard
+    (window-counted over the join key, same rationale as the LSH bands
+    — a fingerprint shared by hundreds of docs is boilerplate, and the
+    self-join is quadratic in the hottest bucket) → self-equi-join on
+    the fingerprint → per-pair shared count. All shuffles are on the
+    8-byte fingerprint; document bodies never move.
+
+    Output: (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize, winnow_fingerprints
+
+    fps = spread(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("sid"),
+        F.explode(winnow_fingerprints(tokenize(F.col(text_col)), k, w)).alias("fp"),
+    )
+    if max_bucket is not None:
+        bw = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("_bn", F.count(F.lit(1)).over(bw))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.sid") < F.col("b.sid")))
+        .groupBy(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def minhash_index_frame(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -302,6 +302,11 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(docs)
 
 
+def _q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicated_passage_pairs(docs)
+
+
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental-ingest shape: docs < 400 are the indexed corpus, the
     # rest arrive as a new batch deduped against the index
@@ -593,6 +598,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": _q_minhash_sig,
     "minhash_dedup_pairs": _q_minhash_pairs,
     "incremental_minhash_dedup": _q_incremental_dedup,
+    "duplicated_passages": _q_dup_passages,
     "simhash": _q_simhash,
     "embedding_neardup": _q_emb_neardup,
     "embedding_neardup_lsh": _q_emb_neardup_lsh,
@@ -1026,6 +1032,36 @@ FROM common c
 JOIN sizes sa ON sa.doc_id = c.id_a
 JOIN sizes sb ON sb.doc_id = c.id_b
 WHERE round(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common), 6) >= 0.4
+"""
+
+    # winnowing passage pairs — mirror of dedup.duplicated_passage_pairs
+    # (k=8-token grams, w=16 windows, stop-bucket 500)
+    o["duplicated_passages"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens("text")} AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 8 THEN list_transform(range(1, len(tk)-8+2),
+           i -> ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 8))::BIGINT)
+         ELSE CAST([] AS BIGINT[]) END AS g
+  FROM toks
+),
+fps AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(g) >= 16
+         THEN list_distinct(list_transform(range(1, len(g)-16+2), i -> list_min(g[i:i+15])))
+         WHEN len(g) >= 1 THEN [list_min(g)]
+         ELSE CAST([] AS BIGINT[]) END) AS fp
+  FROM grams
+),
+szs AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp),
+kept AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN szs s ON s.fp = f.fp WHERE s.c <= 500
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
 """
 
     # incremental dedup: docs < 400 = indexed corpus, rest = new batch;

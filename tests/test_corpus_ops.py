@@ -433,3 +433,36 @@ def test_minhash_index_persist_and_incremental(spark, tmp_path):
     rerun = incremental_dedup_pairs(new, spark.read.parquet(path)).collect()
     assert all(r["new_id"] != r["old_id"] for r in rerun)
     assert {(r["new_id"], r["old_id"]) for r in rerun} >= {(a, b) for a, b, _ in want}
+
+
+def test_duplicated_passages_winnowing_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): two docs sharing
+    a verbatim run of >= w+k-1 tokens are ALWAYS paired, regardless of
+    the surrounding text; docs with no shared 8-gram are never paired;
+    sub-k-token docs contribute nothing (no crash)."""
+    import random
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import (
+        duplicated_passage_pairs,
+    )
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(500)]
+
+    def prose(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    quote = " ".join(f"q{i}" for i in range(23))  # w+k-1 = 23 tokens
+    rows = [
+        (1, prose(80) + " " + quote + " " + prose(80)),
+        (2, prose(120) + " " + quote),   # same passage, different doc
+        (3, prose(200)),                 # unrelated
+        (4, "tiny doc"),                 # < k tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in duplicated_passage_pairs(docs).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p and 4 not in p for p in pairs)
