@@ -300,17 +300,23 @@ def duplicated_passage_pairs(
     — a fingerprint shared by hundreds of docs is boilerplate, and the
     self-join is quadratic in the hottest bucket) → self-equi-join on
     the fingerprint → per-pair shared count. All shuffles are on the
-    8-byte fingerprint; document bodies never move.
+    8-byte fingerprint; document bodies never move. The token → gram →
+    fingerprint chain is STAGED through named projections so each
+    intermediate array is computed once per row (the composed
+    winnow_fingerprints expression re-evaluates its gram array per
+    branch — 10× slower, see its docstring).
 
     Output: (id_a, id_b, n_shared) with id_a < id_b.
     """
     from pyspark.sql import Window
 
-    from ..functions.text import tokenize, winnow_fingerprints
+    from ..functions.text import gram_hashes, tokenize, winnow_from_grams
 
-    fps = spread(docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("sid"),
-        F.explode(winnow_fingerprints(tokenize(F.col(text_col)), k, w)).alias("fp"),
+    fps = (
+        spread(docs.select(id_col, text_col))
+        .select(F.col(id_col).alias("sid"), tokenize(F.col(text_col)).alias("_tk"))
+        .select("sid", gram_hashes(F.col("_tk"), k).alias("_g"))
+        .select("sid", F.explode(winnow_from_grams(F.col("_g"), w)).alias("fp"))
     )
     if max_bucket is not None:
         bw = Window.partitionBy("fp")
