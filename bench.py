@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "source_quota",
     "sample_to_budget",
+    "corpus_stats",
     "event_value_percentiles",
     "user_value_quartiles",
     # similarity search

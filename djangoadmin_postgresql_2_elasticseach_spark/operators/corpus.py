@@ -510,3 +510,49 @@ def normalize_text(
     _norm = pandas_udf(_norm_fn, "string")
 
     return docs.withColumn(text_col, _norm(F.col(text_col)))
+
+
+def corpus_stats(
+    docs: DataFrame,
+    strata: list[str] = ["source", "lang"],
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-card rollup: per stratum (source × language by default)
+    doc counts, whitespace-token totals and distribution (exact p50/p90
+    — `approx_percentile` is the documented 100 TB swap, same contract
+    as event_value_percentiles), character totals, and each stratum's
+    share of all corpus tokens — the numbers a training-mix decision
+    (source_quota / sample_to_budget weights) is made from.
+
+    One scan + one groupBy; the share divides by a 1-row grand total
+    BROADCAST back onto the aggregated frame (|strata| rows — bounded
+    by the source×lang domain) — no single-partition global window
+    anywhere in the plan.
+
+    Output: (*strata, n_docs, total_tokens, mean_tokens, p50_tokens,
+    p90_tokens, total_chars, token_share), ordered by strata.
+    """
+    from ..functions.textstats import token_count
+
+    per_doc = spread(docs.select(*strata, text_col)).select(
+        *strata,
+        token_count(text_col).alias("_tok"),
+        F.length(text_col).alias("_chars"),
+    )
+    agg = per_doc.groupBy(*strata).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("total_tokens"),
+        F.round(F.avg("_tok"), 6).alias("mean_tokens"),
+        F.round(F.expr("percentile(_tok, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(_tok, 0.9)"), 6).alias("p90_tokens"),
+        F.sum("_chars").alias("total_chars"),
+    )
+    grand = agg.agg(F.sum("total_tokens").alias("_grand"))
+    return (
+        agg.join(F.broadcast(grand))
+        .withColumn(
+            "token_share", F.round(F.col("total_tokens") / F.col("_grand"), 6)
+        )
+        .drop("_grand")
+        .orderBy(*strata)
+    )

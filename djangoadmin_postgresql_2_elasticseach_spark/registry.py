@@ -302,6 +302,13 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(docs)
 
 
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import corpus_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_stats(docs)
+
+
 def _q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.duplicated_passage_pairs(docs)
@@ -599,6 +606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_pairs": _q_minhash_pairs,
     "incremental_minhash_dedup": _q_incremental_dedup,
     "duplicated_passages": _q_dup_passages,
+    "corpus_stats": _q_corpus_stats,
     "simhash": _q_simhash,
     "embedding_neardup": _q_emb_neardup,
     "embedding_neardup_lsh": _q_emb_neardup_lsh,
@@ -941,6 +949,30 @@ SELECT doc_id,
     + length(regexp_replace(text, '[\\p{{L}}\\p{{Nd}}\\s]', '', 'g'))
   AS BIGINT) AS n_bpe_est
 FROM documents
+"""
+
+    # dataset-card rollup — mirror of corpus.corpus_stats
+    o["corpus_stats"] = """
+WITH per_doc AS (
+  SELECT source, lang,
+    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS tok,
+    length(text) AS chars
+  FROM documents
+),
+agg AS (
+  SELECT source, lang,
+         count(*) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS total_tokens,
+         round(avg(tok), 6) AS mean_tokens,
+         round(quantile_cont(tok, 0.5), 6) AS p50_tokens,
+         round(quantile_cont(tok, 0.9), 6) AS p90_tokens,
+         CAST(sum(chars) AS BIGINT) AS total_chars
+  FROM per_doc GROUP BY source, lang
+)
+SELECT source, lang, n_docs, total_tokens, mean_tokens, p50_tokens, p90_tokens,
+       total_chars,
+       round(total_tokens / (SUM(total_tokens) OVER ()), 6) AS token_share
+FROM agg ORDER BY source, lang
 """
 
     o["doc_fingerprint"] = """
