@@ -311,6 +311,7 @@ def knn_join_lsh(
     right_vec: str = "embedding",
     exclude_self: bool = False,
     n_planes: int = 4,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate kNN join — the scale path when the corpus side is too
     large for per-query full scans: bucket both sides by hyperplane LSH,
@@ -320,12 +321,18 @@ def knn_join_lsh(
     one; recall < 1.0 by construction — `knn_join` is the oracle (tests
     pin candidates ⊆ brute ranking and measured recall).
 
-    The probe-expanded query batch ((n_planes+1)·|L| rows) is broadcast
-    — it is the SMALL side by the same contract as knn_join; the corpus
-    band frame is never collected or shuffled. Each (query, neighbor)
-    pair arises at most once: a right row has exactly one bucket and the
-    probe set is duplicate-free, so no distinct stage is needed before
-    ranking. Output schema matches knn_join.
+    With ``broadcast_queries=True`` (default) the probe-expanded query
+    batch ((n_planes+1)·|L| rows) is broadcast — the retrieval shape,
+    where |L| is a query batch and the corpus band frame is never
+    collected or shuffled. For a LARGE left side — kNN-GRAPH
+    construction, every corpus doc querying every other — pass
+    ``broadcast_queries=False``: the join becomes a plain shuffle
+    equi-join on the bucket (both sides partition by bucket; neither is
+    ever collected), the same never-broadcast-the-corpus rule as the
+    MinHash band join. Each (query, neighbor) pair arises at most once:
+    a right row has exactly one bucket and the probe set is
+    duplicate-free, so no distinct stage is needed before ranking.
+    Output schema matches knn_join.
     """
     from pyspark.sql import Window
 
@@ -354,7 +361,7 @@ def knn_join_lsh(
         norm(F.col("_nv")).alias("_nn"),
         hyperplane_bucket(F.col("_nv"), planes).alias("_bucket"),
     )
-    pairs = r.join(F.broadcast(l), "_bucket")
+    pairs = r.join(F.broadcast(l) if broadcast_queries else l, "_bucket")
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(

@@ -417,3 +417,29 @@ def test_knn_join_lsh_subset_of_brute(spark):
     # the exact-duplicate query recalls its twin (vec 3) at rank 1
     top = [r for r in by_q[100] if r["rank"] == 1][0]
     assert top["neighbor_id"] == 3 and top["cos_sim"] == 1.0
+
+
+def test_knn_graph_shuffle_join_matches_broadcast(spark):
+    """knn_join_lsh with broadcast_queries=False (kNN-graph shape: large
+    left side, plain shuffle equi-join on the bucket) returns EXACTLY
+    the broadcast variant's rows, and carries no broadcast HINT on the
+    query side — on this tiny frame AQE may still pick a broadcast at
+    runtime (correct: it sizes the ACTUAL data), but nothing in the
+    plan FORCES one at corpus scale, which is what the flag promises."""
+    import random
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import knn_join_lsh
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bc_df = knn_join_lsh(emb, emb, k=3, exclude_self=True, n_planes=3)
+    bc = sorted(tuple(r) for r in bc_df.collect())
+    sh_df = knn_join_lsh(
+        emb, emb, k=3, exclude_self=True, n_planes=3, broadcast_queries=False
+    )
+    assert sorted(tuple(r) for r in sh_df.collect()) == bc
+    bc_logical = bc_df._jdf.queryExecution().analyzed().toString()
+    sh_logical = sh_df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint broadcast" in bc_logical or "ResolvedHint" in bc_logical
+    assert "Hint" not in sh_logical, sh_logical
