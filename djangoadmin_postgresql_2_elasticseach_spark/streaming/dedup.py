@@ -105,6 +105,7 @@ def streaming_neardup_dedup(
     threshold: float = 0.5,
     available_now: bool = False,
     trigger_seconds: int = 10,
+    idempotent: bool = True,
 ):
     """NEAR-duplicate filtering over an unbounded document stream, built
     on the persisted MinHash band index (operators/dedup.py): each
@@ -124,10 +125,17 @@ def streaming_neardup_dedup(
     conservative guard from build_minhash_index.
 
     Parquet appends inside foreachBatch are at-least-once on batch
-    retry; route `out_path` through writers.append_if_absent keyed on
-    the id for an effectively-once corpus (same seam as the ES sink).
+    retry; with ``idempotent=True`` (default) both sinks are keyed by
+    the doc id — the corpus append goes through
+    writers.append_if_absent (the reference's ON CONFLICT DO NOTHING
+    shape, same seam as the ES sink) and the index append anti-joins
+    the ids already indexed — so a replayed micro-batch writes nothing
+    twice (effectively-once). The flag exists because the extra
+    id anti-join per batch is wasted work under a driver that never
+    replays (e.g. exactly-once upstream of a transactional sink).
     """
     from ..operators.dedup import incremental_dedup_pairs, minhash_index_frame
+    from ..sources.writers import append_if_absent
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -136,6 +144,12 @@ def streaming_neardup_dedup(
         batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
         try:
             idx = s.read.parquet(index_path)
+        except Exception as e:  # first batch: no index yet
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            idx = None
+        kept = batch
+        if idx is not None:
             dup_ids = (
                 incremental_dedup_pairs(
                     batch, idx, id_col, text_col, threshold=threshold
@@ -144,10 +158,6 @@ def streaming_neardup_dedup(
                 .distinct()
             )
             kept = batch.join(dup_ids, id_col, "left_anti")
-        except Exception as e:  # first batch: no index yet
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-            kept = batch
         intra_dups = (
             incremental_dedup_pairs(
                 kept,
@@ -161,10 +171,16 @@ def streaming_neardup_dedup(
             .distinct()
         )
         kept = kept.join(intra_dups, id_col, "left_anti").localCheckpoint(eager=True)
-        kept.write.mode("append").parquet(out_path)
-        minhash_index_frame(kept, id_col, text_col).write.mode("append").partitionBy(
-            "band_idx"
-        ).parquet(index_path)
+        new_bands = minhash_index_frame(kept, id_col, text_col)
+        if idempotent:
+            append_if_absent(s, kept, out_path, key=id_col)
+            if idx is not None:
+                new_bands = new_bands.join(
+                    idx.select("doc_id").distinct(), "doc_id", "left_anti"
+                )
+        else:
+            kept.write.mode("append").parquet(out_path)
+        new_bands.write.mode("append").partitionBy("band_idx").parquet(index_path)
 
     writer = (
         docs_stream.writeStream.foreachBatch(process)
