@@ -153,15 +153,15 @@ def incremental_events(
     to the parquet scan (reference etl/main.py:35 ``modified > %s``).
     With time-partitioned layout this prunes whole partitions at 100 TB.
 
-    The events ts column is physically nanosecond int64 (readers.py), so
-    the predicate is applied to the RAW column — a filter on the derived
-    timestamp would NOT reach the scan. ``raw_ts >= (ckpt_µs+1)·1000`` is
-    exactly ``floor_to_µs(ts) > ckpt`` (the engine's µs-truncation
-    semantics), and it shows up in PushedFilters (tests/test_plans.py).
+    The predicate is applied in the file's NATIVE physical unit
+    (readers.load_events_after probes the parquet footer): a timestamp
+    comparison for µs files, the raw-int64 ``>= (ckpt_µs+1)·1000`` trick
+    for ns files — either way it shows up in PushedFilters
+    (tests/test_plans.py).
     """
     import datetime as _dt
 
-    from ..sources.readers import load_events_raw
+    from ..sources.readers import load_events_after
 
     ckpt_us = int(
         _dt.datetime.fromisoformat(checkpoint)
@@ -169,11 +169,8 @@ def incremental_events(
         .timestamp()
         * 1_000_000
     )
-    raw = load_events_raw(spark, sf_dir)
-    return (
-        raw.filter(F.col("ts") >= F.lit((ckpt_us + 1) * 1000))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("event_id", "ts", "user_id", "event_type", "value")
+    return load_events_after(spark, sf_dir, ckpt_us).select(
+        "event_id", "ts", "user_id", "event_type", "value"
     )
 
 

@@ -218,11 +218,13 @@ LINEITEM = StructType(
     ]
 )
 
-# events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-# timestamp type, so the raw read uses LongType (ns since epoch, via
-# spark.sql.legacy.parquet.nanosAsLong) and readers.load_table converts
-# to microsecond TimestampType with the same floor-truncation DuckDB
-# applies when it reads the file.
+# Raw layout for events files whose ts is parquet TIMESTAMP(NANOS) —
+# Spark has no nanosecond timestamp type, so the raw read uses LongType
+# (ns since epoch, via spark.sql.legacy.parquet.nanosAsLong) and
+# readers.load_table converts to microsecond TimestampType with the same
+# floor-truncation DuckDB applies. Files with µs ts (the driver has
+# shipped both) are read natively with EVENTS; readers.events_ts_unit
+# probes the footer to pick the path.
 EVENTS_RAW = StructType(
     [
         StructField("event_id", LongType(), True),

@@ -293,3 +293,75 @@ def test_jsonl_corpus_roundtrip_and_quarantine(spark, tmp_path):
     # the written files are actually gzip members
     files = [f for f in os.listdir(out + "/source=web") if f.endswith(".gz")]
     assert files
+
+
+# ---------------------------------------------------------------------------
+# events.ts physical-unit contract (round-3 regression: the driver switched
+# testdata from TIMESTAMP(NANOS) to TIMESTAMP(MICROS) and the reader's
+# hard-coded nanos assumption silently shifted every event to 1970).
+# ---------------------------------------------------------------------------
+
+def _write_events_fixture(dir_path: str, unit: str) -> None:
+    """Write a tiny events.parquet with ts stored in the given unit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_us = 1_705_276_800_000_000  # 2024-01-15 00:00:00 UTC in µs
+    ts_us = [base_us - 1, base_us, base_us + 1, base_us + 3_600_000_000]
+    mult = {"us": 1, "ns": 1000}[unit]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([t * mult for t in ts_us], pa.timestamp(unit)),
+            "user_id": pa.array([10, 10, 11, 11], pa.int64()),
+            "event_type": pa.array(["a", "b", "a", "b"], pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(dir_path, "events.parquet"))
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_events_ts_unit_contract(spark, tmp_path, unit):
+    """load_table must yield identical µs timestamps whichever physical
+    unit the driver writes, and the strict > checkpoint predicate must
+    keep its exclusive semantics in both."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.relational import (
+        incremental_events,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import (
+        events_ts_unit,
+        load_table,
+    )
+
+    d = str(tmp_path / unit)
+    os.makedirs(d)
+    _write_events_fixture(d, unit)
+    assert events_ts_unit(d) == unit
+
+    rows = load_table(spark, d, "events").orderBy("event_id").collect()
+    assert [r.ts.year for r in rows] == [2024] * 4
+    # µs values survive exactly in both paths
+    assert rows[1].ts.isoformat() == "2024-01-15T00:00:00"
+    assert rows[2].ts.microsecond == 1
+
+    # strict >: the row AT the checkpoint is excluded, the +1µs row kept
+    inc = incremental_events(spark, d, "2024-01-15 00:00:00")
+    assert sorted(r.event_id for r in inc.collect()) == [3, 4]
+
+
+def test_events_unit_probe_invalidates_on_rewrite(spark, tmp_path):
+    """Regenerated testdata (same path, new mtime/unit) must re-probe —
+    the exact shape of the round-3 silent breakage."""
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import (
+        events_ts_unit,
+    )
+
+    d = str(tmp_path)
+    _write_events_fixture(d, "ns")
+    assert events_ts_unit(d) == "ns"
+    os.utime(os.path.join(d, "events.parquet"))  # ensure mtime moves
+    _write_events_fixture(d, "us")
+    os.utime(os.path.join(d, "events.parquet"), ns=(1, 1))
+    assert events_ts_unit(d) == "us"
