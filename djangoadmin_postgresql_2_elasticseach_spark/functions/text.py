@@ -53,29 +53,11 @@ RU_STOPWORDS = [
 ]
 ALL_STOPWORDS = EN_STOPWORDS + RU_STOPWORDS
 
-# English possessive stemmer (reference analyzer's english_possessive_stemmer)
-POSSESSIVE_RE = r"'s$"
-# Light English stemmer — Porter2(snowball `english`)-style step-1a plus
-# suffix stripping, kept RE2-safe (no backreferences) so the DuckDB
-# oracle mirrors the chain verbatim:
-#   sses→ss | ies→i | (ss|us)→keep | else: undouble+strip ing/ed on a
-#   doubled consonant, then strip the general suffix alternation.
-SSES_RE = r"sses$"
-IES_RE = r"ies$"
-EN_KEEP_RE = r"(ss|us)$"
-# Porter2's undoubling set (ll/ss excluded, as in Porter2)
-EN_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
-EN_SUFFIX_RE = r"(ings?|edly|ed|ly|es|s)$"
-# Light Russian suffix stripper (toward snowball `russian`: noun/adj
-# endings plus the productive verb/derivational endings — ость/ство/
-# ение families, reflexive -ся forms; longest-first alternation)
-RU_SUFFIX_RE = (
-    r"(ениями|ениях|ениям|ением|ствами|ствах|ствам|ством|остями|остях"
-    r"|остям|остью|ость|ости|ство|ства|ение|ения|ении|ению|ться|тся"
-    r"|лась|лось|лись|лся|ешь|ете|ите"
-    r"|ами|ями|ого|его|ому|ему|ыми|ими|ая|яя|ые|ие|ий|ый|ой|ом|ов|ев"
-    r"|ах|ях|ам|ям|ет|ут|ют|ит|ат|ят|а|я|о|е|ы|и|у|ю|ь)$"
-)
+# Stemming is the full Snowball pair (Porter2 english + snowball
+# russian) from functions/snowball.py — the same algorithms Lucene's
+# english_stemmer/russian_stemmer filters are generated from (reference
+# es_movies.json:10-33). The possessive stemmer of the reference chain
+# is a structural no-op here: the tokenizer splits on apostrophes.
 
 
 def tokenize(col: Column | str) -> Column:
@@ -96,68 +78,36 @@ def remove_stopwords(tokens: Column, stopwords: list[str] | None = None) -> Colu
     return F.filter(tokens, lambda t: ~F.array_contains(sw, t))
 
 
-def _en_stem(t1: Column) -> Column:
-    """Porter2-style English step on a possessive-stripped token (one
-    branch applies, mirroring Porter2 step-1a's longest-match-wins):
-    sses→ss; ies→i; ss/us kept; otherwise a doubled consonant before
-    ing/ed undoubles as it strips (running→run, hopped→hop — ll is not
-    in Porter2's undouble set, so falling→fall), then the general
-    suffix alternation strips once. len ≤ 4 tokens pass through."""
-    stripped = t1
-    for d in EN_DOUBLES:
-        stripped = F.regexp_replace(stripped, d + r"(ings?|ed)$", d[0])
-    stripped = F.regexp_replace(stripped, EN_SUFFIX_RE, "")
-    return (
-        F.when(F.length(t1) <= 4, t1)
-        .when(t1.rlike(SSES_RE), F.regexp_replace(t1, SSES_RE, "ss"))
-        .when(t1.rlike(IES_RE), F.regexp_replace(t1, IES_RE, "i"))
-        .when(t1.rlike(EN_KEEP_RE), t1)
-        .otherwise(stripped)
-    )
-
-
 def stem_token(t: Column) -> Column:
-    """Light stemmer: possessive strip → Porter2-style en step (len>4
-    guard) → ru suffix strip (len>4 guard). Guards keep short roots
-    intact. SQL mirror: stem_sql_stages()."""
-    t1 = F.regexp_replace(t, POSSESSIVE_RE, "")
-    t2 = _en_stem(t1)
-    t3 = F.when(F.length(t2) > 4, F.regexp_replace(t2, RU_SUFFIX_RE, "")).otherwise(t2)
-    return t3
+    """Full snowball stem (Porter2 en, then snowball ru — the reference
+    filter order) of a single token Column."""
+    from . import snowball
+
+    return snowball.stem_token_column(t)
 
 
-def stem_sql_stages() -> tuple[str, str, str]:
-    """DuckDB mirrors of the three stem_token stages, as SQL expression
-    templates over lambda variables ``t`` / ``t1`` / ``t2`` — generated
-    from the SAME pattern constants the Column chain uses, so the two
-    engines cannot drift. Compose as
-    ``list_transform(list_transform(list_transform(toks, t -> <s0>),
-    t1 -> <s1>), t2 -> <s2>)``. Pattern quotes are SQL-escaped here —
-    each stage pastes into DuckDB SQL verbatim."""
-    s0 = f"regexp_replace(t, '{POSSESSIVE_RE.replace(chr(39), chr(39) * 2)}', '')"
-    stripped = "t1"
-    for d in EN_DOUBLES:
-        stripped = f"regexp_replace({stripped}, '{d}(ings?|ed)$', '{d[0]}')"
-    stripped = f"regexp_replace({stripped}, '{EN_SUFFIX_RE}', '')"
-    s1 = (
-        "(CASE WHEN length(t1) <= 4 THEN t1 "
-        f"WHEN regexp_matches(t1, '{SSES_RE}') THEN regexp_replace(t1, '{SSES_RE}', 'ss') "
-        f"WHEN regexp_matches(t1, '{IES_RE}') THEN regexp_replace(t1, '{IES_RE}', 'i') "
-        f"WHEN regexp_matches(t1, '{EN_KEEP_RE}') THEN t1 "
-        f"ELSE {stripped} END)"
-    )
-    s2 = (
-        "(CASE WHEN length(t2) > 4 "
-        f"THEN regexp_replace(t2, '{RU_SUFFIX_RE}', '') ELSE t2 END)"
-    )
-    return s0, s1, s2
+def stem_tokens(toks: Column) -> Column:
+    """Snowball-stem every element of a token-array Column (one
+    F.transform per stemmer stage — stays JVM-side)."""
+    from . import snowball
+
+    return snowball.stem_array_column(toks)
+
+
+def stem_sql(arr_sql: str) -> str:
+    """The SAME stemmer chain as DuckDB SQL over an array expression —
+    emitted from the identical stage functions (functions/snowball.py),
+    so oracle and engine cannot drift."""
+    from . import snowball
+
+    return snowball.stem_array_sql(arr_sql)
 
 
 def analyze(col: Column | str, stem: bool = True) -> Column:
     """Full ru_en analyzer chain → array<string> of analyzed tokens."""
     toks = remove_stopwords(tokenize(col))
     if stem:
-        toks = F.transform(toks, stem_token)
+        toks = stem_tokens(toks)
     return toks
 
 

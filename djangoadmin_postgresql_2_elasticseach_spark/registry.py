@@ -161,9 +161,8 @@ LEFT JOIN per_order po ON o.o_orderkey = po.l_orderkey
 _EN_SW_SQL = "[" + ", ".join(f"'{w}'" for w in T.EN_STOPWORDS) + "]"
 _ALL_SW_SQL = "[" + ", ".join(f"'{w}'" for w in T.ALL_STOPWORDS) + "]"
 
-# light stemmer chain — generated from the SAME constants as
-# functions.text.stem_token (see text.stem_sql_stages)
-_STEM_S0, _STEM_S1, _STEM_S2 = T.stem_sql_stages()
+# full snowball stemmer chain (Porter2 en + snowball ru) — emitted from
+# the SAME stage functions as the Column pipeline (functions/snowball.py)
 
 
 def _minhash_sql_cte(num_hashes: int = D.DEFAULT_NUM_HASHES) -> str:
@@ -866,19 +865,13 @@ SELECT doc_id, text, lang, source, n_chars, score FROM (
 ORDER BY score DESC, doc_id LIMIT 20
 """
 
-    _s0 = _STEM_S0  # quotes already SQL-escaped inside stem_sql_stages
     # full ru_en analyzer chain on `text` — shared by analyze_tokens and
-    # the inverted-index oracle
-    _analyze_sql = f"""list_transform(
-      list_transform(
-        list_transform(
-          list_filter({_sql_tokens("text")}, t -> NOT list_contains({_ALL_SW_SQL}, t)),
-          t -> {_s0}
-        ),
-        t1 -> {_STEM_S1}
-      ),
-      t2 -> {_STEM_S2}
-    )"""
+    # the inverted-index oracle; the stemmer SQL is emitted by the same
+    # stage functions that build the Spark Column pipeline
+    _analyze_sql = T.stem_sql(
+        f"list_filter({_sql_tokens('text')}, "
+        f"t -> NOT list_contains({_ALL_SW_SQL}, t))"
+    )
     o["analyze_tokens"] = f"""
 SELECT doc_id,
   COALESCE(array_to_string({_analyze_sql}, '|'), '') AS tokens

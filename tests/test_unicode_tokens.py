@@ -81,12 +81,11 @@ def test_normalize_text_removes_divergences(spark, duck):
 
 
 # ---------------------------------------------------------------------------
-# Stemmer ↔ Snowball parity (reference es_movies.json:24-33 uses the real
-# snowball `english`/`russian` stemmers; ours is a light regex stand-in).
-# CONVERGED pins vocabulary where the light stemmer now MATCHES snowball;
-# DIVERGENT pins the remaining known gaps with the light stemmer's actual
-# output. The rule: DIVERGENT may only SHRINK — moving a word from
-# DIVERGENT to CONVERGED is progress, the reverse is a regression.
+# Stemmer ↔ Snowball parity (reference es_movies.json:24-33 pins the real
+# snowball `english`/`russian` stemmers; functions/snowball.py implements
+# them in full). The former DIVERGENT list of the round-2/3 light stemmer
+# is now EMPTY — every pinned word must match true Snowball output.
+# Deep cross-backend coverage lives in tests/test_snowball.py.
 # ---------------------------------------------------------------------------
 
 SNOWBALL_CONVERGED = {
@@ -105,6 +104,23 @@ SNOWBALL_CONVERGED = {
     "discussed": "discuss",
     "quickly": "quick",
     "address": "address",
+    # formerly-divergent vocabulary of the light stemmer
+    "cats": "cat",
+    "dies": "die",
+    "relational": "relat",
+    "happily": "happili",
+    # exceptional forms + guards
+    "skis": "ski",
+    "skies": "sky",
+    "dying": "die",
+    "news": "news",
+    "inning": "inning",
+    "proceed": "proceed",
+    "generate": "generat",
+    "general": "general",
+    "communism": "communism",   # commun- prefix keeps R2 short
+    "controlling": "control",
+    "beautifully": "beauti",
     # russian (snowball `russian` outputs)
     "фильмы": "фильм",
     "фильмами": "фильм",
@@ -112,15 +128,14 @@ SNOWBALL_CONVERGED = {
     "человека": "человек",
     "возможностью": "возможн",
     "возможности": "возможн",
+    "делавши": "дела",
+    "говорить": "говор",
+    "красивейший": "красив",
+    "новостей": "новост",
+    "ёлками": "елк",
 }
 
-SNOWBALL_DIVERGENT = {
-    # word: (light-stemmer output, snowball output)
-    "cats": ("cats", "cat"),          # len<=4 guard keeps short roots whole
-    "dies": ("dies", "die"),
-    "relational": ("relational", "relat"),  # no -ational family
-    "happily": ("happi", "happili"),  # porter2 y→i precedes -li handling
-}
+SNOWBALL_DIVERGENT: dict[str, tuple[str, str]] = {}
 
 
 def _stem(spark, words):
@@ -140,18 +155,13 @@ def test_stemmer_matches_snowball_on_converged_vocab(spark):
         for i, w in enumerate(words)
         if got[i] != SNOWBALL_CONVERGED[w]
     }
-    assert not bad, f"light stemmer diverged from snowball on: {bad}"
+    assert not bad, f"stemmer diverged from snowball on: {bad}"
 
 
-def test_stemmer_known_divergences_pinned(spark):
-    words = list(SNOWBALL_DIVERGENT)
-    got = _stem(spark, words)
-    for i, w in enumerate(words):
-        light, snowball = SNOWBALL_DIVERGENT[w]
-        assert got[i] == light, f"{w}: light output changed {got[i]} != {light}"
-        assert got[i] != snowball, (
-            f"{w}: now matches snowball — move it to SNOWBALL_CONVERGED"
-        )
+def test_stemmer_divergence_list_is_empty():
+    """Round-4 milestone (VERDICT r3 #2): full Snowball parity means no
+    pinned divergences remain."""
+    assert SNOWBALL_DIVERGENT == {}
 
 
 def test_full_lucene_stopword_sets():
@@ -170,18 +180,13 @@ def test_full_lucene_stopword_sets():
         assert w in RU_STOPWORDS
 
 
-def test_stem_sql_stages_paste_verbatim_into_duckdb():
-    """Each stage is documented as paste-ready SQL — the possessive
-    pattern's quote must be escaped INSIDE stem_sql_stages (regression:
-    only registry.py's call site patched it)."""
+def test_stem_sql_pastes_verbatim_into_duckdb():
+    """text.stem_sql emits a complete DuckDB expression over an array —
+    paste-ready, no quoting/parse errors, snowball outputs."""
     import duckdb
 
-    from djangoadmin_postgresql_2_elasticseach_spark.functions.text import stem_sql_stages
+    from djangoadmin_postgresql_2_elasticseach_spark.functions.text import stem_sql
 
-    s0, s1, s2 = stem_sql_stages()
-    q = (
-        "SELECT list_transform(list_transform(list_transform("
-        f"['dogs''s', 'running', 'stories'], t -> {s0}), t1 -> {s1}), t2 -> {s2}) AS r"
-    )
+    q = "SELECT " + stem_sql("['running', 'stories', 'фильмами']") + " AS r"
     (r,) = duckdb.sql(q).fetchone()
-    assert r[0] in ("dog", "dogs")  # possessive stripped, no parse error
+    assert list(r) == ["run", "stori", "фильм"]
