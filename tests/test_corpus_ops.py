@@ -375,21 +375,41 @@ def test_assembly_pipeline_end_to_end(spark):
 
 
 def test_dedup_clusters_raises_on_nonconvergence(spark):
-    """A chain whose diameter exceeds max_iter must RAISE, not return a
-    partially-propagated (wrong) clustering — regression for the silent
+    """Insufficient max_iter must RAISE, not return a partially-
+    contracted (wrong) clustering — regression for the silent
     max_iter exhaustion."""
     import pytest
 
     from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import dedup_clusters
 
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(1, 64)], "id_a long, id_b long"
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_clusters(chain, max_iter=2)
-    # and succeeds (identically) once max_iter covers the diameter
+    with pytest.raises(RuntimeError, match="star fixed point"):
+        dedup_clusters(chain, max_iter=1)
+    # and succeeds once max_iter covers the O(log n) round bound
     rows = dedup_clusters(chain, max_iter=10).collect()
     assert {r["cluster"] for r in rows} == {1}
+    assert all(r["cluster_size"] == 64 for r in rows)
+
+
+def test_dedup_clusters_long_chain_logarithmic_rounds(spark):
+    """VERDICT r3 #3 adversarial case: a 10⁴-node path graph — the
+    shape where min-label propagation needs diameter (10⁴) rounds —
+    must converge within the default max_iter=20 ≈ 2·log2(n)+2 rounds
+    of large-star/small-star, with every node labeled by the min."""
+    from pyspark.sql import functions as F
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import dedup_clusters
+
+    n = 10_000
+    chain = spark.range(1, n).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    rows = dedup_clusters(chain, max_iter=20).collect()
+    assert len(rows) == n
+    assert {r["cluster"] for r in rows} == {1}
+    assert all(r["cluster_size"] == n for r in rows)
 
 
 def test_minhash_index_persist_and_incremental(spark, tmp_path):
