@@ -289,11 +289,16 @@ def duplicated_passage_pairs(
 ) -> DataFrame:
     """Exact-substring duplicate detection: doc pairs sharing at least
     `min_shared` winnowing fingerprints — by the winnowing guarantee
-    (functions/text.winnow_fingerprints), every pair sharing a verbatim
-    run of ≥ w+k-1 tokens (23 at the defaults) is reported. This is the
-    passage-level complement of MinHash (which scores WHOLE-doc
-    similarity and misses a long quote inside two otherwise-different
-    docs).
+    (functions/text.winnow_fingerprints), any two docs sharing a
+    verbatim run of ≥ w+k-1 tokens (23 at the defaults) share at least
+    one fingerprint. NOTE (ADVICE r2): the `max_bucket` stop-bucket
+    guard below WEAKENS that guarantee — a fingerprint occurring in
+    more than `max_bucket` docs is dropped as boilerplate, so a pair
+    whose ONLY shared run is corpus-hot is not reported. Pass
+    ``max_bucket=None`` for the unconditional guarantee (quadratic in
+    the hottest fingerprint). This is the passage-level complement of
+    MinHash (which scores WHOLE-doc similarity and misses a long quote
+    inside two otherwise-different docs).
 
     Shape: explode fingerprints → hot-fingerprint stop-bucket guard
     (window-counted over the join key, same rationale as the LSH bands

@@ -101,11 +101,19 @@ def asof_join(
 
 
 def _bucket_of(ts: Column, bucket_minutes: int) -> Column:
-    """Fixed-width time bucket index (integer µs floor-division —
-    engine-exact, no timezone arithmetic)."""
-    return (F.unix_micros(ts) / F.lit(bucket_minutes * 60 * 1_000_000)).cast(
-        "long"
-    )
+    """Fixed-width time bucket index (exact integer FLOOR division —
+    engine-exact, no timezone arithmetic).
+
+    ``(a / b).cast("long")`` truncates toward zero, so pre-1970
+    (negative-µs) timestamps one tick below a boundary would round UP
+    into the wrong bucket and range_join could miss matches (ADVICE r2).
+    ``(a - pmod(a, b)) / b`` is a floor for both signs, stays exact
+    (the numerator is a multiple of b and |µs| < 2^53), and keeps the
+    whole expression codegen-side.
+    """
+    us = F.unix_micros(ts)
+    b = F.lit(bucket_minutes * 60 * 1_000_000)
+    return ((us - F.pmod(us, b)) / b).cast("long")
 
 
 def range_join(

@@ -17,8 +17,9 @@ filters reach the scan).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import weakref
 
+from pyspark.sql import Column, DataFrame
 
 # The under-partitioned probe (df.rdd.getNumPartitions) compiles the
 # physical plan — cheap once, but spread() wraps ~every corpus query, so
@@ -26,18 +27,34 @@ from pyspark.sql import Column, DataFrame
 # re-invocations, tests) would pay the compile each time. Memoize the
 # verdict per (session, analyzed-plan semantic hash): identical frames
 # probe once per driver lifetime.
-_UNDER_PART_CACHE: dict[tuple[int, int], bool] = {}
+#
+# ADVICE r2 hardening: the outer map is keyed by a WEAK reference to
+# the SparkSession (an id() key could be recycled by a later session at
+# the same address), and writers that change a table's file layout
+# (append/compact/overwrite) call invalidate_spread_cache() so a stale
+# "well-partitioned" verdict cannot outlive the layout that produced it.
+_UNDER_PART_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def invalidate_spread_cache(session=None) -> None:
+    """Drop memoized under-partitioned verdicts — for one session, or
+    all. Called by sources.writers after any layout-changing write."""
+    if session is None:
+        _UNDER_PART_CACHE.clear()
+    else:
+        _UNDER_PART_CACHE.pop(session, None)
 
 
 def _under_partitioned(df: DataFrame, threshold: int) -> bool:
     try:
-        key = (id(df.sparkSession), df.semanticHash())
+        per_session = _UNDER_PART_CACHE.setdefault(df.sparkSession, {})
+        key = (df.semanticHash(), threshold)
     except Exception:  # semanticHash is a developer API — fall back to probing
         return df.rdd.getNumPartitions() < threshold
-    hit = _UNDER_PART_CACHE.get(key)
+    hit = per_session.get(key)
     if hit is None:
         hit = df.rdd.getNumPartitions() < threshold
-        _UNDER_PART_CACHE[key] = hit
+        per_session[key] = hit
     return hit
 
 

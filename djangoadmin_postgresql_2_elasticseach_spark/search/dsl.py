@@ -55,10 +55,11 @@ def _apply_query(docs: DataFrame, q: dict, id_col: str) -> tuple[DataFrame, bool
         field, spec = next(iter(q["wildcard"].items()))
         value = spec["value"] if isinstance(spec, dict) else spec
         # translate ES wildcard (*, ?) to an anchored regex, escaping
-        # everything else
+        # everything else; (?s) makes */? cross newlines like Lucene's
+        # wildcard matcher (Java-regex '.' stops at \n otherwise)
         import re as _re
 
-        pattern = "^" + "".join(
+        pattern = "(?s)^" + "".join(
             ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
             for ch in str(value)
         ) + "$"

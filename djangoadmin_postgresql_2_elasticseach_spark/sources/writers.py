@@ -24,9 +24,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _layout_changed(session) -> None:
+    # a write that changes file layout invalidates memoized
+    # under-partitioned verdicts (plans/tuning.py ADVICE-r2 hardening)
+    from ..plans.tuning import invalidate_spread_cache
+
+    invalidate_spread_cache(session)
+
+
 def overwrite(df: DataFrame, path: str) -> None:
     """Full destructive refresh (reference load_data.py:51 TRUNCATE+reload)."""
     df.write.mode("overwrite").parquet(path)
+    _layout_changed(df.sparkSession)
 
 
 def append_if_absent(
@@ -47,6 +56,7 @@ def append_if_absent(
     n = fresh.count()
     if n:
         fresh.write.mode("append").parquet(path)
+        _layout_changed(spark)
     return n
 
 
@@ -67,6 +77,7 @@ def write_partitioned(
     df.withColumn("p_bucket", part).write.mode(mode).partitionBy(
         "p_bucket"
     ).parquet(path)
+    _layout_changed(df.sparkSession)
 
 
 def write_bucketed(
@@ -162,4 +173,5 @@ def compact_parquet(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+    _layout_changed(spark)
     return len(before), len(_parquet_files(path))

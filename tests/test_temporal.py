@@ -51,6 +51,28 @@ def test_range_join_bucket_boundary_and_inclusive_ends(spark):
     assert got == [_ts(5), _ts(29), _ts(31), _ts(35)]
 
 
+def test_range_join_pre_epoch_floor_buckets(spark):
+    """ADVICE r2: truncate-toward-zero bucketing put negative-µs
+    timestamps one tick below a boundary in the wrong bucket, so a
+    pre-1970 point could miss its interval. Floor division must pair
+    them — interval [1969-12-31 23:50, 23:59] with a 23:55 point."""
+    iv = spark.createDataFrame(
+        [(1, 7, dt.datetime(1969, 12, 31, 23, 50), dt.datetime(1969, 12, 31, 23, 59))],
+        "interval_id long, user_id long, w_start timestamp, w_end timestamp",
+    )
+    pts = spark.createDataFrame(
+        [
+            (7, dt.datetime(1969, 12, 31, 23, 55)),
+            (7, dt.datetime(1969, 12, 31, 23, 49)),  # outside
+            (7, dt.datetime(1970, 1, 1, 0, 1)),      # outside
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = range_join(pts, iv, "user_id", "ts", "w_start", "w_end", bucket_minutes=30)
+    got = [r["ts"] for r in out.collect()]
+    assert got == [dt.datetime(1969, 12, 31, 23, 55)]
+
+
 def test_range_join_no_duplicate_matches(spark):
     # a point matched by an interval spanning 3 buckets appears ONCE
     iv = spark.createDataFrame(
