@@ -997,19 +997,52 @@ STAGES = (
     ("ru4", _st_ru4),
 )
 
+# Script-dispatch gates: the en chain is a provable net no-op on tokens
+# with no Latin letter and the ru chain on tokens with no Cyrillic
+# character (module docstring, "Semantics notes"; the en0 `!`-marking of
+# short tokens is stripped again by en7, so skipping the WHOLE chain as a
+# unit preserves the net result). Each token's script flags are computed
+# ONCE up front and carried through the stages in a struct, so a typical
+# single-script token evaluates only its own 9-10 stages and a numeric
+# token evaluates none — ~2× less per-row stage work on mixed corpora.
+EN_GATE_RE = "[A-Za-z]"
+RU_GATE_RE = "[Ѐ-ӿ]"  # full Cyrillic block (incl. ё/Ё)
+
+
+def _gate_flag(name: str) -> str:
+    return "en" if name.startswith("en") else "ru"
+
 
 def stem_array_column(arr: Column) -> Column:
     """Apply the full en+ru snowball chain to an array<string> Column —
-    one F.transform per stage (lambda var bound once per element)."""
-    def _unary(fn):
-        # NOTE: F.transform introspects the lambda's arity (a 2-arg
-        # lambda receives (element, index)), so the stage must be bound
-        # via closure, never via a default argument.
-        return lambda x: fn(ColBackend, x)
+    one F.transform per stage (lambda var bound once per element), each
+    stage gated on the token's script flag (see EN_GATE_RE/RU_GATE_RE)."""
+    # NOTE: F.transform introspects the lambda's arity (a 2-arg lambda
+    # receives (element, index)), so stage/flag must be bound via a
+    # closure-returning factory, never via lambda default arguments.
+    def _wrap():
+        return lambda x: F.struct(
+            x.alias("t"),
+            x.rlike(EN_GATE_RE).alias("en"),
+            x.rlike(RU_GATE_RE).alias("ru"),
+        )
 
-    for _name, fn in STAGES:
-        arr = F.transform(arr, _unary(fn))
-    return arr
+    def _gated(fn, flag):
+        def apply(s):
+            return F.struct(
+                F.when(s[flag], fn(ColBackend, s["t"]))
+                .otherwise(s["t"])
+                .alias("t"),
+                s["en"].alias("en"),
+                s["ru"].alias("ru"),
+            )
+
+        return apply
+
+    arr = F.transform(arr, _wrap())
+    for name, fn in STAGES:
+        arr = F.transform(arr, _gated(fn, _gate_flag(name)))
+    return F.transform(arr, lambda s: s["t"])
 
 
 def stem_token_column(tok: Column) -> Column:
@@ -1018,9 +1051,20 @@ def stem_token_column(tok: Column) -> Column:
 
 
 def stem_array_sql(arr_sql: str) -> str:
-    """The same chain as DuckDB SQL over an array expression."""
-    out = arr_sql
-    for i, (_name, fn) in enumerate(STAGES):
+    """The same chain as DuckDB SQL over an array expression — struct-
+    carried script flags gate each stage exactly like the Column side."""
+    out = (
+        f"list_transform({arr_sql}, sbw -> {{'t': sbw, "
+        f"'en': regexp_matches(sbw, '{EN_GATE_RE}'), "
+        f"'ru': regexp_matches(sbw, '{RU_GATE_RE}')}})"
+    )
+    for i, (name, fn) in enumerate(STAGES):
         v = f"sb{i}"
-        out = f"list_transform({out}, {v} -> {_sq(fn(SqlBackend, _SqlExpr(v)))})"
-    return out
+        body = _sq(fn(SqlBackend, _SqlExpr(f"{v}.t")))
+        flag = _gate_flag(name)
+        out = (
+            f"list_transform({out}, {v} -> "
+            f"{{'t': CASE WHEN {v}.{flag} THEN {body} ELSE {v}.t END, "
+            f"'en': {v}.en, 'ru': {v}.ru}})"
+        )
+    return f"list_transform({out}, sbf -> sbf.t)"

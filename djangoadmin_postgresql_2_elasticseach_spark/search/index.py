@@ -18,9 +18,12 @@ search/query.py functions is pinned in tests/test_search_index.py.
 
 from __future__ import annotations
 
+import hashlib
 import json
+import os
+import tempfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -36,6 +39,76 @@ def analyzed_docs(
             f"{f}_tokens", F.array_distinct(T.analyze(F.col(f), stem=stem))
         )
     return out
+
+
+def _analyzer_version() -> str:
+    """Content hash of the whole analyzer definition (tokenizer regex +
+    stopword sets + the deterministic stemmer-SQL emission), so ANY rule
+    change invalidates cached index artifacts automatically."""
+    sig = "\x1f".join(
+        (T.TOKEN_SPLIT_RE, ",".join(T.ALL_STOPWORDS), T.stem_sql("arr"))
+    )
+    return hashlib.md5(sig.encode()).hexdigest()[:12]
+
+
+def analyzed_corpus_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache_root: str | None = None,
+) -> DataFrame:
+    """Index-time analysis, persisted: the (id, tokens) projection of the
+    corpus with the full ru_en analyzer applied ONCE per corpus version,
+    written as parquet and re-read by every subsequent query — the Spark
+    realization of ES analyzing documents at bulk-index time (reference
+    etl/main.py bulk path), not per search.
+
+    Cache key = corpus file identity (path + mtime + size of every
+    part file) + the analyzer-rule hash, so both data regeneration and
+    stemmer changes invalidate. Token arrays are stored UN-deduplicated
+    in document order; consumers needing a set apply array_distinct
+    (cheap) downstream. At 100 TB this artifact is the search index's
+    source of truth — built by the indexing pipeline, partitioned on
+    write; queries never re-run the analyzer over document bodies.
+    """
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    parts = [src]
+    if os.path.isdir(src):
+        parts = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(src)
+            for f in fs
+            if f.endswith(".parquet")
+        ) or [src]
+    ident = [os.path.abspath(src), _analyzer_version(), id_col, text_col]
+    for p in parts:
+        st = os.stat(p)
+        ident.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
+    key = hashlib.md5("\x1f".join(ident).encode()).hexdigest()[:16]
+    root = cache_root or os.environ.get(
+        "SPARK_GRAFT_INDEX_CACHE",
+        os.path.join(tempfile.gettempdir(), "spark_graft_index_cache"),
+    )
+    path = os.path.join(root, f"analyzed-{table}-{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from ..plans.tuning import spread
+
+        docs = spread(spark.read.parquet(src).select(id_col, text_col))
+        # build into a pid-suffixed dir, then one atomic rename — a
+        # concurrent builder loses the race cleanly and reuses the winner
+        tmp = f"{path}.build-{os.getpid()}"
+        docs.select(
+            id_col, T.analyze(F.col(text_col)).alias("tokens")
+        ).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
 
 
 def posting_table(

@@ -283,3 +283,27 @@ def test_knn_join_rank_limit_pushdown(spark):
     plan = plan_string(df)
     assert "WindowGroupLimit" in plan, plan
     assert "Broadcast" in plan, plan
+
+
+def test_stemmer_expression_weight_bounded():
+    """Plan-weight regression guard (r4 verdict): the Snowball chain's
+    deterministic SQL emission is a faithful proxy for the Column tree
+    (both backends emit from the same stage functions). r5 measured
+    ~139 KB; fail if it ever doubles — Catalyst analysis/codegen cost of
+    the analyzer is a per-job constant only while the tree stays flat."""
+    from djangoadmin_postgresql_2_elasticseach_spark.functions import text as T
+
+    assert len(T.stem_sql("arr")) < 280_000
+
+
+def test_analyzer_queries_read_persisted_index(spark):
+    """analyze_tokens/inverted_df must serve from the persisted
+    index-time artifact (search/index.analyzed_corpus_cached) — the plan
+    reading the tokens parquet, NOT re-running the analyzer chain over
+    document bodies per query (no regexp in the optimized plan)."""
+    for name in ("analyze_tokens", "inverted_df"):
+        df = registry.QUERIES[name](spark, SF_SMOKE)
+        plan = plan_string(df)
+        scan_lines = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+        assert scan_lines, plan[:1500]
+        assert "regexp_replace" not in plan, f"{name} re-derives tokens"
