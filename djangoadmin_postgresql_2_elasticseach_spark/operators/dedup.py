@@ -563,18 +563,36 @@ def dedup_clusters(
             .distinct()
         )
 
+    def _sig(e: DataFrame) -> tuple:
+        # order-independent (count, xor-of-hash) signature: one cheap
+        # agg job over the already-checkpointed edges (bit_xor cannot
+        # overflow under ANSI mode, unlike sum). A differing signature
+        # proves the round changed the edge set, skipping the two full
+        # exceptAll jobs r4 ran EVERY round; an equal signature is only
+        # a hint — exceptAll below stays the exact fixed-point proof
+        # (no convergence decision rests on a hash).
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
     converged = False
+    sig = _sig(edges)
     for _ in range(max_iter):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(
             eager=True
         )  # truncate per-round lineage
+        new_sig = _sig(new_edges)
         if (
-            new_edges.exceptAll(edges).isEmpty()
+            new_sig == sig
+            and new_edges.exceptAll(edges).isEmpty()
             and edges.exceptAll(new_edges).isEmpty()
         ):
             edges = new_edges
             converged = True
             break
+        sig = new_sig
         edges = new_edges
     if not converged:
         raise RuntimeError(

@@ -1,0 +1,447 @@
+"""Real media codecs for the multimodal operators (r4 VERDICT item 3).
+
+Two tiers, so real-bytes decode is TESTED in this container and
+full-coverage in production:
+
+1. Pure-stdlib decoders/encoders — PNG (zlib inflate + per-scanline
+   unfilter, the published RFC 2083 algorithm), PPM/PGM (netpbm binary),
+   BMP (BITMAPINFOHEADER, uncompressed 24/32-bit), WAV (stdlib ``wave``)
+   and JPEG header parsing (SOF dimensions — full JPEG entropy decode is
+   Pillow-tier). These run anywhere Python runs; the test suite
+   exercises decode → resize → re-encode → decode round trips on real
+   bytes with no third-party imports.
+2. Pillow fallback — when ``PIL`` is importable, any format stdlib
+   can't decode (JPEG, GIF, TIFF, WebP, ...) routes through it.
+   Skip-if-unavailable: without Pillow those formats raise
+   ``CodecUnavailable`` (a ``NotImplementedError``) and the metadata
+   path still works where the header is parseable.
+
+All functions are plain bytes→numpy/bytes transforms so they slot into
+the Arrow-batched ``mapInPandas`` plumbing in operators/multimodal.py
+unchanged — the executor-side batch shape is identical whichever tier
+decodes.
+
+Reference parity note: the reference system (Django/ES ETL) has no
+media pipeline; this module is part of the training-data-pipeline
+extension surface the build brief specifies.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+try:  # Pillow is optional — public library, absent in this container
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:  # pragma: no cover - exercised where PIL is absent
+    _PILImage = None
+    HAVE_PIL = False
+
+
+class CodecUnavailable(NotImplementedError):
+    """Raised when no available codec can decode the payload (e.g. JPEG
+    pixel decode without Pillow). Subclasses NotImplementedError so
+    callers treating a missing codec as 'not implemented here' keep
+    working."""
+
+
+# ---------------------------------------------------------------------------
+# Format sniffing (magic bytes)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_FAKE_MAGIC = b"FAKEIMG"
+
+
+def sniff(payload: bytes | None) -> str:
+    """Identify a payload by magic bytes: 'png' | 'jpeg' | 'bmp' |
+    'ppm' | 'pgm' | 'gif' | 'wav' | 'fake' | 'unknown'."""
+    if not payload or len(payload) < 4:
+        return "unknown"
+    if payload[:8] == _PNG_SIG:
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] in (b"P6", b"P3"):
+        return "ppm"
+    if payload[:2] in (b"P5", b"P2"):
+        return "pgm"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:7] == _FAKE_MAGIC:
+        return "fake"
+    return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# PNG (RFC 2083): stdlib decode/encode for 8-bit gray/RGB/RGBA
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+
+
+def png_meta(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from IHDR — no pixel decode."""
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w, h, _depth, color, _comp, _filt, _inter = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+            return w, h, _PNG_CHANNELS.get(color, 0)
+        break
+    raise ValueError("IHDR not first chunk")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → uint8 array (H, W, C). Supports 8-bit depth, color types
+    0/2/4/6, non-interlaced (palette/16-bit route to Pillow)."""
+    ihdr = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("no IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2, 4, 6) or interlace != 0:
+        if HAVE_PIL:
+            return _pil_decode(payload)
+        raise CodecUnavailable(
+            f"png depth={depth} color={color} interlace={interlace} "
+            "needs Pillow"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad IDAT length")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += stride + 1
+        cur = line.copy()
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (cur.astype(np.uint16) + prev) .astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                ul = int(prev[x - ch]) if x >= ch else 0
+                cur[x] = (int(line[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad filter {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(h, w, ch)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 (H, W) or (H, W, C) → PNG bytes (filter 0 rows)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    body = bytearray()
+    flat = np.ascontiguousarray(arr.astype(np.uint8)).reshape(h, w * ch)
+    for y in range(h):
+        body.append(0)
+        body.extend(flat[y].tobytes())
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Netpbm (PPM P6 / PGM P5) — binary variants
+# ---------------------------------------------------------------------------
+
+
+def _pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """(magic, width, height, maxval, data_offset) — whitespace/comment
+    tolerant per the netpbm spec."""
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    return payload[:2], fields[0], fields[1], fields[2], pos + 1
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    magic, w, h, maxval, off = _pnm_header(payload)
+    if magic not in (b"P5", b"P6") or maxval > 255:
+        raise CodecUnavailable(f"pnm {magic!r} maxval={maxval} unsupported")
+    ch = 3 if magic == b"P6" else 1
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=off)
+    return data.reshape(h, w, ch)
+
+
+def encode_pnm(arr: np.ndarray) -> bytes:
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch == 3:
+        magic = b"P6"
+    elif ch == 1:
+        magic = b"P5"
+    else:
+        raise ValueError("pnm supports 1 or 3 channels")
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# BMP (BITMAPINFOHEADER, uncompressed 24/32-bit)
+# ---------------------------------------------------------------------------
+
+
+def bmp_meta(payload: bytes) -> tuple[int, int, int]:
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    return w, abs(h), max(1, bpp // 8)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    w, h = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    comp = struct.unpack("<I", payload[30:34])[0] if hdr_size >= 20 else 0
+    if comp != 0 or bpp not in (24, 32):
+        if HAVE_PIL:
+            return _pil_decode(payload)
+        raise CodecUnavailable(f"bmp bpp={bpp} compression={comp} needs Pillow")
+    flip = h > 0
+    h = abs(h)
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3
+    rows = []
+    for y in range(h):
+        row = np.frombuffer(
+            payload, dtype=np.uint8, count=w * ch, offset=off + y * stride
+        ).reshape(w, ch)
+        rows.append(row)
+    arr = np.stack(rows[::-1] if flip else rows)
+    # BGR(A) → RGB(A)
+    if ch >= 3:
+        arr = arr[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]
+    return np.ascontiguousarray(arr)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    arr = arr[:, :, :3]
+    h, w, _stub = arr.shape
+    stride = (w * 3 + 3) & ~3
+    img = bytearray()
+    bgr = arr[:, :, ::-1].astype(np.uint8)
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        img += bgr[y].tobytes() + pad
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(img), 0, 0, 14 + 40)
+    return header + info + bytes(img)
+
+
+# ---------------------------------------------------------------------------
+# JPEG — header-only dimensions (pixel decode is Pillow-tier)
+# ---------------------------------------------------------------------------
+
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+             0xCD, 0xCE, 0xCF}
+
+
+def jpeg_meta(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the SOF marker."""
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker in _JPEG_SOF:
+            h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            ch = payload[pos + 9]
+            return w, h, ch
+        pos += 2 + seglen
+    raise ValueError("no SOF marker")
+
+
+# ---------------------------------------------------------------------------
+# WAV (stdlib wave)
+# ---------------------------------------------------------------------------
+
+
+def wav_meta(payload: bytes) -> tuple[int, int, int, float]:
+    """(n_channels, sample_rate, n_frames, duration_sec)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        ch, _width, rate, n = (
+            f.getnchannels(),
+            f.getsampwidth(),
+            f.getframerate(),
+            f.getnframes(),
+        )
+    return ch, rate, n, (n / rate if rate else 0.0)
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """WAV → int16 samples (n_frames, n_channels). 8-bit widened."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        ch, width, n = f.getnchannels(), f.getsampwidth(), f.getnframes()
+        frames = f.readframes(n)
+    if width == 2:
+        arr = np.frombuffer(frames, dtype="<i2")
+    elif width == 1:
+        arr = (np.frombuffer(frames, dtype=np.uint8).astype(np.int16) - 128) * 256
+    else:
+        raise CodecUnavailable(f"wav sample width {width} unsupported")
+    return arr.reshape(-1, ch)
+
+
+def encode_wav(arr: np.ndarray, sample_rate: int = 16000) -> bytes:
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(arr.shape[1])
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(arr.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Unified entry points
+# ---------------------------------------------------------------------------
+
+
+def _pil_decode(payload: bytes) -> np.ndarray:  # pragma: no cover - needs PIL
+    img = _PILImage.open(io.BytesIO(payload))
+    return np.asarray(img.convert(img.mode if img.mode in ("L", "RGB", "RGBA") else "RGB"))
+
+
+def image_meta(payload: bytes) -> tuple[int, int, int, str]:
+    """(width, height, channels, format) via header parse only — the
+    cheap metadata path; never inflates pixel data."""
+    fmt = sniff(payload)
+    if fmt == "png":
+        w, h, c = png_meta(payload)
+    elif fmt == "bmp":
+        w, h, c = bmp_meta(payload)
+    elif fmt in ("ppm", "pgm"):
+        _m, w, h, _mx, _o = _pnm_header(payload)
+        c = 3 if fmt == "ppm" else 1
+    elif fmt == "jpeg":
+        w, h, c = jpeg_meta(payload)
+    else:
+        raise ValueError(f"not an image payload: {fmt}")
+    return w, h, c, fmt
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """payload → uint8 (H, W, C): stdlib tier first, Pillow fallback."""
+    fmt = sniff(payload)
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt in ("ppm", "pgm"):
+        return decode_pnm(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if HAVE_PIL:
+        return _pil_decode(payload)
+    raise CodecUnavailable(f"decoding {fmt!r} requires Pillow")
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(arr)
+    if fmt in ("ppm", "pgm"):
+        return encode_pnm(arr)
+    if fmt == "bmp":
+        return encode_bmp(arr)
+    raise CodecUnavailable(f"encoding {fmt!r} unsupported")
+
+
+def resize_nn(arr: np.ndarray, max_dim: int) -> np.ndarray:
+    """Nearest-neighbor downscale so max(H, W) <= max_dim (no-op when
+    already under). Deterministic, dependency-free; a production
+    pipeline swaps in Pillow/opencv Lanczos behind the same signature."""
+    h, w = arr.shape[:2]
+    scale = max(h, w) / max_dim
+    if scale <= 1:
+        return arr
+    nh, nw = max(1, int(h / scale)), max(1, int(w / scale))
+    ys = (np.arange(nh) * (h / nh)).astype(int).clip(0, h - 1)
+    xs = (np.arange(nw) * (w / nw)).astype(int).clip(0, w - 1)
+    return arr[ys][:, xs]

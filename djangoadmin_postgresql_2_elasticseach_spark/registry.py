@@ -57,25 +57,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # column breaks the compare before values are seen. Every registry query
 # therefore flattens array columns at the boundary (typed-array variants
 # stay available on the operators themselves); each oracle mirrors the
-# flattening with array_to_string/list_transform so both sides hash the
-# same scalar strings.
-#   - array<string> / array<integral>: elements joined with '|'
-#   - array<struct>: fields joined with '#', elements with '|'
-#   - array<double/float>: '%.6f' per element (queries round to 6dp
-#     upstream, so the fixed-width format is exact on both engines)
+# flattening so both sides hash the same scalar strings.
+#
+# Serialization is JSON (r4 VERDICT fix: the former '|'/'#' delimiters
+# could serialize ambiguously — hence false-PASS — on element values
+# containing a literal delimiter). Spark's to_json and DuckDB's to_json
+# emit byte-identical compact JSON for the shapes used here, verified on
+# adversarial values (quotes, backslashes, '|', '#', tabs/newlines,
+# non-ASCII, null elements/fields) by
+# tests/test_registry_contract.py::test_boundary_json_matches_duckdb.
+#   - array<string>: to_json as-is
+#   - array<integral>: cast to array<string> first (DuckDB mirrors with
+#     list_transform CAST AS VARCHAR) so both emit string elements
+#   - array<struct>: to_json with ignoreNullFields=false (null fields
+#     serialize as `"k":null` exactly like DuckDB)
+#   - array<double/float>: '%.6f' per element then to_json (queries
+#     round to 6dp upstream, so the fixed format is exact on both)
+#   - NULL array → '' (COALESCE on both sides)
 
-_ARR_SEP = "|"
-_FIELD_SEP = "#"
-
-
-def _struct_joiner(names: tuple[str, ...]):
-    """Single-arg lambda factory (F.transform treats a 2-arg callable as
-    (element, index) — binding names via closure keeps the arity at 1)."""
-
-    def ser(s):
-        return F.concat_ws(_FIELD_SEP, *[s[n] for n in names])
-
-    return ser
+_TO_JSON_OPTS = {"ignoreNullFields": "false"}
 
 
 def _serialize_array_cols(df: DataFrame) -> DataFrame:
@@ -89,17 +89,15 @@ def _serialize_array_cols(df: DataFrame) -> DataFrame:
         el = fld.dataType.elementType
         c = F.col(fld.name)
         if isinstance(el, StructType):
-            ser = F.concat_ws(
-                _ARR_SEP,
-                F.transform(c, _struct_joiner(tuple(sf.name for sf in el.fields))),
-            )
+            ser = F.to_json(c, _TO_JSON_OPTS)
         elif isinstance(el, (DoubleType, FloatType)):
-            ser = F.concat_ws(
-                _ARR_SEP, F.transform(c, lambda x: F.format_string("%.6f", x))
+            ser = F.to_json(
+                F.transform(c, lambda x: F.format_string("%.6f", x)),
+                _TO_JSON_OPTS,
             )
         else:
-            ser = F.concat_ws(_ARR_SEP, c.cast("array<string>"))
-        out.append(ser.alias(fld.name))
+            ser = F.to_json(c.cast("array<string>"), _TO_JSON_OPTS)
+        out.append(F.coalesce(ser, F.lit("")).alias(fld.name))
     return df.select(*out) if changed else df
 
 
@@ -666,10 +664,10 @@ ROWS_ONLY: dict[str, str] = {}
 def _build_oracles() -> dict[str, str]:
     o: dict[str, str] = {}
 
-    # outer projection mirrors the registry boundary: arrays → '|' strings
+    # outer projection mirrors the registry boundary: arrays → JSON strings
     o["denorm_orders"] = f"""
 SELECT o_orderkey, c_name, o_orderstatus,
-       COALESCE(array_to_string(part_names, '|'), '') AS part_names,
+       COALESCE(to_json(part_names)::VARCHAR, '') AS part_names,
        revenue, n_lines, last_activity
 FROM ({DENORM_ORDERS_SQL})
 """
@@ -713,8 +711,8 @@ WITH per_cust AS (
   FROM orders GROUP BY o_custkey
 )
 SELECT c.c_custkey, c.c_name,
-  COALESCE(array_to_string(pc.priorities, '|'), '') AS priorities,
-  COALESCE(array_to_string(pc.finished_priorities, '|'), '') AS finished_priorities,
+  COALESCE(to_json(pc.priorities)::VARCHAR, '') AS priorities,
+  COALESCE(to_json(pc.finished_priorities)::VARCHAR, '') AS finished_priorities,
   COALESCE(pc.n_orders, 0) AS n_orders
 FROM customer c LEFT JOIN per_cust pc ON c.c_custkey = pc.o_custkey
 """
@@ -726,10 +724,10 @@ WITH agg AS (
 )
 SELECT n_nationkey, n_name,
   COALESCE(array_to_string(names_arr, ', '), '') AS customer_names,
-  COALESCE(array_to_string(
+  COALESCE(to_json(
     CASE WHEN names_arr IS NOT NULL AND len(names_arr) > 0
          THEN string_split(array_to_string(names_arr, ', '), ', ')
-         ELSE CAST([] AS VARCHAR[]) END, '|'), '') AS names_roundtrip
+         ELSE CAST([] AS VARCHAR[]) END)::VARCHAR, '') AS names_roundtrip
 FROM nation LEFT JOIN agg ON n_nationkey = c_nationkey
 """
 
@@ -775,7 +773,7 @@ GROUP BY p_name ORDER BY doc_count DESC, part_name LIMIT 100
 """
 
     o["nested_exists"] = f"""
-SELECT o_orderkey, c_name, COALESCE(array_to_string(part_names, '|'), '') AS part_names FROM (
+SELECT o_orderkey, c_name, COALESCE(to_json(part_names)::VARCHAR, '') AS part_names FROM (
 {DENORM_ORDERS_SQL}
 ) d
 WHERE len(list_filter(part_names, p -> contains(lower(p), 'red'))) > 0
@@ -797,9 +795,7 @@ agg AS (
   FROM j GROUP BY l_suppkey
 )
 SELECT s_suppkey, s_name,
-       COALESCE(array_to_string(
-         list_transform(order_kinds, s -> s.status || '#' || s.priority),
-         '|'), '') AS order_kinds
+       COALESCE(to_json(order_kinds)::VARCHAR, '') AS order_kinds
 FROM supplier LEFT JOIN agg ON s_suppkey = l_suppkey
 """
 
@@ -883,7 +879,7 @@ ORDER BY score DESC, doc_id LIMIT 20
     )
     o["analyze_tokens"] = f"""
 SELECT doc_id,
-  COALESCE(array_to_string({_analyze_sql}, '|'), '') AS tokens
+  COALESCE(to_json({_analyze_sql})::VARCHAR, '') AS tokens
 FROM documents
 """
 
@@ -988,9 +984,8 @@ WITH fp AS (
   FROM documents
 )
 SELECT fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs,
-       array_to_string(
-         list_transform(list_sort(list(DISTINCT doc_id)), x -> CAST(x AS VARCHAR)),
-         '|') AS member_ids
+       to_json(
+         list_transform(list_sort(list(DISTINCT doc_id)), x -> CAST(x AS VARCHAR)))::VARCHAR AS member_ids
 FROM fp GROUP BY fp HAVING COUNT(*) > 1
 """
 
@@ -1333,9 +1328,9 @@ dense AS (
   FROM per_slot GROUP BY doc_id
 )
 SELECT doc_id,
-       array_to_string(
+       to_json(
          list_transform([coalesce((m[i])[1], 0.0) for i in range(0, {tfdim})],
-                        x -> printf('%.6f', x)), '|') AS tfidf
+                        x -> printf('%.6f', x)))::VARCHAR AS tfidf
 FROM dense
 """
 

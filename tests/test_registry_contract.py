@@ -47,3 +47,57 @@ def test_query_output_is_driver_hashable(name, spark):
         f"{name}: non-scalar output columns {bad} would break the driver "
         f"canonicalizer — serialize them at the registry boundary"
     )
+
+
+def test_boundary_json_matches_duckdb(spark):
+    """The r4 VERDICT harness fix: boundary serialization must be
+    collision-free AND byte-identical across engines on adversarial
+    values — literal '|', '#', quotes, backslashes, control chars,
+    non-ASCII, null elements/fields, null/empty arrays. The former
+    delimiter scheme serialized ['a|b'] and ['a','b'] identically
+    (a false-PASS hazard); JSON cannot."""
+    import duckdb
+
+    from djangoadmin_postgresql_2_elasticseach_spark.registry import (
+        _serialize_array_cols,
+    )
+
+    strs = ['a|b', 'c#d', 'a', 'b', 'q"uote', 'back\\slash', 'кот',
+            'tab\tx', 'nl\nx', '', 'é€𝄞']
+    sdf = _serialize_array_cols(
+        spark.createDataFrame(
+            [(strs, [1, 2, None], [0.5, 1.0 / 3], [("F", None), ("O", "x|y")])],
+            "s array<string>, i array<bigint>, d array<double>, "
+            "st array<struct<status:string,priority:string>>",
+        )
+    )
+    row = sdf.first()
+    con = duckdb.connect()
+    want_s = con.execute(
+        "SELECT to_json(?::VARCHAR[])::VARCHAR", [strs]
+    ).fetchone()[0]
+    want_i = con.execute(
+        "SELECT to_json(list_transform([1,2,NULL], x -> CAST(x AS VARCHAR)))::VARCHAR"
+    ).fetchone()[0]
+    want_d = con.execute(
+        "SELECT to_json(list_transform([0.5, 1.0/3], x -> printf('%.6f', x)))::VARCHAR"
+    ).fetchone()[0]
+    want_st = con.execute(
+        "SELECT to_json([{'status': 'F', 'priority': NULL},"
+        " {'status': 'O', 'priority': 'x|y'}])::VARCHAR"
+    ).fetchone()[0]
+    assert row["s"] == want_s
+    assert row["i"] == want_i
+    assert row["d"] == want_d
+    assert row["st"] == want_st
+    # the two shapes the delimiter scheme conflated must now differ
+    two = _serialize_array_cols(
+        spark.createDataFrame([(["a|b"],), (["a", "b"],)], "s array<string>")
+    )
+    got = {r["s"] for r in two.collect()}
+    assert len(got) == 2, got
+    # null and empty arrays keep their distinct encodings on both sides
+    ne = _serialize_array_cols(
+        spark.createDataFrame([(None,), ([],)], "s array<string>")
+    ).collect()
+    assert {r["s"] for r in ne} == {"", "[]"}
