@@ -2,10 +2,12 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing is real and tested: schema contract, partition-
-preserving batch iteration, Arrow transfer shapes. The codec itself is
-pluggable; this container has no image/audio libraries, so the default
-codec is a clearly-marked deterministic FAKE (parses our own synthetic
-header) and the real-decode entry point raises NotImplementedError.
+preserving batch iteration, Arrow transfer shapes. Since r5 the codec
+is real too (operators/media_codec.py): pure-stdlib PNG/PPM/PGM/BMP/WAV
+decode + encode and JPEG header parsing, with a Pillow fallback for
+formats stdlib can't decode (skip-if-unavailable — this container ships
+no Pillow, so JPEG pixel decode raises ``CodecUnavailable``). The
+synthetic FAKEIMG codec remains for plumbing fixtures.
 
 Scale design:
 - payloads never pass through the driver; mapInPandas streams Arrow
@@ -61,6 +63,7 @@ MEDIA_META_SCHEMA = StructType(
         StructField("height", IntegerType(), True),
         StructField("channels", IntegerType(), True),
         StructField("valid", StringType(), True),
+        StructField("format", StringType(), True),
     ]
 )
 
@@ -72,14 +75,24 @@ def encode_fake_image(media_id: int, width: int, height: int, channels: int = 3)
     return header + body
 
 
-def decode_real(payload: bytes):  # pragma: no cover - stub by design
-    """Real image decode — requires an image library not present in this
-    container. STUB: wire Pillow/ffmpeg here in production."""
-    raise NotImplementedError(
-        "real media decode needs an image/audio library; this environment "
-        "ships none — use the fake codec path (decode_fake) which exercises "
-        "the identical Spark plumbing"
-    )
+def decode_real(payload: bytes):
+    """Real image decode → uint8 numpy (H, W, C).
+
+    stdlib tier (PNG / PPM / PGM / BMP — media_codec.py) decodes with no
+    third-party imports; other formats fall back to Pillow when
+    importable and raise ``CodecUnavailable`` (a NotImplementedError)
+    otherwise. Unidentifiable bytes raise ValueError."""
+    from . import media_codec as C
+
+    fmt = C.sniff(payload)
+    if fmt in ("unknown", "fake", "wav"):
+        raise ValueError(f"not a decodable image payload: {fmt}")
+    try:
+        return C.decode_image(payload)
+    except (NotImplementedError, ValueError):
+        raise
+    except Exception as exc:  # Pillow's format-specific errors
+        raise ValueError(f"undecodable {fmt} payload: {exc}") from exc
 
 
 def _decode_fake(payload: bytes | None):
@@ -91,13 +104,41 @@ def _decode_fake(payload: bytes | None):
     return int(w), int(h), int(c), "ok"
 
 
+def _meta_of(payload: bytes | None):
+    """(width, height, channels, valid, format) for ANY payload —
+    header parse only (real formats via media_codec.image_meta /
+    wav_meta; the synthetic FAKEIMG header; everything else 'corrupt').
+    Never inflates pixel data — the metadata path stays cheap even on
+    multi-MB payloads."""
+    from . import media_codec as C
+
+    if payload is None:
+        return None, None, None, "null", None
+    fmt = C.sniff(payload)
+    try:
+        if fmt == "fake":
+            w, h, c, valid = _decode_fake(payload)
+            return w, h, c, valid, "fake"
+        if fmt == "wav":
+            ch, _rate, n, _dur = C.wav_meta(payload)
+            return int(n), None, int(ch), "ok", "wav"
+        if fmt in ("png", "bmp", "ppm", "pgm", "jpeg"):
+            w, h, c, _f = C.image_meta(payload)
+            return int(w), int(h), int(c), "ok", fmt
+    except Exception:
+        return None, None, None, "corrupt", fmt
+    return None, None, None, "corrupt", None
+
+
 def extract_metadata(media: DataFrame) -> DataFrame:
     """binary payload → typed metadata struct, executor-side via
-    Arrow-batched mapInPandas (the shape a real decode would use)."""
+    Arrow-batched mapInPandas. Real formats (PNG/PPM/PGM/BMP/JPEG/WAV)
+    and the synthetic FAKEIMG header share one dispatch; for WAV,
+    ``width`` carries n_frames and ``height`` is null."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf["payload"].map(_decode_fake)
+            meta = pdf["payload"].map(_meta_of)
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -109,6 +150,7 @@ def extract_metadata(media: DataFrame) -> DataFrame:
                     "height": meta.map(lambda m: m[1]),
                     "channels": meta.map(lambda m: m[2]),
                     "valid": meta.map(lambda m: m[3]),
+                    "format": meta.map(lambda m: m[4]),
                 }
             )
             yield out
@@ -195,6 +237,102 @@ def feature_extract_stub(media: DataFrame, dim: int = 16) -> DataFrame:
                 embs.append([v / total for v in hist])
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "embedding": embs}
+            )
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+def resize_real(media: DataFrame, max_dim: int) -> DataFrame:
+    """REAL resize: decode (stdlib/Pillow tier) → nearest-neighbor
+    downscale to max(H, W) <= max_dim → re-encode in the ORIGINAL
+    format. FAKEIMG payloads take the header-clamp path; payloads no
+    codec can decode (or undecodable bytes) pass through unchanged —
+    a pipeline filters those on extract_metadata().valid first.
+
+    Output schema == input schema, so it composes with
+    extract_metadata / feature_extract exactly like resize_stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import media_codec as C
+
+        def shrink(b):
+            if b is None:
+                return None
+            fmt = C.sniff(b)
+            if fmt == "fake":
+                if len(b) < _HEADER_LEN:
+                    return b
+                _, w, h, c = struct.unpack(_HEADER, b[:_HEADER_LEN])
+                scale = max(w, h) / max_dim if max(w, h) > max_dim else 1
+                nw, nh = max(1, int(w / scale)), max(1, int(h / scale))
+                return struct.pack(_HEADER, _MAGIC, nw, nh, c) + b[_HEADER_LEN:]
+            if fmt in ("png", "ppm", "pgm", "bmp"):
+                try:
+                    arr = C.decode_image(b)
+                except Exception:
+                    return b
+                small = C.resize_nn(arr, max_dim)
+                if small is arr:
+                    return b  # already under the cap — keep exact bytes
+                return C.encode_image(small, fmt)
+            return b
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = pdf["payload"].map(shrink)
+            yield pdf
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def feature_extract_real(media: DataFrame, dim: int = 16) -> DataFrame:
+    """REAL feature extraction: decode pixels (stdlib/Pillow tier) and
+    emit a normalized ``dim``-bucket intensity histogram over the
+    DECODED image — the deterministic, dependency-free stand-in for a
+    model forward pass (identical schema/batch shape, so swapping in an
+    ONNX/torch encoder changes only the body of ``embed``).
+
+    FAKEIMG payloads hash their body bytes (the r4 behavior); WAV
+    payloads histogram |samples|; undecodable payloads embed to null.
+    Output (media_id, embedding array<float>) composes with the ANN
+    operators like feature_extract_stub."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import media_codec as C
+
+        def embed(b):
+            if b is None:
+                return None
+            fmt = C.sniff(b)
+            try:
+                if fmt == "fake":
+                    vals = np.frombuffer(b, dtype=np.uint8, offset=_HEADER_LEN)
+                elif fmt == "wav":
+                    vals = (np.abs(C.decode_wav(b)) // 129).astype(np.uint8)
+                else:
+                    vals = C.decode_image(b)
+            except Exception:
+                return None
+            hist = np.bincount(
+                (vals.reshape(-1).astype(np.int64) % dim), minlength=dim
+            ).astype(np.float64)
+            total = hist.sum() or 1.0
+            return [float(v) for v in hist / total]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "embedding": pdf["payload"].map(embed),
+                }
             )
 
     return media.mapInPandas(run, schema=out_schema)
