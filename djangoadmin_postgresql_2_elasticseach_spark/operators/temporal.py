@@ -107,13 +107,19 @@ def _bucket_of(ts: Column, bucket_minutes: int) -> Column:
     ``(a / b).cast("long")`` truncates toward zero, so pre-1970
     (negative-µs) timestamps one tick below a boundary would round UP
     into the wrong bucket and range_join could miss matches (ADVICE r2).
-    ``(a - pmod(a, b)) / b`` is a floor for both signs, stays exact
-    (the numerator is a multiple of b and |µs| < 2^53), and keeps the
-    whole expression codegen-side.
+    ``(a - pmod(a, b)) / b`` is a floor for both signs; the division
+    runs in DECIMAL (ADVICE r4: the former double leg was exact only
+    while |µs| < 2^53 ≈ year 2255). The numerator is an exact multiple
+    of b, so the decimal quotient is integral and the final cast is
+    exact over the entire long range — no float anywhere, still
+    codegen-side.
     """
     us = F.unix_micros(ts)
     b = F.lit(bucket_minutes * 60 * 1_000_000)
-    return ((us - F.pmod(us, b)) / b).cast("long")
+    # subtraction in decimal too: a long-typed `us - pmod` would
+    # ANSI-overflow within half a bucket of Long.MIN
+    num = us.cast("decimal(38,0)") - F.pmod(us, b)
+    return (num / b).cast("long")
 
 
 def range_join(

@@ -10,6 +10,11 @@ row-group skipping for free once filters are expressed on the DataFrame;
 the incremental `modified > ckpt` predicate therefore prunes at the file/
 row-group level when data is written time-partitioned (see
 streaming/incremental.py).
+
+Runtime dependency note: the events-unit probe (``events_ts_unit``)
+reads the parquet footer via pyarrow, making pyarrow a hard dependency
+of every events read path (it ships with PySpark's SQL extra and is
+baked into this environment).
 """
 
 from __future__ import annotations
@@ -36,12 +41,18 @@ def _events_ts_unit_cached(path: str, mtime_ns: int) -> str:
 
     probe = path
     if os.path.isdir(probe):
+        # recursive walk (ADVICE r4): a partitioned layout nests part
+        # files under key=value subdirectories, which a top-level
+        # listing misses
         parts = sorted(
-            f for f in os.listdir(probe) if f.endswith(".parquet")
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(probe)
+            for f in files
+            if f.endswith(".parquet")
         )
         if not parts:
             raise FileNotFoundError(f"no parquet parts under {probe}")
-        probe = os.path.join(probe, parts[0])
+        probe = parts[0]
     t = pq.read_schema(probe).field("ts").type
     if pa.types.is_timestamp(t):
         return t.unit  # 'ns' / 'us' / 'ms'

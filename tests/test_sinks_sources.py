@@ -365,3 +365,25 @@ def test_events_unit_probe_invalidates_on_rewrite(spark, tmp_path):
     _write_events_fixture(d, "us")
     os.utime(os.path.join(d, "events.parquet"), ns=(1, 1))
     assert events_ts_unit(d) == "us"
+
+
+def test_events_unit_probe_recurses_partitioned_layout(tmp_path):
+    """ADVICE r4: a partition-subdirectory layout (events.parquet/
+    p_bucket=.../part-*.parquet) must probe via recursive walk, not a
+    top-level listing."""
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import (
+        events_ts_unit,
+    )
+
+    d = str(tmp_path)
+    nested = tmp_path / "events.parquet" / "p_bucket=0"
+    nested.mkdir(parents=True)
+    # reuse the fixture writer into the nested dir, then move the file
+    inner = str(tmp_path / "inner")
+    os.makedirs(inner)
+    _write_events_fixture(inner, "us")
+    os.rename(
+        os.path.join(inner, "events.parquet"),
+        str(nested / "part-00000.parquet"),
+    )
+    assert events_ts_unit(d) == "us"
