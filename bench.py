@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "clean_corpus",
     "split_corpus",
     "tfidf_vectors",
+    "doc_lm_logprob",
+    "source_mixture",
     "top_bigrams",
     "bigram_pmi",
     "repetition_stats",

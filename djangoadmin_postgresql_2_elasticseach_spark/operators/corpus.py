@@ -556,3 +556,152 @@ def corpus_stats(
         .drop("_grand")
         .orderBy(*strata)
     )
+
+
+def bigram_lm_logprob(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al., LREC 2020): score
+    every document by its mean bigram log-probability under a count
+    LM trained on ``train`` (default: the corpus itself), with stupid
+    backoff smoothing (Brants et al., EMNLP 2007):
+
+        p(b|a) = c(ab)/c(a)                     if c(ab) > 0
+               = backoff · (c(b)+1)/(N+V)       otherwise
+                 (add-one unigram so OOV tokens score finitely)
+
+    ``avg_logprob`` is the mean ln p over the doc's bigrams — CCNet
+    filters on perplexity = exp(−avg_logprob), a monotone transform, so
+    thresholding this column is the same decision.
+
+    Determinism across engines (the oracle hashes values): each ln is
+    rounded to 6dp and cast to DECIMAL(20,6) BEFORE the per-doc sum, so
+    the aggregation is exact integer arithmetic — order-independent,
+    no float-summation divergence; the final divide/round runs on the
+    exact sum. (Same ln-rounding contract as bigram_pmi.)
+
+    Scale: unigram/bigram counts join back by key (shuffle on token /
+    token-pair — the vocabulary of a 100 TB corpus does NOT broadcast);
+    per-doc state is one decimal sum + count, no collected arrays. The
+    LM tables are reusable artifacts — persist them once per corpus
+    like the minhash/ANN indexes and amortize across scoring runs.
+    """
+    from ..functions.text import token_bigrams, tokenize
+
+    train_base = spread((train if train is not None else docs).select(text_col)).select(
+        tokenize(F.col(text_col)).alias("w")
+    ).localCheckpoint(eager=True)
+    uni = (
+        train_base.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    totals = uni.agg(
+        F.sum("c_uni").alias("n_tok"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    big = (
+        train_base.select(
+            F.explode(token_bigrams(F.col("w"), as_struct=True)).alias("g")
+        )
+        .select(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    doc_bi = (
+        spread(docs.select(id_col, text_col), [id_col])
+        .select(
+            F.col(id_col),
+            F.explode(
+                token_bigrams(tokenize(F.col(text_col)), as_struct=True)
+            ).alias("g"),
+        )
+        .select(id_col, F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("c_uni").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c_uni").alias("c_b"))
+    scored = (
+        doc_bi.join(big, ["a", "b"], "left")
+        .join(ua, "a", "left")
+        .join(ub, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("c_ab").isNotNull() & F.col("c_a").isNotNull(),
+                F.col("c_ab").cast("double") / F.col("c_a"),
+            )
+            .otherwise(
+                F.lit(backoff)
+                * (F.coalesce(F.col("c_b"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("n_tok") + F.col("n_vocab"))
+            )
+            .alias("p"),
+        )
+        .select(
+            F.col(id_col),
+            F.round(F.log("p"), 6).cast("decimal(20,6)").alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp").alias("_sum_lp"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round(
+                F.col("_sum_lp").cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def source_mixture_weights(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled source mixing weights: P(source) ∝ n_docs^α,
+    normalized — the exponential-smoothing mix used by multilingual
+    pretraining (mBERT's exponentially smoothed weighting; XLM-R,
+    Conneau et al., ACL 2020). α < 1 up-samples small sources relative
+    to their share; α = 1 is proportional sampling.
+
+    One groupBy (|sources| rows) + a broadcast 1-row normalizer — the
+    same bounded-aggregate shape as corpus_stats; pair the weights with
+    sample_to_budget to materialize the mixed corpus.
+
+    Output: (source, n_docs, raw_share, mix_weight), ordered by source.
+    """
+    # n^α rounded to 6dp and summed as DECIMAL: the normalizer is exact
+    # integer arithmetic, so no float-summation order can nudge a weight
+    # across its rounding boundary between engines (same contract as
+    # bigram_lm_logprob's per-doc sum).
+    powa = F.round(
+        F.pow(F.col("n_docs").cast("double"), F.lit(alpha)), 6
+    ).cast("decimal(30,6)")
+    counts = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(source_col, "n_docs", powa.alias("_pa"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("_n_total"), F.sum("_pa").alias("_z")
+    )
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_n_total"), 6).alias("raw_share"),
+            F.round(
+                F.col("_pa").cast("double") / F.col("_z").cast("double"), 6
+            ).alias("mix_weight"),
+        )
+        .orderBy(source_col)
+    )

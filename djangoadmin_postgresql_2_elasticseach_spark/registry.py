@@ -414,6 +414,23 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_vectors(load_table(spark, sf_dir, "documents"), dim=64)
 
 
+def _q_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM scoring: bigram LM trained on docs < 400, scores
+    the whole corpus (held-out docs exercise the stupid-backoff path)."""
+    from .operators.corpus import bigram_lm_logprob
+
+    docs = _docs(spark, sf_dir)
+    return bigram_lm_logprob(docs, train=docs.filter(F.col("doc_id") < 400))
+
+
+def _q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import source_mixture_weights
+
+    return source_mixture_weights(
+        load_table(spark, sf_dir, "documents"), alpha=0.7
+    )
+
+
 def _q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.corpus import top_bigrams
 
@@ -628,6 +645,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_corpus": _q_split_corpus,
     "top_parts_per_nation": R.top_parts_per_nation,
     "tfidf_vectors": _q_tfidf,
+    "doc_lm_logprob": _q_lm_logprob,
+    "source_mixture": _q_source_mixture,
     "top_bigrams": _q_bigrams,
     "bigram_pmi": _q_bigram_pmi,
     "repetition_stats": _q_repetition,
@@ -1332,6 +1351,55 @@ SELECT doc_id,
          list_transform([coalesce((m[i])[1], 0.0) for i in range(0, {tfdim})],
                         x -> printf('%.6f', x)))::VARCHAR AS tfidf
 FROM dense
+"""
+
+    # CCNet-style bigram-LM scoring — mirror of corpus.bigram_lm_logprob
+    # (train = doc_id < 400, stupid backoff, ln rounded to 6dp and
+    # summed as DECIMAL so the aggregation is exact on both engines)
+    o["doc_lm_logprob"] = f"""
+WITH tk AS (SELECT doc_id, {_sql_tokens("text")} AS w FROM documents),
+tr AS (SELECT w FROM tk WHERE doc_id < 400),
+uc AS (SELECT tok, count(*) AS c_uni
+       FROM (SELECT unnest(w) AS tok FROM tr) GROUP BY tok),
+tot AS (SELECT sum(c_uni) AS n_tok, count(*) AS n_vocab FROM uc),
+bc AS (SELECT a, b, count(*) AS c_ab FROM (
+         SELECT w[i] AS a, w[i + 1] AS b
+         FROM tr CROSS JOIN UNNEST(range(1, len(w))) AS t(i)
+       ) GROUP BY a, b),
+db AS (SELECT doc_id, w[i] AS a, w[i + 1] AS b
+       FROM tk CROSS JOIN UNNEST(range(1, len(w))) AS t(i)),
+scored AS (
+  SELECT db.doc_id,
+    CASE WHEN bc.c_ab IS NOT NULL AND ua.c_uni IS NOT NULL
+         THEN CAST(bc.c_ab AS DOUBLE) / ua.c_uni
+         ELSE 0.4 * CAST(COALESCE(ub.c_uni, 0) + 1 AS DOUBLE)
+              / CAST(tot.n_tok + tot.n_vocab AS DOUBLE)
+    END AS p
+  FROM db
+  LEFT JOIN bc ON db.a = bc.a AND db.b = bc.b
+  LEFT JOIN uc ua ON db.a = ua.tok
+  LEFT JOIN uc ub ON db.b = ub.tok
+  CROSS JOIN tot
+),
+pd AS (SELECT doc_id, count(*) AS n_bigrams,
+              sum(CAST(round(ln(p), 6) AS DECIMAL(20,6))) AS s
+       FROM scored GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+       round(CAST(pd.s AS DOUBLE) / pd.n_bigrams, 6) AS avg_logprob
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
+
+    # temperature-scaled source mixing — mirror of
+    # corpus.source_mixture_weights (n^0.7 rounded to 6dp, DECIMAL sum)
+    o["source_mixture"] = """
+WITH c AS (SELECT source, count(*) AS n_docs,
+                  CAST(round(pow(count(*), 0.7), 6) AS DECIMAL(30,6)) AS pa
+           FROM documents GROUP BY source),
+t AS (SELECT sum(n_docs) AS n_total, sum(pa) AS z FROM c)
+SELECT source, n_docs,
+       round(CAST(n_docs AS DOUBLE) / n_total, 6) AS raw_share,
+       round(CAST(pa AS DOUBLE) / CAST(z AS DOUBLE), 6) AS mix_weight
+FROM c CROSS JOIN t ORDER BY source
 """
 
     o["top_bigrams"] = f"""

@@ -486,3 +486,52 @@ def test_duplicated_passages_winnowing_guarantee(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_bigram_lm_logprob_hand_computed(spark):
+    """Stupid-backoff semantics on a hand-checkable corpus: train
+    'a b a b' → c(a)=c(b)=2, c(ab)=2, c(ba)=1, N=4, V=2."""
+    import math
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        bigram_lm_logprob,
+    )
+
+    train = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [
+            (1, "a b"),      # p(b|a) = c(ab)/c(a) = 1.0 → ln = 0
+            (2, "b b"),      # unseen bigram → 0.4·(c(b)+1)/(N+V) = 0.4·3/6 = 0.2
+            (3, "a z"),      # unseen bigram, OOV b → 0.4·(0+1)/6
+            (4, "single"),   # < 2 tokens → no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in bigram_lm_logprob(score, train=train).collect()
+    }
+    assert out[1]["n_bigrams"] == 1 and out[1]["avg_logprob"] == 0.0
+    assert abs(out[2]["avg_logprob"] - round(math.log(0.2), 6)) < 1e-9
+    assert abs(out[3]["avg_logprob"] - round(math.log(0.4 / 6), 6)) < 1e-9
+    assert out[4]["n_bigrams"] == 0 and out[4]["avg_logprob"] is None
+    # self-training: every bigram seen → all scores finite and ≤ 0
+    self_scored = bigram_lm_logprob(train).collect()
+    assert all(r["avg_logprob"] <= 0 for r in self_scored)
+
+
+def test_source_mixture_temperature_semantics(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        source_mixture_weights,
+    )
+
+    rows = [(i, "s_small" if i < 10 else "s_big") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    # α=1 → proportional to raw share
+    w1 = {r["source"]: r for r in source_mixture_weights(docs, alpha=1.0).collect()}
+    assert w1["s_small"]["mix_weight"] == w1["s_small"]["raw_share"] == 0.1
+    # α<1 → small source up-sampled relative to its share, sum stays 1
+    w = {r["source"]: r for r in source_mixture_weights(docs, alpha=0.5).collect()}
+    assert w["s_small"]["mix_weight"] > w["s_small"]["raw_share"]
+    assert abs(sum(r["mix_weight"] for r in w.values()) - 1.0) < 1e-5
+    # α=0.5 exact: sqrt(10)/(sqrt(10)+sqrt(90)) = 1/4
+    assert abs(w["s_small"]["mix_weight"] - 0.25) < 1e-6
