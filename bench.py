@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "ann_knn_join",
     "embedding_neardup_lsh",
     "label_centroids",
+    # multimodal: real PNG encode -> Arrow -> decode round trip
+    "media_metadata",
     # kmeans_assign excluded: driver-coordinated iterative loop — at bench
     # scale its wall time is per-job scheduling latency, not throughput
 ]

@@ -344,3 +344,47 @@ def filter_by_metadata(media_meta: DataFrame, min_width: int) -> DataFrame:
     return media_meta.filter(
         (F.col("valid") == "ok") & (F.col("width") >= min_width)
     )
+
+
+def synthesize_png_media(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows: int = 2,
+) -> DataFrame:
+    """Deterministic REAL-PNG corpus from a vector table: each vector
+    becomes a ``rows × dim`` grayscale image (pixel = round((v+1)·127)
+    clipped to [0,255]), encoded with the stdlib PNG encoder — the
+    fixture generator that lets the driver-verified `media_metadata`
+    query push real encode → Arrow transfer → real decode through the
+    exact mapInPandas plumbing a production image pipeline uses, with
+    metadata the oracle can predict from the input shape alone."""
+    out_schema = MEDIA_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import media_codec as C
+
+        for pdf in batches:
+            payloads = []
+            for vec in pdf[vec_col]:
+                if vec is None or len(vec) == 0:
+                    payloads.append(None)
+                    continue
+                px = np.clip(
+                    np.round((np.asarray(vec, dtype=np.float64) + 1.0) * 127.0),
+                    0,
+                    255,
+                ).astype(np.uint8)
+                arr = np.tile(px, (rows, 1))[:, :, None]
+                payloads.append(C.encode_png(arr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "kind": ["image"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(run, schema=out_schema)

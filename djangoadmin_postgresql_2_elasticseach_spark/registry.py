@@ -431,6 +431,27 @@ def _q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-PNG multimodal round trip, driver-verified: every embedding
+    becomes a 2×64 grayscale PNG (stdlib encoder) inside mapInPandas,
+    then extract_metadata sniffs + header-parses the actual bytes. The
+    oracle predicts the metadata from the input shape alone — so a
+    codec, Arrow-transfer, or schema regression breaks the hash."""
+    from .operators.multimodal import extract_metadata, synthesize_png_media
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    meta = extract_metadata(synthesize_png_media(emb))
+    return meta.select(
+        "media_id",
+        "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "valid",
+        "format",
+    )
+
+
 def _q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.corpus import top_bigrams
 
@@ -647,6 +668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_vectors": _q_tfidf,
     "doc_lm_logprob": _q_lm_logprob,
     "source_mixture": _q_source_mixture,
+    "media_metadata": _q_media_metadata,
     "top_bigrams": _q_bigrams,
     "bigram_pmi": _q_bigram_pmi,
     "repetition_stats": _q_repetition,
@@ -1400,6 +1422,23 @@ SELECT source, n_docs,
        round(CAST(n_docs AS DOUBLE) / n_total, 6) AS raw_share,
        round(CAST(pa AS DOUBLE) / CAST(z AS DOUBLE), 6) AS mix_weight
 FROM c CROSS JOIN t ORDER BY source
+"""
+
+    # real-PNG multimodal round trip: the oracle predicts the metadata
+    # the engine must recover from the bytes it actually encoded
+    o["media_metadata"] = """
+SELECT vec_id AS media_id, 'image' AS kind,
+       CASE WHEN embedding IS NULL OR len(embedding) = 0 THEN NULL
+            ELSE len(embedding) END AS width,
+       CASE WHEN embedding IS NULL OR len(embedding) = 0 THEN NULL
+            ELSE CAST(2 AS BIGINT) END AS height,
+       CASE WHEN embedding IS NULL OR len(embedding) = 0 THEN NULL
+            ELSE CAST(1 AS BIGINT) END AS channels,
+       CASE WHEN embedding IS NULL THEN 'null'
+            WHEN len(embedding) = 0 THEN 'null' ELSE 'ok' END AS valid,
+       CASE WHEN embedding IS NULL OR len(embedding) = 0 THEN NULL
+            ELSE 'png' END AS format
+FROM embeddings
 """
 
     o["top_bigrams"] = f"""
