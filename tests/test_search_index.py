@@ -86,3 +86,53 @@ def test_salted_join_equals_plain_join(spark):
         "o_orderkey", "c_name"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_analyzed_corpus_cache_builds_and_invalidates(spark, tmp_path):
+    """The persisted index-time artifact must (1) serve identical tokens
+    to a fresh analysis, (2) reuse the artifact while the corpus is
+    unchanged, (3) rebuild when the corpus file changes."""
+    import os
+
+    from djangoadmin_postgresql_2_elasticseach_spark.functions import text as T
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        analyzed_corpus_cached,
+    )
+    from pyspark.sql import functions as F
+
+    sf = str(tmp_path / "sf")
+    cache = str(tmp_path / "cache")
+    os.makedirs(sf)
+    docs = spark.createDataFrame(
+        [(1, "Running dogs ran quickly"), (2, "кошки бегали быстро")],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in analyzed_corpus_cached(spark, sf, cache_root=cache).collect()
+    }
+    want = {
+        r["doc_id"]: r["tokens"]
+        for r in docs.select(
+            "doc_id", T.analyze(F.col("text")).alias("tokens")
+        ).collect()
+    }
+    assert got == want
+    # second call reuses the same artifact (exactly one cache dir)
+    analyzed_corpus_cached(spark, sf, cache_root=cache).collect()
+    dirs = [d for d in os.listdir(cache) if d.startswith("analyzed-")]
+    assert len(dirs) == 1
+    # corpus change → new key → rebuild picks up the new row
+    docs2 = spark.createDataFrame(
+        [(1, "Running dogs ran quickly"), (2, "кошки бегали быстро"),
+         (3, "new document arrives")],
+        "doc_id long, text string",
+    )
+    docs2.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    got2 = analyzed_corpus_cached(spark, sf, cache_root=cache)
+    assert got2.count() == 3
+    assert len([d for d in os.listdir(cache) if d.startswith("analyzed-")]) == 2
