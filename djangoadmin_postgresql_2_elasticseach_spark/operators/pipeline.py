@@ -1,0 +1,300 @@
+"""Declarative corpus-pipeline assembly — the engine's answer to the
+reference's config-driven ETL orchestrator (reference ``etl/main.py``
+drives extract → transform → load from settings; here the pipeline is a
+JSON-able list of stage specs driving the corpus operators).
+
+A pipeline is data, not code::
+
+    pipe = CorpusPipeline([
+        {"op": "clean"},
+        {"op": "repetition_gate"},
+        {"op": "decontaminate", "n": 13},          # benchmark passed at run()
+        {"op": "near_dedup", "method": "minhash", "threshold": 0.8},
+        {"op": "lm_quality_gate", "min_avg_logprob": -6.0},
+        {"op": "pii_scrub"},
+        {"op": "source_quota", "k": 100_000},
+        {"op": "sample_budget", "budget_tokens": 10_000_000_000},
+        {"op": "split"},
+    ])
+    out = pipe.run(docs, benchmark=benchmark_df)
+
+Every stage maps 1:1 onto an already-oracle-checked operator — the
+pipeline adds NO new semantics, only composition — so the end-to-end
+flow inherits each stage's correctness checks, and the whole chain
+stays one lazy DataFrame plan (Catalyst sees across stage boundaries;
+nothing materializes until the caller writes). Unknown ops or params
+raise immediately at construction — the reference's ``dynamic: strict``
+spirit (es_movies.json:43): no silent wrong pipelines.
+
+Scale: stage order is the cost order — cheap row-local gates (clean,
+repetition, lm) run before the shuffling stages (near-dup, quota,
+budget), so the expensive shuffles see only survivors. ``run`` keeps
+doc identity by ``doc_id``; stages only ever DROP rows or add columns,
+so survivors carry their full original row into the sink.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _keep_ids(docs: DataFrame, ids: DataFrame, id_col: str) -> DataFrame:
+    return docs.join(ids.select(id_col), id_col, "left_semi")
+
+
+def _drop_ids(docs: DataFrame, ids: DataFrame, id_col: str) -> DataFrame:
+    return docs.join(ids.select(id_col), id_col, "left_anti")
+
+
+def _st_clean(docs, p, ctx):
+    from .corpus import clean_corpus
+
+    kept = clean_corpus(
+        docs,
+        lang=p.get("lang", "en"),
+        min_quality=p.get("min_quality", 0.6),
+        id_col=ctx["id_col"],
+        text_col=ctx["text_col"],
+    )
+    return _keep_ids(docs, kept, ctx["id_col"])
+
+
+def _st_repetition_gate(docs, p, ctx):
+    from .corpus import repetition_stats
+
+    rep = repetition_stats(
+        docs,
+        max_dup_line_frac=p.get("max_dup_line_frac", 0.3),
+        max_top_bigram_frac=p.get("max_top_bigram_frac", 0.2),
+        id_col=ctx["id_col"],
+        text_col=ctx["text_col"],
+    )
+    return _keep_ids(docs, rep.filter(F.col("keep")), ctx["id_col"])
+
+
+def _st_decontaminate(docs, p, ctx):
+    from .corpus import decontaminate
+
+    bench = ctx.get("benchmark")
+    if bench is None:
+        raise ValueError("decontaminate stage needs run(benchmark=...)")
+    cont = decontaminate(docs, bench, n=p.get("n", 13), id_col=ctx["id_col"],
+                         text_col=ctx["text_col"])
+    return _keep_ids(docs, cont.filter(~F.col("contaminated")), ctx["id_col"])
+
+
+_PAIR_FNS = {
+    "minhash": ("minhash_dedup_pairs", 0.8),
+    "simhash": ("simhash_neardup_pairs", None),
+    "jaccard": ("ngram_jaccard_pairs", 0.8),
+}
+
+
+def _st_near_dedup(docs, p, ctx):
+    from . import dedup as D
+
+    method = p.get("method", "minhash")
+    if method not in _PAIR_FNS:
+        raise ValueError(f"near_dedup method {method!r} not in {sorted(_PAIR_FNS)}")
+    fn_name, default_thr = _PAIR_FNS[method]
+    kwargs: dict[str, Any] = {"id_col": ctx["id_col"], "text_col": ctx["text_col"]}
+    if default_thr is not None:
+        kwargs["threshold"] = p.get("threshold", default_thr)
+    pairs = getattr(D, fn_name)(docs, **kwargs)
+    clusters = D.dedup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster")).select(
+        F.col("doc_id").alias(ctx["id_col"])
+    )
+    return _drop_ids(docs, losers, ctx["id_col"])
+
+
+def _st_lm_quality_gate(docs, p, ctx):
+    from .corpus import bigram_lm_logprob
+
+    scores = bigram_lm_logprob(
+        docs, train=ctx.get("lm_train"), id_col=ctx["id_col"],
+        text_col=ctx["text_col"],
+    )
+    thr = p["min_avg_logprob"]
+    # docs too short to have bigrams pass the gate (no evidence against)
+    ok = scores.filter(
+        (F.col("n_bigrams") == 0) | (F.col("avg_logprob") >= F.lit(thr))
+    )
+    return _keep_ids(docs, ok, ctx["id_col"])
+
+
+def _st_pii_scrub(docs, p, ctx):
+    from .corpus import scrub_pii
+
+    scrubbed = scrub_pii(docs, id_col=ctx["id_col"], text_col=ctx["text_col"])
+    # swap the text column for its scrubbed form, keep everything else
+    keep = [c for c in docs.columns if c != ctx["text_col"]]
+    return (
+        docs.select(*keep)
+        .join(
+            scrubbed.select(
+                ctx["id_col"], F.col("clean_text").alias(ctx["text_col"])
+            ),
+            ctx["id_col"],
+        )
+    )
+
+
+def _st_source_quota(docs, p, ctx):
+    from .corpus import source_quota
+
+    kept = source_quota(
+        docs, k=p["k"], source_col=p.get("source_col", "source"),
+        id_col=ctx["id_col"], text_col=ctx["text_col"],
+    )
+    return _keep_ids(docs, kept, ctx["id_col"])
+
+
+def _st_sample_budget(docs, p, ctx):
+    from .corpus import sample_to_budget
+
+    sampled = sample_to_budget(
+        docs, budget_tokens=p["budget_tokens"],
+        stratum_col=p.get("stratum_col", "lang"), id_col=ctx["id_col"],
+        text_col=ctx["text_col"],
+    )
+    return _keep_ids(docs, sampled.filter(F.col("kept")), ctx["id_col"])
+
+
+def _st_split(docs, p, ctx):
+    from .corpus import split_corpus
+
+    split = split_corpus(
+        docs,
+        val_pct=p.get("val_pct", 10),
+        test_pct=p.get("test_pct", 10),
+        id_col=ctx["id_col"],
+        text_col=ctx["text_col"],
+    )
+    return docs.join(
+        split.select(ctx["id_col"], "split"), ctx["id_col"]
+    )
+
+
+def _st_chunk(docs, p, ctx):
+    from .corpus import chunk_documents
+
+    return chunk_documents(
+        docs, p.get("size", 512), p.get("stride", 64),
+        id_col=ctx["id_col"], text_col=ctx["text_col"],
+    )
+
+
+STAGE_OPS: dict[str, Callable] = {
+    "clean": _st_clean,
+    "repetition_gate": _st_repetition_gate,
+    "decontaminate": _st_decontaminate,
+    "near_dedup": _st_near_dedup,
+    "lm_quality_gate": _st_lm_quality_gate,
+    "pii_scrub": _st_pii_scrub,
+    "source_quota": _st_source_quota,
+    "sample_budget": _st_sample_budget,
+    "split": _st_split,
+    "chunk": _st_chunk,
+}
+
+# params each op accepts (validated at construction — loud failure)
+_ALLOWED_PARAMS = {
+    "clean": {"lang", "min_quality"},
+    "repetition_gate": {"max_dup_line_frac", "max_top_bigram_frac"},
+    "decontaminate": {"n"},
+    "near_dedup": {"method", "threshold"},
+    "lm_quality_gate": {"min_avg_logprob"},
+    "pii_scrub": set(),
+    "source_quota": {"k", "source_col"},
+    "sample_budget": {"budget_tokens", "stratum_col"},
+    "split": {"val_pct", "test_pct"},
+    "chunk": {"size", "stride"},
+}
+_REQUIRED_PARAMS = {
+    "lm_quality_gate": {"min_avg_logprob"},
+    "source_quota": {"k"},
+    "sample_budget": {"budget_tokens"},
+}
+
+
+class CorpusPipeline:
+    """Validated, JSON-able sequence of corpus stages (module docstring
+    for the spec format and design contract)."""
+
+    def __init__(self, stages: list[dict], id_col: str = "doc_id",
+                 text_col: str = "text"):
+        for i, st in enumerate(stages):
+            if "op" not in st:
+                raise ValueError(f"stage {i}: missing 'op'")
+            op = st["op"]
+            if op not in STAGE_OPS:
+                raise ValueError(
+                    f"stage {i}: unknown op {op!r} (known: {sorted(STAGE_OPS)})"
+                )
+            params = set(st) - {"op"}
+            bad = params - _ALLOWED_PARAMS[op]
+            if bad:
+                raise ValueError(f"stage {i} ({op}): unknown params {sorted(bad)}")
+            missing = _REQUIRED_PARAMS.get(op, set()) - params
+            if missing:
+                raise ValueError(
+                    f"stage {i} ({op}): missing required {sorted(missing)}"
+                )
+        self.stages = [dict(s) for s in stages]
+        self.id_col = id_col
+        self.text_col = text_col
+
+    @classmethod
+    def from_json(cls, spec: str, **kw) -> "CorpusPipeline":
+        return cls(json.loads(spec), **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(self.stages)
+
+    def run(
+        self,
+        docs: DataFrame,
+        benchmark: DataFrame | None = None,
+        lm_train: DataFrame | None = None,
+    ) -> DataFrame:
+        """Compose every stage onto ``docs`` lazily; returns the final
+        frame (nothing executes until the caller acts on it)."""
+        ctx = {
+            "id_col": self.id_col,
+            "text_col": self.text_col,
+            "benchmark": benchmark,
+            "lm_train": lm_train,
+        }
+        out = docs
+        for st in self.stages:
+            params = {k: v for k, v in st.items() if k != "op"}
+            out = STAGE_OPS[st["op"]](out, params, ctx)
+        return out
+
+    def report(
+        self,
+        docs: DataFrame,
+        benchmark: DataFrame | None = None,
+        lm_train: DataFrame | None = None,
+    ) -> list[dict]:
+        """Per-stage survivor counts — one count() action per stage, for
+        pipeline tuning runs (NOT the production path: run() stays lazy
+        and single-plan)."""
+        ctx = {
+            "id_col": self.id_col,
+            "text_col": self.text_col,
+            "benchmark": benchmark,
+            "lm_train": lm_train,
+        }
+        out = docs
+        rows = [{"stage": "input", "rows": docs.count()}]
+        for st in self.stages:
+            params = {k: v for k, v in st.items() if k != "op"}
+            out = STAGE_OPS[st["op"]](out, params, ctx)
+            rows.append({"stage": st["op"], "rows": out.count()})
+        return rows

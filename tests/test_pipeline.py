@@ -1,0 +1,141 @@
+"""CorpusPipeline: declarative assembly over the oracle-checked corpus
+operators — spec validation, stage composition, and end-to-end parity
+with the hand-composed assembly flow."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from djangoadmin_postgresql_2_elasticseach_spark.operators.pipeline import (
+    CorpusPipeline,
+)
+
+
+def test_spec_validation_is_strict():
+    with pytest.raises(ValueError, match="unknown op"):
+        CorpusPipeline([{"op": "launder"}])
+    with pytest.raises(ValueError, match="unknown params"):
+        CorpusPipeline([{"op": "clean", "minimum_quality": 0.5}])
+    with pytest.raises(ValueError, match="missing required"):
+        CorpusPipeline([{"op": "sample_budget"}])
+    with pytest.raises(ValueError, match="missing 'op'"):
+        CorpusPipeline([{"k": 3}])
+    # round trip
+    pipe = CorpusPipeline(
+        [{"op": "clean", "min_quality": 0.3}, {"op": "split", "val_pct": 20}]
+    )
+    assert CorpusPipeline.from_json(pipe.to_json()).stages == pipe.stages
+
+
+def test_pipeline_matches_hand_composed_assembly(spark):
+    """The pipeline must reproduce test_assembly_pipeline_end_to_end's
+    hand-chained result exactly: repetition gate -> decontaminate ->
+    near-dedup keeps cluster minima -> per-source quota."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        decontaminate,
+        repetition_stats,
+        source_quota,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    bench_text = " ".join(f"secret{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (1, "srcA", base + " one"),
+            (2, "srcA", base + " two"),
+            (3, "srcA", "spam " * 40),
+            (4, "srcB", base + " " + bench_text),
+            (5, "srcB", " ".join(f"tok{i}" for i in range(20))),
+        ],
+        "doc_id long, source string, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(0, bench_text)], "doc_id long, text string"
+    )
+
+    pipe = CorpusPipeline(
+        [
+            {"op": "repetition_gate"},
+            {"op": "decontaminate", "n": 13},
+            {"op": "near_dedup", "method": "jaccard", "threshold": 0.5},
+            {"op": "source_quota", "k": 1},
+        ]
+    )
+    got = pipe.run(docs, benchmark=benchmark)
+    assert {r["doc_id"] for r in got.collect()} == {1, 5}
+    # survivors keep their full original row
+    assert set(got.columns) == {"doc_id", "source", "text"}
+
+    # hand-composed chain gives the identical survivor set
+    rep = repetition_stats(docs)
+    k1 = docs.join(rep.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+    cont = decontaminate(k1, benchmark, n=13)
+    k2 = k1.join(
+        cont.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    )
+    cl = dedup_clusters(ngram_jaccard_pairs(k2, threshold=0.5))
+    k3 = k2.join(
+        cl.filter(F.col("doc_id") != F.col("cluster")).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    k4 = k3.join(source_quota(k3, k=1).select("doc_id"), "doc_id", "left_semi")
+    assert {r["doc_id"] for r in k4.collect()} == {
+        r["doc_id"] for r in got.collect()
+    }
+
+
+def test_pipeline_pii_swap_and_split_annotation(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "srcA", "contact me me me at bob@example.org please thanks"),
+            (2, "srcA", "totally clean text with several plain words here"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    pipe = CorpusPipeline([{"op": "pii_scrub"}, {"op": "split"}])
+    rows = {r["doc_id"]: r for r in pipe.run(docs).collect()}
+    assert "<EMAIL>" in rows[1]["text"] and "bob@" not in rows[1]["text"]
+    assert rows[2]["text"].startswith("totally clean")
+    assert set(rows[1].asDict()) == {"doc_id", "source", "text", "split"}
+    assert all(r["split"] in ("train", "val", "test") for r in rows.values())
+
+
+def test_pipeline_lm_gate_and_report(spark):
+    """LM gate drops the doc whose bigrams the train corpus has never
+    seen; report() returns per-stage survivor counts."""
+    train = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(3)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),          # all bigrams seen → logprob ~0
+            (2, "zz yy xx ww vv uu"),            # all unseen → backoff ≈ ln(0.4/35) ≈ -4.47
+            (3, "one"),                           # no bigrams → passes by contract
+        ],
+        "doc_id long, text string",
+    )
+    pipe = CorpusPipeline([{"op": "lm_quality_gate", "min_avg_logprob": -2.0}])
+    got = {r["doc_id"] for r in pipe.run(docs, lm_train=train).collect()}
+    assert got == {1, 3}
+    rep = pipe.report(docs, lm_train=train)
+    assert rep[0] == {"stage": "input", "rows": 3}
+    assert rep[-1] == {"stage": "lm_quality_gate", "rows": 2}
+
+
+def test_pipeline_chunk_changes_grain(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100)))],
+        "doc_id long, text string",
+    )
+    pipe = CorpusPipeline([{"op": "chunk", "size": 40, "stride": 20}])
+    out = pipe.run(docs)
+    assert "chunk_idx" in out.columns
+    assert out.count() > 1
