@@ -159,6 +159,16 @@ LEFT JOIN per_order po ON o.o_orderkey = po.l_orderkey
 _EN_SW_SQL = "[" + ", ".join(f"'{w}'" for w in T.EN_STOPWORDS) + "]"
 _ALL_SW_SQL = "[" + ", ".join(f"'{w}'" for w in T.ALL_STOPWORDS) + "]"
 
+
+# full ru_en analyzer chain over a column — tokenize → stopword filter →
+# snowball stem, the DuckDB mirror of functions.text.analyze (search
+# queries analyze BOTH sides since r5, exactly like ES)
+def _analyze_col_sql(col: str) -> str:
+    return T.stem_sql(
+        f"list_filter({_sql_tokens(col)}, "
+        f"t -> NOT list_contains({_ALL_SW_SQL}, t))"
+    )
+
 # full snowball stemmer chain (Porter2 en + snowball ru) — emitted from
 # the SAME stage functions as the Column pipeline (functions/snowball.py)
 
@@ -212,11 +222,26 @@ def _q_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SQ.term_query(SQ.term_query(docs, "lang", "en"), "source", "src7")
 
 
-def _q_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _docs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents joined to the persisted index-time token artifact
+    (text + source analyzed once per corpus version) — the search
+    queries read tokens back instead of re-running the analyzer chain,
+    exactly like ES serving from its inverted index."""
+    from .search.index import analyzed_corpus_cached
+
     docs = load_table(spark, sf_dir, "documents")
+    idx = analyzed_corpus_cached(spark, sf_dir, extra_fields=("source",))
+    return docs.join(idx, "doc_id")
+
+
+def _q_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_indexed(spark, sf_dir)
     return SQ.multi_match_fuzzy(
         docs, "spark src1", [("text", 2.0), ("source", 1.0)], id_col="doc_id", k=20
-    )
+    ).select(*_DOC_COLS, "score")
 
 
 def _q_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,7 +252,9 @@ def _q_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     bulk-index time rather than per search."""
     from .search.index import analyzed_corpus_cached
 
-    return analyzed_corpus_cached(spark, sf_dir).select("doc_id", "tokens")
+    return analyzed_corpus_cached(
+        spark, sf_dir, extra_fields=("source",)
+    ).select("doc_id", "tokens")
 
 
 def _q_inverted_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,7 +264,9 @@ def _q_inverted_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query)."""
     from .search.index import analyzed_corpus_cached
 
-    toks = analyzed_corpus_cached(spark, sf_dir).select(
+    toks = analyzed_corpus_cached(
+        spark, sf_dir, extra_fields=("source",)
+    ).select(
         "doc_id", F.explode(F.array_distinct("tokens")).alias("token")
     )
     return toks.groupBy("token").agg(
@@ -279,9 +308,10 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5 query_string: analyzed OR-match of a multi-token query."""
-    docs = load_table(spark, sf_dir, "documents")
-    return SQ.match_query(docs, "text", "spark merge")
+    """T5 query_string: FULL-analyzer OR-match of a multi-token query
+    (both sides analyzed, served from the persisted token artifact)."""
+    docs = _docs_indexed(spark, sf_dir)
+    return SQ.match_query(docs, "text", "spark merge").select(*_DOC_COLS)
 
 
 def _q_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,7 +598,7 @@ def _q_dsl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     column set)."""
     from .search.dsl import _apply_query
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_indexed(spark, sf_dir)
     frame, _scored = _apply_query(docs, DSL_BODY["query"], id_col="doc_id")
     return frame.select("doc_id", "lang", "n_chars")
 
@@ -579,8 +609,7 @@ BM25_QUERY = "spark vector join"
 def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .search.bm25 import bm25_topk
 
-    docs = load_table(spark, sf_dir, "documents")
-    return bm25_topk(docs, BM25_QUERY, k=10)
+    return bm25_topk(_docs_indexed(spark, sf_dir), BM25_QUERY, k=10)
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -848,10 +877,12 @@ GROUP BY day, event_type
 ORDER BY day, event_type
 """
 
+    _qs_toks = SQ.analyze_query("spark merge")  # ['spark', 'merg']
+    _qs_cond = " OR ".join(f"list_contains(ttoks, '{t}')" for t in _qs_toks)
     o["query_string_search"] = f"""
 SELECT doc_id, text, lang, source, n_chars FROM (
-  SELECT *, {_sql_tokens("text")} AS ttoks FROM documents
-) WHERE list_contains(ttoks, 'spark') OR list_contains(ttoks, 'merge')
+  SELECT *, {_analyze_col_sql("text")} AS ttoks FROM documents
+) WHERE {_qs_cond}
 """
 
     o["match_all_limit"] = """
@@ -893,15 +924,15 @@ ORDER BY label, pos
         return f"{weight} * (3 * {exact} + 1 * {fuzzy})"
 
     mm_terms = []
-    for tok in ["spark", "src1"]:
+    for tok in SQ.analyze_query("spark src1"):
         mm_terms.append(_mm_field("ttoks", tok, 2.0))
         mm_terms.append(_mm_field("stoks", tok, 1.0))
     mm_score = " + ".join(mm_terms)
     o["multimatch_fuzzy"] = f"""
 WITH toked AS (
   SELECT doc_id, text, lang, source, n_chars,
-         list_distinct({_sql_tokens("text")}) AS ttoks,
-         list_distinct({_sql_tokens("source")}) AS stoks
+         list_distinct({_analyze_col_sql("text")}) AS ttoks,
+         list_distinct({_analyze_col_sql("source")}) AS stoks
   FROM documents
 )
 SELECT doc_id, text, lang, source, n_chars, score FROM (
@@ -914,10 +945,7 @@ ORDER BY score DESC, doc_id LIMIT 20
     # full ru_en analyzer chain on `text` — shared by analyze_tokens and
     # the inverted-index oracle; the stemmer SQL is emitted by the same
     # stage functions that build the Spark Column pipeline
-    _analyze_sql = T.stem_sql(
-        f"list_filter({_sql_tokens('text')}, "
-        f"t -> NOT list_contains({_ALL_SW_SQL}, t))"
-    )
+    _analyze_sql = _analyze_col_sql("text")
     o["analyze_tokens"] = f"""
 SELECT doc_id,
   COALESCE(to_json({_analyze_sql})::VARCHAR, '') AS tokens
@@ -1252,7 +1280,7 @@ WHERE {sh_ham} <= {sh_maxham}
     # ES-DSL bool search: must(match) + filter(range) + must_not(term)
     o["dsl_bool_search"] = f"""
 SELECT doc_id, lang, n_chars FROM documents
-WHERE list_contains({_sql_tokens("text")}, 'spark')
+WHERE list_contains({_analyze_col_sql("text")}, 'spark')
   AND n_chars >= 150 AND n_chars < 400
   AND lang <> 'zh'
 """
@@ -1580,9 +1608,8 @@ WHERE round({cos_ab}, 6) >= 0.4
     # BM25: exact mirror of search/bm25.bm25_topk — pivoted tf sums, one
     # global stats row, RSJ idf, 4dp rounding, (score desc, id) order
     from .search.bm25 import B as _b, K1 as _k1
-    from .search.query import query_tokens as _qt
 
-    bm_terms = _qt(BM25_QUERY)
+    bm_terms = SQ.analyze_query(BM25_QUERY)
     bm_tfs = ",\n         ".join(
         f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
         for i, t in enumerate(bm_terms)
@@ -1600,7 +1627,7 @@ WHERE round({cos_ab}, 6) >= 0.4
     bm_matched = ", ".join(f"tf{i}" for i in range(len(bm_terms)))
     o["bm25_topk"] = f"""
 WITH toks AS (
-  SELECT doc_id, unnest({_sql_tokens("text")}) AS term FROM documents
+  SELECT doc_id, unnest({_analyze_sql}) AS term FROM documents
 ),
 per_doc AS (
   SELECT doc_id, count(*) AS dl,

@@ -30,9 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokenize
 from ..plans.tuning import spread
-from .query import query_tokens
+from .query import analyze_query, field_tokens
 
 K1 = 1.2
 B = 0.75
@@ -47,13 +46,19 @@ def bm25_topk(
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
-    """Top-k docs by BM25 score for `query`. Returns (id, score)."""
-    qterms = query_tokens(query)
-    if not qterms:
-        raise ValueError("empty query after tokenization")
+    """Top-k docs by BM25 score for `query`. Returns (id, score).
 
-    toks = spread(docs.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(tokenize(text_col)).alias("term")
+    Terms are the ANALYZED stream on both sides (tokenize → stopwords →
+    snowball, exactly like ES's BM25 which scores post-analysis terms);
+    a frame carrying a persisted ``tokens`` column skips re-analysis."""
+    qterms = analyze_query(query)
+    if not qterms:
+        raise ValueError("empty query after analysis")
+
+    has_index = "tokens" in dict(docs.dtypes)
+    base = docs.select(id_col, "tokens") if has_index else docs.select(id_col, text_col)
+    toks = spread(base).select(
+        F.col(id_col), F.explode(field_tokens(base, text_col)).alias("term")
     )
     per_doc = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("dl"),
@@ -88,6 +93,121 @@ def bm25_topk(
     return (
         scored.filter(matched)
         .select(F.col(id_col), F.round(score, 4).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def multi_match_bm25(
+    docs: DataFrame,
+    query: str,
+    fields: list[str],
+    id_col: str = "doc_id",
+    k: int = 10,
+    max_edits: int = 1,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """ES-shaped ``multi_match`` ranking: per-field BM25, combined with
+    ``best_fields`` (the ES default: doc score = MAX over fields), with
+    fuzzy term expansion — each index term within ``max_edits`` of an
+    analyzed query term scores with its own document frequency, scaled
+    by Lucene's fuzzy boost ``1 − distance/len(term)``.
+
+    This is the production-ranking counterpart of
+    ``query.multi_match_fuzzy`` (which stays the deterministic golden
+    scorer): on the reference's real dataset it reproduces the
+    reference's pinned top-1 for the fuzzy "camp" golden
+    (tests/test_reference_data_parity.py) — a short title field with an
+    exact match outranks long-description matches through BM25 length
+    normalization, exactly the behavior the reference asserts.
+
+    Plan: per field — explode analyzed tokens → per-doc (dl, tf per
+    matched term) in ONE aggregation → 1-row stats broadcast → score;
+    fields union by doc with max. Scores round to 4dp, ties break by id.
+    """
+    qterms = analyze_query(query)
+    if not qterms:
+        raise ValueError("empty query after analysis")
+
+    dtypes = dict(docs.dtypes)
+    per_field_scores = []
+    for field in fields:
+        # carry the persisted token column through the projection when
+        # the frame has one (field_tokens resolves it by name)
+        tok_col = (
+            "tokens"
+            if field == "text" and "tokens" in dtypes
+            else f"{field}_tokens"
+        )
+        keep = tok_col if tok_col in dtypes else field
+        base = spread(docs.select(id_col, keep)).select(
+            F.col(id_col), F.explode(field_tokens(docs, field)).alias("term")
+        )
+        # fuzzy expansion condition + boost per (query term, index term)
+        matched = None
+        for i, qt in enumerate(qterms):
+            exact = F.col("term") == F.lit(qt)
+            cond = (
+                exact
+                | (F.levenshtein(F.col("term"), F.lit(qt)) <= max_edits)
+                if max_edits > 0
+                else exact
+            )
+            boost = F.when(exact, F.lit(1.0)).otherwise(
+                F.lit(1.0)
+                - F.levenshtein(F.col("term"), F.lit(qt))
+                / F.greatest(F.length(F.col("term")), F.lit(1))
+            )
+            m = F.when(cond, boost).otherwise(F.lit(None)).alias(f"b{i}")
+            matched = [m] if matched is None else matched + [m]
+        per_doc = base.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("dl"),
+            # tf of matched terms and max boost per query term
+            *[
+                F.sum(F.when(F.col("term").isNotNull() & m.isNotNull(), 1)
+                      .otherwise(0)).alias(f"tf{i}")
+                for i, m in enumerate(matched)
+            ],
+            *[F.max(m).alias(f"bo{i}") for i, m in enumerate(matched)],
+        )
+        stats = per_doc.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+                for i in range(len(qterms))
+            ],
+        )
+        scored = per_doc.crossJoin(F.broadcast(stats))
+        fs = F.lit(0.0)
+        for i in range(len(qterms)):
+            tf = F.col(f"tf{i}").cast("double")
+            df = F.col(f"df{i}").cast("double")
+            idf = F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+            )
+            norm = tf + F.lit(k1) * (
+                F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+            )
+            term_score = idf * tf * F.lit(k1 + 1.0) / norm
+            fs = fs + F.when(
+                F.col(f"tf{i}") > 0,
+                term_score * F.coalesce(F.col(f"bo{i}"), F.lit(1.0)),
+            ).otherwise(F.lit(0.0))
+        per_field_scores.append(
+            scored.filter(
+                sum((F.col(f"tf{i}") > 0).cast("int") for i in range(len(qterms)))
+                > 0
+            ).select(F.col(id_col), fs.alias("fscore"))
+        )
+    allf = per_field_scores[0]
+    for p in per_field_scores[1:]:
+        allf = allf.unionByName(p)
+    return (
+        allf.groupBy(id_col)
+        .agg(F.round(F.max("fscore"), 4).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )

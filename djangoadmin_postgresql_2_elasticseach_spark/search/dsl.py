@@ -24,8 +24,8 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .query import multi_match_fuzzy, query_tokens
-from ..functions.text import tokenize
+from .query import analyze_query, field_tokens, multi_match_fuzzy
+from ..functions.text import analyze
 
 DEFAULT_SIZE = 10
 
@@ -68,13 +68,19 @@ def _apply_query(docs: DataFrame, q: dict, id_col: str) -> tuple[DataFrame, bool
         qs = q["query_string"]["query"]
         if qs == "*:*":
             return docs, False
+        # ES analyzes the query with each field's analyzer — the
+        # reference golden ("N//A" → 7 over the real dataset) holds
+        # ONLY with full-chain analysis on both sides (stopword 'a'
+        # must drop from the query exactly as it did from the index)
         fields = q["query_string"].get(
-            "fields", [c for c, t in docs.dtypes if t == "string"]
+            "fields",
+            [c for c, t in docs.dtypes
+             if t == "string" or t == "array<string>"],
         )
         cond = F.lit(False)
-        for tok in query_tokens(qs):
+        for tok in analyze_query(qs):
             for f in fields:
-                cond = cond | F.array_contains(tokenize(F.col(f)), tok)
+                cond = cond | F.array_contains(field_tokens(docs, f), tok)
         return docs.filter(cond), False
     if "multi_match" in q:
         mm = q["multi_match"]
@@ -102,8 +108,21 @@ def _apply_query(docs: DataFrame, q: dict, id_col: str) -> tuple[DataFrame, bool
                 stack.extend([must] if isinstance(must, dict) else must)
             else:
                 raise NotImplementedError(f"nested inner query: {list(node)}")
-        def elem_pred(sub: str, tok: str):
-            return lambda e: F.array_contains(tokenize(e[sub]), tok)
+        def elem_pred(sub: str, toks: list[str]):
+            # ES `match` default operator is OR: ONE nested element must
+            # match ANY analyzed query token (reference golden: nested
+            # actors.name "Greg Camp" → 6 films over the real dataset —
+            # every film with a Greg* OR *Camp actor, not only the one
+            # film with Greg Camp himself)
+            def pred(e):
+                et = analyze(e[sub])
+                c = None
+                for t in toks:
+                    cc = F.array_contains(et, t)
+                    c = cc if c is None else (c | cc)
+                return c if c is not None else F.lit(False)
+
+            return pred
 
         conds = None
         for m in matches:
@@ -111,18 +130,18 @@ def _apply_query(docs: DataFrame, q: dict, id_col: str) -> tuple[DataFrame, bool
             if isinstance(value, dict):
                 value = value["query"]
             sub = field.split(".", 1)[1]  # "actors.name" → "name"
-            for t in query_tokens(str(value)):
-                c = F.exists(F.col(path), elem_pred(sub, t))
-                conds = c if conds is None else (conds & c)
+            qtoks = analyze_query(str(value))
+            c = F.exists(F.col(path), elem_pred(sub, qtoks))
+            conds = c if conds is None else (conds & c)
         return docs.filter(conds), False
     if "match" in q:
         field, value = next(iter(q["match"].items()))
         if isinstance(value, dict):
             value = value["query"]
-        toks = query_tokens(str(value))
+        toks = analyze_query(str(value))
         cond = F.lit(False)
         for t in toks:
-            cond = cond | F.array_contains(tokenize(F.col(field)), t)
+            cond = cond | F.array_contains(field_tokens(docs, field), t)
         return docs.filter(cond), False
     if "range" in q:
         field, spec = next(iter(q["range"].items()))
@@ -143,11 +162,18 @@ def _apply_query(docs: DataFrame, q: dict, id_col: str) -> tuple[DataFrame, bool
         field, value = next(iter(q["match_phrase"].items()))
         if isinstance(value, dict):
             value = value["query"]
-        toks = query_tokens(str(value))
-        # consecutive-token semantics: the analyzed field, re-joined on
-        # single spaces, must contain the analyzed phrase as a substring
+        toks = analyze_query(str(value))
+        # consecutive-token semantics over the ANALYZED stream: the
+        # field's analyzed tokens, re-joined on single spaces, must
+        # contain the analyzed phrase as a substring. (Documented
+        # divergence: ES keeps position holes where stopwords were
+        # removed, so "camp story" does NOT match "camp the story"
+        # there but does here — none of the reference bodies hit it.)
         joined = F.concat_ws(
-            " ", F.concat(F.array(F.lit("")), tokenize(F.col(field)), F.array(F.lit("")))
+            " ",
+            F.concat(
+                F.array(F.lit("")), field_tokens(docs, field), F.array(F.lit(""))
+            ),
         )
         needle = " " + " ".join(toks) + " "
         return docs.filter(joined.contains(needle)), False

@@ -58,6 +58,7 @@ def analyzed_corpus_cached(
     id_col: str = "doc_id",
     text_col: str = "text",
     cache_root: str | None = None,
+    extra_fields: tuple[str, ...] = (),
 ) -> DataFrame:
     """Index-time analysis, persisted: the (id, tokens) projection of the
     corpus with the full ru_en analyzer applied ONCE per corpus version,
@@ -72,6 +73,12 @@ def analyzed_corpus_cached(
     (cheap) downstream. At 100 TB this artifact is the search index's
     source of truth — built by the indexing pipeline, partitioned on
     write; queries never re-run the analyzer over document bodies.
+
+    ``extra_fields`` analyzes additional columns into
+    ``<field>_tokens`` alongside the primary ``tokens`` column (one
+    artifact per field set) — the multi-field search queries
+    (multi_match / query_string over text+source) read ALL their
+    per-field token arrays from the one artifact.
     """
     src = os.path.join(sf_dir, f"{table}.parquet")
     parts = [src]
@@ -82,7 +89,10 @@ def analyzed_corpus_cached(
             for f in fs
             if f.endswith(".parquet")
         ) or [src]
-    ident = [os.path.abspath(src), _analyzer_version(), id_col, text_col]
+    ident = [
+        os.path.abspath(src), _analyzer_version(), id_col, text_col,
+        ",".join(extra_fields),
+    ]
     for p in parts:
         st = os.stat(p)
         ident.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
@@ -95,12 +105,19 @@ def analyzed_corpus_cached(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from ..plans.tuning import spread
 
-        docs = spread(spark.read.parquet(src).select(id_col, text_col))
+        docs = spread(
+            spark.read.parquet(src).select(id_col, text_col, *extra_fields)
+        )
         # build into a pid-suffixed dir, then one atomic rename — a
         # concurrent builder loses the race cleanly and reuses the winner
         tmp = f"{path}.build-{os.getpid()}"
         docs.select(
-            id_col, T.analyze(F.col(text_col)).alias("tokens")
+            id_col,
+            T.analyze(F.col(text_col)).alias("tokens"),
+            *[
+                T.analyze(F.col(f)).alias(f"{f}_tokens")
+                for f in extra_fields
+            ],
         ).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)

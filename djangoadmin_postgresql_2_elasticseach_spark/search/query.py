@@ -6,15 +6,26 @@ multi_match with deterministic scoring + top-k ranking (T2/O5), nested
 query (T4 — see operators/relational.nested_exists), terms agg (T6 — see
 operators/relational.terms_agg_parts), match-all+size (T7 = .limit).
 
+ANALYZER-FAITHFUL since r5: ES runs the field's analyzer on BOTH the
+indexed text and the query (reference es_movies.json ru_en chain:
+tokenize → stopwords → snowball en+ru), so match/multi_match here
+analyze both sides with the FULL chain too — replaying the reference's
+Postman goldens against its real postgres dataset exposed the bare-
+tokenize divergence (query_string "N//A": 587 hits tokenized vs the
+reference's 7 analyzed — tests/test_reference_data_parity.py).
+
 Scoring is deliberately NOT a BM25 clone (SURVEY §7 risk register: ES
 scores are not replicable bit-for-bit); it is a documented deterministic
 scheme: score = 3·exact-token hits + 1·fuzzy (levenshtein≤1) hits,
 tie-broken by id. Goldens come from the DuckDB oracle, not from ES.
+(``bm25.multi_match_bm25`` is the ES-ranking-shaped counterpart.)
 
 Scale: token arrays are computed in-scan (native expressions inside
 whole-stage codegen); for a served index the analyzed-token column is
 materialized at write time so queries skip re-analysis — the Spark
-equivalent of ES's inverted index build.
+equivalent of ES's inverted index build. Pass ``tokens_col`` /
+``*_tokens`` columns (search/index.analyzed_corpus_cached) to consume
+the persisted artifact instead of re-analyzing in-query.
 """
 
 from __future__ import annotations
@@ -24,16 +35,41 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokenize
+from ..functions.text import ALL_STOPWORDS, analyze
 
 # Python twin of functions.text.tokenize for the query string itself —
 # the same analyzer must hit both sides of the match (ES analyzes the
 # query with the field's analyzer too).
 _QUERY_SPLIT = re.compile(r"[^0-9a-zA-ZЀ-ӿ]+")
+_STOPSET = frozenset(ALL_STOPWORDS)
 
 
 def query_tokens(query: str) -> list[str]:
+    """Tokenizer-only query split (lowercase, non-alphanumeric breaks)."""
     return [t for t in _QUERY_SPLIT.split(query.lower()) if t]
+
+
+def analyze_query(query: str) -> list[str]:
+    """FULL-analyzer query tokens: tokenize → stopword filter →
+    snowball stem — the python twin of ``functions.text.analyze``, so
+    the query goes through exactly what the indexed text went through."""
+    from ..functions.snowball import stem
+
+    return [stem(t) for t in query_tokens(query) if t not in _STOPSET]
+
+
+def field_tokens(docs: DataFrame, field: str):
+    """Analyzed token-array expression for ``field``: the persisted
+    ``<field>_tokens`` column when the frame carries one (index-time
+    analysis), else the analyzer chain in-scan. Array fields analyze
+    each element and flatten (ES multi-valued field semantics)."""
+    dtypes = dict(docs.dtypes)
+    tok_col = "tokens" if field == "text" and "tokens" in dtypes else f"{field}_tokens"
+    if tok_col in dtypes:
+        return F.col(tok_col)
+    if dtypes.get(field, "").startswith("array"):
+        return F.flatten(F.transform(F.col(field), lambda e: analyze(e)))
+    return analyze(F.col(field))
 
 
 def term_query(docs: DataFrame, field: str, value: str) -> DataFrame:
@@ -44,11 +80,10 @@ def term_query(docs: DataFrame, field: str, value: str) -> DataFrame:
 def match_query(
     docs: DataFrame, field: str, query: str, text_col: str | None = None
 ) -> DataFrame:
-    """Analyzed single-field match: any query token present in the
-    analyzed field tokens."""
-    text_col = text_col or field
-    toks = tokenize(F.col(text_col))
-    qtoks = query_tokens(query)
+    """Analyzed single-field match (ES ``match``, default OR operator):
+    any ANALYZED query token present in the ANALYZED field tokens."""
+    toks = field_tokens(docs, text_col or field)
+    qtoks = analyze_query(query)
     cond = None
     for t in qtoks:
         c = F.array_contains(toks, t)
@@ -79,18 +114,17 @@ def multi_match_fuzzy(
     from ..plans.tuning import spread
 
     docs = spread(docs)  # levenshtein×tokens is CPU-bound; see tuning.py
-    dtypes = dict(docs.dtypes)
     score = F.lit(0.0)
-    qtoks = query_tokens(query)
+    qtoks = analyze_query(query)
     for field, weight in fields:
-        if dtypes.get(field, "").startswith("array"):
-            # analyzed keyword arrays (ES: text multi-fields on arrays):
-            # tokenize each element, flatten to one token set
-            toks = F.array_distinct(
-                F.flatten(F.transform(F.col(field), lambda e: tokenize(e)))
-            )
-        else:
-            toks = F.array_distinct(tokenize(F.col(field)))
+        # NULL field → empty token set, NOT a NULL score: a single null
+        # field must not poison the whole sum (real-data regression —
+        # the reference's "Star Camp" golden doc has a NULL description
+        # and must still win on its title match)
+        toks = F.coalesce(
+            F.array_distinct(field_tokens(docs, field)),
+            F.array().cast("array<string>"),
+        )
         for t in qtoks:
             exact = F.array_contains(toks, t).cast("int")
             if max_edits > 0:
