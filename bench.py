@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "nested_exists",
     "multimatch_fuzzy",
     "bm25_topk",
+    "multimatch_bm25",
     "analyze_tokens",
     "inverted_df",
     "query_string_search",

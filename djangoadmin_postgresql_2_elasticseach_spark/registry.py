@@ -612,6 +612,17 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs_indexed(spark, sf_dir), BM25_QUERY, k=10)
 
 
+def _q_multimatch_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES best_fields multi_match ranking (per-field BM25, max across
+    fields, fuzzy expansion) — the ranker that reproduces the
+    reference's pinned top-1 on its real dataset."""
+    from .search.bm25 import multi_match_bm25
+
+    return multi_match_bm25(
+        _docs_indexed(spark, sf_dir), "spark src1", ["text", "source"], k=10
+    )
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
@@ -684,6 +695,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": _q_emb_neardup,
     "embedding_neardup_lsh": _q_emb_neardup_lsh,
     "bm25_topk": _q_bm25,
+    "multimatch_bm25": _q_multimatch_bm25,
     "dsl_bool_search": _q_dsl_search,
     "kmeans_assign": _q_kmeans,
     "simhash_neardup_pairs": _q_simhash_pairs,
@@ -1642,6 +1654,65 @@ stats AS (
 SELECT doc_id, round(0.0 + {bm_score}, 4) AS score
 FROM per_doc, stats
 WHERE greatest({bm_matched}) > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+    # best_fields multi_match BM25 — mirror of search/bm25.multi_match_bm25:
+    # per field, per-doc tf over fuzzy-matched term occurrences + max
+    # Lucene-style distance boost; 1-row field stats; field score summed
+    # over query terms; doc score = MAX across fields, 4dp, (desc, id)
+    _mmb_terms = SQ.analyze_query("spark src1")
+
+    def _mmb_field_ctes(fld: str, tag: str) -> str:
+        tfs = ",\n    ".join(
+            f"sum(CASE WHEN levenshtein(term, '{t}') <= 1 THEN 1 ELSE 0 END) AS tf{i}"
+            for i, t in enumerate(_mmb_terms)
+        )
+        bos = ",\n    ".join(
+            f"max(CASE WHEN term = '{t}' THEN 1.0 "
+            f"WHEN levenshtein(term, '{t}') <= 1 "
+            f"THEN 1.0 - levenshtein(term, '{t}') / CAST(greatest(length(term), 1) AS DOUBLE) "
+            f"END) AS bo{i}"
+            for i, t in enumerate(_mmb_terms)
+        )
+        dfs = ", ".join(
+            f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+            for i in range(len(_mmb_terms))
+        )
+        score = " + ".join(
+            f"(CASE WHEN tf{i} > 0 THEN "
+            f"ln(1.0 + (n_docs - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+            f" * CAST(tf{i} AS DOUBLE) * 2.2"
+            f" / (CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 + (0.75 * dl) / avgdl))"
+            f" * COALESCE(bo{i}, 1.0) ELSE 0.0 END)"
+            for i in range(len(_mmb_terms))
+        )
+        matched = " OR ".join(f"tf{i} > 0" for i in range(len(_mmb_terms)))
+        return f"""
+tk_{tag} AS (
+  SELECT doc_id, unnest({_analyze_col_sql(fld)}) AS term FROM documents
+),
+pd_{tag} AS (
+  SELECT doc_id, count(*) AS dl,
+    {tfs},
+    {bos}
+  FROM tk_{tag} GROUP BY doc_id
+),
+st_{tag} AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl, {dfs} FROM pd_{tag}
+),
+sc_{tag} AS (
+  SELECT doc_id, ({score}) AS fscore
+  FROM pd_{tag}, st_{tag} WHERE {matched}
+)"""
+
+    o["multimatch_bm25"] = f"""
+WITH {_mmb_field_ctes("text", "t")},
+{_mmb_field_ctes("source", "s").lstrip()}
+SELECT doc_id, round(max(fscore), 4) AS score
+FROM (SELECT * FROM sc_t UNION ALL SELECT * FROM sc_s)
+GROUP BY doc_id
 ORDER BY score DESC, doc_id
 LIMIT 10
 """
