@@ -56,12 +56,33 @@ def ref_tables(spark):
 def ref_docs(spark, ref_tables):
     """movie_docs over the real data, with every searchable field
     pre-analyzed into <field>_tokens (index-time analysis — the DSL's
-    field_tokens() consumes these instead of re-running the chain)."""
+    field_tokens() consumes these instead of re-running the chain).
+
+    The analyzed frame is cached as parquet keyed by dump mtime +
+    analyzer-rule hash: the ~6 stemmer-chain compiles (~2 min) are paid
+    once per corpus/analyzer version, not per pytest session."""
+    import hashlib
+    import os
+    import tempfile
+
     from djangoadmin_postgresql_2_elasticseach_spark.functions import text as T
     from djangoadmin_postgresql_2_elasticseach_spark.operators.denorm import (
         film_changeset,
         movie_docs,
     )
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        _analyzer_version,
+    )
+
+    st = os.stat(REF_DUMP)
+    key = hashlib.md5(
+        f"{REF_DUMP}:{st.st_mtime_ns}:{st.st_size}:{_analyzer_version()}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_index_cache", f"refdocs-{key}"
+    )
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
 
     t = ref_tables
     docs = movie_docs(
@@ -79,10 +100,18 @@ def ref_docs(spark, ref_tables):
         else:
             expr = T.analyze(F.col(fld))
         # one field per projection: keeps each codegen unit at one
-        # stemmer-chain copy (an 6-copy single projection is a janino
+        # stemmer-chain copy (a 6-copy single projection is a janino
         # memory hog); checkpoint truncates the growing lineage
         out = out.withColumn(f"{fld}_tokens", expr).localCheckpoint(eager=True)
-    return out
+    tmp = f"{path}.build-{os.getpid()}"
+    out.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
 
 
 def test_dump_loader_row_counts(ref_tables):
