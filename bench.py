@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "source_quota",
     "sample_to_budget",
+    "pack_sequences",
     "corpus_stats",
     "event_value_percentiles",
     "user_value_quartiles",

@@ -705,3 +705,103 @@ def source_mixture_weights(
         )
         .orderBy(source_col)
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    window_tokens: int = 512,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate all documents (in a
+    deterministic content-independent order) into one token stream and
+    cut it into fixed ``window_tokens`` context windows; emit each
+    document's span — which windows it lands in and at what global
+    offset. This is the standard pretraining batch-assembly step
+    (concatenate-and-chunk, as in GPT/LLaMA data loaders): a doc may
+    straddle a window boundary, and short docs share windows instead of
+    wasting pad tokens.
+
+    Order is md5(id) (the same deterministic shuffle as
+    ``sample_to_budget``) so packing is stable across runs and
+    partitioning, and adjacent-document correlations are broken.
+
+    Scale shape — NO global window over the corpus. A plain
+    ``Window.orderBy`` without partitioning drags every row to one
+    task; instead the cumulative offset is computed in two passes
+    (the ``user_sessions_sliced`` trick applied to prefix sums):
+
+    1. bucket docs by the first byte of the order key (256 uniform
+       buckets); per-bucket cumulative sums run partitioned — bounded
+       by corpus_size / 256 per task;
+    2. per-bucket token totals (256 rows) get their own prefix sum on
+       a tiny frame, then broadcast-join back as bucket base offsets.
+
+    begin_offset = bucket_base + within_bucket_prefix, which equals the
+    global prefix sum under (bucket, _ord, id) ordering — and because
+    the bucket IS the leading byte of ``_ord``, that equals ordering by
+    (_ord, id) globally, which is exactly what the oracle computes with
+    a single global window. Zero-token docs are dropped (they occupy no
+    window).
+
+    Output: (id, n_tokens, begin_offset, first_window, last_window,
+    n_windows) where first/last_window = floor(begin / W) /
+    floor((begin + n - 1) / W) and n_windows = last - first + 1.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.textstats import token_count
+
+    scored = spread(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_ord"),
+    ).filter(F.col("n_tokens") > 0)
+    n_hex = max(1, min(8, (n_buckets - 1).bit_length() // 4 or 1))
+    scored = scored.select(
+        "*",
+        F.conv(F.substring("_ord", 1, n_hex), 16, 10)
+        .cast("long")
+        .alias("_bucket"),
+    )
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = scored.select(
+        id_col,
+        "n_tokens",
+        "_bucket",
+        F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)).alias("_cum_in"),
+    )
+    # 256-row frame: a single-partition window here is deliberate and
+    # cheap (the frame is |buckets| rows regardless of corpus size)
+    w_b = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    base = (
+        scored.groupBy("_bucket")
+        .agg(F.sum("n_tokens").alias("_btok"))
+        .select(
+            "_bucket",
+            F.coalesce(F.sum("_btok").over(w_b), F.lit(0)).alias("_base"),
+        )
+    )
+    packed = within.join(F.broadcast(base), "_bucket").select(
+        id_col,
+        "n_tokens",
+        (F.col("_base") + F.col("_cum_in")).alias("begin_offset"),
+    )
+    # `div` = exact integer division on longs (no double rounding — the
+    # same fix temporal.py:103 applied for offsets beyond 2^53)
+    wt = int(window_tokens)
+    first_w = F.expr(f"begin_offset div {wt}")
+    last_w = F.expr(f"(begin_offset + n_tokens - 1) div {wt}")
+    return packed.select(
+        id_col,
+        "n_tokens",
+        "begin_offset",
+        first_w.alias("first_window"),
+        last_w.alias("last_window"),
+        (last_w - first_w + F.lit(1).cast("long")).alias("n_windows"),
+    )

@@ -159,7 +159,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             pass
         elif ftype == 1:  # Sub
             for x in range(ch, stride):
-                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
         elif ftype == 2:  # Up
             cur = (cur.astype(np.uint16) + prev) .astype(np.uint8)
         elif ftype == 3:  # Average

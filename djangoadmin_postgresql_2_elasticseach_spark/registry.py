@@ -535,6 +535,17 @@ def _q_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_WINDOW = 512
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), window_tokens=PACK_WINDOW
+    )
+
+
 def _q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each event enriched with the user's latest purchase at-or-before
     it (ties within one (user, ts) resolved to the max event_id before
@@ -719,6 +730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_last_purchase": _q_asof_purchase,
     "range_purchase_windows": _q_range_purchases,
     "sample_to_budget": _q_sample_budget,
+    "pack_sequences": _q_pack_sequences,
     "event_value_percentiles": R.event_value_percentiles,
     "user_value_quartiles": R.user_value_quartiles,
     "revenue_rollup": R.revenue_rollup,
@@ -1938,6 +1950,31 @@ cum AS (
 SELECT doc_id, stratum, n_tokens, cum_before,
        cum_before < {TOKEN_BUDGET} AS kept
 FROM cum
+"""
+
+    # sequence packing — single GLOBAL window here (the oracle may be
+    # naive); the engine's bucketed two-pass must equal it exactly
+    o["pack_sequences"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+    md5(CAST(doc_id AS VARCHAR)) AS _ord
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      ORDER BY _ord, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS begin_offset
+  FROM toks WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, begin_offset,
+  begin_offset // {PACK_WINDOW} AS first_window,
+  (begin_offset + n_tokens - 1) // {PACK_WINDOW} AS last_window,
+  (begin_offset + n_tokens - 1) // {PACK_WINDOW}
+    - begin_offset // {PACK_WINDOW} + 1 AS n_windows
+FROM c
 """
 
     # as-of join oracle: DuckDB's NATIVE ASOF JOIN — an independent

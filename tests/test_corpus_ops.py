@@ -535,3 +535,56 @@ def test_source_mixture_temperature_semantics(spark):
     assert abs(sum(r["mix_weight"] for r in w.values()) - 1.0) < 1e-5
     # α=0.5 exact: sqrt(10)/(sqrt(10)+sqrt(90)) = 1/4
     assert abs(w["s_small"]["mix_weight"] - 0.25) < 1e-6
+
+
+def test_pack_sequences_contiguous_stream(spark):
+    """Packing invariants the oracle parity can't state directly:
+    spans tile the token stream with no gaps/overlaps, window ids are
+    exact integer math, zero-token docs are dropped, and the bucketed
+    two-pass equals a brute-force single-order prefix sum."""
+    import hashlib
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import pack_sequences
+
+    docs = [(i, " ".join(f"w{j}" for j in range(i % 7))) for i in range(1, 40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, window_tokens=5).collect()}
+
+    # zero-token docs (i % 7 == 0) occupy no window and are dropped
+    assert set(out) == {i for i in range(1, 40) if i % 7 != 0}
+
+    # brute-force reference: global md5 order, running prefix
+    order = sorted(out, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    offset = 0
+    for i in order:
+        r = out[i]
+        n = i % 7
+        assert r["n_tokens"] == n
+        assert r["begin_offset"] == offset, (i, r)
+        assert r["first_window"] == offset // 5
+        assert r["last_window"] == (offset + n - 1) // 5
+        assert r["n_windows"] == r["last_window"] - r["first_window"] + 1
+        offset += n
+
+    # a doc longer than the window straddles multiple windows
+    long_df = spark.createDataFrame(
+        [(1, " ".join(["x"] * 12))], "doc_id long, text string"
+    )
+    row = pack_sequences(long_df, window_tokens=5).collect()[0]
+    assert (row["first_window"], row["last_window"], row["n_windows"]) == (0, 2, 3)
+
+
+def test_pack_sequences_partition_invariant(spark):
+    """Same result at 1 partition and 16 partitions — the two-pass
+    bucket-offset scheme has no partitioning dependence."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import pack_sequences
+
+    docs = [(i, " ".join(["t"] * (1 + i % 11))) for i in range(1, 120)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(
+        map(tuple, pack_sequences(df.coalesce(1), window_tokens=16).collect())
+    )
+    b = sorted(
+        map(tuple, pack_sequences(df.repartition(16), window_tokens=16).collect())
+    )
+    assert a == b
