@@ -180,6 +180,15 @@ def _st_split(docs, p, ctx):
     )
 
 
+def _st_pack(docs, p, ctx):
+    from .corpus import pack_sequences
+
+    return pack_sequences(
+        docs, window_tokens=p.get("window_tokens", 2048),
+        id_col=ctx["id_col"], text_col=ctx["text_col"],
+    )
+
+
 def _st_chunk(docs, p, ctx):
     from .corpus import chunk_documents
 
@@ -200,6 +209,7 @@ STAGE_OPS: dict[str, Callable] = {
     "sample_budget": _st_sample_budget,
     "split": _st_split,
     "chunk": _st_chunk,
+    "pack": _st_pack,
 }
 
 # params each op accepts (validated at construction — loud failure)
@@ -214,6 +224,7 @@ _ALLOWED_PARAMS = {
     "sample_budget": {"budget_tokens", "stratum_col"},
     "split": {"val_pct", "test_pct"},
     "chunk": {"size", "stride"},
+    "pack": {"window_tokens"},
 }
 _REQUIRED_PARAMS = {
     "lm_quality_gate": {"min_avg_logprob"},

@@ -139,3 +139,29 @@ def test_pipeline_chunk_changes_grain(spark):
     out = pipe.run(docs)
     assert "chunk_idx" in out.columns
     assert out.count() > 1
+
+
+def test_pipeline_pack_terminal_stage(spark):
+    """'pack' changes grain doc→span exactly like calling pack_sequences
+    directly, and runs after row-dropping gates (survivors only)."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "en", "src", " ".join(["tok"] * (3 + i % 5))) for i in range(1, 30)],
+        "doc_id long, lang string, source string, text string",
+    )
+    pipe = CorpusPipeline(
+        [{"op": "sample_budget", "budget_tokens": 60},
+         {"op": "pack", "window_tokens": 16}]
+    )
+    got = sorted(map(tuple, pipe.run(docs).collect()))
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import sample_to_budget
+
+    kept = docs.join(
+        sample_to_budget(docs, budget_tokens=60).filter(F.col("kept"))
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    want = sorted(map(tuple, pack_sequences(kept, window_tokens=16).collect()))
+    assert got == want and len(got) > 0
