@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "source_quota",
     "sample_to_budget",
     "pack_sequences",
+    "tar_shard_roundtrip",
     "corpus_stats",
     "event_value_percentiles",
     "user_value_quartiles",

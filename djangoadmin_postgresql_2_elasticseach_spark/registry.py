@@ -546,6 +546,31 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TAR_SHARDS = 8
+
+
+def _q_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents as WebDataset-style tar shards, read them back,
+    and manifest per-shard doc/byte counts — the oracle predicts the
+    manifest straight from the table because shard assignment is
+    deterministic (sources/corpus_io.shard_of)."""
+    import os
+    import tempfile
+
+    from .sources.corpus_io import tar_shard_manifest, write_tar_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_tar",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    write_tar_shards(
+        docs, out, n_shards=TAR_SHARDS, meta_cols=("lang", "source")
+    )
+    return tar_shard_manifest(spark, out)
+
+
 def _q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each event enriched with the user's latest purchase at-or-before
     it (ties within one (user, ts) resolved to the max event_id before
@@ -731,6 +756,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_purchase_windows": _q_range_purchases,
     "sample_to_budget": _q_sample_budget,
     "pack_sequences": _q_pack_sequences,
+    "tar_shard_roundtrip": _q_tar_roundtrip,
     "event_value_percentiles": R.event_value_percentiles,
     "user_value_quartiles": R.user_value_quartiles,
     "revenue_rollup": R.revenue_rollup,
@@ -1975,6 +2001,18 @@ SELECT doc_id, n_tokens, begin_offset,
   (begin_offset + n_tokens - 1) // {PACK_WINDOW}
     - begin_offset // {PACK_WINDOW} + 1 AS n_windows
 FROM c
+"""
+
+    # tar shard round trip — the oracle never sees the tar files; it
+    # predicts the read-back manifest from the table + the deterministic
+    # shard function, so any write/read corruption breaks the match
+    o["tar_shard_roundtrip"] = f"""
+SELECT
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       % {TAR_SHARDS} AS INT) AS shard,
+  COUNT(*) AS n_docs,
+  CAST(SUM(COALESCE(strlen(text), 0)) AS BIGINT) AS n_bytes
+FROM documents GROUP BY shard ORDER BY shard
 """
 
     # as-of join oracle: DuckDB's NATIVE ASOF JOIN — an independent

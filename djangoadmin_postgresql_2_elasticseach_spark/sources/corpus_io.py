@@ -88,3 +88,180 @@ def write_jsonl_corpus(
     if partition_col:
         writer = writer.partitionBy(partition_col)
     writer.json(path)
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar shards (the public convention for multimodal /
+# text training corpora: tar archives of per-sample files sharing a
+# basename, consumed sequentially by data loaders)
+# ---------------------------------------------------------------------------
+
+TAR_MANIFEST_SCHEMA = (
+    "shard int, n_docs bigint, n_bytes bigint, shard_path string"
+)
+
+
+def shard_of(id_col, n_shards: int):
+    """Deterministic content-independent shard assignment: first 8 hex
+    chars of md5(id) mod n_shards. Stable across runs, partitioning,
+    and appends (a doc's shard never depends on the rest of the corpus)
+    — and exactly reproducible in SQL engines, so shard manifests are
+    oracle-checkable."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_shards
+    ).cast("int")
+
+
+def write_tar_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    meta_cols: tuple[str, ...] = (),
+) -> None:
+    """Write the corpus as WebDataset-style tar shards:
+    ``shard-NNNNNN.tar``, each member pair ``{id:012d}.txt`` (UTF-8
+    text) + ``{id:012d}.json`` (metadata) — the layout sequential
+    training data loaders consume.
+
+    Scale shape: rows hash-repartition on the shard id, so every
+    shard's rows land complete in exactly one task, and each task
+    STREAMS its rows into tar members one by one (no per-shard
+    in-memory materialization — executor memory is bounded by one
+    document, not one shard). A task may own several whole shards
+    (hash collisions across shard ids); it writes each to its own
+    file. Tar bytes are reproducible: fixed mtime/uid/gid, members
+    ordered by the deterministic within-shard sort.
+
+    Size shards via ``n_shards`` so each lands near the public ~1 GB
+    webdataset convention: n_shards ≈ corpus_bytes / 1 GB.
+    """
+    import glob
+    import json as _json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    # overwrite semantics: a re-run must not leave stale shards from a
+    # previous (larger) corpus behind
+    for old in glob.glob(os.path.join(path, "shard-*.tar")):
+        os.remove(old)
+    cols = [F.col(id_col).cast("long").alias("_id"),
+            F.col(text_col).alias("_text"),
+            shard_of(id_col, n_shards).alias("_shard")]
+    cols += [F.col(c) for c in meta_cols]
+    rows = df.select(*cols).repartition(n_shards, "_shard") \
+        .sortWithinPartitions("_shard", "_id")
+
+    metas = list(meta_cols)
+
+    def write_partition(it) -> None:
+        import tarfile
+
+        tf = None
+        cur = None
+        try:
+            for r in it:
+                if r["_shard"] != cur:
+                    if tf is not None:
+                        tf.close()
+                    cur = r["_shard"]
+                    tf = tarfile.open(
+                        os.path.join(path, f"shard-{cur:06d}.tar"), "w"
+                    )
+                payload = (r["_text"] or "").encode("utf-8")
+                meta = _json.dumps(
+                    {c: r[c] for c in metas}, sort_keys=True, default=str
+                ).encode("utf-8")
+                for ext, data in ((".txt", payload), (".json", meta)):
+                    info = tarfile.TarInfo(name=f"{r['_id']:012d}{ext}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    import io as _io
+
+                    tf.addfile(info, _io.BytesIO(data))
+        finally:
+            if tf is not None:
+                tf.close()
+
+    rows.foreachPartition(write_partition)
+
+
+def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Read tar shards back as (shard, member, content binary) — one
+    task per shard file, members streamed (never the whole tar in
+    memory). The inverse of ``write_tar_shards``; join ``.txt`` /
+    ``.json`` members on the basename to reassemble samples."""
+    import os
+
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        StructField as SF_,
+        StructType as ST_,
+    )
+
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".tar")
+    )
+    schema = ST_(
+        [
+            SF_("shard", IntegerType(), False),
+            SF_("member", StringType(), False),
+            SF_("content", BinaryType(), True),
+        ]
+    )
+    paths = spark.createDataFrame(
+        [(f,) for f in files], "shard_path string"
+    ).repartition(max(1, len(files)))
+
+    def read_one(batches):
+        import re
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            for p in pdf["shard_path"]:
+                m = re.search(r"shard-(\d+)\.tar$", p)
+                shard = int(m.group(1)) if m else -1
+                out_names, out_bytes = [], []
+                with tarfile.open(p, "r") as tf:
+                    for info in tf:
+                        if not info.isfile():
+                            continue
+                        out_names.append(info.name)
+                        out_bytes.append(tf.extractfile(info).read())
+                yield pd.DataFrame(
+                    {
+                        "shard": [shard] * len(out_names),
+                        "member": out_names,
+                        "content": out_bytes,
+                    }
+                )
+
+    return paths.mapInPandas(read_one, schema=schema)
+
+
+def tar_shard_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Per-shard (shard, n_docs, n_bytes) from reading the shards back —
+    n_docs counts ``.txt`` members, n_bytes sums their UTF-8 payload
+    sizes. With the deterministic ``shard_of`` assignment this is
+    exactly predictable from the source table, which makes the whole
+    write → read round trip oracle-checkable."""
+    members = read_tar_shards(spark, path)
+    return (
+        members.filter(F.col("member").endswith(".txt"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.octet_length("content")).alias("n_bytes"),
+        )
+        .orderBy("shard")
+    )

@@ -387,3 +387,70 @@ def test_events_unit_probe_recurses_partitioned_layout(tmp_path):
         str(nested / "part-00000.parquet"),
     )
     assert events_ts_unit(d) == "us"
+
+
+def test_tar_shards_roundtrip_bytes_and_meta(spark, tmp_path):
+    """write → read reassembles every doc exactly (text bytes AND json
+    metadata), shard assignment matches shard_of, and tar bytes are
+    deterministic across input partitioning (fixed mtime/uid, sorted
+    members)."""
+    import hashlib
+    import json
+
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.corpus_io import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    rows = [
+        (i, f"text of doc {i} с юникодом\n", "en" if i % 2 else "ru", f"s{i % 3}")
+        for i in range(1, 41)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_tar_shards(df, out1, n_shards=4, meta_cols=("lang", "source"))
+    write_tar_shards(
+        df.repartition(13), out2, n_shards=4, meta_cols=("lang", "source")
+    )
+
+    # byte-identical shards regardless of input partitioning
+    for p in sorted(os.listdir(out1)):
+        b1 = open(os.path.join(out1, p), "rb").read()
+        b2 = open(os.path.join(out2, p), "rb").read()
+        assert b1 == b2, p
+
+    members = read_tar_shards(spark, out1).collect()
+    got = {}
+    for r in members:
+        doc_id = int(r["member"].split(".")[0])
+        got.setdefault(doc_id, {})[r["member"].split(".", 1)[1]] = (
+            r["content"], r["shard"]
+        )
+    assert set(got) == {r[0] for r in rows}
+    for i, text, lang, source in rows:
+        content, shard = got[i]["txt"]
+        assert content == text.encode("utf-8")
+        meta, _ = got[i]["json"]
+        assert json.loads(meta) == {"lang": lang, "source": source}
+        want_shard = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 4
+        assert shard == want_shard, i
+
+
+def test_tar_shards_overwrite_removes_stale(spark, tmp_path):
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.corpus_io import (
+        tar_shard_manifest,
+        write_tar_shards,
+    )
+
+    big = spark.createDataFrame(
+        [(i, "x " * 5) for i in range(1, 200)], "doc_id long, text string"
+    )
+    small = spark.createDataFrame([(7, "tiny")], "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    write_tar_shards(big, out, n_shards=8)
+    write_tar_shards(small, out, n_shards=8)
+    rows = tar_shard_manifest(spark, out).collect()
+    assert len(rows) == 1 and rows[0]["n_docs"] == 1
+    assert rows[0]["n_bytes"] == len(b"tiny")
