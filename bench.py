@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "sample_to_budget",
     "pack_sequences",
     "tar_shard_roundtrip",
+    "pack_windows",
     "corpus_stats",
     "event_value_percentiles",
     "user_value_quartiles",

@@ -805,3 +805,99 @@ def pack_sequences(
         last_w.alias("last_window"),
         (last_w - first_w + F.lit(1).cast("long")).alias("n_windows"),
     )
+
+
+def pack_windows(
+    docs: DataFrame,
+    window_tokens: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the packed context windows ``pack_sequences`` maps —
+    one row per window with its actual token text: the literal training
+    sequences a GPT-style loader consumes (the final window may be
+    partial).
+
+    Composition: pack_sequences' span frame joined back to the token
+    arrays, each doc EXPLODED into (window, token-slice) pieces via
+    F.sequence over its span (a doc emits ceil(n/W)+1 pieces at most —
+    the explode is bounded and narrow), then one hash-aggregation per
+    window reassembles pieces in stream order (array_sort on the unique
+    begin_offset — no ties, total order). Two shuffles total: the
+    packing prefix-sum exchange and the window aggregation — both on
+    keys that are uniform by construction (md5 order → windows are
+    equal-sized), so no skew at any scale.
+
+    Output: (window_id, n_docs, n_tokens, text); every window except
+    the last has exactly ``window_tokens`` tokens — an invariant the
+    tests pin.
+    """
+    W = int(window_tokens)
+    spans = pack_sequences(
+        docs, window_tokens=W, id_col=id_col, text_col=text_col
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias(
+            "_tk"
+        ),
+    )
+    pieces = (
+        spans.join(toks, id_col)
+        .select(
+            "begin_offset",
+            "n_tokens",
+            "_tk",
+            F.explode(
+                F.sequence(F.col("first_window"), F.col("last_window"))
+            ).alias("window_id"),
+        )
+        .select(
+            "window_id",
+            "begin_offset",
+            # slice bounds are 1-based inclusive; piece = the part of
+            # this doc's tokens that falls inside window_id
+            F.slice(
+                F.col("_tk"),
+                F.greatest(
+                    F.lit(1),
+                    (F.col("window_id") * W - F.col("begin_offset") + 1).cast(
+                        "int"
+                    ),
+                ),
+                (
+                    F.least(
+                        F.col("n_tokens"),
+                        (F.col("window_id") + 1) * W - F.col("begin_offset"),
+                    )
+                    - F.greatest(
+                        F.lit(0), F.col("window_id") * W - F.col("begin_offset")
+                    )
+                ).cast("int"),
+            ).alias("_piece"),
+        )
+    )
+    return (
+        pieces.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("_piece")).cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("begin_offset").alias("b"),
+                                    F.col("_piece").alias("p"),
+                                )
+                            )
+                        ),
+                        lambda s: s["p"],
+                    )
+                ),
+            ).alias("text"),
+        )
+        .orderBy("window_id")
+    )

@@ -546,6 +546,14 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import pack_windows
+
+    return pack_windows(
+        load_table(spark, sf_dir, "documents"), window_tokens=PACK_WINDOW
+    )
+
+
 TAR_SHARDS = 8
 
 
@@ -757,6 +765,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_to_budget": _q_sample_budget,
     "pack_sequences": _q_pack_sequences,
     "tar_shard_roundtrip": _q_tar_roundtrip,
+    "pack_windows": _q_pack_windows,
     "event_value_percentiles": R.event_value_percentiles,
     "user_value_quartiles": R.user_value_quartiles,
     "revenue_rollup": R.revenue_rollup,
@@ -2001,6 +2010,42 @@ SELECT doc_id, n_tokens, begin_offset,
   (begin_offset + n_tokens - 1) // {PACK_WINDOW}
     - begin_offset // {PACK_WINDOW} + 1 AS n_windows
 FROM c
+"""
+
+    # packed-window materialization — single global window + lateral
+    # generate_series oracle; the engine's bucketed prefix sum + explode
+    # + window aggregation must reproduce every window's exact text
+    o["pack_windows"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk,
+    md5(CAST(doc_id AS VARCHAR)) AS _ord
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+    CAST(COALESCE(SUM(CAST(len(tk) AS BIGINT)) OVER (
+      ORDER BY _ord, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b
+  FROM toks WHERE len(tk) > 0
+),
+spans AS (
+  SELECT tk, n, b,
+    unnest(generate_series(b // {PACK_WINDOW}, (b + n - 1) // {PACK_WINDOW}))
+      AS w
+  FROM c
+),
+pieces AS (
+  SELECT w, b,
+    list_slice(tk,
+      CAST(GREATEST(1, w * {PACK_WINDOW} - b + 1) AS BIGINT),
+      CAST(LEAST(n, (w + 1) * {PACK_WINDOW} - b) AS BIGINT)) AS piece
+  FROM spans
+)
+SELECT w AS window_id, COUNT(*) AS n_docs,
+  CAST(SUM(len(piece)) AS BIGINT) AS n_tokens,
+  string_agg(array_to_string(piece, ' '), ' ' ORDER BY b) AS text
+FROM pieces GROUP BY w ORDER BY window_id
 """
 
     # tar shard round trip — the oracle never sees the tar files; it

@@ -588,3 +588,35 @@ def test_pack_sequences_partition_invariant(spark):
         map(tuple, pack_sequences(df.repartition(16), window_tokens=16).collect())
     )
     assert a == b
+
+
+def test_pack_windows_materializes_exact_stream(spark):
+    """Window texts reassemble the exact concatenated token stream in
+    md5 order; every window but the last has exactly W tokens."""
+    import hashlib
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import pack_windows
+
+    docs = [(i, " ".join(f"d{i}t{j}" for j in range(1 + i % 9))) for i in range(1, 50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    W = 7
+    rows = pack_windows(df, window_tokens=W).collect()
+    rows.sort(key=lambda r: r["window_id"])
+
+    # invariant: full windows of exactly W tokens, partial tail only
+    assert [r["window_id"] for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r["n_tokens"] == W, r
+        assert len(r["text"].split(" ")) == W
+    assert 0 < rows[-1]["n_tokens"] <= W
+
+    # stream equality with the brute-force concatenation
+    order = sorted(
+        (i for i, _ in docs),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )
+    stream = []
+    for i in order:
+        stream.extend(f"d{i}t{j}" for j in range(1 + i % 9))
+    got = " ".join(r["text"] for r in rows).split(" ")
+    assert got == stream
