@@ -165,3 +165,44 @@ def test_pipeline_pack_terminal_stage(spark):
     )
     want = sorted(map(tuple, pack_sequences(kept, window_tokens=16).collect()))
     assert got == want and len(got) > 0
+
+
+def test_training_export_end_to_end(spark, tmp_path):
+    """The full corpus-to-training-data flow: declarative gates →
+    GPT-style packing → webdataset tar export, read back and verified
+    against the in-memory windows. Every step is an already-tested
+    operator; this pins that they compose."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import pack_windows
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.corpus_io import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "far away to the old stone house near the river bank today"
+    )
+    docs = spark.createDataFrame(
+        [(i, "en", "web", f"{good} variant {i}") for i in range(1, 30)]
+        + [(99, "en", "web", "zz zz zz zz zz zz zz zz zz zz")],  # low quality
+        "doc_id long, lang string, source string, text string",
+    )
+    pipe = CorpusPipeline(
+        [{"op": "clean", "min_quality": 0.5}, {"op": "repetition_gate"}]
+    )
+    survivors = pipe.run(docs)
+    windows = pack_windows(survivors, window_tokens=16)
+    wdf = windows.select(
+        F.col("window_id").alias("doc_id"), "text"
+    )
+    out = str(tmp_path / "train")
+    write_tar_shards(wdf, out, n_shards=2)
+    back = {
+        int(r["member"].split(".")[0]): r["content"].decode()
+        for r in read_tar_shards(spark, out).collect()
+        if r["member"].endswith(".txt")
+    }
+    want = {r["window_id"]: r["text"] for r in windows.collect()}
+    assert back == want and len(want) > 1
+    # the low-quality doc's tokens never reach the export
+    assert not any("zz" in t for t in back.values())
