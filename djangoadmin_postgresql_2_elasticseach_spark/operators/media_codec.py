@@ -339,6 +339,19 @@ def jpeg_meta(payload: bytes) -> tuple[int, int, int]:
 
 
 # ---------------------------------------------------------------------------
+# GIF — header-only dimensions (pixel decode is Pillow-tier)
+# ---------------------------------------------------------------------------
+
+
+def gif_meta(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the logical screen descriptor
+    (GIF87a/89a spec bytes 6-9, little-endian u16 pair); channels
+    reported as 3 (palette RGB)."""
+    w, h = struct.unpack("<HH", payload[6:10])
+    return w, h, 3
+
+
+# ---------------------------------------------------------------------------
 # WAV (stdlib wave)
 # ---------------------------------------------------------------------------
 
@@ -404,6 +417,8 @@ def image_meta(payload: bytes) -> tuple[int, int, int, str]:
         c = 3 if fmt == "ppm" else 1
     elif fmt == "jpeg":
         w, h, c = jpeg_meta(payload)
+    elif fmt == "gif":
+        w, h, c = gif_meta(payload)
     else:
         raise ValueError(f"not an image payload: {fmt}")
     return w, h, c, fmt

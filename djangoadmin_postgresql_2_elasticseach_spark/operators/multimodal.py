@@ -122,7 +122,7 @@ def _meta_of(payload: bytes | None):
         if fmt == "wav":
             ch, _rate, n, _dur = C.wav_meta(payload)
             return int(n), None, int(ch), "ok", "wav"
-        if fmt in ("png", "bmp", "ppm", "pgm", "jpeg"):
+        if fmt in ("png", "bmp", "ppm", "pgm", "jpeg", "gif"):
             w, h, c, _f = C.image_meta(payload)
             return int(w), int(h), int(c), "ok", fmt
     except Exception:

@@ -175,3 +175,19 @@ def test_resize_nn():
     assert C.resize_nn(arr, 64) is arr  # under cap → no-op, same object
     # nearest-neighbor: every output pixel exists in the input
     assert small.dtype == np.uint8
+
+
+def test_gif_meta_header_only():
+    from djangoadmin_postgresql_2_elasticseach_spark.operators import media_codec as C
+
+    # minimal GIF89a logical screen descriptor: 7x11, then terminator
+    payload = b"GIF89a" + (7).to_bytes(2, "little") + (11).to_bytes(2, "little") \
+        + b"\x00\x00\x00;"
+    assert C.sniff(payload) == "gif"
+    assert C.image_meta(payload) == (7, 11, 3, "gif")
+    # pixel decode without Pillow stays a loud CodecUnavailable
+    if not C.HAVE_PIL:
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            C.decode_image(payload)

@@ -307,3 +307,21 @@ def test_analyzer_queries_read_persisted_index(spark):
         scan_lines = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
         assert scan_lines, plan[:1500]
         assert "regexp_replace" not in plan, f"{name} re-derives tokens"
+
+
+def test_pack_sequences_no_global_window_over_corpus(spark):
+    """The packing prefix sum must never drag the corpus to one task:
+    the doc-side Window partitions on the order-key bucket, and the only
+    single-partition Window in the plan is the 256-row bucket-totals
+    frame (fed by its own aggregation, not the raw scan)."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import pack_sequences
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = plan_string(pack_sequences(docs), mode="simple")
+    # the per-doc cumulative sum runs under hash partitioning on _bucket
+    assert "hashpartitioning(_bucket" in plan, plan[:2000]
+    # exactly one SinglePartition exchange (the |buckets|-row base-offset
+    # frame), and it sits downstream of a HashAggregate, never the scan
+    assert plan.count("SinglePartition") == 1, plan[:3000]
+    single_ix = plan.index("SinglePartition")
+    assert "HashAggregate" in plan[single_ix:], plan[single_ix:single_ix + 1500]
