@@ -52,7 +52,7 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    toks = _ws_tokens(text_col)
     n = F.size(toks)
     starts = F.when(
         n > 0,
@@ -740,31 +740,61 @@ def pack_sequences(
 
     begin_offset = bucket_base + within_bucket_prefix, which equals the
     global prefix sum under (bucket, _ord, id) ordering — and because
-    the bucket IS the leading byte of ``_ord``, that equals ordering by
-    (_ord, id) globally, which is exactly what the oracle computes with
-    a single global window. Zero-token docs are dropped (they occupy no
-    window).
+    the bucket IS the leading hex prefix of ``_ord``, that equals
+    ordering by (_ord, id) globally, which is exactly what the oracle
+    computes with a single global window. Zero-token docs are dropped
+    (they occupy no window).
+
+    ``n_buckets`` rounds to a power of 16 (down, minimum 16 — the
+    bucket is a hex prefix, so only 16^k bucket counts exist);
+    correctness never depends on the count — only per-task slice size
+    does.
 
     Output: (id, n_tokens, begin_offset, first_window, last_window,
     n_windows) where first/last_window = floor(begin / W) /
     floor((begin + n - 1) / W) and n_windows = last - first + 1.
     """
+    return _pack_spans(docs, window_tokens, n_buckets, id_col, text_col,
+                       carry_tokens=False)
+
+
+def _ws_tokens(text_col: str):
+    """Whitespace token array (the same split textstats.token_count
+    sizes) — shared by chunk_documents and the packing operators so the
+    tokenization cannot drift between them."""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+
+
+def _pack_spans(
+    docs: DataFrame,
+    window_tokens: int,
+    n_buckets: int,
+    id_col: str,
+    text_col: str,
+    carry_tokens: bool,
+) -> DataFrame:
+    """pack_sequences core. With ``carry_tokens`` the token arrays ride
+    along through the prefix-sum exchange (pack_windows consumes them
+    directly — ONE scan + split of the corpus, no re-tokenize + join
+    back); without it only (id, count) columns cross the shuffle."""
     from pyspark.sql import Window
 
-    from ..functions.textstats import token_count
-
-    scored = spread(docs.select(id_col, text_col)).select(
+    toks = spread(docs.select(id_col, text_col)).select(
         F.col(id_col),
-        token_count(text_col).cast("long").alias("n_tokens"),
+        _ws_tokens(text_col).alias("_tk"),
         F.md5(F.col(id_col).cast("string")).alias("_ord"),
-    ).filter(F.col("n_tokens") > 0)
+    )
+    carry = ["_tk"] if carry_tokens else []
     n_hex = max(1, min(8, (n_buckets - 1).bit_length() // 4 or 1))
-    scored = scored.select(
-        "*",
+    scored = toks.select(
+        F.col(id_col),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        "_ord",
         F.conv(F.substring("_ord", 1, n_hex), 16, 10)
         .cast("long")
         .alias("_bucket"),
-    )
+        *carry,
+    ).filter(F.col("n_tokens") > 0)
     w_in = (
         Window.partitionBy("_bucket")
         .orderBy("_ord", id_col)
@@ -775,6 +805,7 @@ def pack_sequences(
         "n_tokens",
         "_bucket",
         F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)).alias("_cum_in"),
+        *carry,
     )
     # 256-row frame: a single-partition window here is deliberate and
     # cheap (the frame is |buckets| rows regardless of corpus size)
@@ -791,6 +822,7 @@ def pack_sequences(
         id_col,
         "n_tokens",
         (F.col("_base") + F.col("_cum_in")).alias("begin_offset"),
+        *carry,
     )
     # `div` = exact integer division on longs (no double rounding — the
     # same fix temporal.py:103 applied for offsets beyond 2^53)
@@ -804,6 +836,7 @@ def pack_sequences(
         first_w.alias("first_window"),
         last_w.alias("last_window"),
         (last_w - first_w + F.lit(1).cast("long")).alias("n_windows"),
+        *carry,
     )
 
 
@@ -818,8 +851,10 @@ def pack_windows(
     sequences a GPT-style loader consumes (the final window may be
     partial).
 
-    Composition: pack_sequences' span frame joined back to the token
-    arrays, each doc EXPLODED into (window, token-slice) pieces via
+    Composition: the packing core runs with ``carry_tokens`` so the
+    token arrays ride the prefix-sum exchange (the corpus is scanned
+    and whitespace-split exactly ONCE — no re-tokenize + join back);
+    each doc is EXPLODED into (window, token-slice) pieces via
     F.sequence over its span (a doc emits ceil(n/W)+1 pieces at most —
     the explode is bounded and narrow), then one hash-aggregation per
     window reassembles pieces in stream order (array_sort on the unique
@@ -833,18 +868,11 @@ def pack_windows(
     tests pin.
     """
     W = int(window_tokens)
-    spans = pack_sequences(
-        docs, window_tokens=W, id_col=id_col, text_col=text_col
-    )
-    toks = docs.select(
-        F.col(id_col),
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias(
-            "_tk"
-        ),
+    spans = _pack_spans(
+        docs, W, 256, id_col, text_col, carry_tokens=True
     )
     pieces = (
-        spans.join(toks, id_col)
-        .select(
+        spans.select(
             "begin_offset",
             "n_tokens",
             "_tk",

@@ -29,8 +29,11 @@ spirit (es_movies.json:43): no silent wrong pipelines.
 Scale: stage order is the cost order — cheap row-local gates (clean,
 repetition, lm) run before the shuffling stages (near-dup, quota,
 budget), so the expensive shuffles see only survivors. ``run`` keeps
-doc identity by ``doc_id``; stages only ever DROP rows or add columns,
-so survivors carry their full original row into the sink.
+doc identity by ``doc_id``; doc-level stages only ever DROP rows or add
+columns, so survivors carry their full original row into the sink. The
+two grain-changing stages (``chunk``, ``pack``) emit a different row
+shape and are therefore only valid as the LAST stage — enforced at
+construction.
 """
 
 from __future__ import annotations
@@ -232,6 +235,11 @@ _REQUIRED_PARAMS = {
     "sample_budget": {"budget_tokens"},
 }
 
+# grain-changing ops emit a different row shape (chunks / windows, no
+# text column), so no doc-level stage can follow them — enforced at
+# construction, same loud-failure posture as unknown ops
+_TERMINAL_OPS = {"chunk", "pack"}
+
 
 class CorpusPipeline:
     """Validated, JSON-able sequence of corpus stages (module docstring
@@ -255,6 +263,10 @@ class CorpusPipeline:
             if missing:
                 raise ValueError(
                     f"stage {i} ({op}): missing required {sorted(missing)}"
+                )
+            if op in _TERMINAL_OPS and i != len(stages) - 1:
+                raise ValueError(
+                    f"stage {i} ({op}): grain-changing stage must be last"
                 )
         self.stages = [dict(s) for s in stages]
         self.id_col = id_col

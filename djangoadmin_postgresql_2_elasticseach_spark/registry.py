@@ -568,10 +568,14 @@ def _q_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.corpus_io import tar_shard_manifest, write_tar_shards
 
     docs = load_table(spark, sf_dir, "documents")
+    # pid-scoped scratch: this is the one registered query with shared
+    # mutable on-disk state, so concurrent harnesses (pytest workers,
+    # bench + driver) must not overwrite each other's shards while a
+    # returned manifest frame is still lazily reading them
     out = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_tar",
-        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        f"{os.path.basename(sf_dir.rstrip('/')) or 'sf'}-{os.getpid()}",
     )
     write_tar_shards(
         docs, out, n_shards=TAR_SHARDS, meta_cols=("lang", "source")

@@ -96,11 +96,6 @@ def write_jsonl_corpus(
 # basename, consumed sequentially by data loaders)
 # ---------------------------------------------------------------------------
 
-TAR_MANIFEST_SCHEMA = (
-    "shard int, n_docs bigint, n_bytes bigint, shard_path string"
-)
-
-
 def shard_of(id_col, n_shards: int):
     """Deterministic content-independent shard assignment: first 8 hex
     chars of md5(id) mod n_shards. Stable across runs, partitioning,
@@ -123,9 +118,12 @@ def write_tar_shards(
     meta_cols: tuple[str, ...] = (),
 ) -> None:
     """Write the corpus as WebDataset-style tar shards:
-    ``shard-NNNNNN.tar``, each member pair ``{id:012d}.txt`` (UTF-8
-    text) + ``{id:012d}.json`` (metadata) — the layout sequential
-    training data loaders consume.
+    ``shard-NNNNNN.tar``, each member pair ``{id}.txt`` (UTF-8 text) +
+    ``{id}.json`` (metadata) — the layout sequential training data
+    loaders consume. Sample keys are the STRING form of ``id_col``
+    (webdataset keys are strings; numeric ids zero-pad to 12 so member
+    order matches numeric order), and a NULL id fails the job loudly —
+    a silent skip would drop training data.
 
     Scale shape: rows hash-repartition on the shard id, so every
     shard's rows land complete in exactly one task, and each task
@@ -134,10 +132,18 @@ def write_tar_shards(
     document, not one shard). A task may own several whole shards
     (hash collisions across shard ids); it writes each to its own
     file. Tar bytes are reproducible: fixed mtime/uid/gid, members
-    ordered by the deterministic within-shard sort.
+    ordered by the deterministic within-shard sort. Each shard is
+    written to a task-attempt-unique temp name and atomically renamed
+    on completion, so task retries / speculative duplicate attempts
+    can never interleave writes into a half-written final file.
 
     Size shards via ``n_shards`` so each lands near the public ~1 GB
     webdataset convention: n_shards ≈ corpus_bytes / 1 GB.
+
+    ``path`` must be storage every executor can write and the reader
+    can list (shared FS / fuse mount); in local mode any directory
+    works. The same applies to ``read_tar_shards``, whose file listing
+    runs driver-side.
     """
     import glob
     import json as _json
@@ -148,7 +154,11 @@ def write_tar_shards(
     # previous (larger) corpus behind
     for old in glob.glob(os.path.join(path, "shard-*.tar")):
         os.remove(old)
-    cols = [F.col(id_col).cast("long").alias("_id"),
+    # string keys, zero-padded when numeric so member order == id order
+    key = F.col(id_col).cast("string")
+    if dict(df.dtypes).get(id_col) in ("bigint", "int", "smallint", "tinyint"):
+        key = F.lpad(key, 12, "0")
+    cols = [key.alias("_id"),
             F.col(text_col).alias("_text"),
             shard_of(id_col, n_shards).alias("_shard")]
     cols += [F.col(c) for c in meta_cols]
@@ -158,35 +168,53 @@ def write_tar_shards(
     metas = list(meta_cols)
 
     def write_partition(it) -> None:
+        import io as _io
         import tarfile
 
+        from pyspark import TaskContext
+
+        attempt = TaskContext.get().taskAttemptId()
         tf = None
         cur = None
+        tmp = final = None
+
+        def commit():
+            tf.close()
+            os.replace(tmp, final)  # atomic on POSIX — retries can't mix
+
         try:
             for r in it:
+                if r["_id"] is None:
+                    raise ValueError(
+                        f"NULL {id_col} in write_tar_shards — every sample "
+                        "needs a key; a silent skip would drop training data"
+                    )
                 if r["_shard"] != cur:
                     if tf is not None:
-                        tf.close()
+                        commit()
                     cur = r["_shard"]
-                    tf = tarfile.open(
-                        os.path.join(path, f"shard-{cur:06d}.tar"), "w"
-                    )
+                    final = os.path.join(path, f"shard-{cur:06d}.tar")
+                    tmp = f"{final}.inprogress-{attempt}"
+                    tf = tarfile.open(tmp, "w")
                 payload = (r["_text"] or "").encode("utf-8")
                 meta = _json.dumps(
                     {c: r[c] for c in metas}, sort_keys=True, default=str
                 ).encode("utf-8")
                 for ext, data in ((".txt", payload), (".json", meta)):
-                    info = tarfile.TarInfo(name=f"{r['_id']:012d}{ext}")
+                    info = tarfile.TarInfo(name=f"{r['_id']}{ext}")
                     info.size = len(data)
                     info.mtime = 0
                     info.uid = info.gid = 0
                     info.uname = info.gname = ""
-                    import io as _io
-
                     tf.addfile(info, _io.BytesIO(data))
-        finally:
             if tf is not None:
+                commit()
+                tf = None
+        finally:
+            if tf is not None:  # error path: drop the partial temp file
                 tf.close()
+                if tmp and os.path.exists(tmp):
+                    os.remove(tmp)
 
     rows.foreachPartition(write_partition)
 
@@ -221,6 +249,10 @@ def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
         [(f,) for f in files], "shard_path string"
     ).repartition(max(1, len(files)))
 
+    # flush a batch downstream once it holds this many payload bytes, so
+    # executor memory is bounded per batch, not per shard (~1 GB tars)
+    flush_bytes = 64 << 20
+
     def read_one(batches):
         import re
         import tarfile
@@ -231,20 +263,25 @@ def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
             for p in pdf["shard_path"]:
                 m = re.search(r"shard-(\d+)\.tar$", p)
                 shard = int(m.group(1)) if m else -1
-                out_names, out_bytes = [], []
+                names, blobs, held = [], [], 0
                 with tarfile.open(p, "r") as tf:
                     for info in tf:
                         if not info.isfile():
                             continue
-                        out_names.append(info.name)
-                        out_bytes.append(tf.extractfile(info).read())
-                yield pd.DataFrame(
-                    {
-                        "shard": [shard] * len(out_names),
-                        "member": out_names,
-                        "content": out_bytes,
-                    }
-                )
+                        names.append(info.name)
+                        blobs.append(tf.extractfile(info).read())
+                        held += info.size
+                        if held >= flush_bytes:
+                            yield pd.DataFrame(
+                                {"shard": [shard] * len(names),
+                                 "member": names, "content": blobs}
+                            )
+                            names, blobs, held = [], [], 0
+                if names:
+                    yield pd.DataFrame(
+                        {"shard": [shard] * len(names),
+                         "member": names, "content": blobs}
+                    )
 
     return paths.mapInPandas(read_one, schema=schema)
 

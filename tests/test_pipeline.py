@@ -21,6 +21,10 @@ def test_spec_validation_is_strict():
         CorpusPipeline([{"op": "sample_budget"}])
     with pytest.raises(ValueError, match="missing 'op'"):
         CorpusPipeline([{"k": 3}])
+    with pytest.raises(ValueError, match="must be last"):
+        CorpusPipeline([{"op": "pack"}, {"op": "clean"}])
+    with pytest.raises(ValueError, match="must be last"):
+        CorpusPipeline([{"op": "chunk"}, {"op": "split"}])
     # round trip
     pipe = CorpusPipeline(
         [{"op": "clean", "min_quality": 0.3}, {"op": "split", "val_pct": 20}]

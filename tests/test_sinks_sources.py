@@ -454,3 +454,33 @@ def test_tar_shards_overwrite_removes_stale(spark, tmp_path):
     rows = tar_shard_manifest(spark, out).collect()
     assert len(rows) == 1 and rows[0]["n_docs"] == 1
     assert rows[0]["n_bytes"] == len(b"tiny")
+
+
+def test_tar_shards_string_ids_and_null_id_loud(spark, tmp_path):
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.corpus_io import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    # string keys (UUID-ish) work verbatim as member basenames
+    sdf = spark.createDataFrame(
+        [("doc-aa", "alpha"), ("doc-bb", "beta")], "doc_id string, text string"
+    )
+    out = str(tmp_path / "s")
+    write_tar_shards(sdf, out, n_shards=2)
+    back = {
+        r["member"]: bytes(r["content"])
+        for r in read_tar_shards(spark, out).collect()
+        if r["member"].endswith(".txt")
+    }
+    assert back == {"doc-aa.txt": b"alpha", "doc-bb.txt": b"beta"}
+
+    # a NULL id fails the job loudly instead of silently dropping data
+    ndf = spark.createDataFrame(
+        [(1, "ok"), (None, "lost")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        write_tar_shards(ndf, str(tmp_path / "n"), n_shards=1)
+    # and the failed write leaves no committed shard behind
+    left = os.listdir(str(tmp_path / "n"))
+    assert not [f for f in left if f.endswith(".tar")]
