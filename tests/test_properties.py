@@ -443,3 +443,39 @@ def test_knn_graph_shuffle_join_matches_broadcast(spark):
     sh_logical = sh_df._jdf.queryExecution().analyzed().toString()
     assert "UnresolvedHint broadcast" in bc_logical or "ResolvedHint" in bc_logical
     assert "Hint" not in sh_logical, sh_logical
+
+
+_ws_texts = st.text(
+    alphabet=" \t\nabz0",  # heavy whitespace pressure + tiny alphabet
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_ws_texts, min_size=1, max_size=8), st.integers(2, 9))
+def test_pack_sequences_tiles_stream_for_any_whitespace(spark, docs, W):
+    """For ANY text (empty, all-whitespace, tabs/newlines, repeated
+    separators): spans tile [0, total) with no gaps or overlaps in md5
+    order, window ids are consistent with offsets, and token counts
+    match Python's split() (the same \\s+-and-drop-empties semantics)."""
+    import hashlib
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import pack_sequences
+
+    rows = [(i + 1, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, window_tokens=W).collect()}
+
+    counts = {i: len(t.split()) for i, t in rows}
+    assert set(out) == {i for i, n in counts.items() if n > 0}
+    offset = 0
+    for i in sorted(
+        out, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    ):
+        r = out[i]
+        assert r["n_tokens"] == counts[i]
+        assert r["begin_offset"] == offset
+        assert r["first_window"] == offset // W
+        assert r["last_window"] == (offset + counts[i] - 1) // W
+        offset += counts[i]
