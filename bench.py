@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "user_sessions_sliced",
     "asof_last_purchase",
     "range_purchase_windows",
+    "resample_daily_ffill",
+    "skew_safe_distinct_users",
     "top_parts_per_nation",
     "revenue_rollup",
     "order_status_pivot",
@@ -91,6 +93,7 @@ BENCH_QUERIES = [
     "ann_knn_join",
     "embedding_neardup_lsh",
     "label_centroids",
+    "hybrid_search_rrf",
     # multimodal: real PNG encode -> Arrow -> decode round trip
     "media_metadata",
     # kmeans_assign excluded: driver-coordinated iterative loop — at bench

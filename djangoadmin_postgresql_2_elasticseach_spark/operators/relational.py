@@ -740,3 +740,43 @@ def user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quartile", F.desc("total_value"), "user_id")
     )
+
+
+def skew_safe_distinct_users(
+    spark: SparkSession,
+    sf_dir: str,
+    n_salts: int = 32,
+    events: DataFrame | None = None,
+) -> DataFrame:
+    """COUNT(DISTINCT user_id) per event_type, salted two-stage — the
+    skew-safe shape for exact distinct counts under a low-cardinality /
+    hot-key GROUP BY.
+
+    A plain `groupBy(type).agg(countDistinct(user))` shuffles EVERY
+    (type, user) pair to |types| reducers — at 100 TB a hot event type
+    is one straggler task holding the whole key's dedup set. Salting
+    fixes the partition math without approximation: stage 1 groups by
+    (type, salt) where salt = pmod(hash(user), n_salts) — the SAME user
+    always lands in the SAME salt bucket, so per-bucket distinct counts
+    partition the user set and stage 2's plain SUM over n_salts rows
+    per type is exact. Parallelism is |types| × n_salts regardless of
+    skew; n_salts sizes to the cluster, not the data.
+
+    (Spark's own distinct-agg rewrite expands on the distinct column —
+    similar effect; this operator pins the pattern explicitly so the
+    plan is salt-partitioned by construction, the form that also
+    composes with multi-distinct and approx sketches.)
+    """
+    if events is None:
+        events = load_table(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_salts))
+    partial = (
+        events.select("event_type", "user_id", salt.alias("_salt"))
+        .groupBy("event_type", "_salt")
+        .agg(F.count_distinct(F.col("user_id")).alias("_part"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("_part").alias("distinct_users"))
+        .orderBy("event_type")
+    )

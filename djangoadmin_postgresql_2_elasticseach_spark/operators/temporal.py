@@ -27,7 +27,7 @@ against the plain inequality join the bucketed plan must reproduce.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -169,3 +169,74 @@ def range_join(
         F.col(f"_pt.{c}") for c in points.columns if c != key_col
     ]
     return matched.select(*keep)
+
+
+def resample_ffill(
+    events: DataFrame,
+    unit: str = "day",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Resample an irregular event stream to a regular per-key time grid
+    with forward-fill — the gap-fill shape every time-series consumer
+    (feature stores, monitoring rollups) needs and plain SQL lacks.
+
+    Per key: truncate timestamps to `unit` ('day'/'hour'/'minute'),
+    keep the LAST observed value in each occupied bucket (latest ts,
+    ties broken by the highest `tiebreak_col` — deterministic), build
+    the full [min_bucket, max_bucket] grid with `sequence`, and
+    forward-fill values across the gaps. `is_gap` marks filled rows.
+
+    Scale shape: ONE shuffle on the key drives the bucket aggregation,
+    the per-key min/max, and the ordered fill window (AQE coalesces the
+    reused exchange). The grid explode is bounded by each key's own
+    span/unit — never |keys| × global-span — and the fill window is
+    per-key ordered, not global. Same cost class as sessionization.
+
+    Output: (key_col, bucket_ts, value_col, is_gap) — one row per key
+    per grid bucket.
+    """
+    picked = (
+        events.select(key_col, ts_col, value_col, tiebreak_col)
+        .withColumn("_bucket_ts", F.date_trunc(unit, F.col(ts_col)))
+        .groupBy(key_col, "_bucket_ts")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(ts_col), F.col(tiebreak_col), F.col(value_col)
+                )
+            )[value_col].alias("_observed")
+        )
+    )
+    grid = (
+        picked.groupBy(key_col)
+        .agg(
+            F.min("_bucket_ts").alias("_mn"), F.max("_bucket_ts").alias("_mx")
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(
+                    F.col("_mn"), F.col("_mx"), F.expr(f"INTERVAL 1 {unit}")
+                )
+            ).alias("bucket_ts"),
+        )
+    )
+    joined = grid.join(
+        picked.withColumnRenamed("_bucket_ts", "bucket_ts"),
+        [key_col, "bucket_ts"],
+        "left",
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(key_col),
+        F.col("bucket_ts"),
+        F.last("_observed", ignorenulls=True).over(w).alias(value_col),
+        F.col("_observed").isNull().alias("is_gap"),
+    )

@@ -687,6 +687,30 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_planes=4, probe_hamming=1)
 
 
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 ∪ cosine top-20 fused by RRF —
+    lexical and vector branches over the same 0..N-1 id domain
+    (embeddings.vec_id keys documents 1:1 in the testdata)."""
+    from .search.hybrid import hybrid_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_topk(
+        _docs_indexed(spark, sf_dir),
+        emb,
+        BM25_QUERY,
+        _query_vec(spark, sf_dir),
+        k=10,
+        k_branch=20,
+    )
+
+
+def _q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily gap-fill resample of the events stream (forward-fill)."""
+    from .operators.temporal import resample_ffill
+
+    return resample_ffill(load_table(spark, sf_dir, "events"), unit="day")
+
+
 def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch retrieval: the 5 lowest-id vectors as the query batch, the
     # whole table as the corpus, self-matches excluded
@@ -772,6 +796,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_windows": _q_pack_windows,
     "event_value_percentiles": R.event_value_percentiles,
     "user_value_quartiles": R.user_value_quartiles,
+    "resample_daily_ffill": _q_resample_ffill,
+    "skew_safe_distinct_users": R.skew_safe_distinct_users,
     "revenue_rollup": R.revenue_rollup,
     "order_status_pivot": R.order_status_pivot,
     "json_props_stats": R.json_props_stats,
@@ -780,6 +806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": _q_ann_ivf,
     "ann_knn_join": _q_knn_join,
     "label_centroids": _q_label_centroids,
+    "hybrid_search_rrf": _q_hybrid_rrf,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -1688,7 +1715,7 @@ WHERE round({cos_ab}, 6) >= 0.4
         for i in range(len(bm_terms))
     )
     bm_matched = ", ".join(f"tf{i}" for i in range(len(bm_terms)))
-    o["bm25_topk"] = f"""
+    bm25_body = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_analyze_sql}) AS term FROM documents
 ),
@@ -1706,8 +1733,8 @@ SELECT doc_id, round(0.0 + {bm_score}, 4) AS score
 FROM per_doc, stats
 WHERE greatest({bm_matched}) > 0
 ORDER BY score DESC, doc_id
-LIMIT 10
 """
+    o["bm25_topk"] = bm25_body + "LIMIT 10"
 
     # best_fields multi_match BM25 — mirror of search/bm25.multi_match_bm25:
     # per field, per-doc tf over fuzzy-matched term occurrences + max
@@ -1791,11 +1818,33 @@ WHERE round({cos_ab}, 6) >= 0.4
 """
 
     cos_q = _cosine_sql("e.embedding", "q.qe")
-    o["ann_brute_topk"] = f"""
+    ann_brute_body = f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id, round({cos_q}, 6) AS cos_sim
 FROM embeddings e, q
-ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+ORDER BY cos_sim DESC, e.vec_id
+"""
+    o["ann_brute_topk"] = ann_brute_body + "LIMIT 10"
+
+    # hybrid RRF — rank the SAME two branch bodies at k_branch=20, fuse
+    # with 1/(60+rank); integer ranks make the float sum engine-exact
+    o["hybrid_search_rrf"] = f"""
+WITH lex AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM ({bm25_body} LIMIT 20)
+),
+vec AS (
+  SELECT vec_id AS id,
+         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM ({ann_brute_body} LIMIT 20)
+)
+SELECT coalesce(l.id, v.id) AS doc_id,
+       round(coalesce(1.0 / (60 + l.rank), 0.0)
+             + coalesce(1.0 / (60 + v.rank), 0.0), 6) AS rrf_score
+FROM lex l FULL OUTER JOIN vec v ON l.id = v.id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
 """
 
     # kNN join: per-query top-k via row_number over the (small) query
@@ -2112,6 +2161,44 @@ SELECT vec_id, CAST(c AS INT) AS cluster FROM (
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
   FROM d
 ) WHERE rn = 1
+"""
+
+    # gap-fill resample: independent realization of resample_ffill —
+    # last-in-bucket via row_number (mirrors the struct-max pick), grid
+    # via generate_series, forward-fill via IGNORE NULLS window. The
+    # value column passes through untouched on both sides (no float
+    # arithmetic), so equality is byte-exact.
+    o["resample_daily_ffill"] = """
+WITH picked AS (
+  SELECT user_id, bucket_ts, value AS _observed FROM (
+    SELECT user_id, date_trunc('day', ts) AS bucket_ts, value,
+           row_number() OVER (
+             PARTITION BY user_id, date_trunc('day', ts)
+             ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+),
+bounds AS (
+  SELECT user_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx
+  FROM picked GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket_ts
+  FROM bounds
+)
+SELECT g.user_id, g.bucket_ts,
+       last_value(p._observed IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       p._observed IS NULL AS is_gap
+FROM grid g LEFT JOIN picked p USING (user_id, bucket_ts)
+"""
+
+    # salted two-stage distinct: the oracle is the PLAIN distinct count
+    # the salted plan must reproduce exactly
+    o["skew_safe_distinct_users"] = """
+SELECT event_type, count(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY event_type ORDER BY event_type
 """
 
     return o

@@ -153,3 +153,41 @@ def test_asof_null_value_in_latest_right_row(spark):
     row = asof_join(left, right, "user_id", "ts", ["value"]).collect()[0]
     assert row["asof_ts"] == dt.datetime(2024, 1, 1, 11, 0)
     assert row["asof_value"] is None
+
+
+def test_resample_ffill_gaps_and_in_bucket_pick(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.temporal import resample_ffill
+
+    # user 7: days 1 (two events — latest ts wins), 2 missing, 4 present
+    # user 8: single day (grid of one, no gaps)
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 9, 0), 7, 10.0),
+            (2, dt.datetime(2024, 1, 1, 18, 0), 7, 11.0),
+            (3, dt.datetime(2024, 1, 4, 12, 0), 7, 40.0),
+            (4, dt.datetime(2024, 1, 2, 0, 0), 8, 99.0),
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    rows = {
+        (r["user_id"], r["bucket_ts"].day): (r["value"], r["is_gap"])
+        for r in resample_ffill(events, unit="day").collect()
+    }
+    assert rows[(7, 1)] == (11.0, False)   # latest event in day wins
+    assert rows[(7, 2)] == (11.0, True)    # gap forward-filled
+    assert rows[(7, 3)] == (11.0, True)
+    assert rows[(7, 4)] == (40.0, False)
+    assert rows[(8, 2)] == (99.0, False)
+    assert len(rows) == 5                  # grid spans min..max per key
+
+
+def test_resample_ffill_tie_on_ts_breaks_by_event_id(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.temporal import resample_ffill
+
+    t = dt.datetime(2024, 1, 1, 9, 0)
+    events = spark.createDataFrame(
+        [(5, t, 7, 1.0), (9, t, 7, 2.0), (2, t, 7, 3.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    [row] = resample_ffill(events, unit="day").collect()
+    assert row["value"] == 2.0  # highest event_id at the tied timestamp
