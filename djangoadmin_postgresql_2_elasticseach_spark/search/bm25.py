@@ -148,16 +148,13 @@ def multi_match_bm25(
         matched = None
         for i, qt in enumerate(qterms):
             exact = F.col("term") == F.lit(qt)
-            cond = (
-                exact
-                | (F.levenshtein(F.col("term"), F.lit(qt)) <= max_edits)
-                if max_edits > 0
-                else exact
-            )
+            # threshold-bounded levenshtein: banded DP with early exit,
+            # returns -1 past max_edits — so `d >= 0` ≡ `lev <= max_edits`
+            # and within a match d IS the true distance for the boost
+            d = F.levenshtein(F.col("term"), F.lit(qt), max_edits)
+            cond = exact | (d >= 0) if max_edits > 0 else exact
             boost = F.when(exact, F.lit(1.0)).otherwise(
-                F.lit(1.0)
-                - F.levenshtein(F.col("term"), F.lit(qt))
-                / F.greatest(F.length(F.col("term")), F.lit(1))
+                F.lit(1.0) - d / F.greatest(F.length(F.col("term")), F.lit(1))
             )
             m = F.when(cond, boost).otherwise(F.lit(None)).alias(f"b{i}")
             matched = [m] if matched is None else matched + [m]

@@ -128,11 +128,16 @@ def multi_match_fuzzy(
         for t in qtoks:
             exact = F.array_contains(toks, t).cast("int")
             if max_edits > 0:
+                # threshold-bounded levenshtein (banded DP, early exit —
+                # returns -1 past the bound): same predicate as
+                # `lev <= max_edits`, a fraction of the per-token cost
                 fuzzy = (
                     F.size(
                         F.filter(
                             toks,
-                            lambda x: (F.levenshtein(x, F.lit(t)) <= max_edits)
+                            lambda x: (
+                                F.levenshtein(x, F.lit(t), max_edits) >= 0
+                            )
                             & (x != F.lit(t)),
                         )
                     )
