@@ -325,3 +325,26 @@ def test_pack_sequences_no_global_window_over_corpus(spark):
     assert plan.count("SinglePartition") == 1, plan[:3000]
     single_ix = plan.index("SinglePartition")
     assert "HashAggregate" in plan[single_ix:], plan[single_ix:single_ix + 1500]
+
+
+def test_resample_ffill_windows_are_key_partitioned(spark):
+    """The gap-fill's cumulative window must run under the user_id
+    partitioning — an unpartitioned Window here drags every grid row
+    through one task at scale."""
+    df = registry.QUERIES["resample_daily_ffill"](spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "Window" in plan
+    # no single-partition exchange feeding a Window over the grid
+    for ln in plan.splitlines():
+        if "Window" in ln and "windowspecdefinition" in ln:
+            assert "user_id" in ln, ln
+    assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_hybrid_rrf_branches_are_topk_not_sort(spark):
+    """Both retrieval branches must compile to TakeOrderedAndProject
+    (global top-k) — a full Sort of the scored corpus would shuffle
+    everything at 100 TB. The fusion join operates on two <=k frames."""
+    df = registry.QUERIES["hybrid_search_rrf"](spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("TakeOrderedAndProject") >= 2, plan[:3000]
