@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "range_purchase_windows",
     "resample_daily_ffill",
     "skew_safe_distinct_users",
+    "incremental_rollup",
     "top_parts_per_nation",
     "revenue_rollup",
     "order_status_pivot",

@@ -583,6 +583,46 @@ def _q_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tar_shard_manifest(spark, out)
 
 
+ROLLUP_CUTOFF = "2024-01-15 12:00:00"
+
+
+def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two checkpointed maintenance ticks of the daily rollup — tick 1
+    absorbs events up to a mid-stream cutoff, tick 2 the remainder (the
+    delta under the committed checkpoint) — then returns the maintained
+    table. The oracle is the ONE-SHOT batch rollup the incremental
+    merges must reproduce exactly (incremental == batch is the whole
+    correctness claim of mergeable-partial view maintenance)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.state import JsonFileState
+    from .streaming.incremental import rollup_tick
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_rollup",
+        f"{os.path.basename(sf_dir.rstrip('/')) or 'sf'}-{os.getpid()}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    path = os.path.join(scratch, "daily")
+    state = JsonFileState(os.path.join(scratch, "state.json"))
+    cutoff = F.lit(ROLLUP_CUTOFF).cast("timestamp")
+    rollup_tick(spark, events.filter(F.col("ts") <= cutoff), path, state)
+    rollup_tick(spark, events, path, state)
+    return spark.read.parquet(path).select(
+        # partition-value type inference reads "2024-01-15" back as DATE;
+        # normalize to the string form the oracle emits
+        F.date_format(F.col("p_day").cast("date"), "yyyy-MM-dd").alias("p_day"),
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+    )
+
+
 def _q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each event enriched with the user's latest purchase at-or-before
     it (ties within one (user, ts) resolved to the max event_id before
@@ -798,6 +838,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_value_quartiles": R.user_value_quartiles,
     "resample_daily_ffill": _q_resample_ffill,
     "skew_safe_distinct_users": R.skew_safe_distinct_users,
+    "incremental_rollup": _q_incremental_rollup,
     "revenue_rollup": R.revenue_rollup,
     "order_status_pivot": R.order_status_pivot,
     "json_props_stats": R.json_props_stats,
@@ -2199,6 +2240,17 @@ FROM grid g LEFT JOIN picked p USING (user_id, bucket_ts)
     o["skew_safe_distinct_users"] = """
 SELECT event_type, count(DISTINCT user_id) AS distinct_users
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+    # incremental rollup: the oracle is the ONE-SHOT batch aggregate the
+    # two checkpointed ticks must merge to exactly (DECIMAL partial sums
+    # make merge order irrelevant)
+    o["incremental_rollup"] = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS p_day,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM events GROUP BY 1, 2
 """
 
     return o

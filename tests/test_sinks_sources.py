@@ -484,3 +484,70 @@ def test_tar_shards_string_ids_and_null_id_loud(spark, tmp_path):
     # and the failed write leaves no committed shard behind
     left = os.listdir(str(tmp_path / "n"))
     assert not [f for f in left if f.endswith(".tar")]
+
+
+def test_rollup_tick_incremental_equals_batch(spark, tmp_path):
+    """Three maintenance ticks (including a late event for an already
+    rolled-up day) must merge to exactly the one-shot batch rollup;
+    empty delta is a no-op; checkpoint only advances on data."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.state import JsonFileState
+    from djangoadmin_postgresql_2_elasticseach_spark.streaming.incremental import rollup_tick
+
+    def ev(i, day, hour, typ, val):
+        return (i, dt.datetime(2024, 1, day, hour, 0), 7, typ, val)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batch1 = spark.createDataFrame(
+        [ev(1, 1, 9, "click", 1.5), ev(2, 1, 10, "view", 2.0), ev(3, 2, 9, "click", 3.0)],
+        schema,
+    )
+    # tick 2 delivers day-3 data AND a late day-1 event (ts > ckpt is
+    # what makes it a delta; its calendar day is already materialized)
+    batch2 = spark.createDataFrame(
+        [ev(4, 3, 9, "click", 4.0), ev(5, 3, 10, "click", 0.25)], schema
+    )
+    late = spark.createDataFrame([ev(6, 3, 11, "view", 9.0)], schema)
+
+    path = str(tmp_path / "daily")
+    state = JsonFileState(str(tmp_path / "state.json"))
+
+    assert rollup_tick(spark, batch1, path, state) == 3
+    ckpt1 = state.get_state("last_rollup_ts")
+    assert rollup_tick(spark, batch1.unionByName(batch2), path, state) == 2
+    assert state.get_state("last_rollup_ts") > ckpt1
+    assert rollup_tick(spark, batch1, path, state) == 0  # nothing new
+    assert rollup_tick(spark, late, path, state) == 1
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(path)
+            .select(
+                F.col("p_day").cast("string"),
+                "event_type",
+                "n_events",
+                F.col("sum_value").cast("double"),
+            )
+            .collect(),
+        )
+    )
+    everything = batch1.unionByName(batch2).unionByName(late)
+    want = sorted(
+        map(
+            tuple,
+            everything.groupBy(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("p_day"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
