@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "resample_daily_ffill",
     "skew_safe_distinct_users",
     "incremental_rollup",
+    "upsert_merge_docs",
     "top_parts_per_nation",
     "revenue_rollup",
     "order_status_pivot",

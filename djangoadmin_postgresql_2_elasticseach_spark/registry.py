@@ -623,6 +623,43 @@ def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-partitioned keyed MERGE: load all documents at version 0,
+    then upsert an updated subset at version 1 — the final table must
+    show exactly the updated rows winning (the oracle derives the same
+    end state declaratively). Text returns as md5 to keep the boundary
+    frame small."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.writers import upsert_by_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.withColumn("version", F.lit(0).cast("long"))
+    updates = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.concat(F.lit("UPDATED:"), F.col("text")))
+        .withColumn("version", F.lit(1).cast("long"))
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_upsert",
+        f"{os.path.basename(sf_dir.rstrip('/')) or 'sf'}-{os.getpid()}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    path = os.path.join(scratch, "docs")
+    upsert_by_key(
+        spark, base, path, key="doc_id", version_col="version", n_buckets=16
+    )
+    upsert_by_key(
+        spark, updates, path, key="doc_id", version_col="version", n_buckets=16
+    )
+    return spark.read.parquet(path).select(
+        "doc_id", "version", F.md5(F.col("text")).alias("text_md5")
+    )
+
+
 def _q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each event enriched with the user's latest purchase at-or-before
     it (ties within one (user, ts) resolved to the max event_id before
@@ -839,6 +876,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_daily_ffill": _q_resample_ffill,
     "skew_safe_distinct_users": R.skew_safe_distinct_users,
     "incremental_rollup": _q_incremental_rollup,
+    "upsert_merge_docs": _q_upsert_docs,
     "revenue_rollup": R.revenue_rollup,
     "order_status_pivot": R.order_status_pivot,
     "json_props_stats": R.json_props_stats,
@@ -2251,6 +2289,16 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS p_day,
        count(*) AS n_events,
        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+    # keyed MERGE: the oracle derives the post-upsert end state
+    # declaratively (updated subset wins at version 1)
+    o["upsert_merge_docs"] = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS version,
+       md5(CASE WHEN doc_id % 7 = 0 THEN 'UPDATED:' || text ELSE text END)
+         AS text_md5
+FROM documents
 """
 
     return o

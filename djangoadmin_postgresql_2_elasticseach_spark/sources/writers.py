@@ -175,3 +175,79 @@ def compact_parquet(
     shutil.rmtree(old)
     _layout_changed(spark)
     return len(before), len(_parquet_files(path))
+
+def upsert_by_key(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key: str = "id",
+    version_col: str = "modified",
+    n_buckets: int = 64,
+) -> int:
+    """Keyed upsert (MERGE: latest version wins) on plain parquet — the
+    parquet-side equivalent of the reference ETL's by-`_id` document
+    upsert into ES (reference etl/main.py:163-169: re-indexing a doc id
+    replaces the old doc).
+
+    Layout: the table is partitioned by ``p_bucket = hash(key) mod
+    n_buckets``. An upsert batch then touches ONLY the buckets its keys
+    hash into: read those partitions back (partition-pruned), merge, and
+    rewrite just them via dynamic partition overwrite — copy-on-write at
+    bucket granularity, the same cost model transactional table formats
+    use, without a table format. Size n_buckets so one bucket is a
+    comfortable rewrite unit (e.g. 100 TB / 2^15 buckets ≈ 3 GB).
+
+    Merge semantics: per key keep the row with the highest
+    ``version_col``; an incoming row beats an existing row at the SAME
+    version (re-delivery wins — idempotent retries). Resolution is ONE
+    aggregation via the lexicographic struct-max (version, is_incoming,
+    remaining columns) — deterministic even for full duplicates, no
+    window, no per-key state. Returns the number of incoming rows
+    absorbed.
+    """
+    data_cols = [c for c in batch.columns if c not in (key, version_col)]
+    bucket = lambda df: F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))  # noqa: E731
+
+    def pack(df: DataFrame, src: int) -> DataFrame:
+        return df.select(
+            F.col(key),
+            bucket(df).alias("p_bucket"),
+            F.struct(
+                F.col(version_col), F.lit(src).alias("_src"),
+                *[F.col(c) for c in data_cols],
+            ).alias("_packed"),
+        )
+
+    incoming = pack(batch, 1)
+    n_in = incoming.count()
+    if n_in == 0:
+        return 0
+    merged = incoming
+    if os.path.exists(path):
+        buckets = [
+            r["p_bucket"]
+            for r in incoming.select("p_bucket").distinct().collect()
+        ]
+        existing = spark.read.parquet(path).filter(
+            F.col("p_bucket").isin(buckets)
+        )
+        merged = incoming.unionByName(pack(existing.drop("p_bucket"), 0))
+    resolved = (
+        merged.groupBy(key, "p_bucket")
+        .agg(F.max("_packed").alias("_w"))
+        .select(
+            F.col(key),
+            F.col("p_bucket"),
+            *[F.col(f"_w.{c}") for c in [version_col] + data_cols],
+        )
+    )
+    # source and destination share partitions: materialize before replace
+    resolved = resolved.localCheckpoint(eager=True)
+    (
+        resolved.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("p_bucket")
+        .parquet(path)
+    )
+    _layout_changed(spark)
+    return n_in

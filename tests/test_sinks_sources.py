@@ -551,3 +551,51 @@ def test_rollup_tick_incremental_equals_batch(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_upsert_by_key_merge_and_bucket_scoped_rewrite(spark, tmp_path):
+    """Latest version wins; same-version re-delivery wins (idempotent
+    retry); an upsert rewrites ONLY the buckets its keys hash into."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.writers import upsert_by_key
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, 0, f"v{i}") for i in range(100)], "id long, version long, val string"
+    )
+    assert upsert_by_key(spark, base, path, key="id", version_col="version", n_buckets=8) == 100
+
+    def snapshot():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("p_bucket="):
+                full = os.path.join(path, d)
+                out[d] = sorted(os.listdir(full))
+        return out
+
+    before = snapshot()
+    upd = spark.createDataFrame([(5, 1, "NEW")], "id long, version long, val string")
+    assert upsert_by_key(spark, upd, path, key="id", version_col="version", n_buckets=8) == 1
+    after = snapshot()
+    changed = [d for d in before if before[d] != after.get(d)]
+    assert len(changed) == 1  # exactly the bucket key 5 hashes into
+
+    # same-version re-delivery: the incoming row must replace the stored one
+    redeliver = spark.createDataFrame(
+        [(5, 1, "NEWER")], "id long, version long, val string"
+    )
+    upsert_by_key(spark, redeliver, path, key="id", version_col="version", n_buckets=8)
+    # stale lower version must NOT win
+    stale = spark.createDataFrame([(5, 0, "OLD")], "id long, version long, val string")
+    upsert_by_key(spark, stale, path, key="id", version_col="version", n_buckets=8)
+
+    rows = {
+        r["id"]: (r["version"], r["val"])
+        for r in spark.read.parquet(path).select("id", "version", "val").collect()
+    }
+    assert len(rows) == 100
+    assert rows[5] == (1, "NEWER")
+    assert rows[6] == (0, "v6")
