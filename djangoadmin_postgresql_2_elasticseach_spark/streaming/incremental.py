@@ -190,10 +190,21 @@ def rollup_tick(
     aggregation (the same shape Structured Streaming keeps in its state
     store) realized over a plain parquet table any engine can read.
     """
-    import os
-
     ckpt = state.get_state(state_key, DATETIME_MIN)
     delta = events.filter(F.col("ts") > _ckpt_col(ckpt))
+    n, new_ckpt = merge_rollup_delta(spark, delta, rollup_path)
+    if new_ckpt is not None:
+        state.set_state(state_key, str(new_ckpt))
+    return n
+
+
+def merge_rollup_delta(spark, delta: DataFrame, rollup_path: str):
+    """Merge one delta frame into the rollup table (the shared core of
+    batch ``rollup_tick`` and streaming ``rollup_stream``). Returns
+    ``(rows_absorbed, max_ts_of_delta)``; (0, None) on an empty delta.
+    """
+    import os
+
     part = (
         delta.groupBy(
             F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
@@ -203,7 +214,13 @@ def rollup_tick(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            # Spark widens sum(decimal(18,6)) to decimal(28,6); pin the
+            # stored type so every write (fresh partition or merged
+            # rewrite) lands the SAME parquet physical type — mixed
+            # precisions across partitions fail the read-back
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("sum_value"),
             F.max("ts").alias("_max_ts"),
         )
         .cache()
@@ -211,9 +228,14 @@ def rollup_tick(
     try:
         days = [r["p_day"] for r in part.select("p_day").distinct().collect()]
         if not days:
-            return 0
+            return 0, None
         merged = part.drop("_max_ts")
-        if os.path.exists(rollup_path):
+        # "exists" means real day-partitions — the dir may hold only
+        # bookkeeping files (e.g. rollup_stream's _last_batch_id marker)
+        has_data = os.path.isdir(rollup_path) and any(
+            f.startswith("p_day=") for f in os.listdir(rollup_path)
+        )
+        if has_data:
             old = (
                 spark.read.parquet(rollup_path)
                 .filter(F.col("p_day").isin(days))
@@ -236,12 +258,8 @@ def rollup_tick(
             .partitionBy("p_day")
             .parquet(rollup_path)
         )
-        n = int(
-            part.agg(F.sum("n_events")).first()[0] or 0
-        )
+        n = int(part.agg(F.sum("n_events")).first()[0] or 0)
         new_ckpt = part.agg(F.max("_max_ts")).first()[0]
-        if new_ckpt is not None:
-            state.set_state(state_key, str(new_ckpt))
-        return n
+        return n, new_ckpt
     finally:
         part.unpersist()

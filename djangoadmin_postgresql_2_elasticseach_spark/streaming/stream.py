@@ -145,3 +145,61 @@ def dimension_edit_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def rollup_stream(
+    spark: SparkSession,
+    events_dir: str,
+    rollup_path: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 10,
+    max_files_per_trigger: int = 100,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming maintenance of the daily rollup table: each micro-batch
+    of new event files merges into the partitioned parquet rollup via
+    ``incremental.merge_rollup_delta`` (counts + DECIMAL sums —
+    associative, so micro-batch merge order never changes the result).
+
+    Effectively-once: foreachBatch replays a failed batch with the SAME
+    batch_id and contents, and the merge is NOT idempotent (a re-merge
+    would double-count), so a ``_last_batch_id`` marker inside the
+    rollup dir gates replays — a batch id at or below the marker is
+    skipped. The marker commits via atomic rename AFTER the merge write,
+    the same commit-after-sink contract as the batch tick.
+    """
+    import os
+    import tempfile
+
+    from .. import schemas
+    from .incremental import merge_rollup_delta
+
+    stream = (
+        spark.readStream.schema(schemas.EVENTS)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(events_dir)
+    )
+
+    marker = os.path.join(rollup_path, "_last_batch_id")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(marker):
+            with open(marker, "r", encoding="utf-8") as f:
+                if batch_id <= int(f.read().strip() or -1):
+                    return  # replayed batch already merged
+        if not batch_df.isEmpty():
+            merge_rollup_delta(batch_df.sparkSession, batch_df, rollup_path)
+        os.makedirs(rollup_path, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=rollup_path, suffix=".tmp")
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, marker)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -160,3 +160,74 @@ def test_session_window_stream_append(spark, tmp_path):
     assert len(closed) == 1
     assert closed[0]["sum_value"] == 3.0
     assert str(closed[0]["session_start"]) == "2026-01-01 00:00:00"
+
+
+def test_rollup_stream_microbatches_equal_batch(spark, tmp_path):
+    """Two availableNow drains over a growing events dir must leave the
+    rollup equal to the one-shot batch aggregate; the _last_batch_id
+    marker advances and a replayed id would be skipped."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from djangoadmin_postgresql_2_elasticseach_spark.streaming.stream import rollup_stream
+
+    src = str(tmp_path / "ev")
+    rollup = str(tmp_path / "daily")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def ev(i, day, hour, typ, val):
+        return (i, dt.datetime(2024, 1, day, hour, 0), 7, typ, val, "{}")
+
+    def drain():
+        q = rollup_stream(
+            spark, src, rollup, str(tmp_path / "ckpt"), available_now=True
+        )
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame(
+        [ev(1, 1, 9, "click", 1.5), ev(2, 1, 10, "view", 2.0), ev(3, 2, 9, "click", 3.0)],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    # batch 2: new day 3 plus a late event for the already-rolled day 1
+    b2 = spark.createDataFrame(
+        [ev(4, 3, 9, "click", 4.0), ev(5, 1, 23, "click", 0.25)], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(rollup)
+            .select(
+                F.col("p_day").cast("string"),
+                "event_type",
+                "n_events",
+                F.col("sum_value").cast("double"),
+            )
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            b1.unionByName(b2)
+            .groupBy(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("p_day"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect(),
+        )
+    )
+    assert got == want
+    marker = os.path.join(rollup, "_last_batch_id")
+    assert os.path.exists(marker)
+    assert int(open(marker).read()) >= 1
