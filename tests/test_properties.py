@@ -479,3 +479,91 @@ def test_pack_sequences_tiles_stream_for_any_whitespace(spark, docs, W):
         assert r["first_window"] == offset // W
         assert r["last_window"] == (offset + counts[i] - 1) // W
         offset += counts[i]
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),    # day
+            st.integers(min_value=0, max_value=23),   # hour
+            st.integers(min_value=1, max_value=3),    # user
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_resample_ffill_matches_python_reference(spark, evs):
+    """resample_ffill vs a direct python re-implementation on random
+    event sets: same grid, same picks, same fills."""
+    import datetime as dt
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.temporal import resample_ffill
+
+    rows = [
+        (i, dt.datetime(2024, 1, d, h, 0), u, float(v))
+        for i, (d, h, u, v) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        (r["user_id"], r["bucket_ts"].day): (r["value"], r["is_gap"])
+        for r in resample_ffill(df, unit="day").collect()
+    }
+
+    # python reference: last (ts, event_id) per (user, day), then ffill
+    picked: dict = {}
+    for eid, ts, u, v in rows:
+        k = (u, ts.day)
+        if k not in picked or (ts, eid) > picked[k][0]:
+            picked[k] = ((ts, eid), v)
+    want = {}
+    for u in {r[2] for r in rows}:
+        days = [d for (uu, d) in picked if uu == u]
+        lastv = None
+        for d in range(min(days), max(days) + 1):
+            if (u, d) in picked:
+                lastv = picked[(u, d)][1]
+                want[(u, d)] = (lastv, False)
+            else:
+                want[(u, d)] = (lastv, True)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # key
+            st.integers(min_value=0, max_value=3),   # version
+            st.integers(min_value=0, max_value=99),  # payload
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_upsert_sequence_converges_to_max_version(spark, tmp_path_factory, batches_flat):
+    """Applying rows one batch at a time through upsert_by_key must end
+    with, per key, the payload of the (version, arrival-order)-max row —
+    regardless of how the sequence interleaves keys and versions."""
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.writers import upsert_by_key
+
+    path = str(tmp_path_factory.mktemp("upsert") / "t")
+    # arrival order is the batch index; later batch at same version wins
+    expect: dict = {}
+    for order, (k, ver, payload) in enumerate(batches_flat):
+        cur = expect.get(k)
+        if cur is None or (ver, order) >= (cur[0], cur[1]):
+            expect[k] = (ver, order, payload)
+        df = spark.createDataFrame(
+            [(k, ver, payload)], "id long, version long, payload long"
+        )
+        upsert_by_key(spark, df, path, key="id", version_col="version", n_buckets=4)
+
+    got = {
+        r["id"]: (r["version"], r["payload"])
+        for r in spark.read.parquet(path).select("id", "version", "payload").collect()
+    }
+    assert got == {k: (v[0], v[2]) for k, v in expect.items()}
