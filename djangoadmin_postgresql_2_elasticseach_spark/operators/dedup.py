@@ -477,6 +477,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    local_finish_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph — the step that
     turns pairwise dedup output into per-document cluster assignments
@@ -506,6 +507,17 @@ def dedup_clusters(
     Output: (doc_id, cluster, cluster_size) for every doc that appears
     in `pairs`; singletons (docs with no dup pair) are not rows — their
     cluster is trivially themselves.
+
+    Small-graph finish: star rounds preserve connectivity, so once the
+    contracted edge set fits ``local_finish_edges`` rows (the count is
+    free — it rides the per-round signature) the remaining components
+    are solved with a driver-side union-find and broadcast back as the
+    (node → min) mapping — the standard hybrid in distributed CC
+    (contract until it fits, then solve locally). This turns the tail
+    of the loop (several near-empty rounds of cluster-wide job latency)
+    into one collect bounded by ``local_finish_edges``; the distributed
+    loop still does all the work while the graph is big. Pass
+    ``local_finish_edges=0`` to force the pure distributed fixed point.
     """
     nodes = (
         pairs.select(F.col(id_a).alias("node"))
@@ -577,13 +589,55 @@ def dedup_clusters(
         ).first()
         return (row["n"], row["h"])
 
+    def _finish_local(e: DataFrame) -> DataFrame:
+        """Union-find over a collected (small) edge set → the exact
+        (u → component-min) edge frame the fixed point would produce.
+        Union-by-min keeps every root the minimum of its component, so
+        find(x) IS the component label."""
+        from pyspark.sql.types import StructField, StructType
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        rows = e.collect()
+        for row in rows:
+            ra, rb = find(row["u"]), find(row["v"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        mapping = []
+        for n in {r["u"] for r in rows} | {r["v"] for r in rows}:
+            root = find(n)
+            if root != n:
+                mapping.append((n, root))
+        ntype = nodes.schema[0].dataType
+        schema = StructType(
+            [StructField("u", ntype), StructField("v", ntype)]
+        )
+        return nodes.sparkSession.createDataFrame(mapping, schema)
+
     converged = False
     sig = _sig(edges)
+    if local_finish_edges and sig[0] <= local_finish_edges:
+        edges = _finish_local(edges)
+        converged = True
     for _ in range(max_iter):
+        if converged:
+            break
         new_edges = _small_star(_large_star(edges)).localCheckpoint(
             eager=True
         )  # truncate per-round lineage
         new_sig = _sig(new_edges)
+        if local_finish_edges and new_sig[0] <= local_finish_edges:
+            edges = _finish_local(new_edges)
+            converged = True
+            break
         if (
             new_sig == sig
             and new_edges.exceptAll(edges).isEmpty()

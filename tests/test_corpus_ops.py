@@ -386,9 +386,9 @@ def test_dedup_clusters_raises_on_nonconvergence(spark):
         [(i, i + 1) for i in range(1, 64)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="star fixed point"):
-        dedup_clusters(chain, max_iter=1)
+        dedup_clusters(chain, max_iter=1, local_finish_edges=0)
     # and succeeds once max_iter covers the O(log n) round bound
-    rows = dedup_clusters(chain, max_iter=10).collect()
+    rows = dedup_clusters(chain, max_iter=10, local_finish_edges=0).collect()
     assert {r["cluster"] for r in rows} == {1}
     assert all(r["cluster_size"] == 64 for r in rows)
 
@@ -406,10 +406,15 @@ def test_dedup_clusters_long_chain_logarithmic_rounds(spark):
     chain = spark.range(1, n).select(
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
     )
-    rows = dedup_clusters(chain, max_iter=20).collect()
+    # local_finish_edges=0 forces the pure distributed fixed point (the
+    # hybrid would otherwise solve a 10⁴-edge graph driver-side)
+    rows = dedup_clusters(chain, max_iter=20, local_finish_edges=0).collect()
     assert len(rows) == n
     assert {r["cluster"] for r in rows} == {1}
     assert all(r["cluster_size"] == n for r in rows)
+    # and the hybrid local finish must produce the identical clustering
+    hybrid = dedup_clusters(chain, max_iter=20).collect()
+    assert sorted(map(tuple, hybrid)) == sorted(map(tuple, rows))
 
 
 def test_minhash_index_persist_and_incremental(spark, tmp_path):
