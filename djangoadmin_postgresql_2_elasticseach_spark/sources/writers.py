@@ -204,7 +204,22 @@ def upsert_by_key(
     remaining columns) — deterministic even for full duplicates, no
     window, no per-key state. Returns the number of incoming rows
     absorbed.
+
+    The bucket count is part of the table layout: a ``_n_buckets``
+    marker (underscore-prefixed — invisible to Spark's file index) is
+    written on create and CHECKED on every upsert. Upserting with a
+    different n_buckets would silently read the wrong partitions and
+    duplicate keys, so a mismatch raises instead.
     """
+    marker = os.path.join(path, "_n_buckets")
+    if os.path.exists(marker):
+        with open(marker, "r", encoding="utf-8") as f:
+            stored = int(f.read().strip())
+        if stored != n_buckets:
+            raise ValueError(
+                f"{path} was bucketed with n_buckets={stored}; upsert "
+                f"called with {n_buckets} — rebucket the table instead"
+            )
     data_cols = [c for c in batch.columns if c not in (key, version_col)]
     bucket = lambda df: F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))  # noqa: E731
 
@@ -249,5 +264,12 @@ def upsert_by_key(
         .partitionBy("p_bucket")
         .parquet(path)
     )
+    if not os.path.exists(marker):
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(str(n_buckets))
+        os.replace(tmp, marker)
     _layout_changed(spark)
     return n_in

@@ -599,3 +599,17 @@ def test_upsert_by_key_merge_and_bucket_scoped_rewrite(spark, tmp_path):
     assert len(rows) == 100
     assert rows[5] == (1, "NEWER")
     assert rows[6] == (0, "v6")
+
+
+def test_upsert_by_key_rejects_bucket_count_drift(spark, tmp_path):
+    """An upsert with a different n_buckets than the table layout would
+    read the wrong partitions and duplicate keys — it must raise."""
+    import pytest
+
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.writers import upsert_by_key
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 0, "a")], "id long, version long, val string")
+    upsert_by_key(spark, df, path, key="id", version_col="version", n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        upsert_by_key(spark, df, path, key="id", version_col="version", n_buckets=16)
