@@ -197,6 +197,11 @@ def resample_ffill(
 
     Output: (key_col, bucket_ts, value_col, is_gap) — one row per key
     per grid bucket.
+
+    PRECONDITION: `ts_col` and `value_col` non-null (the driver events
+    table guarantees both). A NULL observed value would mark its bucket
+    `is_gap` and fill from the previous bucket — scrub NULLs first if
+    they must be distinguished from gaps.
     """
     picked = (
         events.select(key_col, ts_col, value_col, tiebreak_col)
