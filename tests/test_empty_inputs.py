@@ -189,3 +189,41 @@ def test_incremental_dedup_empty_sides(spark):
     assert out.columns == cols and out.count() == 0
     out2 = incremental_dedup_pairs(one, minhash_index_frame(empty))
     assert out2.columns == cols and out2.count() == 0
+
+
+def test_new_r5_operators_empty(spark, tmp_path):
+    import datetime as dt
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import dedup_clusters
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.temporal import resample_ffill
+    from djangoadmin_postgresql_2_elasticseach_spark.search.hybrid import rrf_fuse
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.state import JsonFileState
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.writers import upsert_by_key
+    from djangoadmin_postgresql_2_elasticseach_spark.streaming.incremental import rollup_tick
+
+    empty_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    assert resample_ffill(empty_events, unit="day").count() == 0
+
+    empty_ranked = spark.createDataFrame([], "doc_id long, rank int")
+    assert rrf_fuse([empty_ranked, empty_ranked]).count() == 0
+
+    # empty pair graph -> empty clustering (both finish paths)
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(empty_pairs).count() == 0
+    assert dedup_clusters(empty_pairs, local_finish_edges=0).count() == 0
+
+    # empty upsert batch: no table created, 0 absorbed
+    path = str(tmp_path / "t")
+    empty_batch = spark.createDataFrame([], "id long, version long, v string")
+    assert upsert_by_key(spark, empty_batch, path, key="id", version_col="version") == 0
+    import os
+
+    assert not os.path.exists(path)
+
+    # empty rollup tick: no write, checkpoint untouched
+    state = JsonFileState(str(tmp_path / "s.json"))
+    assert rollup_tick(spark, empty_events.withColumn("event_type", F.lit("x")),
+                       str(tmp_path / "r"), state) == 0
+    assert not os.path.exists(str(tmp_path / "r"))
