@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "multimatch_fuzzy",
     "bm25_topk",
     "multimatch_bm25",
+    "match_phrase",
     "analyze_tokens",
     "inverted_df",
     "query_string_search",

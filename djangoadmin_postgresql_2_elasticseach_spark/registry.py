@@ -764,6 +764,16 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_planes=4, probe_hamming=1)
 
 
+PHRASE_QUERY = "table hash"
+
+
+def _q_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase (slop=0) over the persisted analyzed tokens."""
+    from .search.query import match_phrase
+
+    return match_phrase(_docs_indexed(spark, sf_dir), "text", PHRASE_QUERY)
+
+
 def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 top-20 ∪ cosine top-20 fused by RRF —
     lexical and vector branches over the same 0..N-1 id domain
@@ -886,6 +896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_knn_join": _q_knn_join,
     "label_centroids": _q_label_centroids,
     "hybrid_search_rrf": _q_hybrid_rrf,
+    "match_phrase": _q_match_phrase,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -2289,6 +2300,23 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS p_day,
        count(*) AS n_events,
        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+    # match_phrase: consecutive analyzed terms — the oracle probes the
+    # same start positions over the same analyzed stream (out-of-range
+    # list index → NULL on both engines)
+    ph = SQ.analyze_query(PHRASE_QUERY)
+    ph_conds = " AND ".join(
+        f"tk[i+{j}] = '{t}'" for j, t in enumerate(ph)
+    )
+    o["match_phrase"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_analyze_col_sql("text")} AS tk FROM documents
+)
+SELECT doc_id, lang FROM t
+WHERE len(tk) >= {len(ph)}
+  AND len(list_filter(range(1, greatest(len(tk) - {len(ph)} + 2, 1)),
+          i -> {ph_conds})) > 0
 """
 
     # keyed MERGE: the oracle derives the post-upsert end state

@@ -148,3 +148,43 @@ def multi_match_fuzzy(
                 score = score + F.lit(weight) * (3 * exact)
     scored = docs.withColumn("score", score).filter(F.col("score") > 0)
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def match_phrase(
+    docs: DataFrame,
+    field: str,
+    phrase: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``match_phrase`` (slop=0): the ANALYZED query terms must occur
+    consecutively in the field's analyzed token stream.
+
+    Positional check as one native expression — no explode, no join:
+    ``exists(start_positions, all query terms line up from start)`` over
+    the token array. ``F.get`` (0-based, NULL past the end) keeps the
+    probe ANSI-safe when the document is shorter than the phrase.
+
+    Documented divergence from ES: the analyzer chain REMOVES stopwords
+    without leaving position gaps, so a phrase spanning a stopword
+    ("hash the table" → [hash, tabl]) matches text where the stopword
+    was likewise removed. ES with position increments would require
+    slop≥1 there; our semantics equal ES on stopword-free phrases and
+    are mirrored exactly by the DuckDB oracle.
+    """
+    import functools
+    import operator
+
+    qt = analyze_query(phrase)
+    if not qt:
+        raise ValueError("empty phrase after analysis")
+    toks = field_tokens(docs, field)
+    n = len(qt)
+    starts = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    aligned = F.exists(
+        starts,
+        lambda i: functools.reduce(
+            operator.and_,
+            [F.get(toks, i + F.lit(j)) == F.lit(t) for j, t in enumerate(qt)],
+        ),
+    )
+    return docs.filter((F.size(toks) >= n) & aligned).select(id_col, "lang")

@@ -245,3 +245,24 @@ def test_bm25_ranking_properties(spark):
     assert both[5] > both[2]
     scores = [r["score"] for r in top]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_match_phrase_requires_adjacency(spark):
+    """Phrase terms must be CONSECUTIVE in the analyzed stream: scattered
+    occurrences, reversed order, and sub-phrase prefixes must not match;
+    stemming applies to both sides ('tables hashing' ~ 'table hash')."""
+    from djangoadmin_postgresql_2_elasticseach_spark.search.query import match_phrase
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the table hash join", "en"),       # adjacent (stopword dropped)
+            (2, "table big hash", "en"),            # scattered -> no
+            (3, "hash table", "en"),                # reversed -> no
+            (4, "tables hashing", "en"),            # stems align -> yes
+            (5, "table", "en"),                     # shorter than phrase -> no
+            (6, "", "en"),                          # empty -> no
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = sorted(r["doc_id"] for r in match_phrase(docs, "text", "table hash").collect())
+    assert got == [1, 4]
