@@ -771,7 +771,9 @@ def _q_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_phrase (slop=0) over the persisted analyzed tokens."""
     from .search.query import match_phrase
 
-    return match_phrase(_docs_indexed(spark, sf_dir), "text", PHRASE_QUERY)
+    return match_phrase(
+        _docs_indexed(spark, sf_dir), "text", PHRASE_QUERY
+    ).select("doc_id", "lang")
 
 
 def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -163,20 +163,17 @@ def _apply_query(docs: DataFrame, q: dict, id_col: str) -> tuple[DataFrame, bool
         if isinstance(value, dict):
             value = value["query"]
         toks = analyze_query(str(value))
-        # consecutive-token semantics over the ANALYZED stream: the
-        # field's analyzed tokens, re-joined on single spaces, must
-        # contain the analyzed phrase as a substring. (Documented
-        # divergence: ES keeps position holes where stopwords were
-        # removed, so "camp story" does NOT match "camp the story"
-        # there but does here — none of the reference bodies hit it.)
-        joined = F.concat_ws(
-            " ",
-            F.concat(
-                F.array(F.lit("")), field_tokens(docs, field), F.array(F.lit(""))
-            ),
-        )
-        needle = " " + " ".join(toks) + " "
-        return docs.filter(joined.contains(needle)), False
+        # consecutive-token semantics over the ANALYZED stream — shared
+        # predicate with search/query.match_phrase (single source of
+        # phrase semantics). (Documented divergence: ES keeps position
+        # holes where stopwords were removed, so "camp story" does NOT
+        # match "camp the story" there but does here — none of the
+        # reference bodies hit it.)
+        from .query import phrase_condition
+
+        return docs.filter(
+            phrase_condition(field_tokens(docs, field), toks)
+        ), False
     if "bool" in q:
         b = q["bool"]
 

@@ -150,19 +150,38 @@ def multi_match_fuzzy(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
-def match_phrase(
-    docs: DataFrame,
-    field: str,
-    phrase: str,
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """ES ``match_phrase`` (slop=0): the ANALYZED query terms must occur
-    consecutively in the field's analyzed token stream.
+def phrase_condition(toks, terms: list[str]):
+    """Boolean Column: the analyzed ``terms`` occur CONSECUTIVELY in the
+    token-array expression ``toks`` — the single source of phrase
+    semantics for both ``match_phrase`` and the DSL interpreter's
+    ``match_phrase`` branch.
 
-    Positional check as one native expression — no explode, no join:
-    ``exists(start_positions, all query terms line up from start)`` over
-    the token array. ``F.get`` (0-based, NULL past the end) keeps the
-    probe ANSI-safe when the document is shorter than the phrase.
+    One native expression — no explode, no join: ``exists(start
+    positions, all terms line up from start)``. ``F.get`` (0-based,
+    NULL past the end) keeps the probe ANSI-safe when the document is
+    shorter than the phrase (the descending start sequence it produces
+    then yields only NULL probes → false)."""
+    import functools
+    import operator
+
+    if not terms:
+        raise ValueError("empty phrase after analysis")
+    n = len(terms)
+    starts = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    aligned = F.exists(
+        starts,
+        lambda i: functools.reduce(
+            operator.and_,
+            [F.get(toks, i + F.lit(j)) == F.lit(t) for j, t in enumerate(terms)],
+        ),
+    )
+    return (F.size(toks) >= n) & aligned
+
+
+def match_phrase(docs: DataFrame, field: str, phrase: str) -> DataFrame:
+    """ES ``match_phrase`` (slop=0): the ANALYZED query terms must occur
+    consecutively in the field's analyzed token stream. Returns the
+    matching rows with the input frame's full schema (callers project).
 
     Documented divergence from ES: the analyzer chain REMOVES stopwords
     without leaving position gaps, so a phrase spanning a stopword
@@ -171,20 +190,5 @@ def match_phrase(
     slop≥1 there; our semantics equal ES on stopword-free phrases and
     are mirrored exactly by the DuckDB oracle.
     """
-    import functools
-    import operator
-
     qt = analyze_query(phrase)
-    if not qt:
-        raise ValueError("empty phrase after analysis")
-    toks = field_tokens(docs, field)
-    n = len(qt)
-    starts = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
-    aligned = F.exists(
-        starts,
-        lambda i: functools.reduce(
-            operator.and_,
-            [F.get(toks, i + F.lit(j)) == F.lit(t) for j, t in enumerate(qt)],
-        ),
-    )
-    return docs.filter((F.size(toks) >= n) & aligned).select(id_col, "lang")
+    return docs.filter(phrase_condition(field_tokens(docs, field), qt))

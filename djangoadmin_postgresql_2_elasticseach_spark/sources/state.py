@@ -54,3 +54,18 @@ class JsonFileState:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+
+
+def atomic_write_text(path: str, text: str) -> None:
+    """Crash-safe small-file write: tmpfile in the target dir + rename.
+    Shared by the checkpoint store and the table-layout / batch-id
+    markers (writers.upsert_by_key, streaming.stream.rollup_stream)."""
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(text)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)

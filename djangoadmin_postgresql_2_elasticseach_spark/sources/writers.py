@@ -205,20 +205,31 @@ def upsert_by_key(
     window, no per-key state. Returns the number of incoming rows
     absorbed.
 
-    The bucket count is part of the table layout: a ``_n_buckets``
-    marker (underscore-prefixed — invisible to Spark's file index) is
-    written on create and CHECKED on every upsert. Upserting with a
-    different n_buckets would silently read the wrong partitions and
-    duplicate keys, so a mismatch raises instead.
+    Bucket count AND key type are part of the table layout: a
+    ``_layout`` JSON marker (underscore-prefixed — invisible to Spark's
+    file index) is committed BEFORE the first data write and CHECKED on
+    every upsert. Upserting with a different n_buckets would silently
+    read the wrong partitions; so would the same logical key arriving
+    with a different integral type (``xxhash64`` is type-sensitive:
+    hash(5L) ≠ hash(5 as int)) — both raise instead of duplicating
+    keys. Marker-first ordering means a crash between marker and first
+    write leaves a marker-only dir, which the next upsert treats as an
+    empty table under the SAME pinned layout — never an unguarded one.
     """
-    marker = os.path.join(path, "_n_buckets")
+    import json
+
+    from .state import atomic_write_text
+
+    key_type = dict(batch.dtypes)[key]
+    layout = {"n_buckets": n_buckets, "key_type": key_type}
+    marker = os.path.join(path, "_layout")
     if os.path.exists(marker):
         with open(marker, "r", encoding="utf-8") as f:
-            stored = int(f.read().strip())
-        if stored != n_buckets:
+            stored = json.load(f)
+        if stored != layout:
             raise ValueError(
-                f"{path} was bucketed with n_buckets={stored}; upsert "
-                f"called with {n_buckets} — rebucket the table instead"
+                f"{path} layout is {stored}; upsert called with "
+                f"{layout} — rebucket/cast instead"
             )
     data_cols = [c for c in batch.columns if c not in (key, version_col)]
     bucket = lambda df: F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))  # noqa: E731
@@ -233,12 +244,20 @@ def upsert_by_key(
             ).alias("_packed"),
         )
 
-    incoming = pack(batch, 1)
+    # materialize the packed batch ONCE — count, the distinct-bucket
+    # collect, and the merge otherwise re-execute the (possibly
+    # expensive) upstream lineage three times
+    incoming = pack(batch, 1).localCheckpoint(eager=True)
     n_in = incoming.count()
     if n_in == 0:
         return 0
+    # commit the layout BEFORE the first data write (see docstring)
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        atomic_write_text(marker, json.dumps(layout))
     merged = incoming
-    if os.path.exists(path):
+    has_data = any(f.startswith("p_bucket=") for f in os.listdir(path))
+    if has_data:
         buckets = [
             r["p_bucket"]
             for r in incoming.select("p_bucket").distinct().collect()
@@ -264,12 +283,5 @@ def upsert_by_key(
         .partitionBy("p_bucket")
         .parquet(path)
     )
-    if not os.path.exists(marker):
-        import tempfile
-
-        fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            f.write(str(n_buckets))
-        os.replace(tmp, marker)
     _layout_changed(spark)
     return n_in

@@ -190,9 +190,36 @@ def rollup_tick(
     aggregation (the same shape Structured Streaming keeps in its state
     store) realized over a plain parquet table any engine can read.
     """
+    import os
+
+    from ..sources.state import atomic_write_text
+
     ckpt = state.get_state(state_key, DATETIME_MIN)
     delta = events.filter(F.col("ts") > _ckpt_col(ckpt))
-    n, new_ckpt = merge_rollup_delta(spark, delta, rollup_path)
+    # Replay guard: the merge is NOT idempotent, so a crash between the
+    # rollup write and the checkpoint commit must not re-merge the same
+    # delta. `_merged_from` records which checkpoint the last merge
+    # consumed, committed atomically AFTER the data write and BEFORE
+    # the checkpoint advance. On restart with an unchanged checkpoint
+    # the marker matches → skip the merge, just advance the checkpoint.
+    # Residual window: a crash between the (multi-file) rollup write
+    # and the marker write still replays — plain parquet has no atomic
+    # multi-partition commit; exactly-once here needs a transactional
+    # table format (documented swap).
+    marker = os.path.join(rollup_path, "_merged_from")
+    already = False
+    if os.path.exists(marker):
+        with open(marker, "r", encoding="utf-8") as f:
+            already = f.read() == ckpt
+    if already:
+        row = delta.agg(
+            F.count(F.lit(1)).alias("n"), F.max("ts").alias("m")
+        ).first()
+        n, new_ckpt = int(row["n"]), row["m"]
+    else:
+        n, new_ckpt = merge_rollup_delta(spark, delta, rollup_path)
+        if n:
+            atomic_write_text(marker, ckpt)
     if new_ckpt is not None:
         state.set_state(state_key, str(new_ckpt))
     return n

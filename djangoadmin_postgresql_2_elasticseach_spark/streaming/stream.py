@@ -161,17 +161,23 @@ def rollup_stream(
     ``incremental.merge_rollup_delta`` (counts + DECIMAL sums —
     associative, so micro-batch merge order never changes the result).
 
-    Effectively-once: foreachBatch replays a failed batch with the SAME
+    Replay guard: foreachBatch replays a failed batch with the SAME
     batch_id and contents, and the merge is NOT idempotent (a re-merge
     would double-count), so a ``_last_batch_id`` marker inside the
-    rollup dir gates replays — a batch id at or below the marker is
-    skipped. The marker commits via atomic rename AFTER the merge write,
-    the same commit-after-sink contract as the batch tick.
+    rollup dir gates replays. The marker records the CHECKPOINT
+    IDENTITY alongside the id — batch ids restart from 0 when a stream
+    gets a fresh checkpoint_dir, and comparing ids across generations
+    would silently skip real data. A marker from a different checkpoint
+    never suppresses a merge. The marker commits via atomic rename
+    AFTER the merge write; the residual crash window between the two
+    (replay → double count) is inherent to plain parquet — exactly-once
+    needs a transactional table format (documented swap).
     """
+    import json
     import os
-    import tempfile
 
     from .. import schemas
+    from ..sources.state import atomic_write_text
     from .incremental import merge_rollup_delta
 
     stream = (
@@ -181,19 +187,20 @@ def rollup_stream(
     )
 
     marker = os.path.join(rollup_path, "_last_batch_id")
+    ckpt_identity = os.path.realpath(checkpoint_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if os.path.exists(marker):
             with open(marker, "r", encoding="utf-8") as f:
-                if batch_id <= int(f.read().strip() or -1):
-                    return  # replayed batch already merged
+                stored = json.load(f)
+            if stored["ckpt"] == ckpt_identity and batch_id <= stored["batch_id"]:
+                return  # replayed batch already merged (same generation)
         if not batch_df.isEmpty():
             merge_rollup_delta(batch_df.sparkSession, batch_df, rollup_path)
         os.makedirs(rollup_path, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=rollup_path, suffix=".tmp")
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, marker)
+        atomic_write_text(
+            marker, json.dumps({"ckpt": ckpt_identity, "batch_id": batch_id})
+        )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

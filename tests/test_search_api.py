@@ -255,14 +255,14 @@ def test_match_phrase_requires_adjacency(spark):
 
     docs = spark.createDataFrame(
         [
-            (1, "the table hash join", "en"),       # adjacent (stopword dropped)
-            (2, "table big hash", "en"),            # scattered -> no
-            (3, "hash table", "en"),                # reversed -> no
-            (4, "tables hashing", "en"),            # stems align -> yes
-            (5, "table", "en"),                     # shorter than phrase -> no
-            (6, "", "en"),                          # empty -> no
+            (1, "the table hash join"),   # adjacent (stopword dropped)
+            (2, "table big hash"),        # scattered -> no
+            (3, "hash table"),            # reversed -> no
+            (4, "tables hashing"),        # stems align -> yes
+            (5, "table"),                 # shorter than phrase -> no
+            (6, ""),                      # empty -> no
         ],
-        "doc_id long, text string, lang string",
+        "doc_id long, text string",       # no lang column: API is generic
     )
     got = sorted(r["doc_id"] for r in match_phrase(docs, "text", "table hash").collect())
     assert got == [1, 4]

@@ -611,5 +611,46 @@ def test_upsert_by_key_rejects_bucket_count_drift(spark, tmp_path):
     path = str(tmp_path / "t")
     df = spark.createDataFrame([(1, 0, "a")], "id long, version long, val string")
     upsert_by_key(spark, df, path, key="id", version_col="version", n_buckets=8)
-    with pytest.raises(ValueError, match="n_buckets=8"):
+    with pytest.raises(ValueError, match="layout is"):
         upsert_by_key(spark, df, path, key="id", version_col="version", n_buckets=16)
+    # key-type drift: same logical key, different integral type -> the
+    # xxhash64 bucket differs, so the layout guard must refuse
+    df_int = spark.createDataFrame([(1, 0, "a")], "id int, version long, val string")
+    with pytest.raises(ValueError, match="layout is"):
+        upsert_by_key(spark, df_int, path, key="id", version_col="version", n_buckets=8)
+
+
+def test_rollup_tick_replay_after_lost_checkpoint_does_not_double_count(spark, tmp_path):
+    """Crash-window simulation: the merge landed but the checkpoint
+    commit was lost. Re-running the tick with the rolled-back
+    checkpoint must SKIP the merge (the _merged_from marker matches)
+    and just re-advance the checkpoint — totals unchanged."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.state import (
+        DATETIME_MIN,
+        JsonFileState,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.streaming.incremental import rollup_tick
+
+    events = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 9), 7, "click", 2.0),
+         (2, dt.datetime(2024, 1, 1, 10), 7, "click", 3.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    path = str(tmp_path / "daily")
+    state = JsonFileState(str(tmp_path / "s.json"))
+    assert rollup_tick(spark, events, path, state) == 2
+    committed = state.get_state("last_rollup_ts")
+
+    # simulate the lost checkpoint commit
+    state.set_state("last_rollup_ts", DATETIME_MIN)
+    assert rollup_tick(spark, events, path, state) == 2  # counted, not re-merged
+    assert state.get_state("last_rollup_ts") == committed
+
+    row = spark.read.parquet(path).agg(
+        F.sum("n_events").alias("n"), F.sum(F.col("sum_value").cast("double")).alias("s")
+    ).first()
+    assert row["n"] == 2 and row["s"] == 5.0  # NOT doubled

@@ -230,4 +230,8 @@ def test_rollup_stream_microbatches_equal_batch(spark, tmp_path):
     assert got == want
     marker = os.path.join(rollup, "_last_batch_id")
     assert os.path.exists(marker)
-    assert int(open(marker).read()) >= 1
+    import json
+
+    stored = json.load(open(marker))
+    assert stored["batch_id"] >= 1
+    assert stored["ckpt"] == os.path.realpath(str(tmp_path / "ckpt"))
