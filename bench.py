@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "embedding_neardup_lsh",
     "label_centroids",
     "hybrid_search_rrf",
+    "semantic_dedup",
     # multimodal: real PNG encode -> Arrow -> decode round trip
     "media_metadata",
     # kmeans_assign excluded: driver-coordinated iterative loop — at bench

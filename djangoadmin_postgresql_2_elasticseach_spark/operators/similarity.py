@@ -493,3 +493,54 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embeddings, then within each cluster keep ONE representative of
+    every semantic near-duplicate group — a row is dropped when a
+    LOWER-id same-cluster partner sits within ``threshold`` cosine.
+
+    Output: (id_col, cluster, keep) for every input row.
+
+    Scale shape — this is the whole point of the method: the pairwise
+    cosine join is scoped to equal cluster ids, so candidate pairs are
+    Σ_c |c|² instead of N². With k ∝ N/target_occupancy (the same rule
+    embedding_neardup_lsh applies to its planes) expected occupancy is
+    constant and the join is linear in N. Near-dup pairs that straddle
+    a cluster boundary are missed by construction — the documented
+    recall trade-off of the published method (the paper's k-means is
+    our `kmeans`; deterministic fixed centroids keep the oracle exact).
+    """
+    assigned = assign_clusters(emb, centroids, id_col, vec_col).select(
+        id_col, "cluster", vec_col
+    )
+    a, b = assigned.alias("_a"), assigned.alias("_b")
+    cs = cosine(
+        F.col(f"_a.{vec_col}").cast("array<double>"),
+        F.col(f"_b.{vec_col}").cast("array<double>"),
+    )
+    losers = (
+        a.join(
+            b,
+            (F.col("_a.cluster") == F.col("_b.cluster"))
+            & (F.col(f"_a.{id_col}") < F.col(f"_b.{id_col}")),
+        )
+        .filter(F.round(cs, 6) >= threshold)
+        .select(F.col(f"_b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_lose", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "cluster")
+        .join(losers, id_col, "left")
+        .select(
+            id_col, "cluster", F.col("_lose").isNull().alias("keep")
+        )
+    )

@@ -764,6 +764,18 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_planes=4, probe_hamming=1)
 
 
+SEMANTIC_DEDUP_T = 0.4
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table with the deterministic
+    KMEANS_K centroids (= lowest-id vectors, mirror of kmeans_assign)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.orderBy("vec_id").limit(KMEANS_K).select("embedding").collect()
+    cents = [[float(x) for x in r[0]] for r in first]
+    return S.semantic_dedup(emb, cents, threshold=SEMANTIC_DEDUP_T)
+
+
 PHRASE_QUERY = "table hash"
 
 
@@ -899,6 +911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroids": _q_label_centroids,
     "hybrid_search_rrf": _q_hybrid_rrf,
     "match_phrase": _q_match_phrase,
+    "semantic_dedup": _q_semantic_dedup,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -2253,6 +2266,40 @@ SELECT vec_id, CAST(c AS INT) AS cluster FROM (
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
   FROM d
 ) WHERE rn = 1
+"""
+
+    # SemDeDup: same centroid assignment, then within-cluster lower-id
+    # partner at cos >= threshold marks the row dropped
+    sd_cos = _cosine_sql("ea.embedding", "eb.embedding")
+    o["semantic_dedup"] = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+),
+d AS (
+  SELECT e.vec_id, cents.c,
+         list_sum(list_transform(list_zip(e.embedding, cents.cvec),
+           x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+              * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS dist
+  FROM embeddings e CROSS JOIN cents
+),
+asg AS (
+  SELECT vec_id, CAST(c AS INT) AS cluster FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+losers AS (
+  SELECT DISTINCT b.vec_id AS loser
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round({sd_cos}, 6) >= {SEMANTIC_DEDUP_T}
+)
+SELECT asg.vec_id, asg.cluster,
+       asg.vec_id NOT IN (SELECT loser FROM losers) AS keep
+FROM asg
 """
 
     # gap-fill resample: independent realization of resample_ffill —

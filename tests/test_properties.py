@@ -567,3 +567,32 @@ def test_upsert_sequence_converges_to_max_version(spark, tmp_path_factory, batch
         for r in spark.read.parquet(path).select("id", "version", "payload").collect()
     }
     assert got == {k: (v[0], v[2]) for k, v in expect.items()}
+
+
+def test_semantic_dedup_keeps_one_per_near_group(spark):
+    """Hand-built clusters: identical vectors in one cluster -> exactly
+    the lowest id keeps; orthogonal vectors all keep; near-dups split
+    across clusters are (by design) both kept."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # cluster A
+            (2, [1.0, 0.0, 0.0]),   # identical -> dropped (1 keeps)
+            (3, [0.99, 0.1, 0.0]),  # near-dup of 1 -> dropped
+            (4, [0.0, 1.0, 0.0]),   # cluster B, orthogonal to A
+            (5, [0.0, 0.98, 0.2]),  # near-dup of 4 -> dropped
+            (6, [0.0, 0.0, 1.0]),   # assigned to nearest centroid, far -> keeps
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = {r["vec_id"]: (r["cluster"], r["keep"])
+            for r in semantic_dedup(emb, cents, threshold=0.9).collect()}
+    assert rows[1] == (0, True)
+    assert rows[2] == (0, False)
+    assert rows[3] == (0, False)
+    assert rows[4] == (1, True)
+    assert rows[5] == (1, False)
+    assert rows[6][1] is True   # nothing within 0.9 in its cluster
+    assert len(rows) == 6
