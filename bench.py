@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "events_daily_counts",
     "user_sessions",
     "user_sessions_sliced",
+    "event_funnel",
+    "cohort_retention",
     "asof_last_purchase",
     "range_purchase_windows",
     "resample_daily_ffill",

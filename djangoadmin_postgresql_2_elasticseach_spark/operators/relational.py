@@ -780,3 +780,145 @@ def skew_safe_distinct_users(
         .agg(F.sum("_part").alias("distinct_users"))
         .orderBy("event_type")
     )
+
+
+def event_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    events: DataFrame | None = None,
+) -> DataFrame:
+    """Ordered funnel analysis over the events stream: how many users
+    reach step k of ``steps``, where a user reaches step k iff their
+    event history contains the step event types IN ORDER (each step's
+    event strictly after the previous step's matching event, ordered by
+    (ts, event_id) — unique tiebreak).
+
+    Extension operator (reference has no window/sequence analytics —
+    SURVEY §2.5); the classic product-analytics "conversion funnel".
+
+    Scale design — ONE shuffle of the (pre-filtered) events:
+    - events are filtered to the step types at the scan (predicate
+      pushed down, non-funnel types never leave the parquet reader);
+    - one groupBy(user_id) collects each user's step-typed events as a
+      sorted array, and a native ``F.aggregate`` fold walks the array
+      once, advancing a step counter on each in-order match. Per-task
+      state is one user's step-typed events — bounded, and orders of
+      magnitude smaller than their full history;
+    - the per-user max-step then explodes to (step, user) rows and a
+      tiny groupBy(step) count finishes; the step-dimension join is a
+      broadcast of len(steps) literal rows, so no sort-merge join
+      appears anywhere in the plan (pinned by tests/test_plans.py).
+
+    Equivalence to the cascade form (min-seq per step with seq >
+    previous step's seq — the DuckDB oracle): the fold advances at the
+    FIRST qualifying event after the previous advance, which is exactly
+    the min over later events; induction over steps gives identical
+    reach sets.
+
+    Output: (step int, step_name, n_users) — one row per step, zero
+    counts preserved.
+    """
+    if events is None:
+        events = load_table(spark, sf_dir, "events")
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    per_user = (
+        events.where(F.col("event_type").isin(list(steps)))
+        .select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+    )
+    k = len(steps)
+    progress = F.aggregate(
+        "evs",
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < k) & (e["event_type"] == F.get(step_arr, acc)), acc + 1
+        ).otherwise(acc),
+    )
+    reached = (
+        per_user.select(progress.alias("progress"))
+        .where(F.col("progress") >= 1)
+        # sequence(1, 0) would DESCEND in Spark — the >= 1 filter above
+        # is load-bearing, not cosmetic
+        .select(
+            F.explode(F.sequence(F.lit(1), F.col("progress"))).alias("step")
+        )
+    )
+    counts = reached.groupBy("step").agg(F.count(F.lit(1)).alias("n_users"))
+    step_dim = (
+        spark.range(1)
+        .select(F.posexplode(step_arr).alias("pos", "step_name"))
+        .select((F.col("pos") + 1).cast("int").alias("step"), "step_name")
+    )
+    return (
+        step_dim.join(counts, "step", "left")
+        .select(
+            "step",
+            "step_name",
+            F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+        )
+        .orderBy("step")
+    )
+
+
+def cohort_retention(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """Weekly cohort-retention matrix: users are cohorted by the ISO
+    week (Monday-truncated) of their FIRST event; for every
+    (cohort_week, week_offset) the count of distinct cohort members
+    active that week.
+
+    Extension operator (product-analytics retention triangle). Scale
+    design: the user→cohort frame is one groupBy(user_id) min — per-key
+    constant state, partial-aggregated. Joining it back to events is an
+    equi-join on user_id: the cohort side is one row per user (≪
+    events), and the join key equals the preceding agg's partitioning,
+    so no extra shuffle of the fact side beyond the one the distinct
+    needs. The (cohort, offset, user) dedup before counting is itself a
+    partial-agg groupBy — no countDistinct single-reducer, skew absorbed
+    by AQE.
+
+    week_offset is exact integer arithmetic: floor(datediff(day) / 7) on
+    date types — identical in any engine, no float epoch.
+
+    Output: (cohort_week date, week_offset int, n_users) ordered by
+    (cohort_week, week_offset). Offset 0 always contains the cohort's
+    full size (a user is active in the week of their first event).
+    """
+    if events is None:
+        events = load_table(spark, sf_dir, "events")
+    events = events.select("user_id", "ts")
+    cohort = (
+        events.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("week", F.col("first_ts"))).alias(
+                "cohort_week"
+            ),
+        )
+    )
+    active = (
+        events.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            "user_id",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -899,6 +899,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_value_quartiles": R.user_value_quartiles,
     "resample_daily_ffill": _q_resample_ffill,
     "skew_safe_distinct_users": R.skew_safe_distinct_users,
+    "event_funnel": R.event_funnel,
+    "cohort_retention": R.cohort_retention,
     "incremental_rollup": _q_incremental_rollup,
     "upsert_merge_docs": _q_upsert_docs,
     "revenue_rollup": R.revenue_rollup,
@@ -1792,6 +1794,55 @@ ORDER BY user_id, session_id
     # the skew-safe two-pass variant must produce the IDENTICAL result —
     # it shares the plain sessionization oracle verbatim
     o["user_sessions_sliced"] = o["user_sessions"]
+
+    # Cascade form of the funnel: min-seq per step constrained to seq >
+    # previous step's seq. seq = row_number over (ts, event_id) is the
+    # same total order the Spark fold walks, so reach sets are identical
+    # (see operators/relational.event_funnel docstring for the
+    # induction).
+    o["event_funnel"] = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         row_number() OVER (ORDER BY ts, event_id) AS seq
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+u1 AS (SELECT user_id, min(seq) AS s FROM ev
+       WHERE event_type = 'view' GROUP BY user_id),
+u2 AS (SELECT e.user_id, min(e.seq) AS s FROM ev e
+       JOIN u1 ON e.user_id = u1.user_id AND e.seq > u1.s
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+u3 AS (SELECT e.user_id, min(e.seq) AS s FROM ev e
+       JOIN u2 ON e.user_id = u2.user_id AND e.seq > u2.s
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+         (SELECT count(*) FROM u1) AS n_users
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3)
+) ORDER BY step
+"""
+
+    # week arithmetic is exact integer day math on DATE values in both
+    # engines (Monday-truncated ISO weeks; no float epoch)
+    o["cohort_retention"] = """
+WITH first_ev AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+),
+cohort AS (
+  SELECT user_id, CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week
+  FROM first_ev
+),
+active AS (
+  SELECT DISTINCT c.cohort_week, e.user_id,
+         CAST(floor(date_diff('day', c.cohort_week, CAST(e.ts AS DATE)) / 7)
+              AS INT) AS week_offset
+  FROM events e JOIN cohort c ON e.user_id = c.user_id
+)
+SELECT cohort_week, week_offset, count(*) AS n_users
+FROM active GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
 
     cos_ab = _cosine_sql("a.embedding", "b.embedding")
     o["embedding_neardup"] = f"""

@@ -348,3 +348,27 @@ def test_hybrid_rrf_branches_are_topk_not_sort(spark):
     df = registry.QUERIES["hybrid_search_rrf"](spark, SF_SMOKE)
     plan = plan_string(df, mode="simple")
     assert plan.count("TakeOrderedAndProject") >= 2, plan[:3000]
+
+
+def test_event_funnel_single_shuffle_no_smj(spark):
+    """The funnel must be ONE exchange of the (pre-filtered) events — a
+    fold over per-user sorted arrays — plus a tiny broadcast of the step
+    dimension. A SortMergeJoin or a per-step cascade of event joins
+    would shuffle the fact table len(steps) times."""
+    df = registry.QUERIES["event_funnel"](spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert "SortMergeJoin" not in plan, plan[-1500:]
+    # the step-type filter reaches the parquet scan: non-funnel event
+    # types never leave the reader
+    assert "In(event_type" in plan, plan[:2000]
+
+
+def test_cohort_retention_filter_and_agg_shape(spark):
+    """Cohort build is a partial-agg min per user; no countDistinct
+    single-reducer anywhere (the dedup is a grouped distinct)."""
+    df = registry.QUERIES["cohort_retention"](spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert "partial_min" in plan or "HashAggregate" in plan
+    assert "distinct" not in plan.lower() or "Expand" not in plan, (
+        "countDistinct expansion found where a grouped dedup was intended"
+    )
