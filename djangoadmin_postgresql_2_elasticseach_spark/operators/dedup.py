@@ -627,6 +627,14 @@ def dedup_clusters(
     if local_finish_edges and sig[0] <= local_finish_edges:
         edges = _finish_local(edges)
         converged = True
+    # Superseded per-round checkpoints are unpersisted as soon as the
+    # next round is materialized — a long-lived driver (or a bench
+    # session with the context cleaner off) otherwise accumulates
+    # O(rounds) copies of the edge set in the block manager and later
+    # jobs pay the eviction pressure (measured: 2nd bench pass of this
+    # operator 5.4 s → 13 s before this fix). `owned` guards the
+    # caller's input frame, which may be persisted by THEM.
+    owned = False
     for _ in range(max_iter):
         if converged:
             break
@@ -635,7 +643,13 @@ def dedup_clusters(
         )  # truncate per-round lineage
         new_sig = _sig(new_edges)
         if local_finish_edges and new_sig[0] <= local_finish_edges:
+            # _finish_local has already collected; its output frame is
+            # driver-local data independent of either checkpoint
+            if owned:
+                edges.unpersist()
             edges = _finish_local(new_edges)
+            new_edges.unpersist()
+            owned = False
             converged = True
             break
         if (
@@ -643,11 +657,17 @@ def dedup_clusters(
             and new_edges.exceptAll(edges).isEmpty()
             and edges.exceptAll(new_edges).isEmpty()
         ):
+            if owned:
+                edges.unpersist()
             edges = new_edges
+            owned = True
             converged = True
             break
         sig = new_sig
+        if owned:
+            edges.unpersist()
         edges = new_edges
+        owned = True
     if not converged:
         raise RuntimeError(
             f"dedup_clusters did not reach a star fixed point in "

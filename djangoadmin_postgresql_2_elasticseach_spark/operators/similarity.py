@@ -518,13 +518,18 @@ def semantic_dedup(
     recall trade-off of the published method (the paper's k-means is
     our `kmeans`; deterministic fixed centroids keep the oracle exact).
     """
+    # Cast + norm are computed ONCE per row here, not once per pair:
+    # inside the pair join they would rerun O(Σ|c|²) times (and at 19 s
+    # per bench pass they dominated the operator). dot/(n_a·n_b) over
+    # the precomputed values is bit-identical to cosine() over per-pair
+    # casts — same doubles, same operation order.
+    vecd = F.col(vec_col).cast("array<double>")
     assigned = assign_clusters(emb, centroids, id_col, vec_col).select(
-        id_col, "cluster", vec_col
+        id_col, "cluster", vecd.alias("_vecd"), norm(vecd).alias("_nrm")
     )
     a, b = assigned.alias("_a"), assigned.alias("_b")
-    cs = cosine(
-        F.col(f"_a.{vec_col}").cast("array<double>"),
-        F.col(f"_b.{vec_col}").cast("array<double>"),
+    cs = dot(F.col("_a._vecd"), F.col("_b._vecd")) / (
+        F.col("_a._nrm") * F.col("_b._nrm")
     )
     losers = (
         a.join(

@@ -765,13 +765,19 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMANTIC_DEDUP_T = 0.4
+# SemDeDup's own scale rule is k ∝ N (constant expected occupancy ⇒ the
+# within-cluster pair join stays linear). KMEANS_K=4 is right for the
+# tiny kmeans_assign demo but makes this query's pair join Σ|c|² with
+# |c| = N/4 AND caps its parallelism at 4 tasks; 16 deterministic
+# centroids cut pairs 4× and match the paper's posture.
+SEMANTIC_K = 16
 
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table with the deterministic
-    KMEANS_K centroids (= lowest-id vectors, mirror of kmeans_assign)."""
+    """SemDeDup over the embeddings table with SEMANTIC_K deterministic
+    centroids (= lowest-id vectors, same rule as kmeans_assign)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    first = emb.orderBy("vec_id").limit(KMEANS_K).select("embedding").collect()
+    first = emb.orderBy("vec_id").limit(SEMANTIC_K).select("embedding").collect()
     cents = [[float(x) for x in r[0]] for r in first]
     return S.semantic_dedup(emb, cents, threshold=SEMANTIC_DEDUP_T)
 
@@ -2325,7 +2331,7 @@ SELECT vec_id, CAST(c AS INT) AS cluster FROM (
     o["semantic_dedup"] = f"""
 WITH cents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS cvec
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {SEMANTIC_K})
 ),
 d AS (
   SELECT e.vec_id, cents.c,
