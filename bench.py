@@ -103,7 +103,10 @@ BENCH_QUERIES = [
     # multimodal: real PNG encode -> Arrow -> decode round trip
     "media_metadata",
     # kmeans_assign excluded: driver-coordinated iterative loop — at bench
-    # scale its wall time is per-job scheduling latency, not throughput
+    # scale its wall time is per-job scheduling latency, not throughput.
+    # split_leakage_safe excluded: it composes minhash_dedup_pairs +
+    # dedup_clusters + split_corpus, all three benched individually —
+    # including it would double-count their work in the total
 ]
 
 

@@ -158,6 +158,76 @@ def split_corpus(
     )
 
 
+def split_corpus_leakage_safe(
+    docs: DataFrame,
+    pairs: DataFrame,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/val/test split that is leakage-safe across NEAR-duplicates:
+    every member of a near-dup cluster (connected component of `pairs`,
+    e.g. minhash_dedup_pairs output) lands in the SAME split — the
+    dedup→split interaction Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") flag: content-hash splitting
+    co-places exact dups only, so a paraphrased/near-dup twin of a test
+    document can still leak into train.
+
+    Rule: singletons keep split_corpus's content-hash bucket
+    byte-for-byte (the two operators agree outside clusters); cluster
+    members inherit the bucket of the cluster REPRESENTATIVE's (min-id
+    member's) content.
+
+    Scale shape: the corpus is never self-joined. Bucket-from-own-text
+    is a map-side projection over the scan; the override frame is
+    (cluster members) ⨝ (representative texts) — both bounded by the
+    dup population, tiny relative to the corpus at real dup rates, so
+    AQE broadcasts the final left join. dedup_clusters is O(log n)
+    star rounds on the pair graph only.
+    """
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(pairs).select(
+        F.col("doc_id").alias(id_col), F.col("cluster").alias("_rep")
+    )
+
+    def bucket_of(text: F.Column) -> F.Column:
+        return (
+            F.conv(F.substring(fingerprint(text), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % 100
+        ).cast("int")
+
+    rep_ids = clusters.select(F.col("_rep").alias("_rid")).distinct()
+    rep_bucket = (
+        docs.join(rep_ids, F.col(id_col) == F.col("_rid"))
+        .select(
+            F.col("_rid"), bucket_of(F.col(text_col)).alias("_rep_bucket")
+        )
+    )
+    overrides = clusters.join(
+        rep_bucket, clusters["_rep"] == rep_bucket["_rid"]
+    ).select(id_col, "_rep", "_rep_bucket")
+
+    base = docs.select(
+        F.col(id_col), bucket_of(F.col(text_col)).alias("_own_bucket")
+    )
+    bucket = F.coalesce("_rep_bucket", "_own_bucket")
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return base.join(overrides, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("_rep", F.col(id_col)).alias("rep_id"),
+        bucket.alias("bucket"),
+        split.alias("split"),
+    )
+
+
 def tfidf_vectors(
     docs: DataFrame,
     dim: int = 64,

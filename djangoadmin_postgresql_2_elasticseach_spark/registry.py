@@ -518,6 +518,16 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(pairs)
 
 
+def _q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware split: near-dup components (minhash pairs at the
+    dedup_clusters threshold) land whole in one split."""
+    from .operators.corpus import split_corpus_leakage_safe
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.4)
+    return split_corpus_leakage_safe(docs, pairs)
+
+
 def _q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.corpus import source_quota
 
@@ -884,6 +894,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_pii": _q_scrub,
     "clean_corpus": _q_clean_corpus,
     "split_corpus": _q_split_corpus,
+    "split_leakage_safe": _q_split_leakage_safe,
     "top_parts_per_nation": R.top_parts_per_nation,
     "tfidf_vectors": _q_tfidf,
     "doc_lm_logprob": _q_lm_logprob,
@@ -2117,6 +2128,41 @@ comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
 SELECT node AS doc_id, cluster,
        count(*) OVER (PARTITION BY cluster) AS cluster_size
 FROM comp
+"""
+
+    # leakage-safe split: same component CTE as dedup_clusters, then
+    # every doc takes the content-hash bucket of its component's min-id
+    # representative (singletons: their own text — byte-equal to
+    # split_corpus outside clusters)
+    o["split_leakage_safe"] = f"""
+WITH RECURSIVE pairs AS (
+{o["minhash_dedup_pairs"]}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+rep AS (
+  SELECT d.doc_id, COALESCE(comp.cluster, d.doc_id) AS rep_id
+  FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+),
+b AS (
+  SELECT r.doc_id, r.rep_id,
+         CAST(('0x' || substr(md5(trim(regexp_replace(lower(t.text), '\\s+', ' ', 'g'))), 1, 8))::BIGINT % 100 AS INT) AS bucket
+  FROM rep r JOIN documents t ON t.doc_id = r.rep_id
+)
+SELECT doc_id, rep_id, bucket,
+       CASE WHEN bucket < 10 THEN 'test'
+            WHEN bucket < 20 THEN 'val'
+            ELSE 'train' END AS split
+FROM b
 """
 
     # per-source quality quota — mirror of corpus.source_quota (k=20)

@@ -625,3 +625,39 @@ def test_pack_windows_materializes_exact_stream(spark):
         stream.extend(f"d{i}t{j}" for j in range(1 + i % 9))
     got = " ".join(r["text"] for r in rows).split(" ")
     assert got == stream
+
+
+def test_split_leakage_safe_coplaces_near_dup_clusters(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        split_corpus,
+        split_corpus_leakage_safe,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox jumped over that lazy dog"),  # near-dup of 1
+            (3, "completely unrelated text about spark plans"),
+            (4, "another standalone document with its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    # near-dup pair graph: {1,2} one cluster; 3 and 4 singletons
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+
+    safe = {
+        r["doc_id"]: (r["rep_id"], r["bucket"], r["split"])
+        for r in split_corpus_leakage_safe(docs, pairs).collect()
+    }
+    plain = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in split_corpus(docs).collect()
+    }
+
+    # cluster members share the representative's (min id = 1) bucket and
+    # split, regardless of their own content hash
+    assert safe[1] == (1, plain[1][0], plain[1][1])
+    assert safe[2] == (1, plain[1][0], plain[1][1])
+    # singletons are byte-identical to the plain content-hash split
+    for d in (3, 4):
+        assert safe[d] == (d, plain[d][0], plain[d][1])
