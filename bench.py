@@ -1,7 +1,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (driver captures the LAST 2000 chars of stdout, so the
+FINAL line must be a compact parseable JSON summary — r5's single giant
+line overflowed that capture and left BENCH_r05.json unparseable):
+  line 1: full detail JSON (per-query warm+cold maps), also written to
+          bench_detail.json next to this file;
+  final line: compact summary {"metric", "value", "unit", "cold_sec",
+          "sf", "n_queries", "detail_file"}.
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver-side row transfer) — the honest analogue of writing to a real
@@ -163,16 +169,33 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    detail = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_sec": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        "sf": float(sf) if sf else None,
+    }
+    detail_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_file, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    # full detail first (greppable in logs), compact summary LAST so the
+    # driver's 2000-char tail capture always contains one whole JSON line
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "cold_sec": round(sum(cold.values()), 3),
-                "cold_queries": cold,
                 "sf": float(sf) if sf else None,
+                "n_queries": len(timings),
+                "detail_file": "bench_detail.json",
             }
         )
     )

@@ -177,7 +177,12 @@ def split_corpus_leakage_safe(
     Rule: singletons keep split_corpus's content-hash bucket
     byte-for-byte (the two operators agree outside clusters); cluster
     members inherit the bucket of the cluster REPRESENTATIVE's (min-id
-    member's) content.
+    member's) content. If the representative's document is absent from
+    `docs` (a `pairs` id with no docs row — e.g. pairs computed before a
+    filter pass), the cluster deterministically falls back to the hash
+    of the REP ID itself, so the whole cluster still lands in one split
+    (ADVICE r5: the old behavior silently degraded each member to its
+    own content bucket, breaking co-placement).
 
     Scale shape: the corpus is never self-joined. Bucket-from-own-text
     is a map-side projection over the scan; the override frame is
@@ -207,9 +212,21 @@ def split_corpus_leakage_safe(
             F.col("_rid"), bucket_of(F.col(text_col)).alias("_rep_bucket")
         )
     )
+    # rep doc missing from `docs` → deterministic id-hash bucket of the
+    # rep id (shared by every member, so the cluster stays co-placed)
+    rep_id_bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("_rep").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    ).cast("int")
     overrides = clusters.join(
-        rep_bucket, clusters["_rep"] == rep_bucket["_rid"]
-    ).select(id_col, "_rep", "_rep_bucket")
+        rep_bucket, clusters["_rep"] == rep_bucket["_rid"], "left"
+    ).select(
+        id_col,
+        "_rep",
+        F.coalesce("_rep_bucket", rep_id_bucket).alias("_rep_bucket"),
+    )
 
     base = docs.select(
         F.col(id_col), bucket_of(F.col(text_col)).alias("_own_bucket")

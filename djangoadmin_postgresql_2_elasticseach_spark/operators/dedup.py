@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.text import word_shingles
 from ..functions.textstats import fingerprint
 from ..plans.tuning import spread
+from ..session import free_local_checkpoint
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2  # 8 hashes / 2 = 4 bands → catches J≳0.5 pairs
@@ -625,16 +626,21 @@ def dedup_clusters(
     converged = False
     sig = _sig(edges)
     if local_finish_edges and sig[0] <= local_finish_edges:
-        edges = _finish_local(edges)
+        finished = _finish_local(edges)
+        free_local_checkpoint(edges)
+        edges = finished
         converged = True
-    # Superseded per-round checkpoints are unpersisted as soon as the
-    # next round is materialized — a long-lived driver (or a bench
-    # session with the context cleaner off) otherwise accumulates
-    # O(rounds) copies of the edge set in the block manager and later
-    # jobs pay the eviction pressure (measured: 2nd bench pass of this
-    # operator 5.4 s → 13 s before this fix). `owned` guards the
-    # caller's input frame, which may be persisted by THEM.
-    owned = False
+    # Superseded per-round checkpoint BLOCKS are freed as soon as the
+    # next round is materialized — a long-lived driver otherwise
+    # accumulates O(rounds) copies of the edge set in the block manager
+    # and later jobs pay the eviction pressure. NOTE (ADVICE r5):
+    # DataFrame.unpersist() does NOT free localCheckpoint RDD blocks;
+    # free_local_checkpoint unpersists the LogicalRDD's underlying RDD,
+    # which does (verified via getRDDStorageInfo on Spark 4.1.2).
+    # `owned` marks frames checkpointed by THIS function (the initial
+    # `edges` above included); _finish_local output is driver-local
+    # createDataFrame data, never a checkpoint.
+    owned = True
     for _ in range(max_iter):
         if converged:
             break
@@ -646,9 +652,9 @@ def dedup_clusters(
             # _finish_local has already collected; its output frame is
             # driver-local data independent of either checkpoint
             if owned:
-                edges.unpersist()
+                free_local_checkpoint(edges)
             edges = _finish_local(new_edges)
-            new_edges.unpersist()
+            free_local_checkpoint(new_edges)
             owned = False
             converged = True
             break
@@ -658,14 +664,14 @@ def dedup_clusters(
             and edges.exceptAll(new_edges).isEmpty()
         ):
             if owned:
-                edges.unpersist()
+                free_local_checkpoint(edges)
             edges = new_edges
             owned = True
             converged = True
             break
         sig = new_sig
         if owned:
-            edges.unpersist()
+            free_local_checkpoint(edges)
         edges = new_edges
         owned = True
     if not converged:

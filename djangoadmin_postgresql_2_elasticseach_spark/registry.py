@@ -2154,9 +2154,14 @@ rep AS (
   FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
 ),
 b AS (
+  -- LEFT join + id-hash fallback mirrors the engine: a rep id absent
+  -- from documents still co-places its whole cluster deterministically
   SELECT r.doc_id, r.rep_id,
-         CAST(('0x' || substr(md5(trim(regexp_replace(lower(t.text), '\\s+', ' ', 'g'))), 1, 8))::BIGINT % 100 AS INT) AS bucket
-  FROM rep r JOIN documents t ON t.doc_id = r.rep_id
+         CAST(COALESCE(
+           ('0x' || substr(md5(trim(regexp_replace(lower(t.text), '\\s+', ' ', 'g'))), 1, 8))::BIGINT % 100,
+           ('0x' || substr(md5(CAST(r.rep_id AS VARCHAR)), 1, 8))::BIGINT % 100
+         ) AS INT) AS bucket
+  FROM rep r LEFT JOIN documents t ON t.doc_id = r.rep_id
 )
 SELECT doc_id, rep_id, bucket,
        CASE WHEN bucket < 10 THEN 'test'

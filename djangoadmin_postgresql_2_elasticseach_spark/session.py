@@ -47,3 +47,26 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def free_local_checkpoint(df, blocking: bool = False) -> None:
+    """Release the block-manager storage behind a ``localCheckpoint()``-ed
+    DataFrame.
+
+    ``DataFrame.unpersist()`` only clears plans registered through
+    ``persist()``/``cache()``; the RDD materialized by ``localCheckpoint``
+    is cached directly at the RDD layer and stays in ``getRDDStorageInfo``
+    after ``unpersist`` (verified empirically on this Spark 4.1.2).  The
+    checkpointed Dataset's analyzed plan is a ``LogicalRDD`` wrapping
+    exactly that RDD, so unpersist THAT.  Falls back to
+    ``DataFrame.unpersist()`` when the JVM handle is unreachable (e.g.
+    Spark Connect), where the context cleaner remains the backstop.
+
+    Only call this on frames whose checkpoint is superseded/dead — the
+    frame is unusable afterwards (its blocks are gone and the lineage was
+    truncated).
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(blocking)
+    except Exception:
+        df.unpersist(blocking)

@@ -23,6 +23,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import free_local_checkpoint
+
 
 def _layout_changed(session) -> None:
     # a write that changes file layout invalidates memoized
@@ -248,40 +250,49 @@ def upsert_by_key(
     # collect, and the merge otherwise re-execute the (possibly
     # expensive) upstream lineage three times
     incoming = pack(batch, 1).localCheckpoint(eager=True)
-    n_in = incoming.count()
-    if n_in == 0:
-        return 0
-    # commit the layout BEFORE the first data write (see docstring)
-    if not os.path.exists(marker):
-        os.makedirs(path, exist_ok=True)
-        atomic_write_text(marker, json.dumps(layout))
-    merged = incoming
-    has_data = any(f.startswith("p_bucket=") for f in os.listdir(path))
-    if has_data:
-        buckets = [
-            r["p_bucket"]
-            for r in incoming.select("p_bucket").distinct().collect()
-        ]
-        existing = spark.read.parquet(path).filter(
-            F.col("p_bucket").isin(buckets)
+    resolved = None
+    try:
+        n_in = incoming.count()
+        if n_in == 0:
+            return 0
+        # commit the layout BEFORE the first data write (see docstring)
+        if not os.path.exists(marker):
+            os.makedirs(path, exist_ok=True)
+            atomic_write_text(marker, json.dumps(layout))
+        merged = incoming
+        has_data = any(f.startswith("p_bucket=") for f in os.listdir(path))
+        if has_data:
+            buckets = [
+                r["p_bucket"]
+                for r in incoming.select("p_bucket").distinct().collect()
+            ]
+            existing = spark.read.parquet(path).filter(
+                F.col("p_bucket").isin(buckets)
+            )
+            merged = incoming.unionByName(pack(existing.drop("p_bucket"), 0))
+        resolved = (
+            merged.groupBy(key, "p_bucket")
+            .agg(F.max("_packed").alias("_w"))
+            .select(
+                F.col(key),
+                F.col("p_bucket"),
+                *[F.col(f"_w.{c}") for c in [version_col] + data_cols],
+            )
         )
-        merged = incoming.unionByName(pack(existing.drop("p_bucket"), 0))
-    resolved = (
-        merged.groupBy(key, "p_bucket")
-        .agg(F.max("_packed").alias("_w"))
-        .select(
-            F.col(key),
-            F.col("p_bucket"),
-            *[F.col(f"_w.{c}") for c in [version_col] + data_cols],
+        # source and destination share partitions: materialize before replace
+        resolved = resolved.localCheckpoint(eager=True)
+        (
+            resolved.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("p_bucket")
+            .parquet(path)
         )
-    )
-    # source and destination share partitions: materialize before replace
-    resolved = resolved.localCheckpoint(eager=True)
-    (
-        resolved.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("p_bucket")
-        .parquet(path)
-    )
-    _layout_changed(spark)
-    return n_in
+        _layout_changed(spark)
+        return n_in
+    finally:
+        # both checkpoints are dead once the rewrite lands — free their
+        # block-manager storage (a long-lived upserting driver otherwise
+        # accumulates one batch-copy per call)
+        free_local_checkpoint(incoming)
+        if resolved is not None:
+            free_local_checkpoint(resolved)

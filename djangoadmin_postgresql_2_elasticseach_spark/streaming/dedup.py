@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.textstats import fingerprint
+from ..session import free_local_checkpoint
 
 STATE_SCHEMA = "n_seen long"
 
@@ -142,45 +143,58 @@ def streaming_neardup_dedup(
             return
         s = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
+        kept_ckpt = None
         try:
-            idx = s.read.parquet(index_path)
-        except Exception as e:  # first batch: no index yet
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-            idx = None
-        kept = batch
-        if idx is not None:
-            dup_ids = (
-                incremental_dedup_pairs(
-                    batch, idx, id_col, text_col, threshold=threshold
+            try:
+                idx = s.read.parquet(index_path)
+            except Exception as e:  # first batch: no index yet
+                if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                    raise
+                idx = None
+            kept = batch
+            if idx is not None:
+                dup_ids = (
+                    incremental_dedup_pairs(
+                        batch, idx, id_col, text_col, threshold=threshold
+                    )
+                    .select(F.col("new_id").alias(id_col))
+                    .distinct()
                 )
+                kept = batch.join(dup_ids, id_col, "left_anti")
+            intra_dups = (
+                incremental_dedup_pairs(
+                    kept,
+                    minhash_index_frame(kept, id_col, text_col),
+                    id_col,
+                    text_col,
+                    threshold=threshold,
+                )
+                .filter(F.col("old_id") < F.col("new_id"))
                 .select(F.col("new_id").alias(id_col))
                 .distinct()
             )
-            kept = batch.join(dup_ids, id_col, "left_anti")
-        intra_dups = (
-            incremental_dedup_pairs(
-                kept,
-                minhash_index_frame(kept, id_col, text_col),
-                id_col,
-                text_col,
-                threshold=threshold,
+            kept = kept.join(intra_dups, id_col, "left_anti").localCheckpoint(
+                eager=True
             )
-            .filter(F.col("old_id") < F.col("new_id"))
-            .select(F.col("new_id").alias(id_col))
-            .distinct()
-        )
-        kept = kept.join(intra_dups, id_col, "left_anti").localCheckpoint(eager=True)
-        new_bands = minhash_index_frame(kept, id_col, text_col)
-        if idempotent:
-            append_if_absent(s, kept, out_path, key=id_col)
-            if idx is not None:
-                new_bands = new_bands.join(
-                    idx.select("doc_id").distinct(), "doc_id", "left_anti"
-                )
-        else:
-            kept.write.mode("append").parquet(out_path)
-        new_bands.write.mode("append").partitionBy("band_idx").parquet(index_path)
+            kept_ckpt = kept
+            new_bands = minhash_index_frame(kept, id_col, text_col)
+            if idempotent:
+                append_if_absent(s, kept, out_path, key=id_col)
+                if idx is not None:
+                    new_bands = new_bands.join(
+                        idx.select("doc_id").distinct(), "doc_id", "left_anti"
+                    )
+            else:
+                kept.write.mode("append").parquet(out_path)
+            new_bands.write.mode("append").partitionBy("band_idx").parquet(index_path)
+        finally:
+            # per-batch checkpoints are dead once the batch's writes land;
+            # without this a long-running stream accumulates O(batches)
+            # block-manager copies (DataFrame.unpersist would NOT free
+            # them — see session.free_local_checkpoint)
+            free_local_checkpoint(batch)
+            if kept_ckpt is not None:
+                free_local_checkpoint(kept_ckpt)
 
     writer = (
         docs_stream.writeStream.foreachBatch(process)

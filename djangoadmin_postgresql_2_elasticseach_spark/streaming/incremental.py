@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.denorm import film_changeset, genre_docs, movie_docs, person_docs
+from ..session import free_local_checkpoint
 from ..sources.state import DATETIME_MIN, JsonFileState
 
 MOVIES_KEY = "last_movies_updated"   # reference etl/main.py:62
@@ -279,12 +280,17 @@ def merge_rollup_delta(spark, delta: DataFrame, rollup_path: str):
                 )
             )
         merged = merged.localCheckpoint(eager=True)
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("p_day")
-            .parquet(rollup_path)
-        )
+        try:
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("p_day")
+                .parquet(rollup_path)
+            )
+        finally:
+            # dead once the rewrite lands; DataFrame.unpersist would NOT
+            # free localCheckpoint blocks (see session.free_local_checkpoint)
+            free_local_checkpoint(merged)
         n = int(part.agg(F.sum("n_events")).first()[0] or 0)
         new_ckpt = part.agg(F.max("_max_ts")).first()[0]
         return n, new_ckpt

@@ -661,3 +661,38 @@ def test_split_leakage_safe_coplaces_near_dup_clusters(spark):
     # singletons are byte-identical to the plain content-hash split
     for d in (3, 4):
         assert safe[d] == (d, plain[d][0], plain[d][1])
+
+
+def test_split_leakage_safe_rep_missing_from_docs_still_coplaces(spark):
+    """ADVICE r5: a cluster whose representative (min-id member) has no
+    row in `docs` must still co-place the surviving members — via the
+    deterministic id-hash fallback, NOT silently degrade each member to
+    its own content bucket."""
+    import hashlib
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        split_corpus_leakage_safe,
+    )
+
+    # doc 1 (the would-be representative) is ABSENT from docs
+    docs = spark.createDataFrame(
+        [
+            (2, "a quick brown fox jumped over that lazy dog"),
+            (3, "the quick brown fox jumps over the lazy dog now"),
+            (4, "another standalone document with its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )  # cluster {1,2,3}, rep = 1 (missing)
+
+    out = {
+        r["doc_id"]: (r["rep_id"], r["bucket"], r["split"])
+        for r in split_corpus_leakage_safe(docs, pairs).collect()
+    }
+    expected_bucket = int(hashlib.md5(b"1").hexdigest()[:8], 16) % 100
+    assert out[2] == out[3]  # co-placed
+    assert out[2][0] == 1 and out[2][1] == expected_bucket
+    # the singleton is untouched by the fallback
+    assert out[4][0] == 4

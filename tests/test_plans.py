@@ -369,6 +369,9 @@ def test_cohort_retention_filter_and_agg_shape(spark):
     df = registry.QUERIES["cohort_retention"](spark, SF_SMOKE)
     plan = plan_string(df)
     assert "partial_min" in plan or "HashAggregate" in plan
-    assert "distinct" not in plan.lower() or "Expand" not in plan, (
-        "countDistinct expansion found where a grouped dedup was intended"
+    # the intended property, asserted directly (ADVICE r5: the old
+    # disjunct was dead — grouped dedup always shows "distinct"): no
+    # count(distinct ...) aggregate anywhere in the physical plan
+    assert "count(distinct" not in plan.lower(), (
+        "countDistinct aggregate found where a grouped dedup was intended"
     )
