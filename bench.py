@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "tar_shard_roundtrip",
     "pack_windows",
+    "pipeline_assembly",
     "corpus_stats",
     "event_value_percentiles",
     "user_value_quartiles",

