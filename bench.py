@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "corpus_stats",
     "event_value_percentiles",
     "user_value_quartiles",
+    "hll_distinct_users",
+    "zorder_key_events",
     # similarity search
     "ann_brute_topk",
     "ann_ivf_topk",

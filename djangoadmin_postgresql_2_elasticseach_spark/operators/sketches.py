@@ -1,0 +1,153 @@
+"""Mergeable cardinality sketches — HyperLogLog with a DETERMINISTIC,
+engine-portable hash, so the estimate is bit-identical in any engine
+that has md5 (exact DuckDB oracle, unlike approx_count_distinct whose
+HLL++ registers are Spark-internal).
+
+Extension operator (the reference has no sketches; this is the
+training-pipeline/analytics addition): at 100 TB, exact COUNT(DISTINCT)
+is a full shuffle of every distinct value; the skew-safe exact form
+(relational.skew_safe_distinct) is two shuffles. An HLL register table
+is O(groups × m) REGARDLESS of cardinality, and registers merge by MAX
+— so they compose with incremental rollups (streaming/incremental.py):
+store per-partition register rows, merge on read, never rescan history.
+That merge-by-max property is the entire reason sketches beat exact
+distinct at scale; Flajolet et al. 2007 ("HyperLogLog: the analysis of
+a near-optimal cardinality estimation algorithm") is the published
+basis, including the bias constant alpha_m and the linear-counting
+small-range correction.
+
+Determinism contract (mirrored in the oracle SQL):
+- h1 = first 8 md5 hex chars of CAST(value AS STRING)  → register index
+  ``h1 % m``;
+- h2 = next 8 hex chars (+1 so it is never zero)       → rho =
+  33 - length(bin(w)) — the MSB position of a 32-bit word computed in
+  EXACT INTEGER arithmetic (binary-string length), never via log2:
+  engines disagree on log2 at the ulp level (JVM log(x)/log(2) vs libm
+  log2) and a 1-ulp slip under floor() flips the register. The
+  register SUM of 2^-rho is also exact: each term is a dyadic rational
+  with ≤33 fractional bits and ≤2^p terms, so every partial sum fits a
+  53-bit mantissa — summation order (distributed vs sequential) cannot
+  change it. The only cross-engine float op left is ln() in the
+  linear-counting branch (same 1-ulp risk class as the BM25 oracles,
+  which hold).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _alpha(m: int) -> float:
+    """Bias-correction constant (Flajolet et al. 2007, fig. 3)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HLL register table: (group..., idx, rho) with
+    rho = MAX over values hashing to that register.
+
+    This is the MERGEABLE partial: registers from disjoint data slices
+    (days, partitions, streams) union + groupBy-max into the registers
+    of the union — store these in an incremental rollup and distinct
+    counts become re-aggregable without rescanning history.
+
+    Shape: one projection (hashing is codegen-side) + one groupBy on
+    (group, idx) — at most groups × 2^p output rows, map-side combined.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p={p} out of the supported 4..16 range")
+    m = 1 << p
+    group_cols = group_cols or []
+    s = F.col(value_col).cast("string")
+    h1 = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    w = F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long") + 1
+    # MSB position by binary-string length — exact integers, no log2
+    rho = (F.lit(33) - F.length(F.bin(w))).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            (h1 % m).cast("int").alias("idx"),
+            rho.alias("_rho"),
+        )
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("_rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """Cardinality estimate from a register table (raw HLL estimator +
+    the linear-counting small-range correction; 64-bit hash space needs
+    no large-range correction at these cardinalities).
+
+    The estimate is rounded to a BIGINT — the downstream-stable form —
+    and computed with the same float operations in the oracle, so
+    values hash-match exactly.
+    """
+    m = 1 << p
+    group_cols = group_cols or []
+    alpha = _alpha(m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_z"),
+        F.count(F.lit(1)).alias("_nz"),
+    )
+    # registers absent from the table are zero registers: 2^-0 each
+    z = F.col("_z") + (F.lit(m) - F.col("_nz"))
+    raw = F.lit(alpha * m * m) / z
+    zeros = F.lit(m) - F.col("_nz")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0), linear
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, F.round(est).cast("long").alias("approx_distinct")
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """One-shot grouped approximate distinct: registers + estimate."""
+    return hll_estimate(
+        hll_registers(df, value_col, group_cols, p), group_cols, p
+    )
+
+
+def hll_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge two register tables (disjoint or overlapping data — HLL
+    registers are idempotent max-merge, so double-counted slices cannot
+    inflate the estimate)."""
+    group_cols = group_cols or []
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_error_bound(p: int = 12) -> float:
+    """Theoretical relative standard error 1.04/sqrt(m)."""
+    return 1.04 / math.sqrt(1 << p)

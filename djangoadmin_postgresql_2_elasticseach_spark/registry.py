@@ -520,6 +520,32 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(pairs)
 
 
+def _q_zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-key of events over (user_id, value) rank space
+    (operators/layout.py) — the clustering key OPTIMIZE ZORDER sorts by;
+    exact integer interleave of percent_rank-quantized dimensions, so
+    the oracle mirrors it bit-for-bit."""
+    from .operators.layout import zorder_key
+
+    events = load_table(spark, sf_dir, "events")
+    return zorder_key(events, ["user_id", "value"], bits=8).select(
+        "event_id", "z_key"
+    )
+
+
+def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct users per event type
+    (operators/sketches.py) — the mergeable-register alternative to
+    skew_safe_distinct_users: O(groups × 2^p) state regardless of
+    cardinality, max-mergeable across days/streams/rollups."""
+    from .operators.sketches import hll_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    return hll_distinct(events, "user_id", ["event_type"], p=12).orderBy(
+        "event_type"
+    )
+
+
 PIPELINE_ASSEMBLY_SPEC = [
     {"op": "clean"},
     {"op": "decontaminate", "n": DECONTAM_N},
@@ -962,6 +988,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_value_percentiles": R.event_value_percentiles,
     "user_value_quartiles": R.user_value_quartiles,
     "skew_safe_distinct_users": R.skew_safe_distinct_users,
+    "hll_distinct_users": _q_hll_distinct_users,
+    "zorder_key_events": _q_zorder_key_events,
     "revenue_rollup": R.revenue_rollup,
     "order_status_pivot": R.order_status_pivot,
     "json_props_stats": R.json_props_stats,
@@ -2559,6 +2587,67 @@ FROM grid g LEFT JOIN picked p USING (user_id, bucket_ts)
     o["skew_safe_distinct_users"] = """
 SELECT event_type, count(DISTINCT user_id) AS distinct_users
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+    # Morton z-key (operators/layout.py): percent_rank over DISTINCT
+    # values per dimension (NULLS FIRST to match Spark's default window
+    # order), quantized to 8 bits, bit-interleaved — exact integer
+    # arithmetic end-to-end
+    _zbits = 8
+    _zinter = " + ".join(
+        f"(((r{d} >> {i}) & 1) * {1 << (i * 2 + d)})"
+        for i in range(_zbits)
+        for d in range(2)
+    )
+
+    def _zrank_cte(col: str, tag: str) -> str:
+        return f"""
+{tag} AS (
+  SELECT {col} AS v,
+         CAST(least(floor(percent_rank() OVER (ORDER BY {col} ASC NULLS FIRST) * {1 << _zbits}), {(1 << _zbits) - 1}) AS BIGINT) AS r
+  FROM (SELECT DISTINCT {col} FROM events)
+)"""
+
+    o["zorder_key_events"] = f"""
+WITH {_zrank_cte("user_id", "zd0")},
+{_zrank_cte("value", "zd1").lstrip()}
+SELECT e.event_id, CAST({_zinter} AS BIGINT) AS z_key
+FROM (
+  SELECT ev.event_id, COALESCE(a.r, 0) AS r0, COALESCE(b.r, 0) AS r1
+  FROM events ev
+  LEFT JOIN zd0 a ON ev.user_id = a.v
+  LEFT JOIN zd1 b ON ev.value = b.v
+) e
+"""
+
+    # deterministic HyperLogLog (operators/sketches.py): identical
+    # md5-derived registers in both engines; rho via exact
+    # binary-string length (NOT log2 — engines disagree at ulp level);
+    # register sums of 2^-rho are exact dyadic rationals, so summation
+    # order can't flip the estimate
+    _hm = 1 << 12
+    _halpha = 0.7213 / (1 + 1.079 / _hm)
+    o["hll_distinct_users"] = f"""
+WITH h AS (
+  SELECT event_type,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {_hm} AS INT) AS idx,
+    CAST(33 - length(bin(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT + 1)) AS INT) AS rho
+  FROM events WHERE user_id IS NOT NULL
+),
+regs AS (SELECT event_type, idx, MAX(rho) AS rho FROM h GROUP BY event_type, idx),
+agg AS (
+  SELECT event_type, SUM(power(2.0, -rho)) AS z, COUNT(*) AS nz
+  FROM regs GROUP BY event_type
+)
+SELECT event_type,
+  CAST(round(
+    CASE WHEN {_halpha * _hm * _hm} / (z + ({_hm} - nz)) <= {2.5 * _hm}
+              AND ({_hm} - nz) > 0
+         THEN {float(_hm)} * ln({float(_hm)} / ({_hm} - nz))
+         ELSE {_halpha * _hm * _hm} / (z + ({_hm} - nz)) END
+  ) AS BIGINT) AS approx_distinct
+FROM agg
+ORDER BY event_type
 """
 
     # incremental rollup: the oracle is the ONE-SHOT batch aggregate the

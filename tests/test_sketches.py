@@ -1,0 +1,94 @@
+"""HyperLogLog sketch (operators/sketches.py): accuracy against exact
+distinct, register mergeability (the property that makes it the 100 TB
+distinct-count workhorse), idempotence under overlap, and grouped
+semantics. Engine-vs-DuckDB value parity runs in test_oracle_parity
+(hll_distinct_users)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from djangoadmin_postgresql_2_elasticseach_spark.operators.sketches import (
+    hll_distinct,
+    hll_error_bound,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    # 20k rows over 7,321 distinct ids, two groups
+    rows = [(i % 7321, "a" if i % 3 else "b") for i in range(20_000)]
+    return spark.createDataFrame(rows, "uid long, grp string")
+
+
+def test_estimate_within_theoretical_bounds(spark, people):
+    est = {
+        r["grp"]: r["approx_distinct"]
+        for r in hll_distinct(people, "uid", ["grp"]).collect()
+    }
+    exact = {
+        r["grp"]: r["n"]
+        for r in people.groupBy("grp")
+        .agg(F.countDistinct("uid").alias("n"))
+        .collect()
+    }
+    bound = 4 * hll_error_bound(12)  # 4 sigma ≈ 6.5% at p=12
+    for g in exact:
+        assert abs(est[g] - exact[g]) <= bound * exact[g], (g, est[g], exact[g])
+
+
+def test_registers_merge_equals_full(spark, people):
+    """max-merge of per-slice registers == registers of the union —
+    the property that lets rollups store registers per partition and
+    re-aggregate distinct counts without rescanning history."""
+    a = people.filter(F.col("uid") % 2 == 0)
+    b = people.filter(F.col("uid") % 2 == 1)
+    merged = hll_merge(
+        hll_registers(a, "uid", ["grp"]),
+        hll_registers(b, "uid", ["grp"]),
+        ["grp"],
+    )
+    full = hll_registers(people, "uid", ["grp"])
+    assert merged.exceptAll(full).isEmpty()
+    assert full.exceptAll(merged).isEmpty()
+
+
+def test_merge_idempotent_under_overlap(spark, people):
+    """Overlapping slices cannot inflate the estimate (registers are
+    max-idempotent) — the anti-double-counting guarantee exact partial
+    counts do NOT have."""
+    regs = hll_registers(people, "uid", ["grp"])
+    doubled = hll_merge(regs, regs, ["grp"])
+    e1 = {r["grp"]: r["approx_distinct"]
+          for r in hll_estimate(regs, ["grp"]).collect()}
+    e2 = {r["grp"]: r["approx_distinct"]
+          for r in hll_estimate(doubled, ["grp"]).collect()}
+    assert e1 == e2
+
+
+def test_small_cardinality_linear_counting_is_tight(spark):
+    df = spark.createDataFrame([(i,) for i in range(37)], "uid long")
+    [row] = hll_distinct(df, "uid").collect()
+    # linear counting at n << m is near-exact
+    assert abs(row["approx_distinct"] - 37) <= 1
+
+
+def test_nulls_ignored_and_bad_p_raises(spark):
+    df = spark.createDataFrame([(1,), (None,), (2,)], "uid long")
+    [row] = hll_distinct(df, "uid").collect()
+    assert row["approx_distinct"] == 2
+    with pytest.raises(ValueError, match="out of the supported"):
+        hll_registers(df, "uid", p=2)
+
+
+def test_register_state_bounded(spark, people):
+    """Register table ≤ groups × 2^p rows — cardinality-independent
+    state (the scale contract)."""
+    regs = hll_registers(people, "uid", ["grp"], p=8)
+    assert regs.count() <= 2 * (1 << 8)
+    assert regs.agg(F.max("rho")).first()[0] <= 33
+    assert regs.agg(F.min("rho")).first()[0] >= 1
