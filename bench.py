@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "user_value_quartiles",
     "hll_distinct_users",
     "zorder_key_events",
+    "compaction_bins_events",
+    "kmv_distinct_users",
+    "kmv_intersection_users",
     # similarity search
     "ann_brute_topk",
     "ann_ivf_topk",

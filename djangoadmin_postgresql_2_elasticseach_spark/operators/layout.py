@@ -171,6 +171,105 @@ def zorder_write(
     part.drop("z_key").write.mode("overwrite").parquet(path)
 
 
+def compaction_plan(
+    weights: DataFrame,
+    id_cols: list[str],
+    weight_col: str,
+    target: int,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Small-item compaction planner: assign each item (a file, a
+    partition, a shard) to a compaction ``bin`` so consecutive bins fill
+    to ~``target`` weight (bytes, rows, tokens). This is the planning
+    half of OPTIMIZE/bin-packing table maintenance — at 100 TB the
+    killer is millions of kilobyte files written by many incremental
+    ticks; readers then pay per-file open cost and the NameNode/listing
+    pays per-object cost. Compaction rewrites each bin as one file.
+
+    Items with ``weight >= target`` are already healthy — they keep
+    ``action='keep'`` and a NULL bin (rewriting them buys nothing and
+    costs a full copy; the same rule Delta's OPTIMIZE applies).
+
+    Deterministic sorted-fill: items are ordered by md5 of the id (a
+    content-independent deterministic shuffle — mixes small and large
+    items so bins fill evenly regardless of how sizes correlate with
+    names), the running weight before each item is computed, and
+    ``bin = cum_before div target``. Bins may overshoot by at most one
+    item — the standard next-fit guarantee (≥ half full, ≤ target +
+    max_item).
+
+    Scale shape: NO global window. The cumulative sum uses the
+    ``pack_sequences`` two-pass — hex-prefix buckets of the md5 order
+    key get partitioned windows, per-bucket totals (≤ ``n_buckets``
+    rows) get one tiny prefix frame that broadcast-joins back. The
+    inventory never leaves the executors.
+    """
+    from pyspark.sql import Window
+
+    n_hex = max(1, min(8, (n_buckets - 1).bit_length() // 4 or 1))
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols]))
+    small = weights.filter(F.col(weight_col) < target).select(
+        *id_cols,
+        F.col(weight_col).cast("long").alias("_w"),
+        key.alias("_ord"),
+        F.conv(F.substring(key, 1, n_hex), 16, 10).cast("long").alias("_bucket"),
+    )
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy("_ord", *id_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = small.select(
+        *id_cols,
+        "_w",
+        "_bucket",
+        F.coalesce(F.sum("_w").over(w_in), F.lit(0)).alias("_cum_in"),
+    )
+    # ≤ n_buckets rows: single-partition prefix frame is deliberate
+    w_b = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    base = (
+        small.groupBy("_bucket")
+        .agg(F.sum("_w").alias("_bw"))
+        .select(
+            "_bucket",
+            F.coalesce(F.sum("_bw").over(w_b), F.lit(0)).alias("_base"),
+        )
+    )
+    binned = within.join(F.broadcast(base), "_bucket").select(
+        *id_cols,
+        F.col("_w").alias(weight_col),
+        F.expr(f"(_base + _cum_in) div {int(target)}").alias("bin"),
+        F.lit("compact").alias("action"),
+    )
+    big = weights.filter(F.col(weight_col) >= target).select(
+        *id_cols,
+        F.col(weight_col).cast("long").alias(weight_col),
+        F.lit(None).cast("long").alias("bin"),
+        F.lit("keep").alias("action"),
+    )
+    return binned.unionByName(big)
+
+
+def plan_file_compaction(
+    spark, path: str, target_bytes: int
+) -> DataFrame:
+    """File-level compaction plan for a parquet directory: inventory
+    (file, bytes) from footers and bin-pack with ``compaction_plan``.
+    The listing here is driver-side (matching Spark's own file-index
+    behavior in local mode); on a real lake the inventory comes from
+    the table format's manifest as a DataFrame and feeds
+    ``compaction_plan`` directly without any driver listing."""
+    import os
+
+    rows = [
+        (f, os.path.getsize(os.path.join(path, f)))
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    inv = spark.createDataFrame(rows, "file string, bytes long")
+    return compaction_plan(inv, ["file"], "bytes", target_bytes)
+
+
 def file_skipping_stats(
     spark, path: str, col: str, lo, hi
 ) -> dict[str, int]:

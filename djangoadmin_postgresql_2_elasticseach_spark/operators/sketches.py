@@ -151,3 +151,138 @@ def hll_merge(
 def hll_error_bound(p: int = 12) -> float:
     """Theoretical relative standard error 1.04/sqrt(m)."""
     return 1.04 / math.sqrt(1 << p)
+
+
+# --- KMV / theta sketch -------------------------------------------------
+#
+# Bottom-k ("k minimum values") distinct sketch — Beyer et al. 2007
+# (SIGMOD, "On synopses for distinct-value estimation under multiset
+# operations") and the Apache DataSketches theta family. Where HLL only
+# merges by UNION, a KMV sketch supports set INTERSECTION (and through
+# it Jaccard): keep the k smallest hash values; θ = the k-th smallest
+# normalized hash; any derived set's cardinality ≈ (matching sketch
+# entries) / θ. That makes "distinct users who did BOTH X and Y"
+# computable from two per-segment sketches without ever co-shuffling
+# the raw value sets — the 100 TB win.
+#
+# Determinism contract (mirrored in oracle SQL): the hash is the first
+# 15 md5 hex chars as a 60-bit integer (15, not 16 — a 64-bit value
+# overflows a SIGNED long in one engine and wraps in the other);
+# normalization divides by 2^60 in double (identical IEEE rounding both
+# engines); ties are impossible at the distinct-hash level because the
+# sketch stores the hash itself.
+
+_KMV_SPACE = float(1 << 60)
+
+
+def _kmv_hash(value_col: str):
+    s = F.col(value_col).cast("string")
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group bottom-k sketch table: (group..., h) — the k smallest
+    distinct 60-bit hashes of the value.
+
+    Shape: distinct on (group, hash) — one map-side-combined shuffle —
+    then rank-filter. The ``row_number() <= k`` compiles to
+    WindowGroupLimit (pinned for the ANN operators in test_plans), so
+    each task retains only k rows per group BEFORE the final exchange:
+    per-group state is O(k) everywhere, never the distinct count.
+    """
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, _kmv_hash(value_col).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Distinct estimate from a bottom-k sketch: exact sketch size when
+    the group never filled its sketch (< k distincts — the estimate is
+    then EXACT by construction), else (k-1)/θ with θ = the k-th
+    smallest normalized hash (Beyer et al. 2007, unbiased form)."""
+    group_cols = group_cols or []
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_nz"), F.max("h").alias("_kth")
+    )
+    est = F.when(F.col("_nz") < k, F.col("_nz").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("_kth").cast("double") / F.lit(_KMV_SPACE))
+    )
+    return agg.select(
+        *group_cols, F.round(est).cast("long").alias("approx_distinct")
+    )
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None, k: int = 256
+) -> DataFrame:
+    """Union-merge two sketch tables: k smallest of the union. Like HLL
+    max-merge this is idempotent — overlapping slices cannot inflate."""
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        a.unionByName(b)
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_intersect_estimate(
+    a: DataFrame, b: DataFrame, k: int = 256
+) -> DataFrame:
+    """|A ∩ B| from two UNGROUPED sketch tables (columns: h).
+
+    θ = min(θ_A, θ_B) where a sketch that never filled contributes
+    θ = 1 (it is its whole set). Entries below θ present in BOTH
+    sketches form a uniform sample of the intersection at rate θ, so
+    the estimate is matches/θ (Beyer et al. 2007 §4; the theta-sketch
+    intersection rule). One row out: (approx_intersection)."""
+
+    def _theta(s: DataFrame):
+        return s.groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.max("h").alias("kth")
+        ).select(
+            F.when(
+                F.col("n") < k, F.lit(1.0)
+            ).otherwise(F.col("kth").cast("double") / F.lit(_KMV_SPACE)).alias(
+                "theta"
+            )
+        )
+
+    theta = (
+        _theta(a).crossJoin(_theta(b).withColumnRenamed("theta", "theta_b"))
+        .select(F.least("theta", "theta_b").alias("theta"))
+    )
+    matches = a.join(b, "h").crossJoin(F.broadcast(theta)).filter(
+        F.col("h").cast("double") / F.lit(_KMV_SPACE) < F.col("theta")
+    )
+    # global aggregate: exactly one row even with zero matches
+    m = matches.groupBy().agg(F.count(F.lit(1)).alias("_m"))
+    return m.crossJoin(F.broadcast(theta)).select(
+        F.round(F.col("_m").cast("double") / F.col("theta"))
+        .cast("long")
+        .alias("approx_intersection")
+    )

@@ -546,6 +546,55 @@ def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV/theta) distinct users per event type
+    (operators/sketches.py) — k=128 < the true per-type cardinality at
+    sf0.01, so the (k-1)/θ estimation path (not the exact small-set
+    path) is what the oracle checks."""
+    from .operators.sketches import kmv_estimate, kmv_sketch
+
+    events = load_table(spark, sf_dir, "events")
+    return kmv_estimate(
+        kmv_sketch(events, "user_id", ["event_type"], k=128),
+        ["event_type"],
+        k=128,
+    ).orderBy("event_type")
+
+
+def _q_kmv_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set intersection: distinct users who BOTH clicked
+    and purchased, estimated from two per-segment bottom-k sketches —
+    the operation HLL registers cannot express; the raw user sets are
+    never co-shuffled."""
+    from .operators.sketches import kmv_intersect_estimate, kmv_sketch
+
+    events = load_table(spark, sf_dir, "events")
+    a = kmv_sketch(
+        events.filter(F.col("event_type") == "click"), "user_id", k=128
+    )
+    b = kmv_sketch(
+        events.filter(F.col("event_type") == "purchase"), "user_id", k=128
+    )
+    return kmv_intersect_estimate(a, b, k=128)
+
+
+def _q_compaction_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planner (operators/layout.py): bin-pack the events
+    table's (event_type, day) partitions into ~70-row compaction bins —
+    the small-partition coalescing pass an incremental pipeline runs
+    after many ticks; partitions already at target keep action='keep'."""
+    from .operators.layout import compaction_plan
+
+    events = load_table(spark, sf_dir, "events")
+    weights = events.groupBy(
+        F.col("event_type"),
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    return compaction_plan(weights, ["event_type", "day"], "n_rows", 70).orderBy(
+        "event_type", "day"
+    )
+
+
 PIPELINE_ASSEMBLY_SPEC = [
     {"op": "clean"},
     {"op": "decontaminate", "n": DECONTAM_N},
@@ -990,6 +1039,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_safe_distinct_users": R.skew_safe_distinct_users,
     "hll_distinct_users": _q_hll_distinct_users,
     "zorder_key_events": _q_zorder_key_events,
+    "compaction_bins_events": _q_compaction_bins_events,
+    "kmv_distinct_users": _q_kmv_distinct_users,
+    "kmv_intersection_users": _q_kmv_intersection_users,
     "revenue_rollup": R.revenue_rollup,
     "order_status_pivot": R.order_status_pivot,
     "json_props_stats": R.json_props_stats,
@@ -2648,6 +2700,80 @@ SELECT event_type,
   ) AS BIGINT) AS approx_distinct
 FROM agg
 ORDER BY event_type
+"""
+
+    # KMV / theta sketch (operators/sketches.py): identical 60-bit
+    # md5-prefix hashes both engines (15 hex chars — 16 would overflow a
+    # signed long); (k-1)/theta with theta = kth/2^60 in double, the
+    # same IEEE expression order as the engine
+    _kk = 128
+    _ksp = float(1 << 60)
+    o["kmv_distinct_users"] = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+sk AS (
+  SELECT event_type, h FROM h
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= {_kk}
+),
+agg AS (SELECT event_type, COUNT(*) AS nz, MAX(h) AS kth FROM sk GROUP BY event_type)
+SELECT event_type,
+  CAST(round(CASE WHEN nz < {_kk} THEN CAST(nz AS DOUBLE)
+       ELSE {float(_kk - 1)} / (CAST(kth AS DOUBLE) / {_ksp}) END) AS BIGINT)
+    AS approx_distinct
+FROM agg ORDER BY event_type
+"""
+
+    o["kmv_intersection_users"] = f"""
+WITH ha AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+),
+hb AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+),
+ska AS (SELECT h FROM ha QUALIFY row_number() OVER (ORDER BY h) <= {_kk}),
+skb AS (SELECT h FROM hb QUALIFY row_number() OVER (ORDER BY h) <= {_kk}),
+ta AS (SELECT CASE WHEN COUNT(*) < {_kk} THEN 1.0
+            ELSE CAST(MAX(h) AS DOUBLE) / {_ksp} END AS theta FROM ska),
+tb AS (SELECT CASE WHEN COUNT(*) < {_kk} THEN 1.0
+            ELSE CAST(MAX(h) AS DOUBLE) / {_ksp} END AS theta FROM skb),
+t AS (SELECT least(ta.theta, tb.theta) AS theta FROM ta, tb),
+m AS (
+  SELECT COUNT(*) AS m FROM ska JOIN skb USING (h), t
+  WHERE CAST(h AS DOUBLE) / {_ksp} < t.theta
+)
+SELECT CAST(round(CAST(m.m AS DOUBLE) / t.theta) AS BIGINT)
+  AS approx_intersection
+FROM m, t
+"""
+
+    # compaction planner (operators/layout.py): the oracle computes the
+    # SAME deterministic sorted-fill with one global window ordered by
+    # the md5 key — equal to the engine's bucketed two-pass because the
+    # bucket is the md5's leading hex prefix (prefix order == full order)
+    o["compaction_bins_events"] = """
+WITH w AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         md5(event_type || chr(31) || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)) AS ord
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, day, n_rows,
+         COALESCE(SUM(n_rows) OVER (
+           ORDER BY ord, event_type, day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM w WHERE n_rows < 70
+)
+SELECT event_type, day, n_rows, cumb // 70 AS bin, 'compact' AS action FROM s
+UNION ALL
+SELECT event_type, day, n_rows, CAST(NULL AS BIGINT) AS bin, 'keep' AS action
+FROM w WHERE n_rows >= 70
+ORDER BY event_type, day
 """
 
     # incremental rollup: the oracle is the ONE-SHOT batch aggregate the

@@ -107,3 +107,60 @@ def test_zorder_write_enables_multi_column_skipping(spark, tmp_path):
     assert zy["skippable"] >= zy["files"] // 2, zy
     # and the data survives the round trip
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_compaction_plan_fill_bounds(spark):
+    """Next-fit guarantee: every bin except possibly the last holds
+    ≥ target/2... actually next-fit over a deterministic order fills
+    each bin to at least `target - max_item` before opening the next
+    (cum_before div target is contiguous), and no item ≥ target is
+    binned."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    rows = [(f"f{i:03d}", (i * 37) % 190 + 10) for i in range(200)]
+    inv = spark.createDataFrame(rows, "file string, bytes long")
+    plan = compaction_plan(inv, ["file"], "bytes", 128).collect()
+    binned = [r for r in plan if r["action"] == "compact"]
+    kept = [r for r in plan if r["action"] == "keep"]
+    assert all(r["bytes"] >= 128 and r["bin"] is None for r in kept)
+    assert all(r["bytes"] < 128 and r["bin"] is not None for r in binned)
+    assert len(binned) + len(kept) == 200
+    # bins are contiguous 0..max and each full bin's weight lands in
+    # (target - max_item, target + max_item): the sorted-fill invariant
+    by_bin: dict[int, int] = {}
+    for r in binned:
+        by_bin[r["bin"]] = by_bin.get(r["bin"], 0) + r["bytes"]
+    bins = sorted(by_bin)
+    assert bins == list(range(len(bins)))
+    max_item = max(r["bytes"] for r in binned)
+    for b in bins[:-1]:
+        assert 128 - max_item < by_bin[b] < 128 + max_item, (b, by_bin[b])
+
+
+def test_plan_file_compaction_real_files(spark, tmp_path):
+    """File-level inventory: many tiny parquet files plus one big file;
+    the big file keeps, the tiny ones bin toward the byte target."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.layout import (
+        plan_file_compaction,
+    )
+
+    small = str(tmp_path / "t")
+    spark.range(2_000).repartition(20).write.mode("overwrite").parquet(small)
+    big = spark.range(200_000).coalesce(1)
+    big.write.mode("append").parquet(small)
+    import os
+
+    sizes = {
+        f: os.path.getsize(os.path.join(small, f))
+        for f in os.listdir(small)
+        if f.endswith(".parquet")
+    }
+    target = max(sizes.values())  # only the biggest file is "healthy"
+    plan = plan_file_compaction(spark, small, target).collect()
+    assert len(plan) == len(sizes)
+    kept = [r for r in plan if r["action"] == "keep"]
+    assert len(kept) == 1 and kept[0]["bytes"] == target
+    n_bins = len({r["bin"] for r in plan if r["action"] == "compact"})
+    assert 1 <= n_bins < len(sizes) - 1  # actually coalesces files

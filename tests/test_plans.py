@@ -375,3 +375,24 @@ def test_cohort_retention_filter_and_agg_shape(spark):
     assert "count(distinct" not in plan.lower(), (
         "countDistinct aggregate found where a grouped dedup was intended"
     )
+
+
+def test_kmv_sketch_rank_limit_pushdown(spark):
+    """The bottom-k sketch's row_number()<=k must compile to a PARTIAL
+    WindowGroupLimit below the exchange: every map task retains only k
+    hashes per group, so sketch state is O(groups·k) end-to-end, never
+    the distinct count (the property that makes the sketch usable at
+    10^9 distincts per group)."""
+    from pyspark.sql import functions as F
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.sketches import kmv_sketch
+    from djangoadmin_postgresql_2_elasticseach_spark.plans.tuning import plan_string
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        F.col("id").alias("uid"),
+    )
+    plan = plan_string(kmv_sketch(df, "uid", ["g"], k=64))
+    assert "WindowGroupLimit" in plan, plan
+    # partial (pre-shuffle) instance present, not just the final one
+    assert "Partial" in plan.split("Exchange", 1)[-1], plan

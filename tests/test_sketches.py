@@ -92,3 +92,90 @@ def test_register_state_bounded(spark, people):
     assert regs.count() <= 2 * (1 << 8)
     assert regs.agg(F.max("rho")).first()[0] <= 33
     assert regs.agg(F.min("rho")).first()[0] >= 1
+
+
+# --- KMV / theta ---------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    """A group with fewer distincts than k gets the EXACT count."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 37, "g") for i in range(500)], "uid long, grp string"
+    )
+    out = kmv_estimate(
+        kmv_sketch(df, "uid", ["grp"], k=256), ["grp"], k=256
+    ).collect()
+    assert out[0]["approx_distinct"] == 37
+
+
+def test_kmv_accuracy(spark, people):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    est = {
+        r["grp"]: r["approx_distinct"]
+        for r in kmv_estimate(
+            kmv_sketch(people, "uid", ["grp"], k=512), ["grp"], k=512
+        ).collect()
+    }
+    exact = {
+        r["grp"]: r["n"]
+        for r in people.groupBy("grp")
+        .agg(F.countDistinct("uid").alias("n"))
+        .collect()
+    }
+    # RSE ≈ 1/sqrt(k-2) ≈ 4.4% at k=512; allow 4 sigma
+    for g in exact:
+        assert abs(est[g] - exact[g]) <= 0.18 * exact[g], (g, est[g], exact[g])
+
+
+def test_kmv_merge_equals_full(spark, people):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    a = kmv_sketch(people.filter(F.col("uid") % 2 == 0), "uid", ["grp"], k=128)
+    b = kmv_sketch(people.filter(F.col("uid") % 2 == 1), "uid", ["grp"], k=128)
+    # overlap idempotence: merge in one slice twice
+    merged = kmv_merge(kmv_merge(a, b, ["grp"], 128), a, ["grp"], 128)
+    full = kmv_sketch(people, "uid", ["grp"], k=128)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_kmv_intersection_tracks_truth(spark):
+    """Intersection estimate lands within the theta-sketch error enve-
+    lope of the true overlap, including a zero-overlap case (exact 0)."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.sketches import (
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    # A = 0..3999, B = 2000..5999 → |A∩B| = 2000
+    a_df = spark.range(4000).select(F.col("id").alias("uid"))
+    b_df = spark.range(2000, 6000).select(F.col("id").alias("uid"))
+    a = kmv_sketch(a_df, "uid", k=512)
+    b = kmv_sketch(b_df, "uid", k=512)
+    est = kmv_intersect_estimate(a, b, k=512).collect()[0][
+        "approx_intersection"
+    ]
+    assert abs(est - 2000) <= 0.25 * 2000, est
+    # disjoint sets → no matching hashes → exactly 0
+    c = kmv_sketch(
+        spark.range(100_000, 104_000).select(F.col("id").alias("uid")),
+        "uid",
+        k=512,
+    )
+    assert (
+        kmv_intersect_estimate(a, c, k=512).collect()[0]["approx_intersection"]
+        == 0
+    )
