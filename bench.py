@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "compaction_bins_events",
     "kmv_distinct_users",
     "kmv_intersection_users",
+    "cms_heavy_users",
     # similarity search
     "ann_brute_topk",
     "ann_ivf_topk",

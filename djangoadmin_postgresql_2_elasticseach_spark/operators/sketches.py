@@ -286,3 +286,115 @@ def kmv_intersect_estimate(
         .cast("long")
         .alias("approx_intersection")
     )
+
+
+# --- Count-min sketch ----------------------------------------------------
+#
+# Cormode & Muthukrishnan 2005 ("An improved data stream summary: the
+# count-min sketch and its applications"). d independent hash rows × w
+# counters; point estimate = MIN over rows; one-sided error (estimate ≥
+# true count, overshoot ≤ εN with ε = e/w at probability 1-δ, δ = e^-d).
+# The sketch is SUM-mergeable — per-slice sketches add into the union's
+# sketch — so like the HLL register table it composes with incremental
+# rollups: d×w longs summarize ANY number of rows.
+#
+# The 100 TB heavy-hitter pattern this enables: estimate from the tiny
+# sketch (broadcastable — d×w rows), keep only candidates ≥ threshold
+# (no false negatives, by one-sidedness), then verify candidates with an
+# EXACT count restricted to the candidate set. The full-cardinality
+# exact groupBy never runs; the exact pass touches only the (few) heavy
+# keys. Hashes are md5-derived like the sketches above — deterministic
+# and oracle-mirrorable.
+
+
+def _cms_cells(value_col: str, d: int, w: int):
+    """Array of (row, col) cells a value increments: col_i =
+    first-8-hex of md5(i + '#' + value) mod w."""
+    s = F.col(value_col).cast("string")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("#", F.lit(str(i)), s)), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % w
+                ).alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+
+
+def cms_table(
+    df: DataFrame, value_col: str, d: int = 3, w: int = 1024
+) -> DataFrame:
+    """Build the sketch: (row, col, cnt) — at most d×w rows regardless
+    of input size. One explode (d rows per input row, map-side combined
+    immediately) + one bounded groupBy."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(_cms_cells(value_col, d, w)).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Sum-merge two sketches (disjoint slices; unlike HLL/KMV this is
+    NOT idempotent — count sketches add, so merge disjoint slices
+    only)."""
+    return (
+        a.unionByName(b).groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    d: int = 3,
+    w: int = 1024,
+) -> DataFrame:
+    """Point estimates for a probe relation: min over the d cells.
+    The sketch side is broadcast (≤ d×w rows by construction); absent
+    cells count 0 — a probe value never seen estimates 0."""
+    cells = probes.select(
+        value_col, F.explode(_cms_cells(value_col, d, w)).alias("c")
+    ).select(value_col, F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+    return (
+        cells.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    d: int = 3,
+    w: int = 1024,
+) -> DataFrame:
+    """Sketch-pruned exact heavy hitters: estimate every distinct value
+    from the broadcast sketch, keep candidates with est ≥ threshold
+    (complete, by one-sided error), then count candidates EXACTLY via a
+    broadcast semi-join — the full-key exact aggregate never runs.
+    Output: (value, est_count, true_count) for true_count ≥ threshold.
+    """
+    sketch = cms_table(df, value_col, d, w)
+    cand = cms_estimate(
+        sketch, df.select(value_col).distinct(), value_col, d, w
+    ).filter(F.col("est_count") >= threshold)
+    exact = (
+        df.join(F.broadcast(cand), value_col)
+        .groupBy(value_col, "est_count")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .filter(F.col("true_count") >= threshold)
+    )
+    return exact.select(value_col, "est_count", "true_count")

@@ -578,6 +578,19 @@ def _q_kmv_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_intersect_estimate(a, b, k=128)
 
 
+def _q_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters (operators/sketches.py): users with ≥80
+    events — broadcast-sketch candidate pruning (no false negatives),
+    exact verify restricted to candidates; the full-cardinality exact
+    aggregate never runs."""
+    from .operators.sketches import cms_heavy_hitters
+
+    events = load_table(spark, sf_dir, "events")
+    return cms_heavy_hitters(events, "user_id", 80, d=3, w=1024).orderBy(
+        "user_id"
+    )
+
+
 def _q_compaction_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction planner (operators/layout.py): bin-pack the events
     table's (event_type, day) partitions into ~70-row compaction bins —
@@ -1042,6 +1055,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compaction_bins_events": _q_compaction_bins_events,
     "kmv_distinct_users": _q_kmv_distinct_users,
     "kmv_intersection_users": _q_kmv_intersection_users,
+    "cms_heavy_users": _q_cms_heavy_users,
     "revenue_rollup": R.revenue_rollup,
     "order_status_pivot": R.order_status_pivot,
     "json_props_stats": R.json_props_stats,
@@ -2749,6 +2763,31 @@ m AS (
 SELECT CAST(round(CAST(m.m AS DOUBLE) / t.theta) AS BIGINT)
   AS approx_intersection
 FROM m, t
+"""
+
+    # count-min sketch (operators/sketches.py): identical md5 cell
+    # hashes both engines; all arithmetic is exact integer counts
+    o["cms_heavy_users"] = """
+WITH rows3 AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(i)),
+cells AS (
+  SELECT i AS row,
+    ('0x' || substr(md5(CAST(i AS VARCHAR) || '#' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 1024 AS col,
+    user_id
+  FROM events CROSS JOIN rows3 WHERE user_id IS NOT NULL
+),
+sketch AS (SELECT row, col, COUNT(*) AS cnt FROM cells GROUP BY row, col),
+probe AS (SELECT DISTINCT row, col, user_id FROM cells),
+est AS (
+  SELECT p.user_id, MIN(COALESCE(s.cnt, 0)) AS est_count
+  FROM probe p LEFT JOIN sketch s USING (row, col)
+  GROUP BY p.user_id
+),
+cand AS (SELECT * FROM est WHERE est_count >= 80)
+SELECT e.user_id, c.est_count, COUNT(*) AS true_count
+FROM events e JOIN cand c ON e.user_id = c.user_id
+GROUP BY e.user_id, c.est_count
+HAVING COUNT(*) >= 80
+ORDER BY e.user_id
 """
 
     # compaction planner (operators/layout.py): the oracle computes the

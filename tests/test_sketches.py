@@ -179,3 +179,66 @@ def test_kmv_intersection_tracks_truth(spark):
         kmv_intersect_estimate(a, c, k=512).collect()[0]["approx_intersection"]
         == 0
     )
+
+
+# --- Count-min -----------------------------------------------------------
+
+
+def test_cms_one_sided_and_bounded(spark, people):
+    """est ≥ true for EVERY key (no false negatives at any threshold)
+    and the sketch never exceeds d×w rows."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    sketch = cms_table(people, "uid", d=3, w=512)
+    assert sketch.count() <= 3 * 512
+    est = {
+        r["uid"]: r["est_count"]
+        for r in cms_estimate(
+            sketch, people.select("uid").distinct(), "uid", d=3, w=512
+        ).collect()
+    }
+    true = {
+        r["uid"]: r["n"]
+        for r in people.groupBy("uid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(est[u] >= true[u] for u in true)
+    # unseen probe estimates small (0 unless cells collide)
+    ghost = spark.createDataFrame([(10_000_000,)], "uid long")
+    g = cms_estimate(sketch, ghost, "uid", d=3, w=512).collect()[0]["est_count"]
+    assert g < 200
+
+
+def test_cms_merge_is_sum(spark, people):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.sketches import (
+        cms_merge,
+        cms_table,
+    )
+
+    a = cms_table(people.filter("uid % 2 = 0"), "uid", d=3, w=512)
+    b = cms_table(people.filter("uid % 2 = 1"), "uid", d=3, w=512)
+    merged = sorted(map(tuple, cms_merge(a, b).collect()))
+    full = sorted(map(tuple, cms_table(people, "uid", d=3, w=512).collect()))
+    assert merged == full
+
+
+def test_cms_heavy_hitters_exact(spark):
+    """Candidate pruning + exact verify returns EXACTLY the true heavy
+    set with true counts — the sketch can only add candidates, never
+    lose one, and verification removes the extras."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    # skewed: key 1 → 500 rows, key 2 → 120, everything else ≤ 40
+    rows = (
+        [(1,)] * 500 + [(2,)] * 120 + [(i,) for i in range(100, 140) for _ in range(30)]
+    )
+    df = spark.createDataFrame(rows, "uid long")
+    got = {
+        (r["uid"], r["true_count"])
+        for r in cms_heavy_hitters(df, "uid", 100, d=3, w=256).collect()
+    }
+    assert got == {(1, 500), (2, 120)}
