@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "kmv_distinct_users",
     "kmv_intersection_users",
     "cms_heavy_users",
+    "fuzzy_name_pairs",
     # similarity search
     "ann_brute_topk",
     "ann_ivf_topk",

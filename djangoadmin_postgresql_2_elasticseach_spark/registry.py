@@ -578,6 +578,19 @@ def _q_kmv_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_intersect_estimate(a, b, k=128)
 
 
+def _q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy self-join (operators/linkage.py): customer
+    name pairs within Levenshtein 1 via symmetric-delete blocking — the
+    oracle is the BRUTE-FORCE cross join, so a hash match proves the
+    blocking generates the complete candidate set."""
+    from .operators.linkage import fuzzy_self_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_self_pairs(cust, "c_custkey", "c_name", max_dist=1).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def _q_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters (operators/sketches.py): users with ≥80
     events — broadcast-sketch candidate pruning (no false negatives),
@@ -1056,6 +1069,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct_users": _q_kmv_distinct_users,
     "kmv_intersection_users": _q_kmv_intersection_users,
     "cms_heavy_users": _q_cms_heavy_users,
+    "fuzzy_name_pairs": _q_fuzzy_name_pairs,
     "revenue_rollup": R.revenue_rollup,
     "order_status_pivot": R.order_status_pivot,
     "json_props_stats": R.json_props_stats,
@@ -2763,6 +2777,18 @@ m AS (
 SELECT CAST(round(CAST(m.m AS DOUBLE) / t.theta) AS BIGINT)
   AS approx_intersection
 FROM m, t
+"""
+
+    # record linkage (operators/linkage.py): the oracle is the naive
+    # cross join — value parity proves the symmetric-delete blocking
+    # misses no pair at this distance
+    o["fuzzy_name_pairs"] = """
+SELECT a.c_custkey AS id_a, a.c_name AS name_a,
+       b.c_custkey AS id_b, b.c_name AS name_b
+FROM customer a, customer b
+WHERE a.c_custkey < b.c_custkey
+  AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
 """
 
     # count-min sketch (operators/sketches.py): identical md5 cell
