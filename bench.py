@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "kmv_intersection_users",
     "cms_heavy_users",
     "fuzzy_name_pairs",
+    "bloom_semi_lineitem",
     # similarity search
     "ann_brute_topk",
     "ann_ivf_topk",

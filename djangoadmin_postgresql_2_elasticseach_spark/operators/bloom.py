@@ -1,0 +1,139 @@
+"""Bloom-filter semi-join pruning — filter a huge fact scan by a
+compact bitset built from a dimension's keys.
+
+Extension operator (Bloom 1970; the explicit, deterministic form of
+Spark's own AQE runtime bloom filters): joining a 100 TB fact table to
+a selective dimension normally shuffles EVERY fact row; rows that can
+never match still cross the wire. A bloom filter of the dimension keys
+is m bits regardless of dimension size; testing the fact key against it
+is a pure column expression INSIDE the fact's scan stage — no shuffle,
+no join — and one-sided: a true match always passes (no false
+negatives), a non-match passes only with FP probability
+(1 - e^{-kn/m})^k. The surviving fraction then pays the exact join.
+
+Determinism contract (mirrored in oracle SQL): position i =
+first-8-hex-of-md5(i + '#' + value) mod m — the same md5 cell scheme as
+the count-min sketch, so engine and oracle agree bit-for-bit. The
+engine packs positions into m/64 longs via bit_or aggregation and
+broadcasts ONE ROW holding the array; the oracle tests the equivalent
+position-set membership (a word's bit is set iff some dimension key set
+that position — identical pass/fail, including false positives).
+
+Scale shape: building the bitset is one groupBy over ≤ m word rows; the
+driver materializes ≤ m/64 longs (a few KB–MB, bounded by m, NEVER by
+data size — the same bounded-collect class as the k-means centroids).
+The membership test rides the fact scan via a broadcast-of-one-row
+cross join; Catalyst keeps the fact-side filter in the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _positions(value_col: str, m: int, k: int):
+    """Array of k bit positions for a value (md5 cell hashes)."""
+    s = F.col(value_col).cast("string")
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("#", F.lit(str(i)), s)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    dim: DataFrame, key_col: str, m: int = 1 << 16, k: int = 3
+) -> DataFrame:
+    """ONE-ROW DataFrame holding the bitset as array<long> (m/64 words,
+    dense, index 0..m/64-1). Mergeable: bitsets of two slices OR into
+    the union's bitset (idempotent — overlap cannot corrupt)."""
+    n_words = (m + 63) // 64
+    words = (
+        dim.filter(F.col(key_col).isNotNull())
+        .select(F.explode(_positions(key_col, m, k)).alias("pos"))
+        .select(
+            F.expr("pos div 64").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+    # bounded driver materialization: ≤ m/64 longs, independent of |dim|
+    present = {r["w"]: r["bits"] for r in words.collect()}
+    dense = [present.get(i, 0) for i in range(n_words)]
+    spark = dim.sparkSession
+    return spark.createDataFrame([(dense,)], "bloom_bits array<long>")
+
+
+def _pos_sql(value_col: str, i: int, m: int) -> str:
+    """SQL text of position i — the same md5 cell hash `_positions`
+    builds as a Column (both sides stay in lock-step)."""
+    return (
+        f"(cast(conv(substring(md5(concat_ws('#', '{i}', "
+        f"cast({value_col} as string))), 1, 8), 16, 10) as bigint) % {m})"
+    )
+
+
+def bloom_might_contain(value_col: str, m: int, k: int):
+    """Boolean column: all k positions set in the broadcast
+    ``bloom_bits`` array (which must be in scope via the cross join in
+    ``bloom_prune``). Pure integer expressions — whole-stage codegen."""
+    cond = F.lit(True)
+    for i in range(k):
+        pos = _pos_sql(value_col, i, m)
+        test = F.expr(
+            f"(element_at(bloom_bits, cast({pos} div 64 as int) + 1) "
+            f">> cast({pos} % 64 as int)) & 1 = 1"
+        )
+        cond = cond & test
+    return cond
+
+
+def bloom_prune(
+    fact: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Fact rows whose key MIGHT be in the dimension (bloom pass).
+    Broadcast-of-one-row cross join carries the bitset into the fact
+    scan; the filter itself never shuffles the fact."""
+    return (
+        fact.crossJoin(F.broadcast(bloom))
+        .filter(
+            F.col(key_col).isNotNull()
+            & bloom_might_contain(key_col, m, k)
+        )
+        .drop("bloom_bits")
+    )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Exact semi-join with bloom pre-pruning: bloom pass first (the
+    cheap scan-stage filter kills the non-matching bulk), exact
+    ``leftsemi`` join on the survivors only."""
+    pruned = bloom_prune(fact, bloom_build(dim, dim_key, m, k), fact_key, m, k)
+    return pruned.join(
+        dim.select(F.col(dim_key).alias(fact_key)).distinct(),
+        fact_key,
+        "leftsemi",
+    )

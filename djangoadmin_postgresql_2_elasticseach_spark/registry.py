@@ -578,6 +578,32 @@ def _q_kmv_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_intersect_estimate(a, b, k=128)
 
 
+def _q_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join (operators/bloom.py): lineitems of urgent
+    orders. One row out — (bloom_pass, exact_rows) — pinning both the
+    deterministic bloom pass-through (incl. its false positives) and
+    the exact survivor count."""
+    from .operators.bloom import bloom_build, bloom_prune
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    bloom = bloom_build(urgent, "o_orderkey", m=1 << 14, k=3)
+    p = (
+        bloom_prune(li.select("l_orderkey"), bloom, "l_orderkey", m=1 << 14, k=3)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("bloom_pass"))
+    )
+    e = (
+        li.join(urgent, li.l_orderkey == urgent.o_orderkey, "leftsemi")
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("exact_rows"))
+    )
+    return p.crossJoin(e)
+
+
 def _q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record-linkage fuzzy self-join (operators/linkage.py): customer
     name pairs within Levenshtein 1 via symmetric-delete blocking — the
@@ -1070,6 +1096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_intersection_users": _q_kmv_intersection_users,
     "cms_heavy_users": _q_cms_heavy_users,
     "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+    "bloom_semi_lineitem": _q_bloom_semi_lineitem,
     "revenue_rollup": R.revenue_rollup,
     "order_status_pivot": R.order_status_pivot,
     "json_props_stats": R.json_props_stats,
@@ -2777,6 +2804,37 @@ m AS (
 SELECT CAST(round(CAST(m.m AS DOUBLE) / t.theta) AS BIGINT)
   AS approx_intersection
 FROM m, t
+"""
+
+    # bloom semi-join (operators/bloom.py): the oracle tests the
+    # position-SET membership — identical pass/fail (incl. false
+    # positives) to the engine's packed-words bitset, since a word bit
+    # is set iff some dimension key emitted that position
+    o["bloom_semi_lineitem"] = """
+WITH dimk AS (
+  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+pos AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(CAST(t.i AS VARCHAR) || '#' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 16384 AS p
+  FROM dimk CROSS JOIN (VALUES (0), (1), (2)) t(i)
+),
+keys AS (
+  SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+  WHERE l_orderkey IS NOT NULL GROUP BY 1
+),
+kp AS (
+  SELECT k.l_orderkey, k.n FROM keys k
+  WHERE NOT EXISTS (
+    SELECT 1 FROM (VALUES (0), (1), (2)) t(i)
+    WHERE ('0x' || substr(md5(CAST(t.i AS VARCHAR) || '#' || CAST(k.l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 16384
+      NOT IN (SELECT p FROM pos)
+  )
+)
+SELECT
+  (SELECT COALESCE(SUM(n), 0) FROM kp) AS bloom_pass,
+  (SELECT COUNT(*) FROM lineitem l JOIN dimk d ON l.l_orderkey = d.o_orderkey)
+    AS exact_rows
 """
 
     # record linkage (operators/linkage.py): the oracle is the naive
