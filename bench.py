@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "cms_heavy_users",
     "fuzzy_name_pairs",
     "bloom_semi_lineitem",
+    "dq_orders_checks",
     # similarity search
     "ann_brute_topk",
     "ann_ivf_topk",

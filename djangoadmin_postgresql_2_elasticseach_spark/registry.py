@@ -578,6 +578,34 @@ def _q_kmv_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_intersect_estimate(a, b, k=128)
 
 
+DQ_ORDERS_CHECKS = [
+    {"check": "not_null", "col": "o_custkey"},
+    # deliberately strict domain: 'P' rows violate → exercises the
+    # failing-check report path end-to-end
+    {"check": "accepted_values", "col": "o_orderstatus", "values": ["O", "F"]},
+    {"check": "min_max", "col": "o_totalprice", "lo": 0.0},
+    {"check": "regex", "col": "o_orderpriority", "pattern": "^[1-5]-[A-Z]"},
+    {"check": "predicate", "expr": "o_totalprice >= 1.0"},
+    {"check": "unique", "cols": ["o_orderkey"]},
+    {"check": "foreign_key", "col": "o_custkey", "ref": "customer",
+     "ref_col": "c_custkey"},
+]
+
+
+def _q_dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suite (operators/quality.py) over orders:
+    5 row-level checks fused into ONE scan + key uniqueness + FK to
+    customer. One row per check: (check, target, violations, total,
+    passed)."""
+    from .operators.quality import run_checks
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return run_checks(
+        orders, DQ_ORDERS_CHECKS, refs={"customer": customer}
+    ).orderBy("check", "target")
+
+
 def _q_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned semi-join (operators/bloom.py): lineitems of urgent
     orders. One row out — (bloom_pass, exact_rows) — pinning both the
@@ -1097,6 +1125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_users": _q_cms_heavy_users,
     "fuzzy_name_pairs": _q_fuzzy_name_pairs,
     "bloom_semi_lineitem": _q_bloom_semi_lineitem,
+    "dq_orders_checks": _q_dq_orders_checks,
     "revenue_rollup": R.revenue_rollup,
     "order_status_pivot": R.order_status_pivot,
     "json_props_stats": R.json_props_stats,
@@ -2804,6 +2833,51 @@ m AS (
 SELECT CAST(round(CAST(m.m AS DOUBLE) / t.theta) AS BIGINT)
   AS approx_intersection
 FROM m, t
+"""
+
+    # data-quality suite (operators/quality.py): one UNION ALL branch
+    # per check, each an exact conditional count
+    o["dq_orders_checks"] = """
+WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+SELECT * FROM (
+  SELECT 'not_null' AS "check", 'o_custkey' AS target,
+    CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT) AS violations,
+    t.total, (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) = 0 AS passed
+  FROM t
+  UNION ALL
+  SELECT 'accepted_values', 'o_orderstatus',
+    CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F')) AS BIGINT),
+    t.total, (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F')) = 0
+  FROM t
+  UNION ALL
+  SELECT 'min_max', 'o_totalprice',
+    CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL OR o_totalprice < 0.0) AS BIGINT),
+    t.total, (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL OR o_totalprice < 0.0) = 0
+  FROM t
+  UNION ALL
+  SELECT 'regex', 'o_orderpriority',
+    CAST((SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]')) AS BIGINT),
+    t.total, (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]')) = 0
+  FROM t
+  UNION ALL
+  SELECT 'predicate', 'o_totalprice >= 1.0',
+    CAST((SELECT COUNT(*) FROM orders WHERE NOT (o_totalprice >= 1.0) OR (o_totalprice >= 1.0) IS NULL) AS BIGINT),
+    t.total, (SELECT COUNT(*) FROM orders WHERE NOT (o_totalprice >= 1.0) OR (o_totalprice >= 1.0) IS NULL) = 0
+  FROM t
+  UNION ALL
+  SELECT 'unique', 'o_orderkey',
+    CAST((SELECT COALESCE(SUM(n - 1), 0) FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey) WHERE n > 1) AS BIGINT),
+    t.total, (SELECT COALESCE(SUM(n - 1), 0) FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey) WHERE n > 1) = 0
+  FROM t
+  UNION ALL
+  SELECT 'foreign_key', 'o_custkey->customer.c_custkey',
+    CAST((SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+    t.total, (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+  FROM t
+)
+ORDER BY "check", target
 """
 
     # bloom semi-join (operators/bloom.py): the oracle tests the
