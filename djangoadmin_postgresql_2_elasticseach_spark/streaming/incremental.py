@@ -296,3 +296,83 @@ def merge_rollup_delta(spark, delta: DataFrame, rollup_path: str):
         return n, new_ckpt
     finally:
         part.unpersist()
+
+
+HLL_ROLLUP_KEY = "last_hll_rollup_ts"
+
+
+def hll_rollup_tick(
+    spark,
+    events: DataFrame,
+    registers_path: str,
+    state: JsonFileState,
+    state_key: str = HLL_ROLLUP_KEY,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    p: int = 12,
+) -> int:
+    """One incremental tick of a DISTINCT-count rollup maintained as an
+    HLL register table (operators/sketches.py) — the sketch counterpart
+    of ``rollup_tick``: approx distinct users per group over ALL history
+    in O(|delta| + groups × 2^p) per tick, with history never rescanned.
+
+    Unlike the count/sum rollup, the register MAX-merge is IDEMPOTENT —
+    replaying a delta after a crash between write and checkpoint commit
+    cannot corrupt the registers (max(a, a) = a) — so this tick needs NO
+    ``_merged_from`` replay guard: the crash-replay window that is only
+    *documented* for the additive rollup is structurally closed here.
+    That asymmetry is the operational argument for sketch-backed
+    distinct rollups at 100 TB.
+
+    The register table is ≤ groups × 2^p rows regardless of history
+    size; the whole-table overwrite goes through an eager
+    localCheckpoint (same read-before-overwrite hazard as
+    ``merge_rollup_delta``), blocks freed after the write.
+    """
+    import os
+
+    from ..operators.sketches import hll_registers
+
+    ckpt = state.get_state(state_key, DATETIME_MIN)
+    delta = events.filter(F.col("ts") > _ckpt_col(ckpt))
+    row = delta.agg(
+        F.count(F.lit(1)).alias("n"), F.max("ts").alias("m")
+    ).first()
+    n, new_ckpt = int(row["n"]), row["m"]
+    if n == 0:
+        return 0
+    regs = hll_registers(delta, value_col, [group_col], p)
+    has_data = os.path.isdir(registers_path) and any(
+        f.endswith(".parquet") for f in os.listdir(registers_path)
+    )
+    if has_data:
+        old = spark.read.parquet(registers_path).select(
+            group_col, "idx", "rho"
+        )
+        regs = (
+            regs.unionByName(old)
+            .groupBy(group_col, "idx")
+            .agg(F.max("rho").alias("rho"))
+        )
+    merged = regs.localCheckpoint(eager=True)
+    try:
+        merged.write.mode("overwrite").parquet(registers_path)
+    finally:
+        free_local_checkpoint(merged)
+    if new_ckpt is not None:
+        state.set_state(state_key, str(new_ckpt))
+    return n
+
+
+def hll_rollup_estimate(
+    spark, registers_path: str, group_col: str = "event_type", p: int = 12
+) -> DataFrame:
+    """Grouped approx-distinct read model over the maintained register
+    table — (group, approx_distinct), identical to what a one-shot
+    ``hll_distinct`` over ALL history would return (pinned by test:
+    merge-then-estimate == estimate-of-union, the HLL mergeability
+    law)."""
+    from ..operators.sketches import hll_estimate
+
+    regs = spark.read.parquet(registers_path)
+    return hll_estimate(regs, [group_col], p)

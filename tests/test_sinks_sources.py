@@ -654,3 +654,54 @@ def test_rollup_tick_replay_after_lost_checkpoint_does_not_double_count(spark, t
         F.sum("n_events").alias("n"), F.sum(F.col("sum_value").cast("double")).alias("s")
     ).first()
     assert row["n"] == 2 and row["s"] == 5.0  # NOT doubled
+
+
+def test_hll_rollup_tick_equals_oneshot(spark, tmp_path):
+    """Incremental HLL register maintenance: N ticks over a split
+    stream produce EXACTLY the register table (and estimate) of the
+    one-shot batch sketch; re-delivering an old delta is idempotent
+    (max-merge) — no replay marker needed, unlike the additive rollup."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.sketches import hll_distinct
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.state import JsonFileState
+    from djangoadmin_postgresql_2_elasticseach_spark.streaming.incremental import (
+        hll_rollup_estimate,
+        hll_rollup_tick,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+            i % 37,
+            "t%d" % (i % 3),
+        )
+        for i in range(400)
+    ]
+    all_ev = spark.createDataFrame(rows, schema)
+    first = all_ev.filter("event_id < 250")
+    path = str(tmp_path / "regs")
+    state = JsonFileState(str(tmp_path / "st.json"))
+
+    assert hll_rollup_tick(spark, first, path, state) == 250
+    assert hll_rollup_tick(spark, all_ev, path, state) == 150
+    assert hll_rollup_tick(spark, all_ev, path, state) == 0  # empty delta no-op
+
+    got = sorted(
+        map(tuple, hll_rollup_estimate(spark, path).collect())
+    )
+    want = sorted(
+        map(tuple, hll_distinct(all_ev, "user_id", ["event_type"]).collect())
+    )
+    assert got == want
+
+    # replay idempotence: wipe the checkpoint and re-merge EVERYTHING —
+    # registers must not change (max(a, a) = a)
+    state.set_state("last_hll_rollup_ts", "1970-01-01 00:00:00")
+    assert hll_rollup_tick(spark, all_ev, path, state) == 400
+    again = sorted(map(tuple, hll_rollup_estimate(spark, path).collect()))
+    assert again == want
