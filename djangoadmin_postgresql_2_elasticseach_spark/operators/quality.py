@@ -175,3 +175,125 @@ def run_checks(
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+def profile_table(
+    df: DataFrame, cols: list[str], p: int = 12
+) -> DataFrame:
+    """ANALYZE-style column profile: one row per column —
+    (col_name, n_rows, n_nulls, min_value, max_value, approx_ndv).
+
+    The optimizer-statistics pass a 100 TB warehouse runs after loads
+    (null fractions and NDVs drive join ordering and broadcast
+    decisions). Exactly TWO scans regardless of column count:
+
+    1. counts + min/max for EVERY column in one partial-aggregated scan
+       (explode-pivoted like ``run_checks``);
+    2. NDV registers for EVERY column in one scan — each row emits one
+       (col_name, idx, rho) cell per column (the deterministic md5 HLL
+       from operators/sketches.py), a single groupBy max builds all
+       register tables side by side, ≤ cols × 2^p rows of state.
+
+    min/max render as strings; NUMERIC columns canonicalize through
+    DECIMAL(38,6) first so the rendering is engine-portable ('1.000000'
+    everywhere) — plain double→string formatting differs across
+    engines.
+    """
+    from .sketches import hll_estimate
+
+    numeric = {"int", "bigint", "smallint", "tinyint", "double", "float",
+               "decimal"}
+
+    def _minmax(c: str):
+        dt = dict(df.dtypes)[c]
+        base = dt.split("(")[0]
+        col = F.col(c)
+        if base in numeric:
+            col = col.cast("decimal(38,6)")
+        return F.min(col).cast("string"), F.max(col).cast("string")
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("_total")]
+    for i, c in enumerate(cols):
+        mn, mx = _minmax(c)
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_n{i}"),
+            mn.alias(f"_mn{i}"),
+            mx.alias(f"_mx{i}"),
+        ]
+    one = df.agg(*aggs)
+    base_rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col("_total").alias("n_rows"),
+                        F.col(f"_n{i}").alias("n_nulls"),
+                        F.col(f"_mn{i}").alias("min_value"),
+                        F.col(f"_mx{i}").alias("max_value"),
+                    )
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).alias("_r")
+    ).select("_r.*")
+
+    m = 1 << p
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.when(
+                            F.col(c).isNotNull(),
+                            (
+                                F.conv(
+                                    F.substring(
+                                        F.md5(F.col(c).cast("string")), 1, 8
+                                    ),
+                                    16,
+                                    10,
+                                ).cast("long")
+                                % m
+                            ).cast("int"),
+                        ).alias("idx"),
+                        (
+                            F.lit(33)
+                            - F.length(
+                                F.bin(
+                                    F.conv(
+                                        F.substring(
+                                            F.md5(F.col(c).cast("string")),
+                                            9,
+                                            8,
+                                        ),
+                                        16,
+                                        10,
+                                    ).cast("long")
+                                    + 1
+                                )
+                            )
+                        )
+                        .cast("int")
+                        .alias("_rho"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_c")
+    ).select("_c.*").filter(F.col("idx").isNotNull())
+    regs = cells.groupBy("col_name", "idx").agg(F.max("_rho").alias("rho"))
+    ndv = hll_estimate(regs, ["col_name"], p).withColumnRenamed(
+        "approx_distinct", "approx_ndv"
+    )
+    return base_rows.join(F.broadcast(ndv), "col_name", "left").select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "min_value",
+        "max_value",
+        F.coalesce("approx_ndv", F.lit(0)).alias("approx_ndv"),
+    )
