@@ -110,6 +110,8 @@ def clean_corpus(
     filter BEFORE the dedup shuffle (only surviving (fp, id) pairs cross
     the wire), and the keeper join is an aggregation + semi-join on fp.
     """
+    from pyspark.sql import Window
+
     scored = spread(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.col(text_col),
@@ -120,10 +122,15 @@ def clean_corpus(
     kept = scored.filter(
         (F.col("lang_pred") == lang) & (F.col("q") >= min_quality)
     )
-    keepers = kept.groupBy("fp").agg(F.min(id_col).alias("_keeper"))
+    # lowest-id keeper via rank-limit window, NOT groupBy-min + join
+    # back: the join form references `kept` twice, so the regex-heavy
+    # scoring projection ran TWICE per doc; row_number()==1 evaluates it
+    # once and compiles to a partial WindowGroupLimit (each map task
+    # forwards one candidate per fp before the exchange)
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
     return (
-        kept.join(keepers, "fp")
-        .filter(F.col(id_col) == F.col("_keeper"))
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
         .select(id_col, text_col, F.col("q").alias("quality_score"))
     )
 
