@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "fuzzy_name_pairs",
     "bloom_semi_lineitem",
     "dq_orders_checks",
+    "profile_orders",
     # similarity search
     "ann_brute_topk",
     "ann_ivf_topk",

@@ -606,6 +606,20 @@ def _q_dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("check", "target")
 
 
+def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (operators/quality.profile_table)
+    over orders: counts/nulls/min/max in one scan + deterministic-HLL
+    NDVs for all columns in a second — optimizer statistics as data.
+    Doubles are excluded from the NDV hash (shortest-round-trip float
+    rendering is engine-specific; the sketch contract hashes strings)."""
+    from .operators.quality import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus"]
+    ).orderBy("col_name")
+
+
 def _q_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned semi-join (operators/bloom.py): lineitems of urgent
     orders. One row out — (bloom_pass, exact_rows) — pinning both the
@@ -1126,6 +1140,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_name_pairs": _q_fuzzy_name_pairs,
     "bloom_semi_lineitem": _q_bloom_semi_lineitem,
     "dq_orders_checks": _q_dq_orders_checks,
+    "profile_orders": _q_profile_orders,
     "revenue_rollup": R.revenue_rollup,
     "order_status_pivot": R.order_status_pivot,
     "json_props_stats": R.json_props_stats,
@@ -2834,6 +2849,53 @@ SELECT CAST(round(CAST(m.m AS DOUBLE) / t.theta) AS BIGINT)
   AS approx_intersection
 FROM m, t
 """
+
+    # column profiler (operators/quality.profile_table): numeric min/max
+    # canonicalized through DECIMAL(38,6) (engine-portable rendering);
+    # NDV = the same deterministic md5 HLL as hll_distinct_users
+    def _prof_branch(col: str, is_num: bool) -> str:
+        mn = (
+            f"CAST(CAST(MIN({col}) AS DECIMAL(38,6)) AS VARCHAR)"
+            if is_num
+            else f"CAST(MIN({col}) AS VARCHAR)"
+        )
+        mx = (
+            f"CAST(CAST(MAX({col}) AS DECIMAL(38,6)) AS VARCHAR)"
+            if is_num
+            else f"CAST(MAX({col}) AS VARCHAR)"
+        )
+        hll = f"""
+  WITH h AS (
+    SELECT CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))::BIGINT % 4096 AS INT) AS idx,
+      CAST(33 - length(bin(('0x' || substr(md5(CAST({col} AS VARCHAR)), 9, 8))::BIGINT + 1)) AS INT) AS rho
+    FROM orders WHERE {col} IS NOT NULL
+  ),
+  regs AS (SELECT idx, MAX(rho) AS rho FROM h GROUP BY idx),
+  agg AS (SELECT SUM(power(2.0, -rho)) AS z, COUNT(*) AS nz FROM regs)
+  SELECT CAST(round(
+    CASE WHEN {0.7213 / (1 + 1.079 / 4096) * 4096 * 4096} / (z + (4096 - nz)) <= {2.5 * 4096}
+              AND (4096 - nz) > 0
+         THEN 4096.0 * ln(4096.0 / (4096 - nz))
+         ELSE {0.7213 / (1 + 1.079 / 4096) * 4096 * 4096} / (z + (4096 - nz)) END
+  ) AS BIGINT) FROM agg"""
+        return f"""
+  SELECT '{col}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+    {mn} AS min_value, {mx} AS max_value,
+    COALESCE(({hll}), 0) AS approx_ndv
+  FROM orders"""
+
+    o["profile_orders"] = (
+        "SELECT * FROM ("
+        + "\n  UNION ALL\n".join(
+            [
+                _prof_branch("o_orderkey", True),
+                _prof_branch("o_custkey", True),
+                _prof_branch("o_orderstatus", False),
+            ]
+        )
+        + ") ORDER BY col_name"
+    )
 
     # data-quality suite (operators/quality.py): one UNION ALL branch
     # per check, each an exact conditional count

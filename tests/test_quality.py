@@ -98,3 +98,42 @@ def test_row_level_checks_share_one_scan(spark, tmp_path):
     assert len(scan_ids) == 1, plan
     # and the pivot is an explode (Generate), not a union of aggregates
     assert "Union" not in plan, plan
+
+
+def test_profile_table_values_and_two_scans(spark, tmp_path):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.quality import profile_table
+    from djangoadmin_postgresql_2_elasticseach_spark.plans.tuning import plan_string
+
+    p = str(tmp_path / "t")
+    rows = [(i, None if i % 10 == 0 else i % 500, f"s{i % 7}") for i in range(5000)]
+    spark.createDataFrame(rows, "a long, b long, c string").write.parquet(p)
+    df = spark.read.parquet(p)
+    out = profile_table(df, ["a", "b", "c"])
+    got = {r["col_name"]: r for r in out.collect()}
+    assert got["a"]["n_rows"] == 5000 and got["a"]["n_nulls"] == 0
+    assert got["b"]["n_nulls"] == 500
+    assert got["a"]["min_value"] == "0.000000"
+    assert got["a"]["max_value"] == "4999.000000"
+    assert got["c"]["min_value"] == "s0" and got["c"]["max_value"] == "s6"
+    # NDV within the 4-sigma HLL envelope (p=12 → rse 1.6%)
+    assert abs(got["a"]["approx_ndv"] - 5000) <= 0.07 * 5000
+    # b: value v = i%500 is null whenever i%10==0, and i%10 == v%10 for
+    # every occurrence — so multiples of 10 NEVER appear: 450 distincts
+    assert abs(got["b"]["approx_ndv"] - 450) <= 0.07 * 450 + 5
+    # tiny set: linear counting is near-exact (these 7 strings happen to
+    # collide on one register under md5 → deterministic 6)
+    assert abs(got["c"]["approx_ndv"] - 7) <= 1
+    # exactly TWO scans regardless of column count
+    import re
+
+    plan = plan_string(out)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+
+
+def test_profile_table_empty_frame(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame([], "a long, c string")
+    got = {r["col_name"]: r for r in profile_table(df, ["a", "c"]).collect()}
+    assert got["a"]["n_rows"] == 0 and got["a"]["approx_ndv"] == 0
+    assert got["c"]["min_value"] is None
