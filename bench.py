@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "bloom_semi_lineitem",
     "dq_orders_checks",
     "profile_orders",
+    "value_quantile_sketch",
     # similarity search
     "ann_brute_topk",
     "ann_ivf_topk",

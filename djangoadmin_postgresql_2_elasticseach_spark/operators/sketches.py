@@ -374,6 +374,104 @@ def cms_estimate(
     )
 
 
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    bins: int = 256,
+) -> DataFrame:
+    """Fixed-grid histogram sketch: (group..., bucket, cnt) with
+    ``bucket = clamp(floor((v - lo) / (hi - lo) * bins))`` — at most
+    groups × bins rows regardless of input size, SUM-mergeable across
+    slices (the quantile counterpart of the HLL/CMS tables above: store
+    per-partition histograms in a rollup, merge on read, estimate
+    quantiles over ALL history without rescanning it).
+
+    Fixed boundaries are the price of exact mergeability + exact
+    cross-engine determinism — data-adaptive sketches (t-digest, KLL)
+    have tighter tails but engine-specific merge states. Out-of-range
+    values clamp into the edge buckets (they stay counted; their
+    position saturates). NULLs are dropped.
+    """
+    group_cols = group_cols or []
+    width = (hi - lo) / bins
+    b = F.floor((F.col(value_col).cast("double") - lo) / width).cast("long")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, b.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Sum-merge two histogram sketches (disjoint slices — additive,
+    like the count-min table)."""
+    group_cols = group_cols or []
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    group_cols: list[str] | None = None,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    bins: int = 256,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q, the
+    first bucket whose cumulative count reaches q×total, linearly
+    interpolated inside the bucket (the standard grouped-data quantile
+    formula). Error ≤ one bucket width. Output: (group..., q, est).
+
+    Shape: the window runs over BUCKETS (≤ bins rows per group), never
+    rows; the qs fan-out is a ≤|qs|-element explode.
+    """
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    width = (hi - lo) / bins
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy(*group_cols)
+    cum = sketch.select(
+        *group_cols,
+        "bucket",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    q = F.explode(F.array(*[F.lit(float(x)) for x in qs])).alias("q")
+    hit = cum.select(*group_cols, "bucket", "cnt", "cum_before", "total", q)
+    # the target rank q*total falls inside this bucket
+    hit = hit.filter(
+        (F.col("cum_before") < F.col("q") * F.col("total"))
+        & (F.col("cum_before") + F.col("cnt") >= F.col("q") * F.col("total"))
+    )
+    est = (
+        F.lit(lo)
+        + (
+            F.col("bucket").cast("double")
+            + (F.col("q") * F.col("total") - F.col("cum_before"))
+            / F.col("cnt")
+        )
+        * F.lit(width)
+    )
+    return hit.select(*group_cols, "q", est.alias("est"))
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     value_col: str,

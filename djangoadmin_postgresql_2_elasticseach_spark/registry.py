@@ -606,6 +606,22 @@ def _q_dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("check", "target")
 
 
+def _q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid histogram quantiles (operators/sketches.py):
+    p50/p95 of event value per type from a 256-bucket sketch — the
+    rollup-composable alternative to exact percentile_approx; bucket
+    width 500/256 is dyadic, so every float op is engine-exact."""
+    from .operators.sketches import histogram_quantiles, histogram_sketch
+
+    events = load_table(spark, sf_dir, "events")
+    sk = histogram_sketch(
+        events, "value", ["event_type"], lo=0.0, hi=500.0, bins=256
+    )
+    return histogram_quantiles(
+        sk, [0.5, 0.95], ["event_type"], lo=0.0, hi=500.0, bins=256
+    ).orderBy("event_type", "q")
+
+
 def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column profile (operators/quality.profile_table)
     over orders: counts/nulls/min/max in one scan + deterministic-HLL
@@ -1141,6 +1157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_semi_lineitem": _q_bloom_semi_lineitem,
     "dq_orders_checks": _q_dq_orders_checks,
     "profile_orders": _q_profile_orders,
+    "value_quantile_sketch": _q_value_quantile_sketch,
     "revenue_rollup": R.revenue_rollup,
     "order_status_pivot": R.order_status_pivot,
     "json_props_stats": R.json_props_stats,
@@ -2848,6 +2865,35 @@ m AS (
 SELECT CAST(round(CAST(m.m AS DOUBLE) / t.theta) AS BIGINT)
   AS approx_intersection
 FROM m, t
+"""
+
+    # histogram quantile sketch (operators/sketches.py): bucket width
+    # 500/256 is a dyadic rational, so bucketing and interpolation are
+    # IEEE-identical across engines; q forced to DOUBLE (a bare VALUES
+    # 0.5 is DECIMAL in DuckDB, which would change the arithmetic type)
+    o["value_quantile_sketch"] = """
+WITH h AS (
+  SELECT event_type,
+    least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0) / 1.953125) AS BIGINT), 0), 255) AS bucket
+  FROM events WHERE value IS NOT NULL
+),
+sk AS (SELECT event_type, bucket, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bucket, cnt,
+    COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+    SUM(cnt) OVER (PARTITION BY event_type) AS total
+  FROM sk
+),
+x AS (
+  SELECT c.*, CAST(t.q AS DOUBLE) AS q
+  FROM c CROSS JOIN (VALUES (0.5), (0.95)) t(q)
+)
+SELECT event_type, q,
+  0.0 + (CAST(bucket AS DOUBLE) + (q * total - cum_before) / cnt) * 1.953125 AS est
+FROM x
+WHERE cum_before < q * total AND cum_before + cnt >= q * total
+ORDER BY event_type, q
 """
 
     # column profiler (operators/quality.profile_table): numeric min/max

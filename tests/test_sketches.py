@@ -242,3 +242,63 @@ def test_cms_heavy_hitters_exact(spark):
         for r in cms_heavy_hitters(df, "uid", 100, d=3, w=256).collect()
     }
     assert got == {(1, 500), (2, 120)}
+
+
+# --- histogram quantiles -------------------------------------------------
+
+
+def test_histogram_quantiles_accuracy_and_merge(spark):
+    """Estimates land within one bucket width of the exact quantiles;
+    sum-merge of slice sketches equals the full sketch."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        ((F.col("id") * 37) % 1000).cast("double").alias("v"),
+    )
+    sk = histogram_sketch(df, "v", ["g"], lo=0.0, hi=1000.0, bins=200)
+    got = {
+        (r["g"], r["q"]): r["est"]
+        for r in histogram_quantiles(
+            sk, [0.5, 0.9, 1.0], ["g"], lo=0.0, hi=1000.0, bins=200
+        ).collect()
+    }
+    exact = {
+        (r["g"], q): r[f"p{int(q*100)}"]
+        for q in (0.5, 0.9, 1.0)
+        for r in df.groupBy("g")
+        .agg(*[
+            F.expr(f"percentile(v, {qq})").alias(f"p{int(qq*100)}")
+            for qq in (0.5, 0.9, 1.0)
+        ])
+        .collect()
+    }
+    width = 1000.0 / 200
+    for k, e in exact.items():
+        assert abs(got[k] - e) <= width + 1e-9, (k, got[k], e)
+    # merge == full
+    a = histogram_sketch(df.filter("id % 3 = 0"), "v", ["g"], 0.0, 1000.0, 200)
+    b = histogram_sketch(df.filter("id % 3 != 0"), "v", ["g"], 0.0, 1000.0, 200)
+    assert sorted(map(tuple, histogram_merge(a, b, ["g"]).collect())) == sorted(
+        map(tuple, sk.collect())
+    )
+
+
+def test_histogram_clamps_out_of_range(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.sketches import (
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(-50.0,), (0.5,), (99.0,), (1e9,), (None,)], "v double"
+    )
+    rows = {r["bucket"]: r["cnt"] for r in histogram_sketch(
+        df, "v", None, lo=0.0, hi=100.0, bins=10
+    ).collect()}
+    assert rows[0] == 2          # -50 clamped + 0.5
+    assert rows[9] == 2          # 99 + 1e9 clamped
+    assert sum(rows.values()) == 4  # NULL dropped
