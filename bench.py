@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "value_quantile_sketch",
     # similarity search
     "ann_brute_topk",
+    "pq_topk_adc",
     "ann_ivf_topk",
     "ann_knn_join",
     "embedding_neardup_lsh",

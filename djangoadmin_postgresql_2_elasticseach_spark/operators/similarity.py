@@ -549,3 +549,230 @@ def semantic_dedup(
             id_col, "cluster", F.col("_lose").isNull().alias("keep")
         )
     )
+
+
+# --- Product quantization (PQ / ADC) -------------------------------------
+#
+# Jégou, Douze, Schmid 2011 ("Product quantization for nearest neighbor
+# search", TPAMI). A D-dim vector is split into m subvectors; each
+# subspace has its own ksub-centroid codebook; a vector stores only its
+# m centroid codes (m bytes at ksub≤256 vs 4·D bytes of floats — the
+# memory shape that lets a billion-vector index fit a cluster's RAM).
+# Query-time ADC (asymmetric distance computation): build an m×ksub
+# table of exact query-to-centroid distances ONCE, then every vector's
+# approximate distance is m table lookups + a sum — no float vector is
+# ever touched again.
+#
+# Spark shapes: codebooks and the ADC table are tiny (m·ksub·(D/m) and
+# m·ksub doubles) — they travel as broadcast DATA on a constant key
+# (the assign_clusters pattern: codegen compiles once, the matrix never
+# bloats the plan); encoding is one scan; search is scan + lookup-sum +
+# TakeOrderedAndProject. Deterministic codebooks (subvectors of the
+# ksub lowest-id vectors — the kmeans_assign init rule) keep the
+# encode/search path SQL-oracle-able; k-means-trained codebooks
+# (pq_train) are the quality path and stay under pytest recall bounds,
+# same split as kmeans_assign vs the Lloyd loop.
+
+
+def pq_codebooks_deterministic(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """codebooks[j][c] = subvector j of the c-th lowest-id vector —
+    deterministic, collection bounded by ksub rows."""
+    first = emb.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    vecs = [[float(x) for x in r[0]] for r in first]
+    d = len(vecs[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    return [
+        [v[j * ds : (j + 1) * ds] for v in vecs] for j in range(m)
+    ]
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """k-means-trained codebooks: one Lloyd run per subspace over the
+    subvector frame (driver only ever holds ksub×(D/m) floats per
+    subspace)."""
+    d = len(emb.select(vec_col).first()[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    books = []
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * ds + 1, ds).alias(vec_col),
+        )
+        assigned, _ = kmeans(sub, k=ksub, iters=iters, id_col=id_col,
+                             vec_col=vec_col)
+        cents = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col).cast("array<double>")))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("col").alias("v"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in cents:
+            by_c.setdefault(r["cluster"], {})[r["pos"]] = r["v"]
+        books.append(
+            [
+                [by_c[c][p] for p in range(ds)] if c in by_c else [0.0] * ds
+                for c in range(ksub)
+            ]
+        )
+    return books
+
+
+def _pq_codes_col(vec_col: str, codebooks, m: int, ds: int):
+    """codes array<int>: per subspace, argmin centroid (squared L2,
+    lowest code wins ties) — computed against the broadcast `_books`
+    column (array<array<array<double>>>), pure native expressions."""
+    v = F.col(vec_col).cast("array<double>")
+
+    def code_j(j: int):
+        sub = F.slice(v, j * ds + 1, ds)
+        dists = F.transform(
+            F.element_at(F.col("_books"), j + 1),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        ds_structs = F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.size(F.element_at(F.col("_books"), j + 1)) - 1),
+            lambda dd, i: F.struct(dd.alias("d"), i.alias("c")),
+        )
+        return F.array_min(ds_structs)["c"].cast("int")
+
+    return F.array(*[code_j(j) for j in range(m)])
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — the compressed index, one scan."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    spark = emb.sparkSession
+    bdf = spark.createDataFrame(
+        [(1, [[[float(x) for x in c] for c in book] for book in codebooks])],
+        "_bk int, _books array<array<array<double>>>",
+    )
+    return (
+        emb.withColumn("_bk", F.lit(1))
+        .join(F.broadcast(bdf), "_bk")
+        .select(
+            F.col(id_col),
+            _pq_codes_col(vec_col, codebooks, m, ds).alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over the compressed index: the m×ksub distance table
+    is computed ONCE driver-side (tiny), broadcast as data; each row
+    costs m lookups + a sum; the global top-k compiles to
+    TakeOrderedAndProject. Output: (id, approx_dist) rounded to 6
+    decimals (cross-engine float hygiene), ties broken by id."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    table = [
+        [
+            sum(
+                (query_vec[j * ds + p] - c[p]) ** 2 for p in range(ds)
+            )
+            for c in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    spark = codes_df.sparkSession
+    tdf = spark.createDataFrame(
+        [(1, [[float(x) for x in row] for row in table])],
+        "_tk int, _table array<array<double>>",
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("_table"),
+            lambda code, row: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes_df.withColumn("_tk", F.lit(1))
+        .join(F.broadcast(tdf), "_tk")
+        .select(
+            F.col(id_col), F.round(dist, 6).alias("approx_dist")
+        )
+        .orderBy("approx_dist", id_col)
+        .limit(k)
+    )
+
+
+def pq_topk_rerank(
+    codes_df: DataFrame,
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC shortlist + exact re-rank (the standard PQ serving pattern):
+    the compressed index nominates ``shortlist`` candidates, then the
+    exact squared-L2 runs on THOSE rows only (broadcast semi-join into
+    the float table — at scale the full-precision vectors are read for
+    R rows, not the corpus). Output: (id, dist) exact distances, top-k.
+
+    Quantization-recall note, measured on the synthetic near-uniform
+    64-dim test embeddings (the HARD case for PQ — no cluster structure
+    to exploit): raw ADC@10 recall 0.2, shortlist=100 re-rank 0.8. Real
+    embedding corpora cluster, which is what the codebooks compress;
+    recall targets there are set by tuning m/ksub/shortlist.
+    """
+    cand = pq_topk(
+        codes_df, codebooks, query_vec, k=shortlist, id_col=id_col
+    ).select(id_col)
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame(
+        [(1, [float(x) for x in query_vec])], "_qk int, _q array<double>"
+    )
+    v = F.col(vec_col).cast("array<double>")
+    exact = F.aggregate(
+        F.zip_with(v, F.col("_q"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.join(F.broadcast(cand), id_col, "left_semi")
+        .withColumn("_qk", F.lit(1))
+        .join(F.broadcast(qdf), "_qk")
+        .select(F.col(id_col), F.round(exact, 6).alias("dist"))
+        .orderBy("dist", id_col)
+        .limit(k)
+    )

@@ -606,6 +606,25 @@ def _q_dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("check", "target")
 
 
+PQ_M, PQ_KSUB, PQ_K = 4, 16, 10
+
+
+def _q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.py) with
+    DETERMINISTIC codebooks (subvectors of the 16 lowest-id vectors —
+    the kmeans_assign init rule, which keeps encode+ADC SQL-expressible;
+    the k-means-TRAINED codebooks and the shortlist re-rank quality path
+    stay under pytest recall bounds). Query vector = the lowest-id
+    embedding."""
+    from .operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    books = S.pq_codebooks_deterministic(emb, m=PQ_M, ksub=PQ_KSUB)
+    codes = S.pq_encode(emb, books)
+    return S.pq_topk(codes, books, q, k=PQ_K)
+
+
 def _q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable fixed-grid histogram quantiles (operators/sketches.py):
     p50/p95 of event value per type from a 256-bucket sketch — the
@@ -1158,6 +1177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_orders_checks": _q_dq_orders_checks,
     "profile_orders": _q_profile_orders,
     "value_quantile_sketch": _q_value_quantile_sketch,
+    "pq_topk_adc": _q_pq_topk_adc,
     "revenue_rollup": R.revenue_rollup,
     "order_status_pivot": R.order_status_pivot,
     "json_props_stats": R.json_props_stats,
@@ -2865,6 +2885,55 @@ m AS (
 SELECT CAST(round(CAST(m.m AS DOUBLE) / t.theta) AS BIGINT)
   AS approx_intersection
 FROM m, t
+"""
+
+    # PQ / ADC (operators/similarity.py): deterministic codebooks =
+    # subvectors of the 16 lowest-id vectors; sub-distance sums
+    # round(·,6)'d in both engines before the top-k ordering
+    _pq_ds = 64 // PQ_M
+    o["pq_topk_adc"] = f"""
+WITH qv AS (
+  SELECT embedding AS q FROM embeddings ORDER BY vec_id LIMIT 1
+),
+base AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS v
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_KSUB})
+),
+books AS (
+  SELECT j.j, base.c,
+         list_slice(base.v, j.j * {_pq_ds} + 1, j.j * {_pq_ds} + {_pq_ds}) AS cv
+  FROM base CROSS JOIN (VALUES (0), (1), (2), (3)) j(j)
+),
+subd AS (
+  SELECT e.vec_id, b.j, b.c,
+    list_sum(list_transform(
+      list_zip(list_slice(e.embedding, b.j * {_pq_ds} + 1, b.j * {_pq_ds} + {_pq_ds}), b.cv),
+      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+  FROM embeddings e CROSS JOIN books b
+),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM subd
+  ) WHERE rn = 1
+),
+tbl AS (
+  SELECT b.j, b.c,
+    list_sum(list_transform(
+      list_zip(list_slice(qv.q, b.j * {_pq_ds} + 1, b.j * {_pq_ds} + {_pq_ds}), b.cv),
+      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+  FROM books b, qv
+),
+adc AS (
+  SELECT codes.vec_id, round(SUM(tbl.d), 6) AS approx_dist
+  FROM codes JOIN tbl ON codes.j = tbl.j AND codes.code = tbl.c
+  GROUP BY codes.vec_id
+)
+SELECT vec_id, approx_dist FROM adc
+ORDER BY approx_dist, vec_id LIMIT {PQ_K}
 """
 
     # histogram quantile sketch (operators/sketches.py): bucket width
