@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "dq_orders_checks",
     "profile_orders",
     "value_quantile_sketch",
+    "triangle_part_pairs",
     # similarity search
     "ann_brute_topk",
     "pq_topk_adc",

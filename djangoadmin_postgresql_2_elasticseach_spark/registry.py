@@ -606,6 +606,26 @@ def _q_dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("check", "target")
 
 
+def _q_triangle_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count (operators/graph.py, degree-ordered wedges) over
+    the part co-occurrence graph: parts are adjacent when some order
+    contains both. One row: (n_triangles)."""
+    from .operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    other = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(other, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
 PQ_M, PQ_KSUB, PQ_K = 4, 16, 10
 
 
@@ -1178,6 +1198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_orders": _q_profile_orders,
     "value_quantile_sketch": _q_value_quantile_sketch,
     "pq_topk_adc": _q_pq_topk_adc,
+    "triangle_part_pairs": _q_triangle_part_pairs,
     "revenue_rollup": R.revenue_rollup,
     "order_status_pivot": R.order_status_pivot,
     "json_props_stats": R.json_props_stats,
@@ -2885,6 +2906,21 @@ m AS (
 SELECT CAST(round(CAST(m.m AS DOUBLE) / t.theta) AS BIGINT)
   AS approx_intersection
 FROM m, t
+"""
+
+    # triangle count (operators/graph.py): the oracle is the textbook
+    # id-ordered 3-way self-join — counts each triangle once, same total
+    # as the engine's degree-ordered wedge formulation
+    o["triangle_part_pairs"] = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
 """
 
     # PQ / ADC (operators/similarity.py): deterministic codebooks =
