@@ -54,7 +54,13 @@ def triangle_count(
     the oriented head, closing-edge semi-probe. No node ever fans out
     more than its out-degree ≤ O(sqrt(|E|)) wedges.
     """
-    e = undirected_edges(edges, src, dst)
+    # the canonical edge set is referenced FOUR times below (degree agg
+    # ×2, orientation join, closing probe); if `edges` is itself an
+    # expensive derivation (e.g. a co-occurrence self-join), the lazy
+    # form re-executes it per reference — materialize once, bounded by
+    # |E| (measured 5.4→3.5 s on the sf0.1 co-occurrence query; blocks
+    # are reclaimed by the context cleaner with the result's lineage)
+    e = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))

@@ -608,8 +608,11 @@ def _q_dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_triangle_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count (operators/graph.py, degree-ordered wedges) over
-    the part co-occurrence graph: parts are adjacent when some order
-    contains both. One row: (n_triangles)."""
+    the part co-occurrence graph with SUPPORT ≥ 2 (parts adjacent when
+    ≥2 orders contain both — the market-basket pruning that keeps the
+    graph sparse as data grows; the unthresholded graph's density is an
+    artifact of random co-occurrence, ~120 avg degree at sf0.1). One
+    row: (n_triangles)."""
     from .operators.graph import triangle_count
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -621,7 +624,12 @@ def _q_triangle_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         li.join(other, "l_orderkey")
         .filter(F.col("l_partkey") < F.col("p2"))
-        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+        .groupBy(
+            F.col("l_partkey").alias("src"), F.col("p2").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("_sup"))
+        .filter(F.col("_sup") >= 2)
+        .select("src", "dst")
     )
     return triangle_count(edges)
 
@@ -2913,9 +2921,12 @@ FROM m, t
     # as the engine's degree-ordered wedge formulation
     o["triangle_part_pairs"] = """
 WITH e AS (
-  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  SELECT a, b FROM (
+    SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS sup
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ) WHERE sup >= 2
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM e e1
