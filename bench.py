@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "profile_orders",
     "value_quantile_sketch",
     "triangle_part_pairs",
+    "scd2_customer_history",
     # similarity search
     "ann_brute_topk",
     "pq_topk_adc",

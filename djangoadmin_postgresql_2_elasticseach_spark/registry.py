@@ -606,6 +606,36 @@ def _q_dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("check", "target")
 
 
+def _q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history apply (operators/scd.py): the customer dimension
+    (all current as of 1990-01-01) receives a snapshot batch — every
+    account with balance > 5000 re-segments to 'VIP' except custkeys
+    divisible by 3, which arrive UNCHANGED (exercising the no-op update
+    path). Changed keys get their current row closed at 1995-06-01 and
+    a new open version."""
+    from .operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.to_date(F.lit("1990-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = cust.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_mktsegment"))
+        .otherwise(F.lit("VIP"))
+        .alias("c_mktsegment"),
+        "c_nationkey",
+        F.to_date(F.lit("1995-06-01")).alias("eff_ts"),
+    )
+    return scd2_apply(
+        dim, updates, ["c_custkey"], ["c_mktsegment", "c_nationkey"]
+    ).orderBy("c_custkey", "valid_from")
+
+
 def _q_triangle_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count (operators/graph.py, degree-ordered wedges) over
     the part co-occurrence graph with SUPPORT ≥ 2 (parts adjacent when
@@ -1207,6 +1237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_quantile_sketch": _q_value_quantile_sketch,
     "pq_topk_adc": _q_pq_topk_adc,
     "triangle_part_pairs": _q_triangle_part_pairs,
+    "scd2_customer_history": _q_scd2_customer_history,
     "revenue_rollup": R.revenue_rollup,
     "order_status_pivot": R.order_status_pivot,
     "json_props_stats": R.json_props_stats,
@@ -2914,6 +2945,41 @@ m AS (
 SELECT CAST(round(CAST(m.m AS DOUBLE) / t.theta) AS BIGINT)
   AS approx_intersection
 FROM m, t
+"""
+
+    # SCD2 (operators/scd.py): untouched ∪ closed ∪ opened, each branch
+    # an exact set expression
+    o["scd2_customer_history"] = """
+WITH up AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment ELSE 'VIP' END AS c_mktsegment,
+         c_nationkey, DATE '1995-06-01' AS eff
+  FROM customer WHERE c_acctbal > 5000
+),
+cur AS (
+  SELECT c_custkey, c_mktsegment, c_nationkey,
+         DATE '1990-01-01' AS valid_from
+  FROM customer
+),
+changed AS (
+  SELECT cur.c_custkey FROM cur JOIN up USING (c_custkey)
+  WHERE cur.c_mktsegment IS DISTINCT FROM up.c_mktsegment
+     OR cur.c_nationkey IS DISTINCT FROM up.c_nationkey
+)
+SELECT * FROM (
+  SELECT c_custkey, c_mktsegment, c_nationkey, valid_from,
+         CAST(NULL AS DATE) AS valid_to
+  FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+  UNION ALL
+  SELECT cur.c_custkey, cur.c_mktsegment, cur.c_nationkey, cur.valid_from,
+         DATE '1995-06-01' AS valid_to
+  FROM cur JOIN changed USING (c_custkey)
+  UNION ALL
+  SELECT up.c_custkey, up.c_mktsegment, up.c_nationkey,
+         DATE '1995-06-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM up JOIN changed USING (c_custkey)
+)
+ORDER BY c_custkey, valid_from
 """
 
     # triangle count (operators/graph.py): the oracle is the textbook
