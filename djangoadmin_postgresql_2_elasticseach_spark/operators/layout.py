@@ -297,3 +297,66 @@ def file_skipping_stats(
         if fmin is not None and (fmax < lo or fmin > hi):
             skippable += 1
     return {"files": total, "skippable": skippable}
+
+
+def zorder_maintain(
+    spark,
+    path: str,
+    cols: list[str],
+    target_bytes: int,
+    bits: int = 8,
+) -> dict[str, int]:
+    """OPTIMIZE pass over a parquet directory: bin-pack the small files
+    (``compaction_plan``) and rewrite each bin as ONE z-ordered file;
+    files already ≥ target are left in place untouched. The combined
+    table-maintenance step an incremental pipeline runs periodically —
+    compaction kills the per-file open/listing cost, z-ordering restores
+    multi-column skipping that appends eroded.
+
+    Only binned files are ever read or written — O(small-file bytes),
+    not table size. New files land under the same directory with a
+    ``zc-<bin>`` prefix before the old small files are deleted (crash
+    between write and delete leaves duplicates, the same residual
+    window as the additive rollup — a transactional table format closes
+    it; documented trade). Returns {files_before, files_after,
+    bins_written}.
+    """
+    import os
+    import shutil
+
+    plan = plan_file_compaction(spark, path, target_bytes).collect()
+    binned = [r for r in plan if r["action"] == "compact"]
+    before = len(plan)
+    if not binned:
+        return {"files_before": before, "files_after": before,
+                "bins_written": 0}
+    bins: dict[int, list[str]] = {}
+    for r in binned:
+        bins.setdefault(int(r["bin"]), []).append(r["file"])
+    tmp = os.path.join(path, "_zc_tmp")
+    for b, files in sorted(bins.items()):
+        df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+        keyed = zorder_key(df, cols, bits)
+        (
+            keyed.repartition(1)
+            .sortWithinPartitions("z_key")
+            .drop("z_key")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.replace(
+            os.path.join(tmp, part), os.path.join(path, f"zc-{b}.parquet")
+        )
+    shutil.rmtree(tmp, ignore_errors=True)
+    for files in bins.values():
+        for f in files:
+            os.remove(os.path.join(path, f))
+    after = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    return {
+        "files_before": before,
+        "files_after": after,
+        "bins_written": len(bins),
+    }

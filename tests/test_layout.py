@@ -164,3 +164,36 @@ def test_plan_file_compaction_real_files(spark, tmp_path):
     assert len(kept) == 1 and kept[0]["bytes"] == target
     n_bins = len({r["bin"] for r in plan if r["action"] == "compact"})
     assert 1 <= n_bins < len(sizes) - 1  # actually coalesces files
+
+
+def test_zorder_maintain_compacts_and_preserves_data(spark, tmp_path):
+    """Maintenance pass: many small files coalesce into z-ordered bins,
+    big files stay untouched, every row survives."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.layout import (
+        zorder_maintain,
+    )
+    import os
+
+    p = str(tmp_path / "t")
+    small = spark.range(4_000).select(
+        (F.col("id") % 100).alias("x"), ((F.col("id") * 31) % 100).alias("y")
+    )
+    small.repartition(24).write.mode("overwrite").parquet(p)
+    spark.range(300_000).select(
+        (F.col("id") % 100).alias("x"), ((F.col("id") * 31) % 100).alias("y")
+    ).coalesce(1).write.mode("append").parquet(p)
+    sizes = [
+        os.path.getsize(os.path.join(p, f))
+        for f in os.listdir(p)
+        if f.endswith(".parquet")
+    ]
+    target = max(sizes)  # only the big file is healthy
+    stats = zorder_maintain(spark, p, ["x", "y"], target)
+    assert stats["files_before"] == 25
+    assert stats["files_after"] == stats["bins_written"] + 1
+    assert stats["files_after"] < stats["files_before"]
+    got = spark.read.parquet(p)
+    assert got.count() == 304_000
+    # the row multiset is intact
+    s = got.groupBy("x", "y").count().collect()
+    assert sum(r["count"] for r in s) == 304_000
