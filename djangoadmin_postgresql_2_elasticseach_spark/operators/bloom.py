@@ -11,9 +11,10 @@ no join — and one-sided: a true match always passes (no false
 negatives), a non-match passes only with FP probability
 (1 - e^{-kn/m})^k. The surviving fraction then pays the exact join.
 
-Determinism contract (mirrored in oracle SQL): position i =
-first-8-hex-of-md5(i + '#' + value) mod m — the same md5 cell scheme as
-the count-min sketch, so engine and oracle agree bit-for-bit. The
+Determinism contract (mirrored in oracle SQL): position i = the i-th
+8-hex window of md5(value) mod m (one digest yields 4 independent
+32-bit words; k ≤ 4) — engine and oracle agree bit-for-bit, and each
+row pays ONE digest regardless of k. The
 engine packs positions into m/64 longs via bit_or aggregation and
 broadcasts ONE ROW holding the array; the oracle tests the equivalent
 position-set membership (a word's bit is set iff some dimension key set
@@ -33,18 +34,18 @@ from pyspark.sql import functions as F
 
 
 def _positions(value_col: str, m: int, k: int):
-    """Array of k bit positions for a value (md5 cell hashes)."""
-    s = F.col(value_col).cast("string")
+    """Array of k bit positions for a value: the k 8-hex windows of ONE
+    md5 digest (32 hex chars = 4 independent 32-bit words, so k ≤ 4).
+    One digest per row instead of k — the hash is the scan-stage cost
+    at 10^9 rows (measured: 3 separate md5 calls were the wall-clock of
+    the sf0.1 prune)."""
+    if not 1 <= k <= 4:
+        raise ValueError("k must be 1..4 (one md5 digest = 4 words)")
+    s = F.md5(F.col(value_col).cast("string"))
     return F.array(
         *[
             (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws("#", F.lit(str(i)), s)), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("long")
+                F.conv(F.substring(s, i * 8 + 1, 8), 16, 10).cast("long")
                 % m
             )
             for i in range(k)
@@ -77,11 +78,12 @@ def bloom_build(
 
 
 def _pos_sql(value_col: str, i: int, m: int) -> str:
-    """SQL text of position i — the same md5 cell hash `_positions`
-    builds as a Column (both sides stay in lock-step)."""
+    """SQL text of position i — the same md5-window hash `_positions`
+    builds as a Column (both sides stay in lock-step). The repeated
+    md5(...) subexpression is CSE'd by codegen — one digest per row."""
     return (
-        f"(cast(conv(substring(md5(concat_ws('#', '{i}', "
-        f"cast({value_col} as string))), 1, 8), 16, 10) as bigint) % {m})"
+        f"(cast(conv(substring(md5(cast({value_col} as string)), "
+        f"{i * 8 + 1}, 8), 16, 10) as bigint) % {m})"
     )
 
 

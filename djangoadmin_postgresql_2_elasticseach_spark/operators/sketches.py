@@ -308,20 +308,20 @@ def kmv_intersect_estimate(
 
 
 def _cms_cells(value_col: str, d: int, w: int):
-    """Array of (row, col) cells a value increments: col_i =
-    first-8-hex of md5(i + '#' + value) mod w."""
-    s = F.col(value_col).cast("string")
+    """Array of (row, col) cells a value increments: col_i = the i-th
+    8-hex window of md5(value) mod w (one digest = 4 independent 32-bit
+    words, so d ≤ 4 — one hash per row regardless of depth, the same
+    scan-cost fix as bloom._positions)."""
+    if not 1 <= d <= 4:
+        raise ValueError("d must be 1..4 (one md5 digest = 4 words)")
+    s = F.md5(F.col(value_col).cast("string"))
     return F.array(
         *[
             F.struct(
                 F.lit(i).alias("row"),
                 (
                     F.conv(
-                        F.substring(
-                            F.md5(F.concat_ws("#", F.lit(str(i)), s)), 1, 8
-                        ),
-                        16,
-                        10,
+                        F.substring(s, i * 8 + 1, 8), 16, 10
                     ).cast("long")
                     % w
                 ).alias("col"),

@@ -713,6 +713,11 @@ def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+BLOOM_M = 1 << 17  # sized for the LARGEST bench dim (~30k urgent keys at
+# sf0.1: k*n/m ≈ 0.69 → FP ≈ 12%); an undersized filter saturates and
+# passes everything — m must scale with the dimension, not the fact
+
+
 def _q_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned semi-join (operators/bloom.py): lineitems of urgent
     orders. One row out — (bloom_pass, exact_rows) — pinning both the
@@ -725,14 +730,17 @@ def _q_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent = orders.filter(
         F.col("o_orderpriority") == "1-URGENT"
     ).select("o_orderkey")
-    bloom = bloom_build(urgent, "o_orderkey", m=1 << 14, k=3)
-    p = (
-        bloom_prune(li.select("l_orderkey"), bloom, "l_orderkey", m=1 << 14, k=3)
-        .groupBy()
-        .agg(F.count(F.lit(1)).alias("bloom_pass"))
-    )
+    bloom = bloom_build(urgent, "o_orderkey", m=BLOOM_M, k=3)
+    pruned = bloom_prune(
+        li.select("l_orderkey"), bloom, "l_orderkey", m=BLOOM_M, k=3
+    ).localCheckpoint(eager=True)  # survivors only — referenced twice
+    p = pruned.groupBy().agg(F.count(F.lit(1)).alias("bloom_pass"))
+    # the exact pass runs on the PRUNED set (no false negatives makes
+    # this equivalent to joining the full fact — and it is the whole
+    # point of the operator: the fact is scanned once, the exact join
+    # touches survivors only)
     e = (
-        li.join(urgent, li.l_orderkey == urgent.o_orderkey, "leftsemi")
+        pruned.join(urgent, pruned.l_orderkey == urgent.o_orderkey, "leftsemi")
         .groupBy()
         .agg(F.count(F.lit(1)).alias("exact_rows"))
     )
@@ -3174,13 +3182,13 @@ ORDER BY "check", target
     # position-SET membership — identical pass/fail (incl. false
     # positives) to the engine's packed-words bitset, since a word bit
     # is set iff some dimension key emitted that position
-    o["bloom_semi_lineitem"] = """
+    o["bloom_semi_lineitem"] = f"""
 WITH dimk AS (
   SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
 ),
 pos AS (
   SELECT DISTINCT
-    ('0x' || substr(md5(CAST(t.i AS VARCHAR) || '#' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 16384 AS p
+    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), t.i * 8 + 1, 8))::BIGINT % {BLOOM_M} AS p
   FROM dimk CROSS JOIN (VALUES (0), (1), (2)) t(i)
 ),
 keys AS (
@@ -3191,7 +3199,7 @@ kp AS (
   SELECT k.l_orderkey, k.n FROM keys k
   WHERE NOT EXISTS (
     SELECT 1 FROM (VALUES (0), (1), (2)) t(i)
-    WHERE ('0x' || substr(md5(CAST(t.i AS VARCHAR) || '#' || CAST(k.l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 16384
+    WHERE ('0x' || substr(md5(CAST(k.l_orderkey AS VARCHAR)), t.i * 8 + 1, 8))::BIGINT % {BLOOM_M}
       NOT IN (SELECT p FROM pos)
   )
 )
@@ -3219,7 +3227,7 @@ ORDER BY id_a, id_b
 WITH rows3 AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(i)),
 cells AS (
   SELECT i AS row,
-    ('0x' || substr(md5(CAST(i AS VARCHAR) || '#' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 1024 AS col,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), i * 8 + 1, 8))::BIGINT % 1024 AS col,
     user_id
   FROM events CROSS JOIN rows3 WHERE user_id IS NOT NULL
 ),
