@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     # similarity search
     "ann_brute_topk",
     "pq_topk_adc",
+    "int8_cosine_topk",
     "ann_ivf_topk",
     "ann_knn_join",
     "embedding_neardup_lsh",

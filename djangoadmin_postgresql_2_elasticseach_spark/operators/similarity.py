@@ -776,3 +776,77 @@ def pq_topk_rerank(
         .orderBy("dist", id_col)
         .limit(k)
     )
+
+
+# --- Scalar (int8) quantization ------------------------------------------
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: (id, scale, qvec) with
+    ``q_i = round(v_i / scale × 127)``, scale = max |v_i| — 4×
+    smaller than float32 at ~0.3% cosine error (the standard
+    storage/serving trade, e.g. faiss SQ8). Pure column expressions;
+    a zero vector quantizes to scale 0 / all-zero codes.
+
+    Unlike PQ (codebooks, m bytes/vector, needs training) this is
+    training-free and per-vector exact-scale — the right first step
+    before PQ when the corpus is still warm enough to re-read."""
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(
+        v,
+        lambda x: F.when(scale > 0, F.round(x / scale * 127))
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    return emb.select(
+        F.col(id_col), scale.alias("scale"), q.alias("qvec")
+    )
+
+
+def quantized_cosine_topk(
+    quantized: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by cosine over int8 codes: the query is quantized ONCE
+    (driver-side, same formula), the integer dot product and norms run
+    as codegen aggregates, and scales cancel out of cosine entirely —
+    the float scale column is not even read. Output: (id, qcos) rounded
+    to 6 decimals, ties by id; compiles to TakeOrderedAndProject."""
+    qs = max(abs(x) for x in query_vec) or 1.0
+    qq = [round(x / qs * 127) for x in query_vec]
+    spark = quantized.sparkSession
+    qdf = spark.createDataFrame(
+        [(1, [int(x) for x in qq])], "_qk int, _q array<int>"
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"), F.col("_q"), lambda a, b: (a * b).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.aggregate(
+        F.transform(F.col("qvec"), lambda a: (a * a).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n2 = float(sum(x * x for x in qq)) or 1.0
+    qcos = F.when(
+        n1 > 0,
+        dot.cast("double")
+        / (F.sqrt(n1.cast("double")) * F.sqrt(F.lit(n2))),
+    ).otherwise(F.lit(0.0))
+    return (
+        quantized.withColumn("_qk", F.lit(1))
+        .join(F.broadcast(qdf), "_qk")
+        .select(F.col(id_col), F.round(qcos, 6).alias("qcos"))
+        .orderBy(F.desc("qcos"), id_col)
+        .limit(k)
+    )

@@ -683,6 +683,17 @@ def _q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(codes, books, q, k=PQ_K)
 
 
+def _q_int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized cosine top-10 (operators/similarity.py):
+    4× smaller storage, integer dot products, scales cancel out of
+    cosine. Query = the lowest-id embedding."""
+    from .operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    return S.quantized_cosine_topk(S.quantize_embeddings(emb), q, k=10)
+
+
 def _q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable fixed-grid histogram quantiles (operators/sketches.py):
     p50/p95 of event value per type from a 256-bucket sketch — the
@@ -1246,6 +1257,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_topk_adc": _q_pq_topk_adc,
     "triangle_part_pairs": _q_triangle_part_pairs,
     "scd2_customer_history": _q_scd2_customer_history,
+    "int8_cosine_topk": _q_int8_cosine_topk,
     "revenue_rollup": R.revenue_rollup,
     "order_status_pivot": R.order_status_pivot,
     "json_props_stats": R.json_props_stats,
@@ -2953,6 +2965,39 @@ m AS (
 SELECT CAST(round(CAST(m.m AS DOUBLE) / t.theta) AS BIGINT)
   AS approx_intersection
 FROM m, t
+"""
+
+    # int8 scalar quantization (operators/similarity.py): identical
+    # round-half-away quantization both engines; integer dots exact;
+    # the one float div+sqrt is round(·,6)'d like the other cosines
+    o["int8_cosine_topk"] = """
+WITH qv AS (SELECT embedding AS q FROM embeddings ORDER BY vec_id LIMIT 1),
+qq AS (
+  SELECT list_transform(q, x -> CAST(round(CAST(x AS DOUBLE)
+           / list_max(list_transform(q, y -> abs(CAST(y AS DOUBLE)))) * 127) AS BIGINT)) AS qc
+  FROM qv
+),
+codes AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CASE
+      WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) > 0
+      THEN CAST(round(CAST(x AS DOUBLE)
+             / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) * 127) AS BIGINT)
+      ELSE 0 END) AS c
+  FROM embeddings
+),
+d AS (
+  SELECT codes.vec_id,
+    list_sum(list_transform(list_zip(c, qq.qc), p -> p[1] * p[2])) AS dot,
+    list_sum(list_transform(c, x -> x * x)) AS n1,
+    list_sum(list_transform(qq.qc, x -> x * x)) AS n2
+  FROM codes, qq
+)
+SELECT vec_id,
+  round(CASE WHEN n1 > 0
+        THEN CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
+        ELSE 0.0 END, 6) AS qcos
+FROM d ORDER BY qcos DESC, vec_id LIMIT 10
 """
 
     # SCD2 (operators/scd.py): untouched ∪ closed ∪ opened, each branch

@@ -99,3 +99,37 @@ def test_dim_not_divisible_raises(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="not divisible"):
         S.pq_codebooks_deterministic(df, m=2, ksub=1)
+
+
+def test_int8_quantization_roundtrip_and_accuracy(spark, emb, vecs):
+    """Codes stay in [-127, 127]; quantized cosine tracks the exact
+    float cosine within the sq8 error envelope; zero vectors are safe."""
+    import math
+
+    q = S.quantize_embeddings(emb)
+    rows = q.collect()
+    assert all(
+        all(-127 <= x <= 127 for x in r["qvec"]) and r["scale"] >= 0
+        for r in rows
+    )
+    query = vecs[min(vecs)]
+    top = S.quantized_cosine_topk(q, query, k=10).collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for r in top:
+        exact = cos(vecs[r["vec_id"]], query)
+        assert abs(r["qcos"] - exact) < 0.01, (r["vec_id"], r["qcos"], exact)
+    # exact top-1 (the query itself) survives quantization
+    assert top[0]["vec_id"] == min(vecs)
+
+    zero = spark.createDataFrame(
+        [(999, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    zq = S.quantize_embeddings(zero).collect()[0]
+    assert zq["scale"] == 0.0 and set(zq["qvec"]) == {0}
+    assert S.quantized_cosine_topk(
+        S.quantize_embeddings(zero), query, k=1
+    ).collect()[0]["qcos"] == 0.0
