@@ -302,3 +302,42 @@ def tar_shard_manifest(spark: SparkSession, path: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = CORRUPT_COL,
+    header: bool = True,
+    delimiter: str = ",",
+    multiline_quotes: bool = False,
+) -> DataFrame:
+    """Schema-enforced CSV read with the same quarantine posture as
+    ``read_jsonl_corpus`` (vendor drops are CSV as often as JSONL):
+    declared schema, PERMISSIVE mode, malformed rows carried whole in
+    ``corrupt_col`` — count them, sample them, file the ticket; never
+    FAILFAST the 100 TB job, never silently DROPMALFORMED.
+
+    ``multiline_quotes`` enables quoted newlines (RFC 4180 embedded
+    line breaks) — leave it OFF unless the vendor actually emits them:
+    multiline parsing makes each file unsplittable (one task per file),
+    the same scale trade as gzip. ``split_corrupt`` works on the result
+    unchanged.
+    """
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if corrupt_col not in [f.name for f in schema.fields]:
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
+        )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", "true" if header else "false")
+        .option("sep", delimiter)
+        .option("multiLine", "true" if multiline_quotes else "false")
+        .option("enforceSchema", "true")
+        .csv(path)
+    )

@@ -705,3 +705,34 @@ def test_hll_rollup_tick_equals_oneshot(spark, tmp_path):
     assert hll_rollup_tick(spark, all_ev, path, state) == 400
     again = sorted(map(tuple, hll_rollup_estimate(spark, path).collect()))
     assert again == want
+
+
+def test_read_csv_corpus_quarantines_bad_rows(spark, tmp_path):
+    """CSV ingestion: declared schema, malformed rows quarantined whole
+    (wrong arity, unparseable types), clean rows typed correctly."""
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.corpus_io import (
+        read_csv_corpus,
+        split_corrupt,
+    )
+
+    p = tmp_path / "drop.csv"
+    p.write_text(
+        "doc_id,score,text\n"
+        "1,0.5,alpha\n"
+        "2,not_a_number,beta\n"      # type violation
+        "3,0.25,\"quoted, comma\"\n"
+        "4,0.75\n"                   # missing column
+        "5,1.0,epsilon\n"
+    )
+    df = read_csv_corpus(
+        spark, str(p), "doc_id long, score double, text string"
+    )
+    clean, bad = split_corrupt(df)
+    rows = {r["doc_id"]: (r["score"], r["text"]) for r in clean.collect()}
+    assert rows == {
+        1: (0.5, "alpha"),
+        3: (0.25, "quoted, comma"),
+        5: (1.0, "epsilon"),
+    }
+    raw = sorted(r["raw_line"] for r in bad.collect())
+    assert raw == ["2,not_a_number,beta", "4,0.75"]
