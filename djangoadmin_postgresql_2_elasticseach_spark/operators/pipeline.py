@@ -329,9 +329,12 @@ class CorpusPipeline:
         benchmark: DataFrame | None = None,
         lm_train: DataFrame | None = None,
     ) -> list[dict]:
-        """Per-stage survivor counts — one count() action per stage, for
-        pipeline tuning runs (NOT the production path: run() stays lazy
-        and single-plan)."""
+        """Per-stage survivor counts for pipeline tuning runs. Stages
+        materialize eagerly (the same per-stage checkpoint run() uses —
+        counting each lazily-composed prefix would re-execute earlier
+        stages per count on top of the double-reference cost)."""
+        from ..session import free_local_checkpoint
+
         ctx = {
             "id_col": self.id_col,
             "text_col": self.text_col,
@@ -340,8 +343,16 @@ class CorpusPipeline:
         }
         out = docs
         rows = [{"stage": "input", "rows": docs.count()}]
+        owned = None
         for st in self.stages:
             params = {k: v for k, v in st.items() if k != "op"}
-            out = STAGE_OPS[st["op"]](out, params, ctx)
+            out = STAGE_OPS[st["op"]](out, params, ctx).localCheckpoint(
+                eager=True
+            )
             rows.append({"stage": st["op"], "rows": out.count()})
+            if owned is not None:
+                free_local_checkpoint(owned)
+            owned = out
+        if owned is not None:
+            free_local_checkpoint(owned)
         return rows
