@@ -317,8 +317,8 @@ def zorder_maintain(
     not table size. New files land under the same directory with a
     ``zc-<bin>`` prefix before the old small files are deleted (crash
     between write and delete leaves duplicates, the same residual
-    window as the additive rollup — a transactional table format closes
-    it; documented trade). Returns {files_before, files_after,
+    window as the additive rollup — sources/txlog.py's atomic manifest
+    commit closes it: see tx_compact; documented trade here). Returns {files_before, files_after,
     bins_written}.
     """
     import os

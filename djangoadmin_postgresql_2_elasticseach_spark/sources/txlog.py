@@ -1,0 +1,208 @@
+"""Minimal transactional table log — atomic multi-file commits, snapshot
+isolation, and time travel over a plain parquet directory.
+
+Extension source (the published design core of Delta Lake [Armbrust et
+al., VLDB 2020] / Iceberg: a table IS its log, not its directory
+listing). Several operators here document a crash residual window —
+`rollup_tick` (multi-partition rewrite vs `_merged_from` marker),
+`zorder_maintain` (write-new-then-delete-old), `upsert_merge`
+(bucket rewrites) — because plain parquet has no atomic multi-file
+commit. This module provides exactly that primitive:
+
+- data files are written with unique names and NEVER mutated;
+- a commit is ONE atomic filesystem operation: claiming the next
+  version file ``_txlog/v{n:012d}.json`` with O_CREAT|O_EXCL (POSIX
+  exclusive create — the same primitive Delta uses on HDFS; object
+  stores swap in a put-if-absent). The manifest lists the COMPLETE live
+  file set of that version, so readers never reconstruct state from
+  partial history;
+- readers resolve the latest committed version and read only its
+  files: a writer crash before commit leaves orphan data files that no
+  reader ever sees (garbage, not corruption — `vacuum` reclaims them);
+- concurrent writers race on the same version number; the loser gets
+  FileExistsError, re-reads the new snapshot, and retries its commit
+  against it (optimistic concurrency, the Delta protocol's loop).
+
+Scale notes: a manifest stores file names only — at 10^6 files it is a
+few tens of MB of JSON, read once per query plan, listed by ONE
+directory read of `_txlog/` (vs the full-table listing a plain
+directory scan pays); production formats add manifest checkpoints and
+column stats per file (the `layout.file_skipping_stats` direction) —
+orthogonal to the commit protocol shown here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_txlog"
+
+
+class CommitConflict(Exception):
+    """Another writer claimed the version; re-read and retry."""
+
+
+class TxLog:
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, _LOG_DIR)
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # -- snapshot resolution ------------------------------------------
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f[1:13])
+            for f in os.listdir(self.log_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        with open(
+            os.path.join(self.log_dir, f"v{version:012d}.json"),
+            encoding="utf-8",
+        ) as f:
+            return json.load(f)
+
+    def snapshot(self, version: int | None = None) -> list[str]:
+        """Live file names at ``version`` (default: latest). Empty list
+        for an empty/new table."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return []
+        return list(self._manifest(v)["files"])
+
+    # -- commit protocol ----------------------------------------------
+
+    def commit(
+        self,
+        files: list[str],
+        op: str,
+        expected_version: int | None = None,
+    ) -> int:
+        """Atomically publish ``files`` as the COMPLETE live set of the
+        next version. ``expected_version`` is the snapshot the writer
+        based its work on (None for a blind append to an empty table);
+        if another commit landed since, raises CommitConflict WITHOUT
+        claiming the version — the caller re-reads and retries.
+        """
+        latest = self.latest_version()
+        if expected_version is not None or latest is not None:
+            if latest != expected_version:
+                raise CommitConflict(
+                    f"expected v{expected_version}, table is at v{latest}"
+                )
+        next_v = 0 if latest is None else latest + 1
+        target = os.path.join(self.log_dir, f"v{next_v:012d}.json")
+        payload = json.dumps(
+            {"version": next_v, "op": op, "files": sorted(files)},
+            indent=0,
+        )
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:  # lost the race at the claim itself
+            raise CommitConflict(str(e)) from e
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        return next_v
+
+    # -- maintenance --------------------------------------------------
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by ANY version (orphans
+        from crashed writers). Time travel keeps every committed file
+        alive; expire old versions first to reclaim more."""
+        live: set[str] = set()
+        for v in self.versions():
+            live |= set(self._manifest(v)["files"])
+        removed = 0
+        for f in os.listdir(self.path):
+            if f.endswith(".parquet") and f not in live:
+                os.remove(os.path.join(self.path, f))
+                removed += 1
+        return removed
+
+
+def _write_data_files(df: DataFrame, table_path: str) -> list[str]:
+    """Write df as fresh uniquely-named parquet files; return names.
+    Files are invisible until a commit references them."""
+    tmp = os.path.join(table_path, f"_tx_tmp_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(tmp)
+    names = []
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            os.replace(os.path.join(tmp, f), os.path.join(table_path, name))
+            names.append(name)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return names
+
+
+def tx_overwrite(df: DataFrame, path: str, max_retries: int = 10) -> int:
+    """Replace the table contents atomically."""
+    log = TxLog(path)
+    names = _write_data_files(df, path)
+    for _ in range(max_retries):
+        try:
+            return log.commit(names, "overwrite", log.latest_version())
+        except CommitConflict:
+            continue
+    raise CommitConflict("overwrite retries exhausted")
+
+
+def tx_append(df: DataFrame, path: str, max_retries: int = 10) -> int:
+    """Append atomically: new snapshot = old snapshot + new files.
+    On conflict, re-reads the WINNER's snapshot and re-commits on top —
+    the written data files are reused, only the manifest race reruns."""
+    log = TxLog(path)
+    names = _write_data_files(df, path)
+    for _ in range(max_retries):
+        base = log.latest_version()
+        try:
+            return log.commit(log.snapshot(base) + names, "append", base)
+        except CommitConflict:
+            continue
+    raise CommitConflict("append retries exhausted")
+
+
+def tx_compact(
+    spark: SparkSession, path: str, target_files: int, max_retries: int = 10
+) -> int:
+    """Rewrite the current snapshot as ``target_files`` files in ONE
+    atomic commit — the transactional form of zorder_maintain/
+    compact_parquet: no reader ever sees the half-replaced state, a
+    crash leaves only orphans. Conflicts abort cleanly (compaction of a
+    stale snapshot must re-plan, not re-commit)."""
+    log = TxLog(path)
+    base = log.latest_version()
+    cur = log.snapshot(base)
+    df = spark.read.parquet(*[os.path.join(path, f) for f in cur])
+    names = _write_data_files(df.coalesce(target_files), path)
+    try:
+        return log.commit(names, "compact", base)
+    except CommitConflict:
+        for n in names:  # our files are orphans; remove eagerly
+            os.remove(os.path.join(path, n))
+        raise
+
+
+def tx_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot-isolated read (optionally time travel to ``version``).
+    An empty table reads as an empty frame only if a version exists."""
+    files = TxLog(path).snapshot(version)
+    if not files:
+        raise FileNotFoundError(f"no committed version in {path}")
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])

@@ -206,7 +206,8 @@ def rollup_tick(
     # Residual window: a crash between the (multi-file) rollup write
     # and the marker write still replays — plain parquet has no atomic
     # multi-partition commit; exactly-once here needs a transactional
-    # table format (documented swap).
+    # table format (sources/txlog.py implements the manifest-commit
+    # primitive; a partition-aware integration is the documented swap).
     marker = os.path.join(rollup_path, "_merged_from")
     already = False
     if os.path.exists(marker):

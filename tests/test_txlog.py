@@ -1,0 +1,117 @@
+"""Transaction log (sources/txlog.py): atomic visibility, snapshot
+isolation, optimistic-concurrency conflicts, compaction atomicity,
+time travel, orphan vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from djangoadmin_postgresql_2_elasticseach_spark.sources.txlog import (
+    CommitConflict,
+    TxLog,
+    tx_append,
+    tx_compact,
+    tx_overwrite,
+    tx_read,
+)
+
+
+def test_overwrite_append_and_time_travel(spark, tmp_path):
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    v0 = tx_overwrite(spark.range(0, 100).withColumnRenamed("id", "k"), p)
+    v1 = tx_append(spark.range(100, 150).withColumnRenamed("id", "k"), p)
+    assert (v0, v1) == (0, 1)
+    assert tx_read(spark, p).count() == 150
+    assert tx_read(spark, p, version=0).count() == 100  # time travel
+    v2 = tx_overwrite(spark.range(0, 7).withColumnRenamed("id", "k"), p)
+    assert v2 == 2 and tx_read(spark, p).count() == 7
+    assert tx_read(spark, p, version=1).count() == 150
+
+
+def test_uncommitted_files_invisible(spark, tmp_path):
+    """A crashed writer's data files are orphans: present on disk,
+    invisible to every reader, reclaimed by vacuum."""
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.txlog import _write_data_files
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    tx_overwrite(spark.range(10).withColumnRenamed("id", "k"), p)
+    # simulate crash: files written, commit never happened
+    orphans = _write_data_files(
+        spark.range(1000, 2000).withColumnRenamed("id", "k"), p
+    )
+    assert all(os.path.exists(os.path.join(p, f)) for f in orphans)
+    assert tx_read(spark, p).count() == 10  # snapshot unchanged
+    removed = TxLog(p).vacuum()
+    assert removed == len(orphans)
+    assert tx_read(spark, p).count() == 10
+
+
+def test_commit_conflict_and_append_retry(spark, tmp_path):
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    tx_overwrite(spark.range(10).withColumnRenamed("id", "k"), p)
+    log = TxLog(p)
+    # a stale writer (based on v0) loses to a commit that moved to v1
+    snap = log.snapshot(0)
+    log.commit(snap, "noop", 0)  # someone else commits v1
+    with pytest.raises(CommitConflict):
+        log.commit(snap, "stale", 0)
+    # append retries transparently on top of the winner
+    v = tx_append(spark.range(10, 20).withColumnRenamed("id", "k"), p)
+    assert v == 2 and tx_read(spark, p).count() == 20
+
+
+def test_compact_is_atomic_and_preserves_rows(spark, tmp_path):
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    for i in range(6):
+        tx_append(
+            spark.range(i * 50, (i + 1) * 50).withColumnRenamed("id", "k")
+            .repartition(3),
+            p,
+        )
+    before = TxLog(p).snapshot()
+    assert len(before) >= 18
+    tx_compact(spark, p, target_files=2)
+    after = TxLog(p).snapshot()
+    assert len(after) <= 2
+    df = tx_read(spark, p)
+    assert df.count() == 300
+    assert df.agg({"k": "sum"}).collect()[0][0] == sum(range(300))
+    # old files still on disk (time travel), vacuum keeps them (still
+    # referenced by older versions)
+    assert TxLog(p).vacuum() == 0
+    assert tx_read(spark, p, version=5).count() == 300
+
+
+def test_compact_conflict_aborts_cleanly(spark, tmp_path):
+    """Compaction racing a concurrent commit must abort, leave the
+    table at the winner's snapshot, and remove its own orphans."""
+    import djangoadmin_postgresql_2_elasticseach_spark.sources.txlog as T
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    tx_append(spark.range(100).withColumnRenamed("id", "k").repartition(4), p)
+    log = TxLog(p)
+
+    orig = T._write_data_files
+
+    def race_then_write(df, path):
+        names = orig(df, path)
+        # concurrent writer lands AFTER compaction wrote its files but
+        # BEFORE its commit
+        log.commit(log.snapshot(), "concurrent", log.latest_version())
+        return names
+
+    T._write_data_files = race_then_write
+    try:
+        with pytest.raises(CommitConflict):
+            tx_compact(spark, p, target_files=1)
+    finally:
+        T._write_data_files = orig
+    assert tx_read(spark, p).count() == 100
+    assert TxLog(p).vacuum() == 0  # compactor removed its own orphans
