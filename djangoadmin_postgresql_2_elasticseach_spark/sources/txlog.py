@@ -197,6 +197,108 @@ def tx_compact(
         raise
 
 
+def _file_key_stats(table_path: str, files: list[str], key: str):
+    """(file → (min, max)) of ``key`` from parquet footers — the
+    manifest-stats read Delta keeps inline; footer reads are per-file
+    metadata, never data pages."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for f in files:
+        md = pq.ParquetFile(os.path.join(table_path, f)).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == key and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        out[f] = (lo, hi)
+    return out
+
+
+def tx_merge(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    max_retries: int = 3,
+) -> int:
+    """Atomic keyed MERGE (upsert) with FILE-LEVEL PRUNING: only data
+    files whose footer [min, max] of ``key`` overlaps the update keys
+    are rewritten; every other file carries over into the new manifest
+    untouched. One commit swaps the snapshot — readers never see a
+    half-merged table, a crash leaves orphans only. This is the Delta
+    MERGE shape (stats-pruned copy-on-write) over the txlog primitive;
+    at 100 TB the rewrite cost is bounded by the files the keys
+    actually land in, which clustering (zorder_write on the key) makes
+    few.
+
+    Update rows REPLACE current rows with equal ``key``; new keys
+    append. ``updates`` must contain at most one row per key.
+    """
+    from pyspark.sql import functions as F
+
+    log = TxLog(path)
+    for _ in range(max_retries):
+        base = log.latest_version()
+        cur = log.snapshot(base)
+        if not cur:
+            names = _write_data_files(updates, path)
+            try:
+                return log.commit(names, "merge", base)
+            except CommitConflict:
+                continue
+        stats = _file_key_stats(path, cur, key)
+        # per-file containment, not a single global update range — a
+        # coarse [min(updates), max(updates)] envelope would drag in
+        # every file between two distant keys. The stats frame is
+        # manifest-sized; the range join broadcasts it and touches a
+        # file iff SOME update key lands inside its [lo, hi].
+        no_stats = [f for f, (lo, _) in stats.items() if lo is None]
+        stats_df = spark.createDataFrame(
+            [(f, lo, hi) for f, (lo, hi) in stats.items() if lo is not None],
+            f"file string, lo {dict(updates.dtypes)[key]}, hi {dict(updates.dtypes)[key]}",
+        ) if len(no_stats) < len(stats) else None
+        hit = (
+            [
+                r["file"]
+                for r in updates.alias("u")
+                .join(
+                    F.broadcast(stats_df),
+                    (F.col(f"u.{key}") >= F.col("lo"))
+                    & (F.col(f"u.{key}") <= F.col("hi")),
+                )
+                .select("file")
+                .distinct()
+                .collect()
+            ]
+            if stats_df is not None
+            else []
+        )
+        touched = sorted(set(hit) | set(no_stats))
+        untouched = [f for f in cur if f not in set(touched)]
+        base_df = (
+            spark.read.parquet(*[os.path.join(path, f) for f in touched])
+            if touched
+            else updates.limit(0)
+        )
+        merged = base_df.join(
+            updates.select(key).withColumnRenamed(key, key),
+            key,
+            "left_anti",
+        ).unionByName(updates)
+        names = _write_data_files(merged, path)
+        try:
+            return log.commit(untouched + names, "merge", base)
+        except CommitConflict:
+            for n in names:
+                os.remove(os.path.join(path, n))
+            continue
+    raise CommitConflict("merge retries exhausted")
+
+
 def tx_read(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:

@@ -115,3 +115,56 @@ def test_compact_conflict_aborts_cleanly(spark, tmp_path):
         T._write_data_files = orig
     assert tx_read(spark, p).count() == 100
     assert TxLog(p).vacuum() == 0  # compactor removed its own orphans
+
+
+def test_tx_merge_prunes_by_file_stats(spark, tmp_path):
+    """MERGE rewrites ONLY the files whose key range overlaps the
+    updates; every other file carries over by NAME into the new
+    manifest (provably untouched), and the result is exact."""
+    from pyspark.sql import functions as F
+
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.txlog import tx_merge
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    # three key-clustered commits: [0,100), [100,200), [200,300)
+    for lo in (0, 100, 200):
+        tx_append(
+            spark.range(lo, lo + 100)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1),
+            p,
+        )
+    log = TxLog(p)
+    before = set(log.snapshot())
+    # updates hit the middle range only, plus brand-new keys
+    updates = spark.createDataFrame(
+        [(150, -1), (199, -2), (500, -3)], "k long, v long"
+    )
+    v = tx_merge(spark, p, updates, "k")
+    after = set(log.snapshot())
+    carried = before & after
+    # the [0,100) and [200,300) files carried over untouched
+    assert len(carried) == 2
+    df = tx_read(spark, p)
+    assert df.count() == 301  # 300 originals - 2 replaced + 2 + 1 new
+    got = {r["k"]: r["v"] for r in df.filter("k in (150, 199, 500, 10)").collect()}
+    assert got == {150: -1, 199: -2, 500: -3, 10: 20}
+    # version advanced exactly once
+    assert v == log.latest_version() == 3
+
+
+def test_tx_merge_empty_table_and_full_overlap(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.txlog import tx_merge
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    ups = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    tx_merge(spark, p, ups, "k")
+    assert tx_read(spark, p).count() == 2
+    # full-overlap second merge replaces in place
+    tx_merge(spark, p, spark.createDataFrame([(2, 99)], "k long, v long"), "k")
+    got = {r["k"]: r["v"] for r in tx_read(spark, p).collect()}
+    assert got == {1: 10, 2: 99}
