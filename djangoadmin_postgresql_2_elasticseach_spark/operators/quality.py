@@ -94,7 +94,11 @@ def run_checks(
     out: list[DataFrame] = []
     if row_checks:
         aggs = [F.count(F.lit(1)).cast("long").alias("_total")] + [
-            F.sum(F.when(_violation_cond(c), 1).otherwise(0))
+            # coalesce: sum over an EMPTY frame is NULL — an empty table
+            # has zero violations and PASSES its checks
+            F.coalesce(
+                F.sum(F.when(_violation_cond(c), 1).otherwise(0)), F.lit(0)
+            )
             .cast("long")
             .alias(f"_v{i}")
             for i, c in enumerate(row_checks)

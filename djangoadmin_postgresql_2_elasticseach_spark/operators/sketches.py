@@ -106,7 +106,12 @@ def hll_estimate(
     group_cols = group_cols or []
     alpha = _alpha(m)
     agg = registers.groupBy(*group_cols).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_z"),
+        # coalesce: a global (ungrouped) estimate over an EMPTY register
+        # table must read as zero registers set, not NULL-poison the
+        # whole expression
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)
+        ).alias("_z"),
         F.count(F.lit(1)).alias("_nz"),
     )
     # registers absent from the table are zero registers: 2^-0 each

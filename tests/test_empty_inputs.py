@@ -227,3 +227,107 @@ def test_new_r5_operators_empty(spark, tmp_path):
     assert rollup_tick(spark, empty_events.withColumn("event_type", F.lit("x")),
                        str(tmp_path / "r"), state) == 0
     assert not os.path.exists(str(tmp_path / "r"))
+
+
+# --- r6 operator families on empty inputs --------------------------------
+
+
+def test_sketches_empty(spark):
+    from pyspark.sql import functions as F
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators import sketches as K
+
+    e = spark.createDataFrame([], "g string, v long")
+    assert K.hll_registers(e, "v", ["g"]).count() == 0
+    assert K.hll_distinct(e, "v", ["g"]).count() == 0
+    # ungrouped estimate over nothing = 0 (global agg emits one row)
+    assert K.hll_estimate(K.hll_registers(e, "v"), None).collect()[0][
+        "approx_distinct"
+    ] == 0
+    assert K.kmv_sketch(e, "v", ["g"]).count() == 0
+    assert K.kmv_estimate(K.kmv_sketch(e, "v", ["g"]), ["g"]).count() == 0
+    assert (
+        K.kmv_intersect_estimate(
+            K.kmv_sketch(e, "v"), K.kmv_sketch(e, "v")
+        ).collect()[0]["approx_intersection"]
+        == 0
+    )
+    assert K.cms_table(e, "v").count() == 0
+    assert K.cms_heavy_hitters(e, "v", 1).count() == 0
+    assert K.histogram_sketch(e, "v", ["g"]).count() == 0
+    assert K.histogram_quantiles(
+        K.histogram_sketch(e, "v", ["g"]), [0.5], ["g"]
+    ).count() == 0
+
+
+def test_linkage_bloom_empty(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+        bloom_semi_join,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.linkage import (
+        fuzzy_self_pairs,
+    )
+
+    e = spark.createDataFrame([], "id long, name string")
+    assert fuzzy_self_pairs(e, "id", "name", 1).count() == 0
+    fact = spark.range(10).selectExpr("id as k")
+    empty_dim = spark.createDataFrame([], "k long")
+    # empty dimension → all-zero bitset → nothing passes
+    bloom = bloom_build(empty_dim, "k")
+    assert bloom_prune(fact, bloom, "k").count() == 0
+    assert bloom_semi_join(fact, empty_dim, "k", "k").count() == 0
+    # empty fact against a real dim
+    assert bloom_semi_join(
+        spark.createDataFrame([], "k long"), fact, "k", "k"
+    ).count() == 0
+
+
+def test_quality_scd_graph_empty(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.graph import (
+        pagerank,
+        triangle_count,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.quality import run_checks
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.scd import scd2_apply
+
+    e = spark.createDataFrame([], "a long, b string")
+    out = {r["check"]: r for r in run_checks(
+        e,
+        [
+            {"check": "not_null", "col": "a"},
+            {"check": "unique", "cols": ["a"]},
+        ],
+    ).collect()}
+    assert out["not_null"]["total"] == 0 and out["not_null"]["passed"]
+    assert out["unique"]["violations"] == 0 and out["unique"]["passed"]
+
+    dim = spark.createDataFrame(
+        [], "k long, seg string, valid_from date, valid_to date"
+    )
+    ups = spark.createDataFrame([], "k long, seg string, eff_ts date")
+    assert scd2_apply(dim, ups, ["k"], ["seg"]).count() == 0
+    import datetime as dt
+
+    one_up = spark.createDataFrame(
+        [(1, "A", dt.date(2020, 1, 1))], "k long, seg string, eff_ts date"
+    )
+    got = scd2_apply(dim, one_up, ["k"], ["seg"]).collect()
+    assert len(got) == 1 and got[0]["valid_to"] is None  # insert into empty dim
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 0
+    assert pagerank(edges, iters=2).count() == 0
+
+
+def test_layout_compaction_empty(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.layout import (
+        compaction_plan,
+        zorder_key,
+    )
+
+    e = spark.createDataFrame([], "f string, w long")
+    assert compaction_plan(e, ["f"], "w", 100).count() == 0
+    ev = spark.createDataFrame([], "x long, y long")
+    assert zorder_key(ev, ["x", "y"]).count() == 0
