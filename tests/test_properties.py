@@ -596,3 +596,110 @@ def test_semantic_dedup_keeps_one_per_near_group(spark):
     assert rows[5] == (1, False)
     assert rows[6][1] is True   # nothing within 0.9 in its cluster
     assert len(rows) == 6
+
+
+# --- r6 operator properties ----------------------------------------------
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=40),
+    st.integers(min_value=10, max_value=300),
+)
+def test_compaction_plan_invariants(spark, weights, target):
+    """For ANY weights/target: every item appears exactly once; keeps
+    are exactly the ≥target items; bins are contiguous from 0; and no
+    non-final bin is left under-filled while another bin exists (next-
+    fit never opens a bin before the previous crossed the target)."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.layout import compaction_plan
+
+    inv = spark.createDataFrame(
+        [(f"f{i}", w) for i, w in enumerate(weights)], "file string, w long"
+    )
+    plan = compaction_plan(inv, ["file"], "w", target).collect()
+    assert len(plan) == len(weights)
+    keeps = {r["file"] for r in plan if r["action"] == "keep"}
+    assert keeps == {f"f{i}" for i, w in enumerate(weights) if w >= target}
+    by_bin: dict[int, int] = {}
+    for r in plan:
+        if r["action"] == "compact":
+            by_bin[r["bin"]] = by_bin.get(r["bin"], 0) + r["w"]
+    if by_bin:
+        bins = sorted(by_bin)
+        assert bins == list(range(len(bins)))
+        for b in bins[:-1]:
+            assert by_bin[b] + max(w for w in weights if w < target) > target
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=200,
+        unique=True,
+    )
+)
+def test_kmv_merge_associative_and_bounded(spark, vals):
+    """Any split of the input: merge(sketch(A), sketch(B)) ==
+    sketch(A∪B); sketch size ≤ k; estimate exact below k."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 32
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    a = kmv_sketch(df.filter("v % 2 = 0"), "v", k=k)
+    b = kmv_sketch(df.filter("v % 2 = 1"), "v", k=k)
+    full = kmv_sketch(df, "v", k=k)
+    assert sorted(map(tuple, kmv_merge(a, b, None, k).collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert full.count() <= k
+    if len(vals) < k:
+        est = kmv_estimate(full, None, k).collect()[0]["approx_distinct"]
+        assert est == len(vals)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),
+            st.sampled_from(["A", "B", "C"]),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_scd2_sequential_batches_reconstruct_history(spark, updates):
+    """Applying per-timestamp batches in order yields a history whose
+    as-of view at every step equals the naive last-write-wins state."""
+    import datetime as dt
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.scd import (
+        scd2_apply,
+        scd2_as_of,
+    )
+
+    dim = spark.createDataFrame([], "k long, seg string, valid_from date, valid_to date")
+    state: dict[int, str] = {}
+    for step, (kk, seg) in enumerate(updates):
+        eff = dt.date(2000 + step, 1, 1)
+        batch = spark.createDataFrame(
+            [(kk, seg, eff)], "k long, seg string, eff_ts date"
+        )
+        # materialize per apply: chained lazy applies reference the
+        # previous history twice each (the pipeline double-reference
+        # class) — exactly how a real maintainer persists the table
+        # between batches
+        dim = scd2_apply(dim, batch, ["k"], ["seg"]).localCheckpoint(
+            eager=True
+        )
+        state[kk] = seg
+        got = {
+            r["k"]: r["seg"] for r in scd2_as_of(dim, eff).collect()
+        }
+        assert got == state, (step, got, state)
