@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "incremental_rollup",
     "upsert_merge_docs",
     "top_parts_per_nation",
+    "shipping_priority",
+    "returned_top_customers",
     "revenue_rollup",
     "order_status_pivot",
     "json_props_stats",

@@ -922,3 +922,83 @@ def cohort_retention(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped unshipped-revenue top-k (adapted: this testdata
+    carries no o_shippriority column): for one market segment, the 10
+    orders placed before the cutoff with the highest revenue from items
+    shipping after it. Plan: customer filter broadcasts into orders,
+    that join broadcasts into lineitem's scan-stage date filter, partial
+    agg on l_orderkey, TakeOrderedAndProject top-10 — the fact is
+    scanned once and shuffled only by the 10-ish surviving groups'
+    aggregation."""
+    cutoff = "1997-01-01"
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = widen(load_table(spark, sf_dir, "lineitem")).filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey,
+                ).select("o_orderkey", "o_orderdate")
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    MONEY
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report: top-20 customers by
+    revenue of 'R'-flagged items on orders from one quarter, with their
+    nation. Dims broadcast; one partial-agged shuffle on c_custkey."""
+    lo, hi = "1996-01-01", "1996-04-01"
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    )
+    li = widen(load_table(spark, sf_dir, "lineitem")).filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    MONEY
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

@@ -1258,6 +1258,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_part_pairs": _q_triangle_part_pairs,
     "scd2_customer_history": _q_scd2_customer_history,
     "int8_cosine_topk": _q_int8_cosine_topk,
+    "shipping_priority": R.shipping_priority,
+    "returned_top_customers": R.returned_top_customers,
     "revenue_rollup": R.revenue_rollup,
     "order_status_pivot": R.order_status_pivot,
     "json_props_stats": R.json_props_stats,
@@ -1314,6 +1316,32 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
 ORDER BY r_name, n_name
+"""
+
+    o["shipping_priority"] = f"""
+SELECT l_orderkey,
+  CAST(o_orderdate AS DATE) AS o_orderdate,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {_MONEY})) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+"""
+
+    o["returned_top_customers"] = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {_MONEY})) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
     o["incremental_events"] = """
