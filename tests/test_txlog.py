@@ -168,3 +168,45 @@ def test_tx_merge_empty_table_and_full_overlap(spark, tmp_path):
     tx_merge(spark, p, spark.createDataFrame([(2, 99)], "k long, v long"), "k")
     got = {r["k"]: r["v"] for r in tx_read(spark, p).collect()}
     assert got == {1: 10, 2: 99}
+
+
+def test_tx_changes_cdc_between_versions(spark, tmp_path):
+    """Version-diff CDC: inserts/updates/deletes between any two
+    versions, computed from the manifests' symmetric difference only —
+    a carried-over file never contributes (and never gets read)."""
+    from pyspark.sql import functions as F
+
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.txlog import tx_changes, tx_merge
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    for lo in (0, 100):
+        tx_append(
+            spark.range(lo, lo + 100)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1),
+            p,
+        )
+    # v2: merge updates key 150 and inserts key 999 (touches ONE file)
+    tx_merge(
+        spark,
+        p,
+        spark.createDataFrame([(150, -1), (999, -2)], "k long, v long"),
+        "k",
+    )
+    ch = {
+        r["k"]: r["change"] for r in tx_changes(spark, p, 1, 2, "k").collect()
+    }
+    assert ch == {150: "update", 999: "insert"}
+    # overwrite → everything old deleted, new inserted
+    tx_overwrite(
+        spark.createDataFrame([(1, 1), (150, 5)], "k long, v long"), p
+    )
+    ch2 = {
+        r["k"]: r["change"] for r in tx_changes(spark, p, 2, 3, "k").collect()
+    }
+    assert ch2[999] == "delete"
+    assert ch2[1] == "update" and ch2[150] == "update"  # both exist in v2
+    assert sum(1 for c in ch2.values() if c == "delete") == 199  # 201 - 2 survivors
+    # same version → empty
+    assert tx_changes(spark, p, 3, 3, "k").count() == 0
