@@ -341,3 +341,32 @@ def read_csv_corpus(
         .option("enforceSchema", "true")
         .csv(path)
     )
+
+
+def write_columnar(
+    df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None
+) -> None:
+    """Columnar interchange writer: parquet (default) or ORC — both
+    ship in Spark with footer statistics, predicate pushdown, and
+    column pruning, so every scan-shape argument in this repo holds for
+    either. ORC matters when the downstream warehouse (Hive/Trino
+    deployments) is ORC-native; the engine treats the format as a sink
+    property, never a semantic one."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar format: {fmt}")
+    w = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_columnar(
+    spark: SparkSession, path: str, schema: StructType | str, fmt: str = "parquet"
+) -> DataFrame:
+    """Schema-enforced columnar read (same declared-schema posture as
+    every reader here — inference is a full extra pass at 100 TB)."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar format: {fmt}")
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    return spark.read.schema(schema).format(fmt).load(path)

@@ -736,3 +736,29 @@ def test_read_csv_corpus_quarantines_bad_rows(spark, tmp_path):
     }
     raw = sorted(r["raw_line"] for r in bad.collect())
     assert raw == ["2,not_a_number,beta", "4,0.75"]
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC round trip: schema-enforced read returns identical rows and
+    the filter reaches the ORC scan as a pushed predicate (the same
+    scan contract the parquet paths pin)."""
+    from djangoadmin_postgresql_2_elasticseach_spark.plans.tuning import plan_string
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.corpus_io import (
+        read_columnar,
+        write_columnar,
+    )
+
+    p = str(tmp_path / "t.orc")
+    df = spark.range(1000).selectExpr("id as k", "cast(id % 7 as string) s")
+    write_columnar(df, p, fmt="orc")
+    back = read_columnar(spark, p, "k long, s string", fmt="orc")
+    assert back.count() == 1000
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    plan = plan_string(back.filter("k > 900"))
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,900)]" in plan or (
+        "GreaterThan(k,900)" in plan
+    ), plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        write_columnar(df, p, fmt="avro")
