@@ -703,3 +703,63 @@ def test_scd2_sequential_batches_reconstruct_history(spark, updates):
             r["k"]: r["seg"] for r in scd2_as_of(dim, eff).collect()
         }
         assert got == state, (step, got, state)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.sets(st.integers(min_value=0, max_value=100_000), min_size=1, max_size=60),
+    st.sets(st.integers(min_value=0, max_value=100_000), min_size=1, max_size=60),
+)
+def test_bloom_never_false_negative(spark, dim_keys, fact_keys):
+    """For ANY dim/fact key sets: every true member passes the bloom,
+    and the exact semi-join equals the plain semi-join."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+        bloom_semi_join,
+    )
+
+    dim = spark.createDataFrame([(k,) for k in dim_keys], "k long")
+    fact = spark.createDataFrame([(k,) for k in fact_keys], "k long")
+    passed = {
+        r["k"] for r in bloom_prune(fact, bloom_build(dim, "k", 1 << 12, 3), "k", 1 << 12, 3).collect()
+    }
+    assert (dim_keys & fact_keys) <= passed
+    exact = {r["k"] for r in bloom_semi_join(fact, dim, "k", "k", 1 << 12, 3).collect()}
+    assert exact == (dim_keys & fact_keys)
+
+
+_lk_words = st.text(alphabet="abcxyz0", min_size=0, max_size=8)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_lk_words, min_size=2, max_size=10, unique=True))
+def test_fuzzy_join_complete_for_random_strings(spark, names):
+    """Symmetric-delete blocking finds EXACTLY the levenshtein-≤1 pairs
+    for arbitrary short strings (incl. empty strings and repeats-heavy
+    alphabets that stress the canonical-deletion run filter)."""
+    import itertools
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.linkage import (
+        fuzzy_self_pairs,
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_self_pairs(df, "id", "name", 1).collect()
+    }
+    want = {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want, (names, got, want)
