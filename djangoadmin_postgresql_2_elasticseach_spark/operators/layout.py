@@ -315,14 +315,19 @@ def zorder_maintain(
 
     Only binned files are ever read or written — O(small-file bytes),
     not table size. New files land under the same directory with a
-    ``zc-<bin>`` prefix before the old small files are deleted (crash
-    between write and delete leaves duplicates, the same residual
-    window as the additive rollup — sources/txlog.py's atomic manifest
-    commit closes it: see tx_compact; documented trade here). Returns {files_before, files_after,
-    bins_written}.
+    run-unique ``zc-<run>-<bin>`` name before the old small files are
+    deleted — unique names mean a repeat run whose plan picks up a
+    prior run's still-small ``zc-*`` output can never overwrite an
+    unread input or have the cleanup loop delete a freshly written bin
+    (the planned-delete set is asserted disjoint from the new output
+    names). Crash between write and delete leaves duplicates, the same
+    residual window as the additive rollup — sources/txlog.py's atomic
+    manifest commit closes it: see tx_compact; documented trade here.
+    Returns {files_before, files_after, bins_written}.
     """
     import os
     import shutil
+    import uuid
 
     plan = plan_file_compaction(spark, path, target_bytes).collect()
     binned = [r for r in plan if r["action"] == "compact"]
@@ -333,8 +338,15 @@ def zorder_maintain(
     bins: dict[int, list[str]] = {}
     for r in binned:
         bins.setdefault(int(r["bin"]), []).append(r["file"])
+    run_id = uuid.uuid4().hex[:12]
+    delete_set = {f for files in bins.values() for f in files}
     tmp = os.path.join(path, "_zc_tmp")
     for b, files in sorted(bins.items()):
+        out_name = f"zc-{run_id}-{b}.parquet"
+        assert out_name not in delete_set, (
+            f"compaction output {out_name} collides with a planned-delete "
+            "input; refusing to overwrite"
+        )
         df = spark.read.parquet(*[os.path.join(path, f) for f in files])
         keyed = zorder_key(df, cols, bits)
         (
@@ -346,7 +358,7 @@ def zorder_maintain(
         )
         part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
         os.replace(
-            os.path.join(tmp, part), os.path.join(path, f"zc-{b}.parquet")
+            os.path.join(tmp, part), os.path.join(path, out_name)
         )
     shutil.rmtree(tmp, ignore_errors=True)
     for files in bins.values():

@@ -119,18 +119,38 @@ class TxLog:
 
     # -- maintenance --------------------------------------------------
 
-    def vacuum(self) -> int:
+    def vacuum(self, retention_sec: float = 600.0) -> int:
         """Delete data files not referenced by ANY version (orphans
         from crashed writers). Time travel keeps every committed file
-        alive; expire old versions first to reclaim more."""
+        alive; expire old versions first to reclaim more.
+
+        ``retention_sec`` is the Delta-style VACUUM retention window:
+        unreferenced files YOUNGER than it are skipped, because
+        ``_write_data_files`` publishes data files into the table dir
+        BEFORE the manifest commit — a vacuum racing an in-flight
+        append/merge would otherwise delete files the writer is about
+        to commit, corrupting the next manifest (references to missing
+        files), not just reclaiming orphans. Pass 0 only when no writer
+        can be live (tests)."""
+        import time
+
         live: set[str] = set()
         for v in self.versions():
             live |= set(self._manifest(v)["files"])
+        now = time.time()
         removed = 0
         for f in os.listdir(self.path):
-            if f.endswith(".parquet") and f not in live:
-                os.remove(os.path.join(self.path, f))
-                removed += 1
+            if not f.endswith(".parquet") or f in live:
+                continue
+            full = os.path.join(self.path, f)
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue  # concurrently removed/committed — leave it
+            if age < retention_sec:
+                continue  # possibly an in-flight writer's file
+            os.remove(full)
+            removed += 1
         return removed
 
 

@@ -45,9 +45,32 @@ def test_uncommitted_files_invisible(spark, tmp_path):
     )
     assert all(os.path.exists(os.path.join(p, f)) for f in orphans)
     assert tx_read(spark, p).count() == 10  # snapshot unchanged
-    removed = TxLog(p).vacuum()
+    removed = TxLog(p).vacuum(retention_sec=0)
     assert removed == len(orphans)
     assert tx_read(spark, p).count() == 10
+
+
+def test_vacuum_retention_protects_inflight_writer(spark, tmp_path):
+    """A default-retention vacuum racing an in-flight writer must NOT
+    delete its just-published (not yet committed) data files: the
+    writer's subsequent commit has to reference files that still
+    exist. Fresh orphans survive the default window; only an explicit
+    zero-retention vacuum (safe when no writer is live) reclaims."""
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.txlog import _write_data_files
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    tx_overwrite(spark.range(10).withColumnRenamed("id", "k"), p)
+    log = TxLog(p)
+    # in-flight writer: files published, manifest commit not yet done
+    names = _write_data_files(
+        spark.range(100, 120).withColumnRenamed("id", "k"), p
+    )
+    assert log.vacuum() == 0  # default retention skips young files
+    assert all(os.path.exists(os.path.join(p, f)) for f in names)
+    # the writer's commit now succeeds against intact files
+    log.commit(log.snapshot() + names, "append", log.latest_version())
+    assert tx_read(spark, p).count() == 30
 
 
 def test_commit_conflict_and_append_retry(spark, tmp_path):
