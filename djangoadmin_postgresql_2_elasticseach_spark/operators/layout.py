@@ -319,8 +319,12 @@ def zorder_maintain(
     deleted — unique names mean a repeat run whose plan picks up a
     prior run's still-small ``zc-*`` output can never overwrite an
     unread input or have the cleanup loop delete a freshly written bin
-    (the planned-delete set is asserted disjoint from the new output
-    names). Crash between write and delete leaves duplicates, the same
+    (the planned-delete set is checked disjoint from the new output
+    names — a hard error, not an assert). Concurrent maintenance runs
+    on the same path remain unsupported (each run's cleanup can delete
+    small files the other's plan selected as inputs); tx_compact on a
+    TxLog table is the concurrent-safe path.
+    Crash between write and delete leaves duplicates, the same
     residual window as the additive rollup — sources/txlog.py's atomic
     manifest commit closes it: see tx_compact; documented trade here.
     Returns {files_before, files_after, bins_written}.
@@ -340,13 +344,17 @@ def zorder_maintain(
         bins.setdefault(int(r["bin"]), []).append(r["file"])
     run_id = uuid.uuid4().hex[:12]
     delete_set = {f for files in bins.values() for f in files}
-    tmp = os.path.join(path, "_zc_tmp")
+    # staging dir is run-unique too: a fixed name would let two
+    # CONCURRENT maintenance runs clobber each other's staged bin
+    # (mode=overwrite) and delete files the other planned to read
+    tmp = os.path.join(path, f"_zc_tmp_{run_id}")
     for b, files in sorted(bins.items()):
         out_name = f"zc-{run_id}-{b}.parquet"
-        assert out_name not in delete_set, (
-            f"compaction output {out_name} collides with a planned-delete "
-            "input; refusing to overwrite"
-        )
+        if out_name in delete_set:  # not assert: must survive python -O
+            raise RuntimeError(
+                f"compaction output {out_name} collides with a "
+                "planned-delete input; refusing to overwrite"
+            )
         df = spark.read.parquet(*[os.path.join(path, f) for f in files])
         keyed = zorder_key(df, cols, bits)
         (

@@ -150,12 +150,19 @@ def fuzzy_join(
     lv = _exploded_variants(spread(left), left_col, max_dist)
     rv = _exploded_variants(spread(right), right_col, max_dist)
     if max_bucket is not None:
-        hot = (
-            lv.groupBy("_var")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket)
-            .select("_var")
-        )
+        # hot buckets are judged PER SIDE then unioned: a variant hot
+        # only on the right would otherwise never be capped and the
+        # skew guard would not bound right-heavy buckets (join fan-out
+        # is |left bucket| x |right bucket| — either side can blow it)
+        def _hot(v):
+            return (
+                v.groupBy("_var")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > max_bucket)
+                .select("_var")
+            )
+
+        hot = _hot(lv).unionByName(_hot(rv)).distinct()
         lv = lv.join(F.broadcast(hot), "_var", "left_anti")
         rv = rv.join(F.broadcast(hot), "_var", "left_anti")
     cand = lv.join(rv, "_var")

@@ -460,14 +460,31 @@ def histogram_quantiles(
     )
     q = F.explode(F.array(*[F.lit(float(x)) for x in qs])).alias("q")
     hit = cum.select(*group_cols, "bucket", "cnt", "cum_before", "total", q)
-    # the target rank q*total falls inside this bucket
+    # the target rank q*total falls inside this bucket; q=0 is special-
+    # cased to the first NON-EMPTY bucket (cum_before=0, cnt>0) — the
+    # strict `<` would otherwise never hit and a requested 0-quantile
+    # would silently yield no row instead of the minimum estimate
+    is_zero = F.col("q") == 0.0
     hit = hit.filter(
-        (F.col("cum_before") < F.col("q") * F.col("total"))
-        & (F.col("cum_before") + F.col("cnt") >= F.col("q") * F.col("total"))
+        F.when(
+            is_zero,
+            (F.col("cum_before") == 0) & (F.col("cnt") > 0),
+        ).otherwise(
+            (F.col("cum_before") < F.col("q") * F.col("total"))
+            & (
+                F.col("cum_before") + F.col("cnt")
+                >= F.col("q") * F.col("total")
+            )
+        )
     )
     est = (
         F.lit(lo)
-        + (
+        + F.when(
+            is_zero,
+            # minimum estimate: the lower edge of the first occupied
+            # bucket (grouped-data convention for the 0-quantile)
+            F.col("bucket").cast("double"),
+        ).otherwise(
             F.col("bucket").cast("double")
             + (F.col("q") * F.col("total") - F.col("cum_before"))
             / F.col("cnt")

@@ -119,7 +119,7 @@ class TxLog:
 
     # -- maintenance --------------------------------------------------
 
-    def vacuum(self, retention_sec: float = 600.0) -> int:
+    def vacuum(self, retention_sec: float = 6 * 3600.0) -> int:
         """Delete data files not referenced by ANY version (orphans
         from crashed writers). Time travel keeps every committed file
         alive; expire old versions first to reclaim more.
@@ -130,8 +130,14 @@ class TxLog:
         BEFORE the manifest commit — a vacuum racing an in-flight
         append/merge would otherwise delete files the writer is about
         to commit, corrupting the next manifest (references to missing
-        files), not just reclaiming orphans. Pass 0 only when no writer
-        can be live (tests)."""
+        files), not just reclaiming orphans. The default is 6 HOURS,
+        not minutes: ``os.replace`` preserves the write-time mtime, so
+        retention must exceed the longest possible write-to-commit
+        latency of ANY writer (a huge append whose commit — including
+        conflict retries — lands long after its first files were
+        published). Delta's default is 7 days for the same reason;
+        size retention to your slowest writer, never below it. Pass 0
+        only when no writer can be live (tests)."""
         import time
 
         live: set[str] = set()

@@ -100,3 +100,23 @@ def test_stop_bucket_guard_drops_hot_variant(spark):
     }
     assert all(p[0] != 0 or p[1] != 200 for p in capped)  # hot pair gone
     assert (100, 201) in capped  # cold pair survives
+
+
+def test_stop_bucket_guard_caps_right_hot_variant(spark):
+    """A variant bucket hot only on the RIGHT side is capped too — the
+    guard bounds join fan-out from either side, not just the left."""
+    left = spark.createDataFrame(
+        [(0, "aa"), (100, "zzzz")], "id long, name string"
+    )
+    right = spark.createDataFrame(
+        [(200 + i, "ab") for i in range(50)] + [(300, "zzzz")],
+        "id long, name string",
+    )
+    l2 = left.withColumnRenamed("name", "lname").withColumnRenamed("id", "lid")
+    r2 = right.withColumnRenamed("name", "rname").withColumnRenamed("id", "rid")
+    capped = {
+        (r["lid"], r["rid"])
+        for r in fuzzy_join(l2, r2, "lname", "rname", 1, max_bucket=10).collect()
+    }
+    assert all(p[0] != 0 for p in capped)  # right-hot 'ab' pairs gone
+    assert (100, 300) in capped  # cold pair survives

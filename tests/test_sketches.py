@@ -302,3 +302,30 @@ def test_histogram_clamps_out_of_range(spark):
     assert rows[0] == 2          # -50 clamped + 0.5
     assert rows[9] == 2          # 99 + 1e9 clamped
     assert sum(rows.values()) == 4  # NULL dropped
+
+
+def test_histogram_quantiles_zero_quantile(spark):
+    """q=0.0 yields the minimum-bucket estimate (first occupied bucket's
+    lower edge) instead of silently emitting no row."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id").cast("double") / 2.0 + 100.0).alias("v"),
+    )
+    sk = histogram_sketch(df, "v", ["g"], lo=0.0, hi=1000.0, bins=100)
+    got = {
+        (r["g"], r["q"]): r["est"]
+        for r in histogram_quantiles(
+            sk, [0.0, 0.5], ["g"], lo=0.0, hi=1000.0, bins=100
+        ).collect()
+    }
+    width = 1000.0 / 100
+    # every (group, q) pair present — q=0 no longer drops rows
+    assert set(got) == {("0", 0.0), ("0", 0.5), ("1", 0.0), ("1", 0.5)}
+    exact_min = {r["g"]: r["m"] for r in df.groupBy("g").agg(F.min("v").alias("m")).collect()}
+    for g, m in exact_min.items():
+        assert abs(got[(g, 0.0)] - m) <= width + 1e-9, (g, got[(g, 0.0)], m)
