@@ -520,22 +520,33 @@ def dedup_clusters(
     loop still does all the work while the graph is big. Pass
     ``local_finish_edges=0`` to force the pure distributed fixed point.
     """
+    # Materialize the slim pair projection ONCE before deriving nodes
+    # and edges: both are checkpoints, and checkpointing each straight
+    # off the lazy `pairs` would execute the ENTIRE upstream
+    # pair-generation plan (minhash shingling + LSH join for the usual
+    # caller) twice — measured ~2.8 s doubled at sf0.1. nodes/edges
+    # then re-scan only the materialized slim frame, and the base
+    # blocks are freed as soon as both land.
+    base = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).localCheckpoint(eager=True)
     nodes = (
-        pairs.select(F.col(id_a).alias("node"))
-        .unionByName(pairs.select(F.col(id_b).alias("node")))
+        base.select(F.col("a").alias("node"))
+        .unionByName(base.select(F.col("b").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
     # canonical undirected edges (u > v), self-loops dropped
     edges = (
-        pairs.select(
-            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
-            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        base.select(
+            F.greatest(F.col("a"), F.col("b")).alias("u"),
+            F.least(F.col("a"), F.col("b")).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    free_local_checkpoint(base)
 
     def _large_star(e: DataFrame) -> DataFrame:
         # directed both ways, group by u: m = min(neighbors ∪ self);
