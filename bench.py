@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "skew_safe_distinct_users",
     "incremental_rollup",
     "upsert_merge_docs",
+    "admin_save_docs",
     "top_parts_per_nation",
     "shipping_priority",
     "returned_top_customers",

@@ -978,6 +978,41 @@ def _q_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ADMIN_SAVE_NOW = "2024-06-01 12:00:00"
+
+
+def _q_admin_save_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admin form-save merge (operators/admin_write.admin_save —
+    reference models.py:9-13 auto_now/auto_now_add, admin.py form
+    semantics): documents get synthetic audit columns, an edit batch
+    relabels every 7th doc's lang (partial-column update: modified
+    stamped, created kept) and inserts a fresh row per 131st doc id
+    (both audit columns stamped, unsubmitted columns NULL). The oracle
+    derives the same end state as a declarative full-outer merge."""
+    from .operators.admin_write import admin_save
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    base = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        t0.alias("created"), t0.alias("modified"),
+    )
+    edits = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.lit("xx").alias("lang"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 131 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.lit("new").alias("lang"),
+            )
+        )
+    )
+    return admin_save(
+        base, edits, pk="doc_id", now=ADMIN_SAVE_NOW,
+        choices={"lang": ["xx", "new"]},
+    )
+
+
 def _q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each event enriched with the user's latest purchase at-or-before
     it (ties within one (user, ts) resolved to the max event_id before
@@ -1269,6 +1304,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_knn_join": _q_knn_join,
     "label_centroids": _q_label_centroids,
     "match_phrase": _q_match_phrase,
+    # admin write path (r8)
+    "admin_save_docs": _q_admin_save_docs,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -3380,6 +3417,31 @@ SELECT doc_id,
        md5(CASE WHEN doc_id % 7 = 0 THEN 'UPDATED:' || text ELSE text END)
          AS text_md5
 FROM documents
+"""
+
+    # admin form-save merge: full-outer derivation of the same end
+    # state (update wins on match + audit stamping; insert elsewhere)
+    o["admin_save_docs"] = f"""
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars,
+         TIMESTAMP '2024-01-01 00:00:00' AS created,
+         TIMESTAMP '2024-01-01 00:00:00' AS modified
+  FROM documents
+), edits AS (
+  SELECT doc_id, 'xx' AS lang FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'new' AS lang
+  FROM documents WHERE doc_id % 131 = 0
+)
+SELECT COALESCE(b.doc_id, e.doc_id) AS doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN e.lang ELSE b.lang END AS lang,
+       b.source AS source,
+       b.n_chars AS n_chars,
+       CASE WHEN b.doc_id IS NULL
+            THEN TIMESTAMP '{ADMIN_SAVE_NOW}' ELSE b.created END AS created,
+       CASE WHEN e.doc_id IS NOT NULL
+            THEN TIMESTAMP '{ADMIN_SAVE_NOW}' ELSE b.modified END AS modified
+FROM base b FULL OUTER JOIN edits e ON b.doc_id = e.doc_id
 """
 
     return o
