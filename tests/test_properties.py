@@ -763,3 +763,84 @@ def test_fuzzy_join_complete_for_random_strings(spark, names):
         if lev(a, b) <= 1
     }
     assert got == want, (names, got, want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),        # pk (overlaps table's 0..7)
+            st.one_of(st.none(), st.sampled_from("abc")),  # name edit (None = clear)
+            st.booleans(),                                 # edit name?
+            st.booleans(),                                 # edit score?
+            st.one_of(st.none(), st.floats(0, 100)),       # score edit
+        ),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_admin_save_matches_reference_model(spark, batch):
+    """admin_save against a driver-side reference model: for ANY edit
+    batch — arbitrary overlap of known/new PKs, any per-row subset of
+    edited columns (modelled as the batch's column set), NULL clears —
+    the merged table equals the row-by-row Django-save simulation:
+    submitted values win verbatim, created is stamped only on insert,
+    modified on every save, untouched rows are byte-identical."""
+    import datetime as _dt
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.admin_write import admin_save
+
+    t0 = _dt.datetime(2024, 1, 1)
+    now = _dt.datetime(2024, 6, 1, 12)
+    base = {
+        i: {"id": i, "name": f"n{i}", "score": float(i), "created": t0, "modified": t0}
+        for i in range(8)
+    }
+    table = spark.createDataFrame(
+        list(map(lambda d: tuple(d.values()), base.values())),
+        "id long, name string, score double, created timestamp, modified timestamp",
+    )
+    # the batch's edited-column set is uniform (a form has one field set)
+    edit_name = any(b[2] for b in batch)
+    edit_score = any(b[3] for b in batch)
+    cols = ["id"] + (["name"] if edit_name else []) + (["score"] if edit_score else [])
+    rows = [
+        tuple(
+            [pk]
+            + ([nm] if edit_name else [])
+            + ([sc] if edit_score else [])
+        )
+        for pk, nm, _, _, sc in batch
+    ]
+    schema = ", ".join(
+        {"id": "id long", "name": "name string", "score": "score double"}[c]
+        for c in cols
+    )
+    edits = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+
+    # driver-side reference: dict-merge per Django save semantics
+    expect = {k: dict(v) for k, v in base.items()}
+    for pk, nm, _, _, sc in batch:
+        vals = {}
+        if edit_name:
+            vals["name"] = nm
+        if edit_score:
+            vals["score"] = sc
+        if pk in expect:
+            expect[pk].update(vals)
+            expect[pk]["modified"] = now
+        else:
+            expect[pk] = {
+                "id": pk,
+                "name": vals.get("name"),
+                "score": vals.get("score"),
+                "created": now,
+                "modified": now,
+            }
+
+    got = {
+        r["id"]: r.asDict()
+        for r in admin_save(table, edits, pk="id", now=now).collect()
+    }
+    assert got == expect
