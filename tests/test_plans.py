@@ -396,3 +396,15 @@ def test_kmv_sketch_rank_limit_pushdown(spark):
     assert "WindowGroupLimit" in plan, plan
     # partial (pre-shuffle) instance present, not just the final one
     assert "Partial" in plan.split("Exchange", 1)[-1], plan
+
+
+def test_admin_save_never_shuffles_the_table(spark):
+    """The admin form-save merge must stay all-broadcast: the edit
+    batch is form-sized, so a shuffle of the entity table (SortMergeJoin
+    or a hashpartitioning Exchange) would mean the merge re-partitions
+    100 TB to apply a 10-row edit."""
+    df = registry.QUERIES["admin_save_docs"](spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # update + semi + anti
