@@ -30,11 +30,20 @@ from pyspark.sql import DataFrame
 
 
 def _bulk_lines(
-    rows: Iterable[dict], index: str, id_field: str
+    rows: Iterable[dict], index: str, id_field: str, action: str = "index"
 ) -> Iterator[str]:
-    """Yield ES bulk NDJSON action/doc line pairs (reference etl/main.py:165-167)."""
+    """Yield ES bulk NDJSON lines (reference etl/main.py:165-167):
+    ``index`` emits action/doc pairs; ``delete`` emits the bare action
+    line (the bulk API's delete carries no source)."""
     for row in rows:
         doc = {k: v for k, v in row.items()}
+        if action == "delete":
+            yield json.dumps(
+                {"delete": {"_index": index, "_id": str(doc[id_field])}},
+                ensure_ascii=False,
+                default=str,
+            )
+            continue
         yield json.dumps(
             {"index": {"_index": index, "_id": str(doc[id_field])}},
             ensure_ascii=False,
@@ -52,15 +61,21 @@ def write_bulk(
     spool_dir: str | None = None,
     max_retries: int = 5,
     backoff_base: float = 0.5,
+    action: str = "index",
 ) -> None:
     """Deliver ``df`` as ES bulk payloads, one stream per partition.
 
     Executor-side only; no data returns to the driver. With
     ``transport=None`` each partition spools its payloads to
     ``spool_dir/part-<uuid>.ndjson`` (test/file mode).
+    ``action='delete'`` emits bulk delete actions instead of index
+    pairs (df then only needs ``id_field``).
     """
     if transport is None and spool_dir is None:
         raise ValueError("need transport or spool_dir")
+    if action not in ("index", "delete"):
+        raise ValueError(f"unknown bulk action {action!r}")
+    lines_per_doc = 1 if action == "delete" else 2
 
     def handle_partition(it):
         buf: list[str] = []
@@ -88,13 +103,13 @@ def write_bulk(
             buf.clear()
 
         rows = (r.asDict(recursive=True) for r in it)
-        n_docs = 0
-        for pair in _bulk_lines(rows, index, id_field):
-            buf.append(pair)
-            n_docs += 1
-            if n_docs >= 2 * batch_size:
+        n_lines = 0
+        for line in _bulk_lines(rows, index, id_field, action):
+            buf.append(line)
+            n_lines += 1
+            if n_lines >= lines_per_doc * batch_size:
                 flush()
-                n_docs = 0
+                n_lines = 0
         flush()
 
     df.foreachPartition(handle_partition)
@@ -106,3 +121,33 @@ def bootstrap_index_settings(settings_path: str) -> dict:
     parsed body; the caller PUTs it to the cluster out-of-band."""
     with open(settings_path, "r", encoding="utf-8") as f:
         return json.load(f)
+
+
+def write_bulk_cdc(
+    changes: DataFrame,
+    snapshot: DataFrame,
+    index: str,
+    key: str,
+    change_col: str = "change",
+    **bulk_kw,
+) -> None:
+    """Index maintenance driven by CDC output (``txlog.tx_changes``):
+    inserts/updates re-deliver the key's CURRENT doc from ``snapshot``
+    (index-by-``_id`` is an upsert — reference etl/main.py:163-169), and
+    deletes emit bulk delete actions, which the reference's insert-only
+    loop cannot express.
+
+    Scale shape: ``changes`` is CDC-sized (tx_changes reads only the
+    manifests' symmetric-difference files), so it broadcasts into a
+    semi-join against the snapshot — the table is scanned once and
+    never shuffled; at 100 TB a small merge's re-index touches the few
+    rewritten files' keys only. ``bulk_kw`` forwards to write_bulk
+    (batch_size / transport / spool_dir / retries).
+    """
+    from pyspark.sql import functions as F
+
+    upserted = changes.filter(F.col(change_col) != "delete").select(key)
+    docs = snapshot.join(F.broadcast(upserted), key, "left_semi")
+    write_bulk(docs, index, id_field=key, **bulk_kw)
+    deletes = changes.filter(F.col(change_col) == "delete").select(key)
+    write_bulk(deletes, index, id_field=key, action="delete", **bulk_kw)

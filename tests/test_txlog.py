@@ -233,3 +233,74 @@ def test_tx_changes_cdc_between_versions(spark, tmp_path):
     assert sum(1 for c in ch2.values() if c == "delete") == 199  # 201 - 2 survivors
     # same version → empty
     assert tx_changes(spark, p, 3, 3, "k").count() == 0
+
+
+def test_cdc_drives_es_index_maintenance(spark, tmp_path):
+    """tx_changes → write_bulk_cdc end-to-end: the transactional
+    analogue of the reference's poll-and-reindex loop. After a merge
+    (update + insert) and an overwrite-driven delete, the bulk spool
+    must contain exactly the changed keys — updated docs carry their
+    NEW content, deleted keys appear as bulk delete actions (which the
+    reference's insert-only loop cannot express), untouched keys are
+    absent."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.es_sink import write_bulk_cdc
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.txlog import (
+        tx_changes,
+        tx_merge,
+        tx_overwrite,
+        tx_read,
+    )
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    tx_append(
+        spark.range(0, 50)
+        .select(F.col("id").alias("k"), F.concat(F.lit("doc"), F.col("id")).alias("body"))
+        .coalesce(1),
+        p,
+    )
+    # v1: update k=7, insert k=999
+    tx_merge(
+        spark, p,
+        spark.createDataFrame([(7, "EDITED"), (999, "NEW")], "k long, body string"),
+        "k",
+    )
+    # v2: drop k=3 (overwrite without it)
+    tx_overwrite(
+        tx_read(spark, p).filter(F.col("k") != 3), p
+    )
+
+    spool = str(tmp_path / "spool")
+    changes = tx_changes(spark, p, 0, 2, "k")
+    write_bulk_cdc(
+        changes, tx_read(spark, p), "movies", "k", spool_dir=spool
+    )
+
+    actions: dict[str, set] = {"index": set(), "delete": set()}
+    docs: dict[str, dict] = {}
+    pending = None
+    lines = []
+    for fn in sorted(os.listdir(spool)):
+        with open(os.path.join(spool, fn), encoding="utf-8") as f:
+            lines += [l for l in f.read().splitlines() if l]
+    for line in lines:
+        obj = _json.loads(line)
+        if "index" in obj and set(obj) == {"index"}:
+            pending = obj["index"]["_id"]
+            actions["index"].add(pending)
+        elif "delete" in obj and set(obj) == {"delete"}:
+            actions["delete"].add(obj["delete"]["_id"])
+        else:
+            docs[pending] = obj
+    # the overwrite rewrote every file, so key 7/999's docs re-deliver
+    # alongside it — but 3 must be a delete and carry NO doc, and the
+    # updated key's delivered body must be the new content
+    assert actions["delete"] == {"3"}
+    assert "3" not in docs
+    assert {"7", "999"} <= actions["index"]
+    assert docs["7"]["body"] == "EDITED"
+    assert docs["999"]["body"] == "NEW"
