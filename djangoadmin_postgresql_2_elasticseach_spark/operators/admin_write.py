@@ -75,6 +75,25 @@ def validate_edits(
         raise ValueError(f"admin_save validation failed: {bad}")
 
 
+def _check_pks(batch: DataFrame, pk: str) -> None:
+    """A save batch must carry one row per non-NULL PK: a duplicate
+    would FAN OUT the update join (silent row duplication in the merged
+    table) and a NULL PK would ghost-insert a keyless row — both are
+    caller bugs Django's form layer makes impossible, so they raise.
+    One aggregation over the (broadcast-sized) batch."""
+    row = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(pk).alias("n_pk"),
+        F.count_distinct(pk).alias("n_distinct"),
+    ).first()
+    if row["n_pk"] != row["n"]:
+        raise ValueError(f"{row['n'] - row['n_pk']} edit row(s) have NULL {pk}")
+    if row["n_distinct"] != row["n"]:
+        raise ValueError(
+            f"edit batch has {row['n'] - row['n_distinct']} duplicate {pk}(s)"
+        )
+
+
 def admin_save(
     table: DataFrame,
     edits: DataFrame,
@@ -113,6 +132,7 @@ def admin_save(
     unknown = set(edits.columns) - set(table.columns)
     if unknown:
         raise ValueError(f"edit columns {sorted(unknown)} not in table")
+    _check_pks(edits, pk)
     validate_edits(edits, validators, choices)
     now_lit = F.lit(now).cast("timestamp")
     edit_cols = [c for c in edits.columns if c != pk]
@@ -181,6 +201,7 @@ def admin_inline_save(
             raise ValueError("inline adds require an explicit `now`")
         if created_col in adds.columns:
             raise ValueError(f"{created_col} is stamped, never submitted")
+        _check_pks(adds, pk)
         clash = bridge.select(pk).join(
             F.broadcast(adds.select(pk)), pk, "left_semi"
         )

@@ -183,3 +183,23 @@ def test_edit_flows_into_incremental_etl(spark, tmp_path):
 
     n = run_tick()
     assert n == {"movies": 1, "genres": 0, "persons": 0}
+
+
+def test_duplicate_and_null_pks_rejected(spark, films):
+    dup = spark.createDataFrame(
+        [("f1", "A"), ("f1", "B")], "id string, title string"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        admin_save(films, dup, now=NOW)
+    nul = spark.createDataFrame([(None, "A")], "id string, title string")
+    with pytest.raises(ValueError, match="NULL id"):
+        admin_save(films, nul, now=NOW)
+
+
+def test_inline_duplicate_add_pks_rejected(spark, bridge):
+    adds = spark.createDataFrame(
+        [("b9", "f1", "g1"), ("b9", "f2", "g2")],
+        "id string, film_work_id string, genre_id string",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        admin_inline_save(bridge, adds=adds, now=NOW)
