@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "minhash_dedup_pairs",
     "incremental_minhash_dedup",
     "duplicated_passages",
+    "remove_dup_passages",
     "simhash",
     # corpus preparation
     "chunk_documents",

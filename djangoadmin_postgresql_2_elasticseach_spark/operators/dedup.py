@@ -341,6 +341,72 @@ def duplicated_passage_pairs(
     )
 
 
+def remove_duplicated_passages(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring passage REMOVAL (the rewrite complement of
+    duplicated_passage_pairs, after Lee et al. 2021's "Deduplicating
+    Training Data Makes Language Models Better"): every k-token gram
+    whose hash also occurs in a doc with a SMALLER id is removed from
+    this doc — the first occurrence in id order keeps the passage, all
+    repeats lose the covered tokens. Deterministic, so a repeated
+    boilerplate paragraph survives exactly once in the corpus.
+
+    Shape: tokenize → positional k-gram hashes → global min-doc per
+    gram (one shuffle on the 8-byte hash, map-side-combinable min) →
+    per-doc removable position set (second shuffle, on the doc id) →
+    array-level coverage rebuild. Document BODIES never shuffle — only
+    (id, pos, hash) triples; the rebuild is a JVM-side array
+    expression. Per-doc rebuild cost is O(tokens × removable-grams)
+    (worst case a fully-duplicated doc: O(T²) with T = doc tokens —
+    fine at document scale, the quadratic is per ROW, never per
+    corpus).
+
+    Output: (id, clean_text, n_tokens, n_removed). Docs under k tokens
+    are never touched (no grams).
+    """
+    from ..functions.text import gram_hashes, tokenize
+
+    tk = spread(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("sid"), tokenize(F.col(text_col)).alias("_tk")
+    )
+    grams = tk.select(
+        "sid", F.posexplode(gram_hashes(F.col("_tk"), k)).alias("pos", "gh")
+    )
+    gmin = grams.groupBy("gh").agg(F.min("sid").alias("_m"))
+    removable = (
+        grams.join(gmin, "gh")
+        .filter(F.col("_m") < F.col("sid"))
+        .groupBy("sid")
+        .agg(F.collect_set("pos").alias("_rp"))
+    )
+    rp = F.coalesce(F.col("_rp"), F.array().cast("array<int>"))
+    # sequence(a, b) counts DOWN when a > b — guard the empty-doc case
+    idx = F.when(
+        F.size("_tk") > 0, F.sequence(F.lit(0), F.size("_tk") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            rp, lambda p: (p <= i) & (i <= p + F.lit(k - 1))
+        ),
+    )
+    return (
+        tk.join(removable, "sid", "left")
+        .select(
+            F.col("sid").alias(id_col),
+            F.concat_ws(
+                " ", F.transform(kept, lambda i: F.get(F.col("_tk"), i))
+            ).alias("clean_text"),
+            F.size("_tk").alias("n_tokens"),
+            (F.size("_tk") - F.size(kept)).alias("n_removed"),
+        )
+    )
+
+
 def minhash_index_frame(
     docs: DataFrame,
     id_col: str = "doc_id",

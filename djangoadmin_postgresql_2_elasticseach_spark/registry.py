@@ -978,6 +978,19 @@ def _q_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_remove_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring passage removal (dedup.remove_duplicated_passages,
+    Lee et al. 2021 policy: first doc in id order keeps a repeated
+    k-gram run, later docs lose the covered tokens). Text returns as
+    md5 to keep the boundary frame small."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.remove_duplicated_passages(docs, k=8)
+    return out.select(
+        "doc_id", F.md5(F.col("clean_text")).alias("clean_md5"),
+        "n_tokens", "n_removed",
+    )
+
+
 ADMIN_SAVE_NOW = "2024-06-01 12:00:00"
 
 
@@ -1306,6 +1319,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_phrase": _q_match_phrase,
     # admin write path (r8)
     "admin_save_docs": _q_admin_save_docs,
+    # passage-level rewrite (r8)
+    "remove_dup_passages": _q_remove_dup_passages,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -3417,6 +3432,44 @@ SELECT doc_id,
        md5(CASE WHEN doc_id % 7 = 0 THEN 'UPDATED:' || text ELSE text END)
          AS text_md5
 FROM documents
+"""
+
+    # exact-substring passage removal — positional k-gram twin of the
+    # duplicated_passages staging; first-doc-keeps via min(doc_id)
+    o["remove_dup_passages"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens("text")} AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(array_to_string(tk[pos:pos+7], ' ')), 1, 8))::BIGINT AS gh
+  FROM (
+    SELECT doc_id, tk,
+           unnest(CASE WHEN len(tk) >= 8 THEN range(1, len(tk)-8+2)
+                       ELSE CAST([] AS BIGINT[]) END) AS pos
+    FROM toks
+  )
+),
+gmin AS (SELECT gh, min(doc_id) AS m FROM grams GROUP BY gh),
+rem AS (
+  SELECT g.doc_id, list(g.pos) AS rp
+  FROM grams g JOIN gmin USING (gh)
+  WHERE gmin.m < g.doc_id
+  GROUP BY g.doc_id
+),
+kept AS (
+  SELECT t.doc_id, t.tk,
+         list_filter(range(1, len(t.tk)+1),
+           i -> NOT len(list_filter(coalesce(r.rp, CAST([] AS BIGINT[])),
+                        p -> p <= i AND i <= p + 7)) > 0) AS ki
+  FROM toks t LEFT JOIN rem r USING (doc_id)
+)
+SELECT doc_id,
+       md5(coalesce(array_to_string(list_transform(ki, i -> tk[i]), ' '), ''))
+         AS clean_md5,
+       len(tk) AS n_tokens,
+       len(tk) - len(ki) AS n_removed
+FROM kept
 """
 
     # admin form-save merge: full-outer derivation of the same end

@@ -696,3 +696,31 @@ def test_split_leakage_safe_rep_missing_from_docs_still_coplaces(spark):
     assert out[2][0] == 1 and out[2][1] == expected_bucket
     # the singleton is untouched by the fallback
     assert out[4][0] == 4
+
+
+def test_remove_duplicated_passages_first_doc_keeps(spark):
+    """Exact-substring removal (Lee et al. policy): the min-id doc
+    keeps a shared k-gram run, later docs lose exactly the covered
+    tokens; unique text, short docs, and empty docs are untouched."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import (
+        remove_duplicated_passages,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one " + boiler + " tail text here body"),
+            (2, "other start " + boiler + " different ending words"),
+            (3, "totally unrelated content with no duplicated passages at all"),
+            (4, ""),
+            (5, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_passages(docs, k=8).collect()}
+    assert out[1]["n_removed"] == 0 and boiler in out[1]["clean_text"]
+    assert out[2]["n_removed"] == 12  # the boiler run's covered tokens
+    assert out[2]["clean_text"] == "other start different ending words"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_tokens"] == 0
+    assert out[5]["n_removed"] == 0
