@@ -358,9 +358,13 @@ def remove_duplicated_passages(
     Shape: tokenize → positional k-gram hashes → global min-doc per
     gram (one shuffle on the 8-byte hash, map-side-combinable min) →
     per-doc removable position set (second shuffle, on the doc id) →
-    array-level coverage rebuild. Document BODIES never shuffle — only
-    (id, pos, hash) triples; the rebuild is a JVM-side array
-    expression. Per-doc rebuild cost is O(tokens × removable-grams)
+    array-level coverage rebuild. Gram FINDING moves only (id, pos,
+    hash) triples; the final rebuild join then shuffles the token-array
+    frame once on the doc id (unavoidable for a rewrite — the output IS
+    the bodies; at 100 TB pre-bucket the corpus by id so this join is
+    co-located, or let AQE broadcast `removable` when few docs lose
+    passages). The rebuild itself is a JVM-side array expression.
+    Per-doc rebuild cost is O(tokens × removable-grams)
     (worst case a fully-duplicated doc: O(T²) with T = doc tokens —
     fine at document scale, the quadratic is per ROW, never per
     corpus).
