@@ -1,0 +1,253 @@
+"""CDC-driven incremental ETL — the txlog-backed alternative change
+source for the timestamp poll in ``streaming/incremental.py``.
+
+The reference detects change by polling ``modified`` columns against a
+timestamp checkpoint (reference etl/main.py:35,46,57). When the source
+tables live in transactional txlog tables (sources/txlog.py), version-
+diff CDC (``txlog.tx_changes``) is strictly stronger:
+
+- the checkpoint is a txlog VERSION — an integer fact about the table —
+  not a wall-clock timestamp: no clock skew, no strict-``>`` boundary
+  races, no reliance on every writer remembering to stamp ``modified``;
+- bridge-table edits (linking/unlinking a genre or person WITHOUT
+  touching the film row) are captured; the reference's OR-of-modified
+  predicate cannot see them (etl/main.py:35 ORs only fw/p/g.modified);
+- row DELETES surface as ``change='delete'`` and propagate to the sink
+  as ES bulk delete actions (sources/es_sink.write_bulk_cdc) — the
+  reference's insert-only loop cannot express removal at all.
+
+On an edit script that bumps ``modified`` (the reference's write
+discipline), a CDC movies tick emits BYTE-IDENTICAL docs to the
+timestamp tick over the same snapshot — pinned by
+tests/test_cdc_etl.py::test_cdc_tick_matches_timestamp_tick — so this
+is a drop-in swap with the checkpoint semantics upgraded from "time I
+last looked" to "version I last processed".
+
+Scale shape: ``tx_changes`` reads only the manifests' symmetric-
+difference files, so the change frames are CDC-sized and BROADCAST into
+every downstream join; the heavy denorm join then runs only over the
+affected film keys (same semi-join pruning as the timestamp path). The
+bridge tables are scanned once per tick (twice when the bridge itself
+changed, to recover film ids of deleted links from the old snapshot) —
+the same per-tick bridge scan the timestamp path pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.denorm import (
+    film_changeset,
+    genre_docs,
+    movie_docs,
+    person_docs,
+)
+from ..sources.state import JsonFileState
+from ..sources.txlog import TxLog, tx_changes, tx_read
+
+
+def _cdc_keys(
+    spark: SparkSession, path: str, from_v: int | None, to_v: int | None
+) -> DataFrame:
+    """Changed PKs of one txlog table between two versions as
+    ``(id, change)``. Cold start (``from_v is None``) is a full
+    backfill: every current key as 'insert' (the CDC analogue of the
+    timestamp path's datetime.min checkpoint — ST5)."""
+    if to_v is None or from_v == to_v:
+        return spark.createDataFrame([], "id string, change string")
+    if from_v is None:
+        return (
+            tx_read(spark, path, to_v)
+            .select("id")
+            .distinct()
+            .withColumn("change", F.lit("insert"))
+        )
+    return tx_changes(spark, path, from_v, to_v, "id")
+
+
+def _bridge_rows(
+    spark: SparkSession,
+    path: str,
+    from_v: int | None,
+    to_v: int | None,
+    dim_col: str,
+) -> DataFrame:
+    """Bridge rows visible in the NEW snapshot, plus the OLD snapshot's
+    rows when the bridge changed in the window — deleted links exist
+    only in the old version, and the films they pointed at must be
+    re-emitted (their doc loses a person/genre)."""
+    rows = tx_read(spark, path, to_v).select("id", dim_col, "film_work_id")
+    if from_v is not None and from_v != to_v:
+        rows = rows.unionByName(
+            tx_read(spark, path, from_v).select("id", dim_col, "film_work_id")
+        )
+    return rows
+
+
+class TxlogCdcEtl:
+    """One-tick CDC driver over txlog source tables: version-diff →
+    affected keys → rebuild docs from the pinned snapshot → sink →
+    commit versions.
+
+    ``paths`` maps table name → txlog table path for ``film_work``,
+    ``genre``, ``person``, ``genre_film_work``, ``person_film_work``.
+    ``sink`` is callable(DataFrame, entity) exactly as in
+    ``IncrementalEtl`` (commit-after-sink, at-least-once; idempotent
+    by ``_id`` ⇒ effectively-once). ``on_delete``, when given, is
+    callable(DataFrame[id], entity) receiving hard-deleted PKs — wire
+    it to ``write_bulk(..., action='delete')`` for full index
+    maintenance.
+
+    Checkpoints are per-entity-per-table (``cdc:{entity}:{table}``),
+    mirroring the reference's three independent ``last_*_updated``
+    state keys (etl/main.py:62-64): each entity advances on its own
+    trigger tables only.
+    """
+
+    #: tables whose CHANGES trigger a rebuild, per entity. Genres and
+    #: persons follow the reference exactly (only the entity's own
+    #: table drives it — etl/main.py:46,57); movies adds the bridges,
+    #: which the reference's predicate misses (documented divergence:
+    #: strictly more complete, identical on fw/p/g-only edit scripts).
+    TRIGGERS = {
+        "movies": (
+            "film_work",
+            "genre",
+            "person",
+            "genre_film_work",
+            "person_film_work",
+        ),
+        "genres": ("genre",),
+        "persons": ("person",),
+    }
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state: JsonFileState,
+        paths: dict[str, str],
+        sink,
+        on_delete=None,
+    ):
+        self.spark = spark
+        self.state = state
+        self.paths = paths
+        self.sink = sink
+        self.on_delete = on_delete
+
+    # -- version spans -------------------------------------------------
+
+    def _span(self, entity: str, table: str) -> tuple[int | None, int | None]:
+        raw = self.state.get_state(f"cdc:{entity}:{table}", "")
+        from_v = int(raw) if raw != "" else None
+        to_v = TxLog(self.paths[table]).latest_version()
+        return from_v, to_v
+
+    def _spans(self, entity: str) -> dict[str, tuple[int | None, int | None]]:
+        """Pin every trigger table's [from, to] BEFORE any read — a
+        commit landing mid-tick is deferred to the next tick, never
+        half-seen (snapshot isolation across the tick)."""
+        return {t: self._span(entity, t) for t in self.TRIGGERS[entity]}
+
+    def _snapshot(self, table: str, spans) -> DataFrame:
+        """Current frame of ``table`` pinned at the span's ``to``
+        version when the table is a trigger, else latest."""
+        to_v = spans.get(table, (None, None))[1]
+        if to_v is None:
+            to_v = TxLog(self.paths[table]).latest_version()
+        return tx_read(self.spark, self.paths[table], to_v)
+
+    # -- per-entity builders -------------------------------------------
+
+    def _movies(self, spans) -> tuple[DataFrame, DataFrame]:
+        sp = self.spark
+        fw_ch = _cdc_keys(sp, self.paths["film_work"], *spans["film_work"])
+        affected = fw_ch.filter(F.col("change") != "delete").select(
+            F.col("id").alias("film_id")
+        )
+        deletes = fw_ch.filter(F.col("change") == "delete").select("id")
+        for dim, bridge, dim_col in (
+            ("person", "person_film_work", "person_id"),
+            ("genre", "genre_film_work", "genre_id"),
+        ):
+            dim_ch = _cdc_keys(sp, self.paths[dim], *spans[dim])
+            br_ch = _cdc_keys(sp, self.paths[bridge], *spans[bridge])
+            rows = _bridge_rows(sp, self.paths[bridge], *spans[bridge], dim_col)
+            via_dim = rows.join(
+                F.broadcast(dim_ch.select(F.col("id").alias("_d"))),
+                rows[dim_col] == F.col("_d"),
+            ).select(F.col("film_work_id").alias("film_id"))
+            via_bridge = rows.join(
+                F.broadcast(br_ch.select(F.col("id").alias("_b"))),
+                rows["id"] == F.col("_b"),
+            ).select(F.col("film_work_id").alias("film_id"))
+            affected = affected.unionByName(via_dim).unionByName(via_bridge)
+        affected = affected.distinct()
+        fw = self._snapshot("film_work", spans)
+        fw = fw.join(affected, fw.id == affected.film_id, "left_semi")
+        changeset = film_changeset(
+            fw,
+            self._snapshot("genre", spans),
+            self._snapshot("person", spans),
+            self._snapshot("genre_film_work", spans),
+            self._snapshot("person_film_work", spans),
+        )
+        return movie_docs(changeset), deletes
+
+    def _genres(self, spans) -> tuple[DataFrame, DataFrame]:
+        ch = _cdc_keys(self.spark, self.paths["genre"], *spans["genre"])
+        g = self._snapshot("genre", spans)
+        g = g.join(
+            F.broadcast(ch.filter(F.col("change") != "delete").select("id")),
+            "id",
+            "left_semi",
+        )
+        docs = genre_docs(
+            g,
+            self._snapshot("genre_film_work", spans),
+            self._snapshot("film_work", spans),
+        )
+        return docs, ch.filter(F.col("change") == "delete").select("id")
+
+    def _persons(self, spans) -> tuple[DataFrame, DataFrame]:
+        ch = _cdc_keys(self.spark, self.paths["person"], *spans["person"])
+        p = self._snapshot("person", spans)
+        p = p.join(
+            F.broadcast(ch.filter(F.col("change") != "delete").select("id")),
+            "id",
+            "left_semi",
+        )
+        docs = person_docs(p, self._snapshot("person_film_work", spans))
+        return docs, ch.filter(F.col("change") == "delete").select("id")
+
+    BUILDERS = {"movies": _movies, "genres": _genres, "persons": _persons}
+
+    # -- tick ----------------------------------------------------------
+
+    def run_once(self, entity: str) -> dict[str, int]:
+        spans = self._spans(entity)
+        if all(f == t for f, t in spans.values()):
+            return {"docs": 0, "deletes": 0}
+        docs, deletes = self.BUILDERS[entity](self, spans)
+        docs = docs.cache()
+        try:
+            n = docs.count()
+            if n:
+                self.sink(docs, entity)
+            m = 0
+            if self.on_delete is not None:
+                m = deletes.count()
+                if m:
+                    self.on_delete(deletes, entity)
+            # commit versions AFTER the sink (same contract as the
+            # timestamp path / reference etl/main.py:174-177)
+            for t, (_, to_v) in spans.items():
+                if to_v is not None:
+                    self.state.set_state(f"cdc:{entity}:{t}", str(to_v))
+            return {"docs": n, "deletes": m}
+        finally:
+            docs.unpersist()
+
+    def run_tick(self) -> dict[str, dict[str, int]]:
+        return {e: self.run_once(e) for e in self.TRIGGERS}
