@@ -81,6 +81,18 @@ class TxLog:
             return []
         return list(self._manifest(v)["files"])
 
+    def table_schema(
+        self, version: int | None = None
+    ) -> list[tuple[str, str]] | None:
+        """The manifest-recorded (name, dtype) schema at ``version``
+        (default latest); None for pre-schema manifests or an empty
+        table (readers then fall back to footer schemas)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return None
+        raw = self._manifest(v).get("schema")
+        return [tuple(c) for c in raw] if raw is not None else None
+
     # -- commit protocol ----------------------------------------------
 
     def commit(
@@ -88,13 +100,21 @@ class TxLog:
         files: list[str],
         op: str,
         expected_version: int | None = None,
+        schema: list[tuple[str, str]] | None = None,
     ) -> int:
         """Atomically publish ``files`` as the COMPLETE live set of the
         next version. ``expected_version`` is the snapshot the writer
         based its work on (None for a blind append to an empty table);
         if another commit landed since, raises CommitConflict WITHOUT
         claiming the version — the caller re-reads and retries.
-        """
+
+        ``schema`` — (name, dtype-DDL) pairs — is recorded in the
+        manifest as the version's authoritative table schema (the Delta
+        model: schema lives in the LOG, not in data-file footers).
+        Readers apply it explicitly, so files written before an
+        additive evolution null-fill the newer columns and a mixed-file
+        scan can never silently drop a column that only some footers
+        carry."""
         latest = self.latest_version()
         if expected_version is not None or latest is not None:
             if latest != expected_version:
@@ -103,10 +123,10 @@ class TxLog:
                 )
         next_v = 0 if latest is None else latest + 1
         target = os.path.join(self.log_dir, f"v{next_v:012d}.json")
-        payload = json.dumps(
-            {"version": next_v, "op": op, "files": sorted(files)},
-            indent=0,
-        )
+        manifest = {"version": next_v, "op": op, "files": sorted(files)}
+        if schema is not None:
+            manifest["schema"] = [list(c) for c in schema]
+        payload = json.dumps(manifest, indent=0)
         try:
             fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError as e:  # lost the race at the claim itself
@@ -160,6 +180,57 @@ class TxLog:
         return removed
 
 
+class SchemaEvolutionError(ValueError):
+    """The write's schema is not an additive evolution of the table's."""
+
+
+def _evolve_schema(
+    cur: list[tuple[str, str]], new: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """Validate ``new`` (a write's df.dtypes) against the table schema
+    ``cur`` and return the evolved manifest schema: ADDITIVE columns
+    only — every existing column must be present with an identical
+    type (drops and type changes need an explicit overwrite, which
+    resets the schema). New columns append after the existing ones, in
+    the write's order; old files simply null-fill them on read."""
+    new_types = dict(new)
+    for name, dtype in cur:
+        if name not in new_types:
+            raise SchemaEvolutionError(
+                f"column {name!r} missing from write; dropping columns "
+                "requires tx_overwrite"
+            )
+        if new_types[name] != dtype:
+            raise SchemaEvolutionError(
+                f"column {name!r} type change {dtype!r} -> "
+                f"{new_types[name]!r}; type changes require tx_overwrite"
+            )
+    existing = {n for n, _ in cur}
+    return list(cur) + [(n, t) for n, t in new if n not in existing]
+
+
+def _schema_ddl(schema: list[tuple[str, str]]) -> str:
+    return ", ".join(f"`{n}` {t}" for n, t in schema)
+
+
+def _read_files(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    schema: list[tuple[str, str]] | None,
+) -> DataFrame:
+    """Read a file subset under the manifest schema when one is
+    recorded: pre-evolution files null-fill newer columns, and a mixed
+    old/new file set can never resolve to a footer that lacks a column
+    (Spark's non-merge parquet read takes ONE footer's schema — without
+    the manifest schema a column present only in newer files would be
+    silently dropped)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(_schema_ddl(schema))
+    return reader.parquet(*[os.path.join(path, f) for f in files])
+
+
 def _write_data_files(df: DataFrame, table_path: str) -> list[str]:
     """Write df as fresh uniquely-named parquet files; return names.
     Files are invisible until a commit references them."""
@@ -176,12 +247,16 @@ def _write_data_files(df: DataFrame, table_path: str) -> list[str]:
 
 
 def tx_overwrite(df: DataFrame, path: str, max_retries: int = 10) -> int:
-    """Replace the table contents atomically."""
+    """Replace the table contents atomically. An overwrite RESETS the
+    manifest schema to the new frame's — the only path that may drop
+    or retype columns."""
     log = TxLog(path)
     names = _write_data_files(df, path)
     for _ in range(max_retries):
         try:
-            return log.commit(names, "overwrite", log.latest_version())
+            return log.commit(
+                names, "overwrite", log.latest_version(), schema=df.dtypes
+            )
         except CommitConflict:
             continue
     raise CommitConflict("overwrite retries exhausted")
@@ -190,13 +265,27 @@ def tx_overwrite(df: DataFrame, path: str, max_retries: int = 10) -> int:
 def tx_append(df: DataFrame, path: str, max_retries: int = 10) -> int:
     """Append atomically: new snapshot = old snapshot + new files.
     On conflict, re-reads the WINNER's snapshot and re-commits on top —
-    the written data files are reused, only the manifest race reruns."""
+    the written data files are reused, only the manifest race reruns.
+
+    Additive schema evolution: the appended frame may carry NEW
+    columns (recorded in the manifest; existing files null-fill them
+    on read) but must include every existing column with its exact
+    type — ``SchemaEvolutionError`` otherwise. Validation reruns per
+    conflict retry against the winner's schema."""
     log = TxLog(path)
     names = _write_data_files(df, path)
     for _ in range(max_retries):
         base = log.latest_version()
+        cur_schema = log.table_schema(base)
+        schema = (
+            _evolve_schema(cur_schema, df.dtypes)
+            if cur_schema is not None
+            else df.dtypes
+        )
         try:
-            return log.commit(log.snapshot(base) + names, "append", base)
+            return log.commit(
+                log.snapshot(base) + names, "append", base, schema=schema
+            )
         except CommitConflict:
             continue
     raise CommitConflict("append retries exhausted")
@@ -213,10 +302,11 @@ def tx_compact(
     log = TxLog(path)
     base = log.latest_version()
     cur = log.snapshot(base)
-    df = spark.read.parquet(*[os.path.join(path, f) for f in cur])
+    schema = log.table_schema(base)
+    df = _read_files(spark, path, cur, schema)
     names = _write_data_files(df.coalesce(target_files), path)
     try:
-        return log.commit(names, "compact", base)
+        return log.commit(names, "compact", base, schema=schema)
     except CommitConflict:
         for n in names:  # our files are orphans; remove eagerly
             os.remove(os.path.join(path, n))
@@ -270,10 +360,16 @@ def tx_merge(
     for _ in range(max_retries):
         base = log.latest_version()
         cur = log.snapshot(base)
+        cur_schema = log.table_schema(base)
+        schema = (
+            _evolve_schema(cur_schema, updates.dtypes)
+            if cur_schema is not None
+            else updates.dtypes
+        )
         if not cur:
             names = _write_data_files(updates, path)
             try:
-                return log.commit(names, "merge", base)
+                return log.commit(names, "merge", base, schema=schema)
             except CommitConflict:
                 continue
         stats = _file_key_stats(path, cur, key)
@@ -306,18 +402,20 @@ def tx_merge(
         touched = sorted(set(hit) | set(no_stats))
         untouched = [f for f in cur if f not in set(touched)]
         base_df = (
-            spark.read.parquet(*[os.path.join(path, f) for f in touched])
+            _read_files(spark, path, touched, cur_schema)
             if touched
             else updates.limit(0)
         )
+        # allowMissingColumns: an additive-evolution merge's updates
+        # carry new columns the touched files lack — survivors null-fill
         merged = base_df.join(
             updates.select(key).withColumnRenamed(key, key),
             key,
             "left_anti",
-        ).unionByName(updates)
+        ).unionByName(updates, allowMissingColumns=True)
         names = _write_data_files(merged, path)
         try:
-            return log.commit(untouched + names, "merge", base)
+            return log.commit(untouched + names, "merge", base, schema=schema)
         except CommitConflict:
             for n in names:
                 os.remove(os.path.join(path, n))
@@ -329,11 +427,15 @@ def tx_read(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot-isolated read (optionally time travel to ``version``).
-    An empty table reads as an empty frame only if a version exists."""
-    files = TxLog(path).snapshot(version)
+    An empty table reads as an empty frame only if a version exists.
+    Applies the version's manifest schema when recorded: time travel
+    sees exactly that version's columns, and post-evolution reads
+    null-fill new columns in pre-evolution files."""
+    log = TxLog(path)
+    files = log.snapshot(version)
     if not files:
         raise FileNotFoundError(f"no committed version in {path}")
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    return _read_files(spark, path, files, log.table_schema(version))
 
 
 def tx_changes(
@@ -372,14 +474,30 @@ def tx_changes(
             )
         return spark.createDataFrame([], f"{key} string, change string")
 
-    def _read(files):
-        return spark.read.parquet(*[os.path.join(path, f) for f in files])
-    old = _read(only_a) if only_a else None
-    new = _read(only_b) if only_b else None
+    old = (
+        _read_files(spark, path, only_a, log.table_schema(from_version))
+        if only_a
+        else None
+    )
+    new = (
+        _read_files(spark, path, only_b, log.table_schema(to_version))
+        if only_b
+        else None
+    )
     if old is None:
         return new.select(key).distinct().withColumn("change", F.lit("insert"))
     if new is None:
         return old.select(key).distinct().withColumn("change", F.lit("delete"))
+    # align across an additive schema evolution: a side missing a
+    # column null-fills it, so a value landing in a NEW column counts
+    # as an update (NULL vs value) instead of being invisible
+    types = {**dict(old.dtypes), **dict(new.dtypes)}
+    for c in new.columns:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(types[c]))
+    for c in old.columns:
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None).cast(types[c]))
     cols = [c for c in old.columns]
     o = old.select(key, F.struct(*[F.col(c) for c in cols if c != key]).alias("_row"))
     n = new.select(key, F.struct(*[F.col(c) for c in cols if c != key]).alias("_row"))

@@ -304,3 +304,83 @@ def test_cdc_drives_es_index_maintenance(spark, tmp_path):
     assert {"7", "999"} <= actions["index"]
     assert docs["7"]["body"] == "EDITED"
     assert docs["999"]["body"] == "NEW"
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    """Append with a new nullable column: old files null-fill it, time
+    travel sees the old schema, compaction preserves the evolved one."""
+    from pyspark.sql import functions as F
+
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.txlog import (
+        SchemaEvolutionError,
+    )
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    tx_overwrite(base, p)
+    widened = spark.range(20, 25).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+        (F.col("id") * 1.5).alias("extra"),
+    )
+    tx_append(widened, p)
+
+    full = tx_read(spark, p)
+    assert full.columns == ["k", "val", "extra"]
+    assert full.count() == 25
+    assert full.filter(F.col("extra").isNull()).count() == 20  # old files
+    assert full.filter(F.col("extra").isNotNull()).count() == 5
+    # time travel reads v0 under v0's schema
+    assert tx_read(spark, p, version=0).columns == ["k", "val"]
+
+    # non-additive writes are rejected; overwrite resets
+    with pytest.raises(SchemaEvolutionError):
+        tx_append(base.select("k"), p)  # drops val+extra
+    with pytest.raises(SchemaEvolutionError):
+        tx_append(
+            widened.withColumn("val", F.lit(1)), p  # retypes val
+        )
+    tx_overwrite(base.select("k"), p)
+    assert tx_read(spark, p).columns == ["k"]
+
+    # compaction carries the schema through
+    tx_overwrite(base, p)
+    tx_append(widened, p)
+    tx_compact(spark, p, target_files=1)
+    after = tx_read(spark, p)
+    assert after.columns == ["k", "val", "extra"]
+    assert after.filter(F.col("extra").isNull()).count() == 20
+
+
+def test_schema_evolution_merge_and_cdc(spark, tmp_path):
+    """tx_merge with a widened updates frame: survivors in touched
+    files null-fill the new column, and tx_changes counts a value
+    landing in the NEW column as an update (not invisible)."""
+    from pyspark.sql import functions as F
+
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.txlog import (
+        tx_changes,
+        tx_merge,
+    )
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    tx_overwrite(base.repartition(1), p)
+    upd = spark.range(3, 5).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),  # val unchanged
+        F.lit(9.5).alias("extra"),
+    )
+    v1 = tx_merge(spark, p, upd, "k")
+    full = tx_read(spark, p)
+    assert full.columns == ["k", "val", "extra"]
+    assert full.count() == 10
+    assert full.filter(F.col("extra").isNotNull()).count() == 2
+    ch = {r["k"]: r["change"] for r in tx_changes(spark, p, 0, v1, "k").collect()}
+    assert ch == {3: "update", 4: "update"}, "new-column values are updates"
