@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "pq_topk_adc",
     "int8_cosine_topk",
     "ann_ivf_topk",
+    "ivf_pq_topk",
     "ann_knn_join",
     "embedding_neardup_lsh",
     "label_centroids",

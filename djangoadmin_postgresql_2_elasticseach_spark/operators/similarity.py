@@ -427,15 +427,7 @@ def ivf_query_indexed(
     """Top-k over a persisted IVF index: filter on the bucket PARTITION
     column (prunes to the probed directories before any file is opened),
     exact-rank within the probes. Same probe set as ivf_topk."""
-    qbits = ""
-    for h in planes:
-        qbits += "1" if sum(q * x for q, x in zip(query_vec, h)) >= 0 else "0"
-    probes = {qbits}
-    if probe_hamming >= 1:
-        for i in range(len(planes)):
-            probes.add(
-                qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1 :]
-            )
+    probes = probe_buckets(query_vec, planes, probe_hamming)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     indexed = spark.read.parquet(path)
     return (
@@ -475,14 +467,7 @@ def ivf_topk(
         hyperplane_bucket(F.col(vec_col).cast("array<double>"), planes).alias("bucket"),
     )
     # query bucket + all buckets within `probe_hamming` bit flips
-    qbits = ""
-    for h in planes:
-        qbits += "1" if sum(q * x for q, x in zip(query_vec, h)) >= 0 else "0"
-    probes = {qbits}
-    if probe_hamming >= 1:
-        for i in range(n_planes):
-            flipped = qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1 :]
-            probes.add(flipped)
+    probes = probe_buckets(query_vec, planes, probe_hamming)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         bucketed.filter(F.col("bucket").isin(list(probes)))
@@ -850,3 +835,127 @@ def quantized_cosine_topk(
         .orderBy(F.desc("qcos"), id_col)
         .limit(k)
     )
+
+
+# --- IVF-PQ (coarse quantizer over product codes) ------------------------
+#
+# The FAISS IVFADC serving shape (Jégou et al. 2011 §V): a coarse
+# quantizer prunes the corpus to a few probed cells, and within the
+# probes distance runs over m-byte PQ codes via the ADC lookup table —
+# the float vectors are touched only by an optional exact re-rank of the
+# shortlist. Both halves already exist here (`ivf_topk`'s hyperplane
+# buckets, `pq_topk`'s ADC); these functions are the composition, which
+# is what a billion-vector deployment actually runs: the index is
+# (id, bucket, codes) — 8+m bytes a row — partitioned by bucket, so a
+# query reads ~probes/2^n_planes of an already-25×-compressed table.
+
+
+def probe_buckets(
+    query_vec: list[float], planes: list[list[float]], probe_hamming: int = 1
+) -> set[str]:
+    """The query's hyperplane bucket plus every bucket within
+    ``probe_hamming`` bit flips — the probe set shared by all IVF
+    variants (driver-side: n_planes sign dots on one vector)."""
+    qbits = ""
+    for h in planes:
+        qbits += "1" if sum(q * x for q, x in zip(query_vec, h)) >= 0 else "0"
+    probes = {qbits}
+    if probe_hamming >= 1:
+        for i in range(len(planes)):
+            probes.add(
+                qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1 :]
+            )
+    return probes
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 4,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k computed from the raw float table in one pass:
+    coarse-prune to the probed buckets FIRST, PQ-encode only the
+    survivors, rank them by ADC. Output: (id, approx_dist), ties by id.
+
+    A vector's codes depend on nothing but itself and the codebooks, so
+    encode-after-prune is result-identical to encode-everything-then-
+    prune while doing the O(m·ksub·ds) encode work on probes/2^n_planes
+    of the rows — the right order whenever the index isn't persisted.
+    Recall is bounded by the coarse quantizer (same probe set as
+    `ivf_topk`); within the probes ADC error is PQ's (`pq_topk_rerank`
+    is the quality path)."""
+    dim = len(query_vec)
+    planes = fixed_planes(dim, n_planes)
+    probes = probe_buckets(query_vec, planes, probe_hamming)
+    pruned = emb.filter(
+        hyperplane_bucket(F.col(vec_col).cast("array<double>"), planes).isin(
+            sorted(probes)
+        )
+    )
+    codes = pq_encode(pruned, codebooks, id_col, vec_col)
+    return pq_topk(codes, codebooks, query_vec, k=k, id_col=id_col)
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+) -> list[list[float]]:
+    """Persist the IVF-PQ index: (id, codes) PARTITIONED BY the coarse
+    bucket. One scan of the float table at ingest; the stored table is
+    8+m bytes a row and a query opens only the probed buckets'
+    directories (partition pruning — pinned in tests). Returns the
+    plane matrix (store it beside the codebooks in a real deployment).
+    """
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    planes = fixed_planes(m * ds, n_planes)
+    spark = emb.sparkSession
+    bdf = spark.createDataFrame(
+        [(1, [[[float(x) for x in c] for c in book] for book in codebooks])],
+        "_bk int, _books array<array<array<double>>>",
+    )
+    (
+        emb.withColumn("_bk", F.lit(1))
+        .join(F.broadcast(bdf), "_bk")
+        .select(
+            F.col(id_col),
+            hyperplane_bucket(
+                F.col(vec_col).cast("array<double>"), planes
+            ).alias("bucket"),
+            _pq_codes_col(vec_col, codebooks, m, ds).alias("codes"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    return planes
+
+
+def ivfpq_query_indexed(
+    spark,
+    path: str,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a persisted IVF-PQ index: the bucket filter is a
+    PARTITION-column predicate (prunes directories before any file
+    opens), then ADC ranks the probed codes — the float table is never
+    read. Same probe set and ADC arithmetic as `ivf_pq_topk`."""
+    probes = probe_buckets(query_vec, planes, probe_hamming)
+    codes_df = spark.read.parquet(path).filter(
+        F.col("bucket").isin(sorted(probes))
+    )
+    return pq_topk(codes_df, codebooks, query_vec, k=k, id_col=id_col)

@@ -683,6 +683,22 @@ def _q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(codes, books, q, k=PQ_K)
 
 
+def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (operators/similarity.ivf_pq_topk — the FAISS
+    IVFADC serving shape, Jégou et al. 2011 §V): hyperplane coarse
+    quantizer prunes to the Hamming≤1 probe buckets, PQ-ADC ranks
+    inside the probes. Same deterministic codebooks as pq_topk_adc,
+    same planes as ann_ivf_topk; query = the lowest-id embedding."""
+    from .operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    books = S.pq_codebooks_deterministic(emb, m=PQ_M, ksub=PQ_KSUB)
+    return S.ivf_pq_topk(
+        emb, books, q, k=PQ_K, n_planes=4, probe_hamming=1
+    )
+
+
 def _q_int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized cosine top-10 (operators/similarity.py):
     4× smaller storage, integer dot products, scales cancel out of
@@ -1314,6 +1330,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # similarity search
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
+    "ivf_pq_topk": _q_ivf_pq_topk,
     "ann_knn_join": _q_knn_join,
     "label_centroids": _q_label_centroids,
     "match_phrase": _q_match_phrase,
@@ -3495,6 +3512,62 @@ SELECT COALESCE(b.doc_id, e.doc_id) AS doc_id,
        CASE WHEN e.doc_id IS NOT NULL
             THEN TIMESTAMP '{ADMIN_SAVE_NOW}' ELSE b.modified END AS modified
 FROM base b FULL OUTER JOIN edits e ON b.doc_id = e.doc_id
+"""
+
+    # IVF-PQ: the pq_topk_adc ADC pipeline with the corpus pre-pruned to
+    # the ann_ivf_topk probe set (same planes, same codebook rule —
+    # codebooks come from the FULL table's 16 lowest ids, matching the
+    # Spark side where training precedes pruning)
+    bucket_pe = " || ".join(_plane_sql("e.embedding", p) for p in planes)
+    bucket_pq = " || ".join(_plane_sql("qv.q", p) for p in planes)
+    o["ivf_pq_topk"] = f"""
+WITH qv AS (
+  SELECT embedding AS q FROM embeddings ORDER BY vec_id LIMIT 1
+),
+base AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS v
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_KSUB})
+),
+books AS (
+  SELECT j.j, base.c,
+         list_slice(base.v, j.j * {_pq_ds} + 1, j.j * {_pq_ds} + {_pq_ds}) AS cv
+  FROM base CROSS JOIN (VALUES (0), (1), (2), (3)) j(j)
+),
+pruned AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e, qv
+  WHERE hamming({bucket_pe}, {bucket_pq}) <= 1
+),
+subd AS (
+  SELECT e.vec_id, b.j, b.c,
+    list_sum(list_transform(
+      list_zip(list_slice(e.embedding, b.j * {_pq_ds} + 1, b.j * {_pq_ds} + {_pq_ds}), b.cv),
+      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+  FROM pruned e CROSS JOIN books b
+),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM subd
+  ) WHERE rn = 1
+),
+tbl AS (
+  SELECT b.j, b.c,
+    list_sum(list_transform(
+      list_zip(list_slice(qv.q, b.j * {_pq_ds} + 1, b.j * {_pq_ds} + {_pq_ds}), b.cv),
+      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+  FROM books b, qv
+),
+adc AS (
+  SELECT codes.vec_id, round(SUM(tbl.d), 6) AS approx_dist
+  FROM codes JOIN tbl ON codes.j = tbl.j AND codes.code = tbl.c
+  GROUP BY codes.vec_id
+)
+SELECT vec_id, approx_dist FROM adc
+ORDER BY approx_dist, vec_id LIMIT {PQ_K}
 """
 
     return o

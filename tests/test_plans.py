@@ -408,3 +408,38 @@ def test_admin_save_never_shuffles_the_table(spark):
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("BroadcastHashJoin") >= 3  # update + semi + anti
+
+
+def test_persisted_ivfpq_index_prunes_partitions(spark, tmp_path):
+    """The stored IVF-PQ index (id, bucket, codes — float-free) must
+    answer from the probed bucket PARTITIONS only, and match the
+    one-pass ivf_pq_topk over the raw float table."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivf_pq_topk,
+        ivfpq_query_indexed,
+        pq_codebooks_deterministic,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.plans.tuning import plan_string
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = pq_codebooks_deterministic(emb, m=4, ksub=16)
+    path = str(tmp_path / "ivfpq_index")
+    planes = build_ivfpq_index(emb, path, books, n_planes=4)
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+
+    got = ivfpq_query_indexed(spark, path, books, qvec, planes, k=10)
+    plan = plan_string(got)
+    assert "PartitionFilters" in plan
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "bucket" in pf_line, pf_line
+    # the code-only read never touches a float embedding column
+    assert "embedding" not in plan
+    want = [
+        (r["vec_id"], r["approx_dist"])
+        for r in ivf_pq_topk(emb, books, qvec, k=10).collect()
+    ]
+    have = [(r["vec_id"], r["approx_dist"]) for r in got.collect()]
+    assert have == want

@@ -133,3 +133,43 @@ def test_int8_quantization_roundtrip_and_accuracy(spark, emb, vecs):
     assert S.quantized_cosine_topk(
         S.quantize_embeddings(zero), query, k=1
     ).collect()[0]["qcos"] == 0.0
+
+
+def test_ivf_pq_composition_matches_prune_then_adc(spark, emb, vecs):
+    """ivf_pq_topk == (bucket-prune → encode → ADC) composed by hand:
+    every returned id lies in the probe set, and distances equal the
+    full-corpus ADC values restricted to the probed buckets (a vector's
+    codes depend only on itself + the codebooks, so encode-after-prune
+    must be result-identical)."""
+    books = S.pq_codebooks_deterministic(emb, m=4, ksub=16)
+    q = vecs[min(vecs)]
+    planes = S.fixed_planes(len(q), 4)
+    probes = S.probe_buckets(q, planes, 1)
+    assert len(probes) == 5  # exact bucket + 4 single-bit flips
+
+    got = [
+        (r["vec_id"], r["approx_dist"])
+        for r in S.ivf_pq_topk(emb, books, q, k=10).collect()
+    ]
+    # hand composition: full-corpus ADC, then keep only probed ids
+    from pyspark.sql import functions as F
+
+    bucketed = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id",
+            S.hyperplane_bucket(
+                F.col("embedding").cast("array<double>"), planes
+            ).alias("b"),
+        ).collect()
+    }
+    full_adc = S.pq_topk(
+        S.pq_encode(emb, books), books, q, k=len(vecs)
+    ).collect()
+    want = [
+        (r["vec_id"], r["approx_dist"])
+        for r in full_adc
+        if bucketed[r["vec_id"]] in probes
+    ][:10]
+    assert got == want
+    assert all(bucketed[vid] in probes for vid, _ in got)
