@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "split_corpus",
     "tfidf_vectors",
     "doc_lm_logprob",
+    "quality_classifier",
     "source_mixture",
     "top_bigrams",
     "bigram_pmi",

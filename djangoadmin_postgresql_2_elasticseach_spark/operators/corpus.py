@@ -16,7 +16,7 @@ expression including evaluation order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textstats import fingerprint, lang_id, quality_score
@@ -1022,4 +1022,115 @@ def pack_windows(
             ).alias("text"),
         )
         .orderBy("window_id")
+    )
+
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    seed_pos: DataFrame,
+    seed_neg: DataFrame,
+    n_features: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style learned quality filter (the GPT-3 / PaLM corpus
+    recipe: a linear classifier scores every document against a
+    high-quality seed) as a hashed-feature Naive Bayes — pure DataFrame
+    ops, no MLlib, so training AND scoring stay one oracle-able plan.
+
+    Training: tokens of ``seed_pos``/``seed_neg`` hash into
+    ``n_features`` buckets (the hashing trick; same md5-based hash as
+    gram_hashes so the DuckDB oracle is bit-identical); per-feature
+    add-one-smoothed multinomial counts give the log-likelihood ratio
+
+        llr(f) = ln( (c_pos(f)+1)·(tot_neg+V) / ((c_neg(f)+1)·(tot_pos+V)) )
+
+    with V = n_features. Scoring: a document's quality is the MEAN
+    token llr (length-normalized, so verbosity isn't quality);
+    ``llr_mean > 0`` reads "more positive-seed-like than negative".
+
+    Determinism across engines (the oracle hashes values): each
+    token's llr is one ln of a double ratio of exact integers, rounded
+    to 6dp and cast DECIMAL(20,6) BEFORE the per-doc sum — the
+    aggregation is exact integer arithmetic, order-independent (same
+    contract as bigram_lm_logprob / bigram_pmi).
+
+    Scale: the llr table is the FULL feature domain (spark.range —
+    every token hits, no unseen-feature case) and is ``n_features``
+    rows, so it broadcasts; the corpus-side plan is tokenize → hash →
+    broadcast-join → partial-agg by doc — one shuffle on the doc id,
+    nothing corpus-sized ever moves to the driver. Seed counting
+    shuffles only (feature, count) pairs, bounded by ``n_features``
+    after the map-side combine. Like the LM tables, the llr frame is a
+    reusable artifact: persist it once per seed set and amortize.
+
+    Output: (id, n_tokens, llr_mean) for EVERY input doc; token-less
+    docs score 0.0.
+    """
+    from ..functions.text import tokenize
+
+    nf = F.lit(n_features)
+
+    def feat(tcol: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(tcol), 1, 8), 16, 10).cast("long")
+            % n_features
+        )
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            spread(df.select(text_col))
+            .select(F.explode(tokenize(F.col(text_col))).alias("t"))
+            .select(feat(F.col("t")).alias("f"))
+            .groupBy("f")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    cp, cn = counts(seed_pos, "cp"), counts(seed_neg, "cn")
+    totals = cp.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("tp")).crossJoin(
+        cn.agg(F.coalesce(F.sum("cn"), F.lit(0)).alias("tn"))
+    )
+    spark = docs.sparkSession
+    domain = spark.range(n_features).select(F.col("id").alias("f"))
+    llr = (
+        domain.join(cp, "f", "left")
+        .join(cn, "f", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "f",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cp"), F.lit(0)) + 1).cast("double")
+                    * (F.col("tn") + nf).cast("double")
+                    / (
+                        (F.coalesce(F.col("cn"), F.lit(0)) + 1).cast("double")
+                        * (F.col("tp") + nf).cast("double")
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(20,6)")
+            .alias("llr"),
+        )
+    )
+    scored = (
+        spread(docs.select(id_col, text_col), [id_col])
+        .select(
+            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("t")
+        )
+        .select(id_col, feat(F.col("t")).alias("f"))
+        .join(F.broadcast(llr), "f")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("llr").alias("s"))
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(
+                F.round(F.col("s").cast("double") / F.col("n"), 6), F.lit(0.0)
+            ).alias("llr_mean"),
+        )
     )

@@ -130,6 +130,27 @@ def _st_lm_quality_gate(docs, p, ctx):
     return _keep_ids(docs, ok, ctx["id_col"])
 
 
+def _st_nb_quality_gate(docs, p, ctx):
+    from .corpus import quality_classifier_scores
+
+    if ctx.get("seed_pos") is None or ctx.get("seed_neg") is None:
+        raise ValueError(
+            "nb_quality_gate stage needs run(seed_pos=..., seed_neg=...)"
+        )
+    scores = quality_classifier_scores(
+        docs, ctx["seed_pos"], ctx["seed_neg"],
+        n_features=p.get("n_features", 1024),
+        id_col=ctx["id_col"], text_col=ctx["text_col"],
+    )
+    thr = p["min_llr"]
+    # token-less docs pass (no evidence against — same posture as the
+    # LM gate's zero-bigram rule)
+    ok = scores.filter(
+        (F.col("n_tokens") == 0) | (F.col("llr_mean") >= F.lit(thr))
+    )
+    return _keep_ids(docs, ok, ctx["id_col"])
+
+
 def _st_pii_scrub(docs, p, ctx):
     from .corpus import scrub_pii
 
@@ -207,6 +228,7 @@ STAGE_OPS: dict[str, Callable] = {
     "decontaminate": _st_decontaminate,
     "near_dedup": _st_near_dedup,
     "lm_quality_gate": _st_lm_quality_gate,
+    "nb_quality_gate": _st_nb_quality_gate,
     "pii_scrub": _st_pii_scrub,
     "source_quota": _st_source_quota,
     "sample_budget": _st_sample_budget,
@@ -222,6 +244,7 @@ _ALLOWED_PARAMS = {
     "decontaminate": {"n"},
     "near_dedup": {"method", "threshold"},
     "lm_quality_gate": {"min_avg_logprob"},
+    "nb_quality_gate": {"min_llr", "n_features"},
     "pii_scrub": set(),
     "source_quota": {"k", "source_col"},
     "sample_budget": {"budget_tokens", "stratum_col"},
@@ -231,6 +254,7 @@ _ALLOWED_PARAMS = {
 }
 _REQUIRED_PARAMS = {
     "lm_quality_gate": {"min_avg_logprob"},
+    "nb_quality_gate": {"min_llr"},
     "source_quota": {"k"},
     "sample_budget": {"budget_tokens"},
 }
@@ -284,6 +308,8 @@ class CorpusPipeline:
         docs: DataFrame,
         benchmark: DataFrame | None = None,
         lm_train: DataFrame | None = None,
+        seed_pos: DataFrame | None = None,
+        seed_neg: DataFrame | None = None,
         checkpoint_stages: bool = True,
     ) -> DataFrame:
         """Compose every stage onto ``docs``; returns the final frame.
@@ -310,6 +336,8 @@ class CorpusPipeline:
             "text_col": self.text_col,
             "benchmark": benchmark,
             "lm_train": lm_train,
+            "seed_pos": seed_pos,
+            "seed_neg": seed_neg,
         }
         out = docs
         owned = None  # previous stage's checkpoint, freed after the next
@@ -328,6 +356,8 @@ class CorpusPipeline:
         docs: DataFrame,
         benchmark: DataFrame | None = None,
         lm_train: DataFrame | None = None,
+        seed_pos: DataFrame | None = None,
+        seed_neg: DataFrame | None = None,
     ) -> list[dict]:
         """Per-stage survivor counts for pipeline tuning runs. Stages
         materialize eagerly (the same per-stage checkpoint run() uses —
@@ -340,6 +370,8 @@ class CorpusPipeline:
             "text_col": self.text_col,
             "benchmark": benchmark,
             "lm_train": lm_train,
+            "seed_pos": seed_pos,
+            "seed_neg": seed_neg,
         }
         out = docs
         rows = [{"stage": "input", "rows": docs.count()}]

@@ -842,6 +842,23 @@ def _q_pipeline_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+QC_FEATURES = 1024
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (corpus.quality_classifier_scores —
+    fastText-style hashed-feature Naive Bayes, the GPT-3/PaLM seed-
+    classifier recipe): positive seed = every 50th doc, negative seed
+    = every 50th offset by 25, score the whole corpus by mean token
+    log-likelihood ratio."""
+    from .operators.corpus import quality_classifier_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.filter(F.col("doc_id") % 50 == 0)
+    neg = docs.filter(F.col("doc_id") % 50 == 25)
+    return quality_classifier_scores(docs, pos, neg, n_features=QC_FEATURES)
+
+
 def _q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware split: near-dup components (minhash pairs at the
     dedup_clusters threshold) land whole in one split."""
@@ -1331,6 +1348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
     "ivf_pq_topk": _q_ivf_pq_topk,
+    "quality_classifier": _q_quality_classifier,
     "ann_knn_join": _q_knn_join,
     "label_centroids": _q_label_centroids,
     "match_phrase": _q_match_phrase,
@@ -3568,6 +3586,52 @@ adc AS (
 )
 SELECT vec_id, approx_dist FROM adc
 ORDER BY approx_dist, vec_id LIMIT {PQ_K}
+"""
+
+    # hashed-feature Naive Bayes quality classifier — mirror of
+    # corpus.quality_classifier_scores (md5 feature hash, add-one llr
+    # as one ln of a double ratio rounded 6dp → DECIMAL sum, mean)
+    o["quality_classifier"] = f"""
+WITH ptk AS (
+  SELECT ('0x' || substr(md5(t), 1, 8))::BIGINT % {QC_FEATURES} AS f
+  FROM (SELECT unnest({_sql_tokens("text")}) AS t
+        FROM documents WHERE doc_id % 50 = 0)
+),
+ntk AS (
+  SELECT ('0x' || substr(md5(t), 1, 8))::BIGINT % {QC_FEATURES} AS f
+  FROM (SELECT unnest({_sql_tokens("text")}) AS t
+        FROM documents WHERE doc_id % 50 = 25)
+),
+cp AS (SELECT f, count(*) AS cp FROM ptk GROUP BY f),
+cn AS (SELECT f, count(*) AS cn FROM ntk GROUP BY f),
+tot AS (SELECT (SELECT count(*) FROM ptk) AS tp,
+               (SELECT count(*) FROM ntk) AS tn),
+llr AS (
+  SELECT d.f,
+    CAST(round(ln(
+      CAST(COALESCE(cp.cp, 0) + 1 AS DOUBLE)
+      * CAST(tot.tn + {QC_FEATURES} AS DOUBLE)
+      / (CAST(COALESCE(cn.cn, 0) + 1 AS DOUBLE)
+         * CAST(tot.tp + {QC_FEATURES} AS DOUBLE))
+    ), 6) AS DECIMAL(20,6)) AS llr
+  FROM (SELECT unnest(range(0, {QC_FEATURES})) AS f) d
+  LEFT JOIN cp ON d.f = cp.f
+  LEFT JOIN cn ON d.f = cn.f
+  CROSS JOIN tot
+),
+dtk AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 8))::BIGINT % {QC_FEATURES} AS f
+  FROM (SELECT doc_id, unnest({_sql_tokens("text")}) AS t FROM documents)
+),
+pd AS (
+  SELECT dtk.doc_id, count(*) AS n, sum(llr.llr) AS s
+  FROM dtk JOIN llr ON dtk.f = llr.f
+  GROUP BY dtk.doc_id
+)
+SELECT d.doc_id, COALESCE(pd.n, 0) AS n_tokens,
+       COALESCE(round(CAST(pd.s AS DOUBLE) / pd.n, 6), 0.0) AS llr_mean
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 """
 
     return o

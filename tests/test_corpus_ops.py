@@ -724,3 +724,41 @@ def test_remove_duplicated_passages_first_doc_keeps(spark):
     assert out[3]["n_removed"] == 0
     assert out[4]["clean_text"] == "" and out[4]["n_tokens"] == 0
     assert out[5]["n_removed"] == 0
+
+
+def test_quality_classifier_separates_seed_like_docs(spark):
+    """NB quality scores: docs made of positive-seed vocabulary must
+    score above docs made of negative-seed vocabulary; a mixed doc sits
+    between; token-less docs get (0, 0.0); every input doc gets a row."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        quality_classifier_scores,
+    )
+
+    pos_seed = spark.createDataFrame(
+        [(100 + i, "insightful rigorous analysis of careful experiments") for i in range(4)],
+        "doc_id long, text string",
+    )
+    neg_seed = spark.createDataFrame(
+        [(200 + i, "click here free prize winner buy now spam") for i in range(4)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "rigorous careful analysis experiments insightful"),
+            (2, "free prize click spam buy winner now"),
+            (3, "careful experiments free spam"),  # mixed
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier_scores(
+            docs, pos_seed, neg_seed, n_features=256
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["llr_mean"] > 0 > out[2]["llr_mean"]
+    assert out[2]["llr_mean"] < out[3]["llr_mean"] < out[1]["llr_mean"]
+    assert out[4]["n_tokens"] == 0 and out[4]["llr_mean"] == 0.0
+    assert out[1]["n_tokens"] == 5

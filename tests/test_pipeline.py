@@ -210,3 +210,32 @@ def test_training_export_end_to_end(spark, tmp_path):
     assert back == want and len(want) > 1
     # the low-quality doc's tokens never reach the export
     assert not any("zz" in t for t in back.values())
+
+
+def test_pipeline_nb_quality_gate(spark):
+    """NB gate keeps positive-seed-like docs and token-less docs,
+    drops negative-seed-like ones; missing seeds raise loudly."""
+    pos = spark.createDataFrame(
+        [(100 + i, "insightful rigorous analysis of careful experiments") for i in range(3)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(200 + i, "click here free prize winner buy now spam") for i in range(3)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "rigorous careful analysis"),
+            (2, "free prize spam winner"),
+            (3, ""),  # token-less → passes by contract
+        ],
+        "doc_id long, text string",
+    )
+    pipe = CorpusPipeline([{"op": "nb_quality_gate", "min_llr": 0.0}])
+    got = {
+        r["doc_id"]
+        for r in pipe.run(docs, seed_pos=pos, seed_neg=neg).collect()
+    }
+    assert got == {1, 3}
+    with pytest.raises(ValueError, match="seed_pos"):
+        pipe.run(docs)
