@@ -116,6 +116,9 @@ def test_corpus_assembly_family_empty(spark):
     assert C.decontaminate(docs, docs).count() == 0
     assert C.source_quota(docs_src).count() == 0
     assert C.sample_to_budget(docs_lang, budget_tokens=100).count() == 0
+    # empty seeds degrade to llr=0 everywhere (Laplace-only counts),
+    # empty docs frame yields zero rows — neither may raise
+    assert C.quality_classifier_scores(docs, docs, docs).count() == 0
 
 
 def test_temporal_family_empty(spark):
