@@ -1087,24 +1087,29 @@ def quality_classifier_scores(
         )
 
     cp, cn = counts(seed_pos, "cp"), counts(seed_neg, "cn")
-    totals = cp.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("tp")).crossJoin(
-        cn.agg(F.coalesce(F.sum("cn"), F.lit(0)).alias("tn"))
-    )
     spark = docs.sparkSession
     domain = spark.range(n_features).select(F.col("id").alias("f"))
+    # every hashed feature lies in [0, n_features), so the seed totals
+    # are sums OVER THE JOINED DOMAIN — a global window on n_features
+    # rows — rather than separate aggs that would re-execute each
+    # seed-count subtree (two extra seed scans)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    c_pos = F.coalesce(F.col("cp"), F.lit(0))
+    c_neg = F.coalesce(F.col("cn"), F.lit(0))
     llr = (
         domain.join(cp, "f", "left")
         .join(cn, "f", "left")
-        .crossJoin(F.broadcast(totals))
         .select(
             "f",
             F.round(
                 F.log(
-                    (F.coalesce(F.col("cp"), F.lit(0)) + 1).cast("double")
-                    * (F.col("tn") + nf).cast("double")
+                    (c_pos + 1).cast("double")
+                    * (F.sum(c_neg).over(w) + nf).cast("double")
                     / (
-                        (F.coalesce(F.col("cn"), F.lit(0)) + 1).cast("double")
-                        * (F.col("tp") + nf).cast("double")
+                        (c_neg + 1).cast("double")
+                        * (F.sum(c_pos).over(w) + nf).cast("double")
                     )
                 ),
                 6,
@@ -1113,24 +1118,29 @@ def quality_classifier_scores(
             .alias("llr"),
         )
     )
-    scored = (
+    # explode_outer keeps token-less docs as one NULL-feature row, so
+    # scoring is ONE scan + one partial-agg shuffle on the doc id — no
+    # second table scan and no docs-side assembly join (the NULL
+    # feature finds no llr under the left join; count("f") skips it)
+    return (
         spread(docs.select(id_col, text_col), [id_col])
         .select(
-            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("t")
+            F.col(id_col),
+            F.explode_outer(tokenize(F.col(text_col))).alias("t"),
         )
-        .select(id_col, feat(F.col("t")).alias("f"))
-        .join(F.broadcast(llr), "f")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("llr").alias("s"))
-    )
-    return (
-        docs.select(id_col)
-        .join(scored, id_col, "left")
         .select(
             id_col,
-            F.coalesce(F.col("n"), F.lit(0)).alias("n_tokens"),
+            F.when(F.col("t").isNotNull(), feat(F.col("t"))).alias("f"),
+        )
+        .join(F.broadcast(llr), "f", "left")
+        .groupBy(id_col)
+        .agg(F.count("f").alias("n_tokens"), F.sum("llr").alias("s"))
+        .select(
+            id_col,
+            "n_tokens",
             F.coalesce(
-                F.round(F.col("s").cast("double") / F.col("n"), 6), F.lit(0.0)
+                F.round(F.col("s").cast("double") / F.col("n_tokens"), 6),
+                F.lit(0.0),
             ).alias("llr_mean"),
         )
     )
