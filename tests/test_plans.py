@@ -443,3 +443,17 @@ def test_persisted_ivfpq_index_prunes_partitions(spark, tmp_path):
     ]
     have = [(r["vec_id"], r["approx_dist"]) for r in got.collect()]
     assert have == want
+
+
+def test_quality_classifier_scores_minimal_scans(spark):
+    """The NB quality scorer must read its backing table exactly three
+    times (two seeds + corpus — no duplicate seed-count evaluation, no
+    second corpus scan for assembly), join the llr table by broadcast,
+    and never sort-merge join."""
+    from djangoadmin_postgresql_2_elasticseach_spark import registry
+
+    df = registry.QUERIES["quality_classifier"](spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert plan.count("documents.parquet") == 3, plan.count("documents.parquet")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
