@@ -959,3 +959,42 @@ def ivfpq_query_indexed(
         F.col("bucket").isin(sorted(probes))
     )
     return pq_topk(codes_df, codebooks, query_vec, k=k, id_col=id_col)
+
+
+def ivf_pq_topk_rerank(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    n_planes: int = 4,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full IVFADC serving path: coarse-prune → ADC shortlist →
+    exact squared-L2 re-rank of the shortlist rows only (semi-join into
+    the float table — full-precision vectors are read for ``shortlist``
+    rows, never the corpus). Output: (id, dist) exact, top-k."""
+    cand = ivf_pq_topk(
+        emb, codebooks, query_vec, k=shortlist, n_planes=n_planes,
+        probe_hamming=probe_hamming, id_col=id_col, vec_col=vec_col,
+    ).select(id_col)
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame(
+        [(1, [float(x) for x in query_vec])], "_qk int, _q array<double>"
+    )
+    v = F.col(vec_col).cast("array<double>")
+    exact = F.aggregate(
+        F.zip_with(v, F.col("_q"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.join(F.broadcast(cand), id_col, "left_semi")
+        .withColumn("_qk", F.lit(1))
+        .join(F.broadcast(qdf), "_qk")
+        .select(F.col(id_col), F.round(exact, 6).alias("dist"))
+        .orderBy("dist", id_col)
+        .limit(k)
+    )

@@ -173,3 +173,40 @@ def test_ivf_pq_composition_matches_prune_then_adc(spark, emb, vecs):
     ][:10]
     assert got == want
     assert all(bucketed[vid] in probes for vid, _ in got)
+
+
+def test_ivf_pq_rerank_recall_at_least_adc(spark, emb, vecs):
+    """Exact re-rank of the IVF-PQ shortlist: within the probed
+    buckets, recall vs the probe-restricted exact ranking must be >=
+    the raw ADC ordering's (the rerank can only fix ADC mistakes), and
+    returned distances are the true squared-L2 values."""
+    books = S.pq_codebooks_deterministic(emb, m=4, ksub=16)
+    q = vecs[min(vecs)]
+    planes = S.fixed_planes(len(q), 4)
+    probes = S.probe_buckets(q, planes, 1)
+    from pyspark.sql import functions as F
+
+    bucketed = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id",
+            S.hyperplane_bucket(
+                F.col("embedding").cast("array<double>"), planes
+            ).alias("b"),
+        ).collect()
+    }
+    in_probe = [vid for vid in vecs if bucketed[vid] in probes]
+    exact = sorted(
+        in_probe, key=lambda vid: (_sqdist(vecs[vid], q), vid)
+    )[:10]
+    got = S.ivf_pq_topk_rerank(
+        emb, books, q, k=10, shortlist=50
+    ).collect()
+    got_ids = [r["vec_id"] for r in got]
+    adc_ids = [
+        r["vec_id"] for r in S.ivf_pq_topk(emb, books, q, k=10).collect()
+    ]
+    want = set(exact)
+    assert len(set(got_ids) & want) >= len(set(adc_ids) & want)
+    for r in got:
+        assert r["dist"] == round(_sqdist(vecs[r["vec_id"]], q), 6)
