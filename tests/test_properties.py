@@ -844,3 +844,46 @@ def test_admin_save_matches_reference_model(spark, batch):
         for r in admin_save(table, edits, pk="id", now=now).collect()
     }
     assert got == expect
+
+
+def test_quality_classifier_invariances(spark):
+    """NB score properties that must hold by construction: (a) token
+    ORDER cannot change a doc's score (bag-of-features model); (b)
+    repeating a doc's whole text leaves the MEAN llr unchanged (n and
+    s both double); (c) scores are finite for every doc, including
+    ones made of tokens unseen in either seed."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        quality_classifier_scores,
+    )
+
+    pos = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(200, "noise junk filler clutter cruft spamlike")],
+        "doc_id long, text string",
+    )
+    base = "alpha noise gamma junk epsilon"
+    perm = "junk epsilon alpha gamma noise"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, perm),
+            (3, base + " " + base),
+            (4, "completely unseen vocabulary everywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier_scores(
+            docs, pos, neg, n_features=128
+        ).collect()
+    }
+    assert out[1]["llr_mean"] == out[2]["llr_mean"]          # order-free
+    assert out[1]["llr_mean"] == out[3]["llr_mean"]          # mean-invariant
+    assert out[3]["n_tokens"] == 2 * out[1]["n_tokens"]
+    import math
+
+    assert all(math.isfinite(r["llr_mean"]) for r in out.values())
