@@ -1144,3 +1144,149 @@ def quality_classifier_scores(
             ).alias("llr_mean"),
         )
     )
+
+
+def importance_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    n_features: int = 1024,
+    seed: int = 17,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): pick ``n`` documents from ``raw`` whose hashed-
+    bigram feature distribution resembles ``target``, by Gumbel-top-k
+    over per-document importance log-weights.
+
+    Features are bigrams hashed into ``n_features`` buckets (the
+    paper's hashed n-gram generative model; same md5 hash as
+    quality_classifier_scores so the DuckDB oracle is bit-identical).
+    With add-one smoothing over the bucket domain, each bucket's
+    log-likelihood ratio is
+
+        llr(f) = ln( (c_t(f)+1)·(tot_r+V) / ((c_r(f)+1)·(tot_t+V)) )
+
+    and a document's importance log-weight is the SUM of llr over its
+    bigram occurrences (the full log p_t(doc)/p_r(doc) under the
+    unigram-over-features model — deliberately NOT length-normalized:
+    resampling weighs whole documents, unlike the mean-llr quality
+    score).
+
+    Sampling without replacement is the Gumbel-top-k trick (Kool et
+    al., ICML 2019; exactly the paper's resampling step): key_i =
+    log w_i + g_i with g_i ~ Gumbel(0,1), take the n largest keys.
+    ``g_i`` derives from a SEEDED md5 of the doc id — deterministic,
+    reproducible, and portable to the oracle: u = (h+1)/(2³²+1) with
+    h the first 8 md5 hex digits of "seed:doc_id", g = −ln(−ln u).
+
+    Determinism across engines: llr is rounded to 6dp and cast
+    DECIMAL(20,6) before the per-doc sum (exact integer aggregation,
+    order-independent — the bigram_lm_logprob contract); the Gumbel
+    key is rounded to 6dp with doc-id tiebreak.
+
+    Output: (id, n_bigrams, log_w, sel_key), the selected ``n`` rows,
+    ordered by sel_key desc then id.
+
+    Scale: the llr table is the full n_features-row domain →
+    broadcast; raw-side plan is tokenize → bigram → hash → broadcast-
+    join → partial-agg by doc (ONE data-sized shuffle on the doc id);
+    selection is orderBy+limit = TakeOrderedAndProject (per-partition
+    top-n, no global sort). Target counting shuffles only (feature,
+    count) pairs, bounded by n_features after map-side combine.
+    """
+    from ..functions.text import token_bigrams, tokenize
+
+    nf = F.lit(n_features)
+
+    def feat(tcol: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(tcol), 1, 8), 16, 10).cast("long")
+            % n_features
+        )
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            spread(df.select(text_col))
+            .select(
+                F.explode(
+                    token_bigrams(tokenize(F.col(text_col)))
+                ).alias("g")
+            )
+            .select(feat(F.col("g")).alias("f"))
+            .groupBy("f")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ct, cr = counts(target, "ct"), counts(raw, "cr")
+    spark = raw.sparkSession
+    domain = spark.range(n_features).select(F.col("id").alias("f"))
+    # totals as a window over the joined n_features-row domain — one
+    # pass, no re-execution of the count subtrees (the
+    # quality_classifier_scores pattern)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    c_t = F.coalesce(F.col("ct"), F.lit(0))
+    c_r = F.coalesce(F.col("cr"), F.lit(0))
+    llr = (
+        domain.join(ct, "f", "left")
+        .join(cr, "f", "left")
+        .select(
+            "f",
+            F.round(
+                F.log(
+                    (c_t + 1).cast("double")
+                    * (F.sum(c_r).over(w) + nf).cast("double")
+                    / (
+                        (c_r + 1).cast("double")
+                        * (F.sum(c_t).over(w) + nf).cast("double")
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(20,6)")
+            .alias("llr"),
+        )
+    )
+    # explode_outer keeps bigram-less docs eligible (log_w = 0, their
+    # Gumbel noise alone decides) — one scan, one partial-agg shuffle
+    scored = (
+        spread(raw.select(id_col, text_col), [id_col])
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                token_bigrams(tokenize(F.col(text_col)))
+            ).alias("g"),
+        )
+        .select(
+            id_col,
+            F.when(F.col("g").isNotNull(), feat(F.col("g"))).alias("f"),
+        )
+        .join(F.broadcast(llr), "f", "left")
+        .groupBy(id_col)
+        .agg(F.count("f").alias("n_bigrams"), F.sum("llr").alias("_s"))
+    )
+    # seeded Gumbel noise from the doc id: u in (0,1) strictly, so
+    # -ln(-ln u) is finite on every row
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967297.0)
+    gumbel = -F.log(-F.log(u))
+    log_w = F.coalesce(F.col("_s").cast("double"), F.lit(0.0))
+    return (
+        scored.select(
+            id_col,
+            "n_bigrams",
+            F.round(log_w, 6).alias("log_w"),
+            F.round(log_w + gumbel, 6).alias("sel_key"),
+        )
+        .orderBy(F.desc("sel_key"), F.asc(id_col))
+        .limit(n)
+    )

@@ -998,3 +998,130 @@ def ivf_pq_topk_rerank(
         .orderBy("dist", id_col)
         .limit(k)
     )
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 8,
+    shortlist: int = 40,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein,
+    SIGIR 1998) — the diversity-aware top-k every retrieval stack puts
+    behind its ANN shortlist: greedily pick the candidate maximizing
+
+        mmr(c) = λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+
+    where rel = cosine(query, c) and sim = candidate-pair cosine. The
+    first pick is the plain relevance argmax (empty selected set).
+
+    Two stages, both bounded:
+      1. Shortlist: exact cosine top-``shortlist`` over the corpus —
+         TakeOrderedAndProject (per-partition top-m, no global sort),
+         the identical plan shape to brute_force_topk; swap in the
+         IVF/PQ shortlist at scale, the re-rank stage is unchanged.
+      2. Greedy: the m-candidate relevance vector and m×(m−1) pairwise
+         cosine matrix (computed in COLUMN space with the same
+         `cosine` fold as every other similarity op, rounded to 6dp —
+         so the oracle sees bit-identical doubles) feed ONE
+         applyInPandas group whose input is m² CONSTANT-bounded rows.
+         The greedy loop is pure integer/compare logic over already-
+         rounded values — no float re-derivation in Python, hence no
+         cross-engine drift. Per-query state is O(shortlist²),
+         independent of corpus size; a batch of queries parallelizes
+         by query id (the group key), which is why the greedy is not
+         a driver-side loop.
+
+    Determinism: rel and sim rounded to 6dp; each step's score
+    rounded to 6dp; ties break on ascending id at every step.
+
+    Output: the k selected rows (ord, id, rel, mmr_score), ord 1..k in
+    selection order; step 1's score is round(λ·rel, 6).
+    """
+    import pandas as pd
+
+    cand = brute_force_topk(
+        emb, query_vec, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("id"), F.col("cos_sim").alias("rel"))
+    vecs = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
+    )
+    cv = cand.join(vecs, "id")
+    a = cv.select(
+        F.col("id").alias("id_a"),
+        F.col("rel").alias("rel_a"),
+        F.col("_v").alias("_va"),
+    )
+    b = cv.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "rel_a",
+            "id_b",
+            F.round(
+                cosine(
+                    F.col("_va").cast("array<double>"),
+                    F.col("_vb").cast("array<double>"),
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+
+    kk, ll = int(k), float(lam)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = (
+            pdf[["id_a", "rel_a"]]
+            .drop_duplicates()
+            .set_index("id_a")["rel_a"]
+            .to_dict()
+        )
+        sim: dict[tuple[int, int], float] = {
+            (int(r.id_a), int(r.id_b)): float(r.sim)
+            for r in pdf.itertuples()
+            if pd.notna(r.id_b)  # solo rows carry no pair
+        }
+        remaining = sorted(rel)
+        out = []
+        selected: list[int] = []
+        for step in range(1, min(kk, len(remaining)) + 1):
+            best = None
+            for c in remaining:
+                if selected:
+                    mx = max(sim[(c, s)] for s in selected)
+                    score = round(ll * rel[c] - (1.0 - ll) * mx, 6)
+                else:
+                    score = round(ll * rel[c], 6)
+                if best is None or score > best[0] or (
+                    score == best[0] and c < best[1]
+                ):
+                    best = (score, c)
+            score, pick = best
+            out.append((step, pick, rel[pick], score))
+            selected.append(pick)
+            remaining.remove(pick)
+        return pd.DataFrame(
+            out, columns=["ord", "id", "rel", "mmr_score"]
+        )
+
+    # union the bare candidate rows (id_b NULL) so a 1-candidate
+    # shortlist still reaches the greedy group
+    solo = cand.select(
+        F.col("id").alias("id_a"),
+        F.col("rel").alias("rel_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("sim"),
+    )
+    grouped = pairs.unionByName(solo).withColumn("_q", F.lit(0))
+    return (
+        grouped.groupBy("_q")
+        .applyInPandas(
+            greedy, schema="ord int, id long, rel double, mmr_score double"
+        )
+        .orderBy("ord")
+    )

@@ -1226,6 +1226,93 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_N, DSIR_FEATURES, DSIR_SEED = 100, 1024, 17
+
+
+def _q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection (operators/corpus.importance_resample): pick the
+    DSIR_N raw docs most English-like by hashed-bigram importance
+    weights + seeded Gumbel-top-k (target = lang='en' docs)."""
+    from .operators.corpus import importance_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return importance_resample(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        n=DSIR_N,
+        n_features=DSIR_FEATURES,
+        seed=DSIR_SEED,
+    )
+
+
+MMR_K, MMR_SHORTLIST, MMR_LAMBDA = 8, 40, 0.7
+
+
+def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (operators/similarity.mmr_topk) of the
+    cosine top-MMR_SHORTLIST for the vec_id=0 query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.mmr_topk(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=MMR_K,
+        shortlist=MMR_SHORTLIST,
+        lam=MMR_LAMBDA,
+    )
+
+
+def _orders_snapshot_b(orders: DataFrame) -> DataFrame:
+    """Deterministic 'tomorrow' snapshot of orders: drop keys %97==0,
+    bump totalprice 10% where %101==0, flip status to 'X' where
+    %103==0, and add a copied row at key+10⁹ where %89==0. Both the
+    Spark query and the oracle construct THIS same snapshot."""
+    k = F.col("o_orderkey")
+    base = (
+        orders.filter(k % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                k % 101 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(k % 103 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    added = orders.filter(k % 89 == 0).withColumn(
+        "o_orderkey", k + F.lit(1000000000)
+    )
+    return base.unionByName(added)
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-sized snapshot diff (operators/audit.snapshot_diff) of
+    orders vs its deterministic edit script."""
+    from .operators.audit import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    return snapshot_diff(
+        orders,
+        _orders_snapshot_b(orders),
+        keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    ).orderBy("o_orderkey")
+
+
+def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest event users with share and skew ratio
+    (operators/audit.key_skew_profile) — the pre-shuffle hot-key
+    check."""
+    from .operators.audit import key_skew_profile
+
+    return key_skew_profile(
+        load_table(spark, sf_dir, "events"), "user_id", top=20
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1356,6 +1443,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "admin_save_docs": _q_admin_save_docs,
     # passage-level rewrite (r8)
     "remove_dup_passages": _q_remove_dup_passages,
+    # r9: DSIR selection, MMR re-rank, dataset auditing
+    "importance_resample_docs": _q_importance_resample,
+    "mmr_rerank_topk": _q_mmr_rerank,
+    "snapshot_diff_orders": _q_snapshot_diff,
+    "key_skew_events": _q_key_skew,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -1368,6 +1460,53 @@ QUERIES = {name: _scalarized(fn) for name, fn in QUERIES.items()}
 # Adding a key here REQUIRES a justification string; the contract test
 # pins QUERIES == ORACLES ∪ ROWS_ONLY so this set cannot silently grow.
 ROWS_ONLY: dict[str, str] = {}
+
+
+def _mmr_oracle_sql(
+    k: int = MMR_K, shortlist: int = MMR_SHORTLIST, lam: float = MMR_LAMBDA
+) -> str:
+    """Unrolled greedy MMR as chained CTEs: s1 = relevance argmax;
+    s_i = argmax of round(λ·rel − (1−λ)·max sim(·, selected), 6) over
+    the not-yet-selected candidates, tie on ascending id. (1−λ) is
+    written as the SAME double expression the engine evaluates
+    (1.0 − λ), so a binary-representation difference in the complement
+    can never nudge a 6dp rounding boundary."""
+    cos_q = _cosine_sql("e.embedding", "q.qe")
+    cos_ab = _cosine_sql("a.v", "b.v")
+    parts = [
+        f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id AS id, round({cos_q}, 6) AS rel, e.embedding AS v
+  FROM embeddings e, q
+  ORDER BY rel DESC, id LIMIT {shortlist}
+),
+p AS (
+  SELECT a.id AS ia, b.id AS ib, round({cos_ab}, 6) AS sim
+  FROM cand a JOIN cand b ON a.id <> b.id
+),
+s1 AS (SELECT id, rel, round({lam} * rel, 6) AS score, 1 AS ord
+       FROM cand ORDER BY score DESC, id LIMIT 1),
+u1 AS (SELECT * FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+s{i} AS (
+  SELECT id, rel, score, {i} AS ord FROM (
+    SELECT c.id, c.rel,
+           round({lam} * c.rel - (1.0 - {lam}) *
+                 (SELECT max(sim) FROM p
+                  WHERE p.ia = c.id AND p.ib IN (SELECT id FROM u{i - 1})),
+                 6) AS score
+    FROM cand c WHERE c.id NOT IN (SELECT id FROM u{i - 1}))
+  ORDER BY score DESC, id LIMIT 1
+),
+u{i} AS (SELECT * FROM u{i - 1} UNION ALL SELECT * FROM s{i})"""
+        )
+    parts.append(
+        f"\nSELECT ord, id, rel, score AS mmr_score FROM u{k} ORDER BY ord"
+    )
+    return "".join(parts)
 
 
 def _build_oracles() -> dict[str, str]:
@@ -3632,6 +3771,112 @@ pd AS (
 SELECT d.doc_id, COALESCE(pd.n, 0) AS n_tokens,
        COALESCE(round(CAST(pd.s AS DOUBLE) / pd.n, 6), 0.0) AS llr_mean
 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
+
+    # DSIR importance resampling — mirror of corpus.importance_resample
+    # (hashed-bigram LR between target = lang='en' and raw = all docs;
+    # llr rounded 6dp + DECIMAL sum; seeded md5 Gumbel; top-DSIR_N)
+    _bg = "w[i] || ' ' || w[i + 1]"
+    _bgf = (
+        f"('0x' || substr(md5({_bg}), 1, 8))::BIGINT % {DSIR_FEATURES}"
+    )
+    o["importance_resample_docs"] = f"""
+WITH tk AS (SELECT doc_id, lang, {_sql_tokens("text")} AS w FROM documents),
+tg AS (SELECT {_bgf} AS f
+       FROM tk CROSS JOIN UNNEST(range(1, len(w))) AS t(i)
+       WHERE lang = 'en'),
+rg AS (SELECT doc_id, {_bgf} AS f
+       FROM tk CROSS JOIN UNNEST(range(1, len(w))) AS t(i)),
+ct AS (SELECT f, count(*) AS ct FROM tg GROUP BY f),
+cr AS (SELECT f, count(*) AS cr FROM rg GROUP BY f),
+tot AS (SELECT (SELECT count(*) FROM tg) AS tt,
+               (SELECT count(*) FROM rg) AS tr),
+llr AS (
+  SELECT d.f,
+    CAST(round(ln(
+      CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+      * CAST(tot.tr + {DSIR_FEATURES} AS DOUBLE)
+      / (CAST(COALESCE(cr.cr, 0) + 1 AS DOUBLE)
+         * CAST(tot.tt + {DSIR_FEATURES} AS DOUBLE))
+    ), 6) AS DECIMAL(20,6)) AS llr
+  FROM (SELECT unnest(range(0, {DSIR_FEATURES})) AS f) d
+  LEFT JOIN ct ON d.f = ct.f
+  LEFT JOIN cr ON d.f = cr.f
+  CROSS JOIN tot
+),
+pd AS (SELECT rg.doc_id, count(*) AS n_bigrams, sum(llr.llr) AS s
+       FROM rg JOIN llr ON rg.f = llr.f GROUP BY rg.doc_id)
+SELECT d.doc_id,
+       COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+       round(COALESCE(CAST(pd.s AS DOUBLE), 0.0), 6) AS log_w,
+       round(COALESCE(CAST(pd.s AS DOUBLE), 0.0)
+             + (-ln(-ln(
+                 (('0x' || substr(md5('{DSIR_SEED}:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  + 1.0) / 4294967297.0))), 6) AS sel_key
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+ORDER BY sel_key DESC, d.doc_id
+LIMIT {DSIR_N}
+"""
+
+    # MMR greedy re-rank — the oracle UNROLLS the k selection steps as
+    # chained CTEs (each picks the argmax of λ·rel − (1−λ)·max sim to
+    # the already-selected set, tie on id — byte-identical arithmetic
+    # to the engine's greedy over the same 6dp-rounded cosines)
+    o["mmr_rerank_topk"] = _mmr_oracle_sql()
+
+    # churn-sized snapshot diff — mirror of audit.snapshot_diff over
+    # the SAME deterministic orders edit script the query constructs
+    o["snapshot_diff_orders"] = """
+WITH newsnap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 103 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 101 = 0 THEN round(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 89 = 0
+),
+old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS io,
+         n.o_orderkey IS NOT NULL AS inn,
+         CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL THEN
+           array_to_string(list_filter([
+             CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  THEN 'o_orderstatus' END,
+             CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  THEN 'o_totalprice' END
+           ], x -> x IS NOT NULL), ',')
+         ELSE '' END AS changed_cols
+  FROM old o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN NOT io THEN 'added'
+            WHEN NOT inn THEN 'removed'
+            ELSE 'changed' END AS status,
+       changed_cols
+FROM j
+WHERE NOT (io AND inn) OR changed_cols <> ''
+ORDER BY o_orderkey
+"""
+
+    # pre-shuffle hot-key profile — mirror of audit.key_skew_profile
+    o["key_skew_events"] = """
+WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+           FROM events GROUP BY 1),
+t AS (SELECT sum(n) AS total, count(*) AS nkeys FROM c),
+head AS (
+  SELECT key, n,
+         round(CAST(n AS DOUBLE) / total, 6) AS share,
+         round(CAST(n * nkeys AS DOUBLE) / total, 6) AS skew
+  FROM c CROSS JOIN t
+  ORDER BY n DESC, key NULLS FIRST LIMIT 20
+)
+SELECT row_number() OVER (ORDER BY n DESC, key NULLS FIRST) AS rank,
+       key, n, share, skew
+FROM head ORDER BY rank
 """
 
     return o

@@ -1,0 +1,88 @@
+"""operators/audit.py — snapshot diff and key-skew profile behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from djangoadmin_postgresql_2_elasticseach_spark.operators.audit import (
+    key_skew_profile,
+    snapshot_diff,
+    snapshot_diff_summary,
+)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k long, a string, b double")
+
+
+def test_snapshot_diff_statuses_and_changed_cols(spark):
+    old = _snap(spark, [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0), (4, None, 4.0)])
+    new = _snap(
+        spark,
+        [
+            (1, "x", 1.0),        # unchanged → filtered out
+            (2, "y2", 2.0),       # a changed
+            (4, "w", 4.5),        # NULL→value on a, b changed
+            (5, "new", 5.0),      # added
+        ],                        # 3 removed
+    )
+    rows = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert 1 not in rows
+    assert rows[2]["status"] == "changed" and rows[2]["changed_cols"] == "a"
+    assert rows[3]["status"] == "removed" and rows[3]["changed_cols"] == ""
+    assert rows[4]["status"] == "changed" and rows[4]["changed_cols"] == "a,b"
+    assert rows[5]["status"] == "added" and rows[5]["changed_cols"] == ""
+
+
+def test_snapshot_diff_null_to_null_is_unchanged(spark):
+    old = _snap(spark, [(1, None, 1.0)])
+    new = _snap(spark, [(1, None, 1.0)])
+    assert snapshot_diff(old, new, ["k"]).count() == 0
+
+
+def test_snapshot_diff_respects_compare_cols_subset(spark):
+    old = _snap(spark, [(1, "x", 1.0)])
+    new = _snap(spark, [(1, "x", 9.0)])
+    # b differs but only a is compared → no diff row
+    assert snapshot_diff(old, new, ["k"], compare_cols=["a"]).count() == 0
+
+
+def test_snapshot_diff_summary_counts(spark):
+    old = _snap(spark, [(1, "x", 1.0), (2, "y", 2.0)])
+    new = _snap(spark, [(2, "y9", 2.0), (3, "z", 3.0)])
+    got = {
+        r["status"]: r["n_rows"]
+        for r in snapshot_diff_summary(old, new, ["k"]).collect()
+    }
+    assert got == {"added": 1, "removed": 1, "changed": 1}
+
+
+def test_snapshot_diff_empty_inputs(spark):
+    old = _snap(spark, [(1, "x", 1.0)])
+    empty = old.filter(F.lit(False))
+    assert snapshot_diff(empty, empty, ["k"]).count() == 0
+    all_removed = snapshot_diff(old, empty, ["k"]).collect()
+    assert [r["status"] for r in all_removed] == ["removed"]
+    all_added = snapshot_diff(empty, old, ["k"]).collect()
+    assert [r["status"] for r in all_added] == ["added"]
+
+
+def test_key_skew_profile_ranks_and_ratios(spark):
+    # 6×'hot', 2×'warm', 1×'cold', 1×NULL → 4 keys, 10 rows, mean 2.5
+    rows = [("hot",)] * 6 + [("warm",)] * 2 + [("cold",)] + [(None,)]
+    df = spark.createDataFrame(rows, "u string")
+    got = key_skew_profile(df, "u", top=3).collect()
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert got[0]["key"] == "hot" and got[0]["n"] == 6
+    assert abs(got[0]["share"] - 0.6) < 1e-9
+    assert abs(got[0]["skew"] - 2.4) < 1e-9  # 6 / (10/4)
+    assert got[1]["key"] == "warm"
+    # NULL key participates: widen to top=4 and find it
+    all4 = key_skew_profile(df, "u", top=4).collect()
+    assert any(r["key"] is None for r in all4)
+
+
+def test_key_skew_profile_tie_breaks_on_key(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], "u string")
+    got = key_skew_profile(df, "u", top=3).collect()
+    assert [r["key"] for r in got] == ["a", "b", "c"]

@@ -1,0 +1,105 @@
+"""DSIR importance resampling (corpus.importance_resample) and MMR
+diversity re-rank (similarity.mmr_topk) — behavioral properties the
+oracle hash can't express: target-likeness ordering, seed
+reproducibility, and the diversity-over-redundancy pick."""
+
+from __future__ import annotations
+
+from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+    importance_resample,
+)
+from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import (
+    mmr_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+TARGET_ROWS = [
+    (100, "the cat sat on the mat"),
+    (101, "the cat ate the fish"),
+    (102, "a cat and the cat purred"),
+]
+RAW_ROWS = [
+    (1, "the cat sat on the mat"),        # pure target-like
+    (2, "stocks fell sharply in tokyo trading"),  # off-target
+    (3, "the cat sat near stocks tokyo"),  # mixed
+    (4, "x"),                              # 0 bigrams
+]
+
+
+def test_dsir_logweight_orders_by_target_likeness(spark):
+    raw = _docs(spark, RAW_ROWS)
+    tgt = _docs(spark, TARGET_ROWS)
+    got = {
+        r["doc_id"]: r
+        for r in importance_resample(
+            raw, tgt, n=10, n_features=256, seed=7
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["log_w"] > got[3]["log_w"] > got[2]["log_w"]
+    assert got[4]["n_bigrams"] == 0 and got[4]["log_w"] == 0.0
+
+
+def test_dsir_seed_reproducible_and_varying(spark):
+    raw, tgt = _docs(spark, RAW_ROWS), _docs(spark, TARGET_ROWS)
+    a = importance_resample(raw, tgt, n=2, n_features=256, seed=7).collect()
+    b = importance_resample(raw, tgt, n=2, n_features=256, seed=7).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    c = importance_resample(raw, tgt, n=2, n_features=256, seed=8).collect()
+    assert {r["doc_id"]: r["sel_key"] for r in a} != {
+        r["doc_id"]: r["sel_key"] for r in c
+    }
+
+
+def test_dsir_respects_budget_and_key_order(spark):
+    raw, tgt = _docs(spark, RAW_ROWS), _docs(spark, TARGET_ROWS)
+    got = importance_resample(raw, tgt, n=2, n_features=256, seed=7).collect()
+    assert len(got) == 2
+    assert got[0]["sel_key"] >= got[1]["sel_key"]
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_mmr_prefers_diversity_over_near_duplicate(spark):
+    # plain top-2 for q=[1,0] is {0, 1} (1 is a near-dup of 0); MMR at
+    # λ=0.5 takes the diverse vector 2 second
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.999, 0.01]),
+            (2, [0.6, 0.8]),
+        ],
+    )
+    got = mmr_topk(emb, [1.0, 0.0], k=2, shortlist=3, lam=0.5).collect()
+    assert [r["ord"] for r in got] == [1, 2]
+    assert got[0]["id"] == 0
+    assert got[1]["id"] == 2
+
+
+def test_mmr_first_pick_is_relevance_argmax(spark):
+    emb = _emb(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.7, 0.7])])
+    got = mmr_topk(emb, [0.0, 1.0], k=3, shortlist=3, lam=0.7).collect()
+    assert got[0]["id"] == 1
+    assert len(got) == 3 and len({r["id"] for r in got}) == 3
+
+
+def test_mmr_single_candidate_shortlist(spark):
+    emb = _emb(spark, [(5, [1.0, 0.0])])
+    got = mmr_topk(emb, [1.0, 0.0], k=3, shortlist=2, lam=0.7).collect()
+    assert len(got) == 1
+    assert got[0]["id"] == 5 and got[0]["ord"] == 1
+
+
+def test_mmr_k_capped_by_shortlist(spark):
+    emb = _emb(
+        spark, [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])]
+    )
+    got = mmr_topk(emb, [1.0, 0.0], k=10, shortlist=2, lam=0.7).collect()
+    assert len(got) == 2
