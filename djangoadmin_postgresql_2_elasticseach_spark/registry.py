@@ -1474,24 +1474,24 @@ def _mmr_oracle_sql(
     cos_q = _cosine_sql("e.embedding", "q.qe")
     cos_ab = _cosine_sql("a.v", "b.v")
     parts = [
-        f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-cand AS (
+        f"""WITH q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cand AS MATERIALIZED (
   SELECT e.vec_id AS id, round({cos_q}, 6) AS rel, e.embedding AS v
   FROM embeddings e, q
   ORDER BY rel DESC, id LIMIT {shortlist}
 ),
-p AS (
+p AS MATERIALIZED (
   SELECT a.id AS ia, b.id AS ib, round({cos_ab}, 6) AS sim
   FROM cand a JOIN cand b ON a.id <> b.id
 ),
-s1 AS (SELECT id, rel, round({lam} * rel, 6) AS score, 1 AS ord
+s1 AS MATERIALIZED (SELECT id, rel, round({lam} * rel, 6) AS score, 1 AS ord
        FROM cand ORDER BY score DESC, id LIMIT 1),
-u1 AS (SELECT * FROM s1)"""
+u1 AS MATERIALIZED (SELECT * FROM s1)"""
     ]
     for i in range(2, k + 1):
         parts.append(
             f""",
-s{i} AS (
+s{i} AS MATERIALIZED (
   SELECT id, rel, score, {i} AS ord FROM (
     SELECT c.id, c.rel,
            round({lam} * c.rel - (1.0 - {lam}) *
@@ -1501,7 +1501,7 @@ s{i} AS (
     FROM cand c WHERE c.id NOT IN (SELECT id FROM u{i - 1}))
   ORDER BY score DESC, id LIMIT 1
 ),
-u{i} AS (SELECT * FROM u{i - 1} UNION ALL SELECT * FROM s{i})"""
+u{i} AS MATERIALIZED (SELECT * FROM u{i - 1} UNION ALL SELECT * FROM s{i})"""
         )
     parts.append(
         f"\nSELECT ord, id, rel, score AS mmr_score FROM u{k} ORDER BY ord"

@@ -67,14 +67,17 @@ def _emb(spark, rows):
 
 
 def test_mmr_prefers_diversity_over_near_duplicate(spark):
-    # plain top-2 for q=[1,0] is {0, 1} (1 is a near-dup of 0); MMR at
-    # λ=0.5 takes the diverse vector 2 second
+    # plain top-2 for q=[1,0] is {0, 1} (1 is a near-dup of 0:
+    # sim≈0.99995 but rel only 0.994); MMR at λ=0.5 takes the diverse
+    # vector 2 second (score +0.032 vs −0.003). The top pick must NOT
+    # be collinear with q — if it were, rel(c) == sim(c, picked) for
+    # every c and all step-2 scores tie at exactly 0.
     emb = _emb(
         spark,
         [
-            (0, [1.0, 0.0]),
-            (1, [0.999, 0.01]),
-            (2, [0.6, 0.8]),
+            (0, [1.0, 0.1]),
+            (1, [1.0, 0.11]),
+            (2, [0.8, -0.6]),
         ],
     )
     got = mmr_topk(emb, [1.0, 0.0], k=2, shortlist=3, lam=0.5).collect()
