@@ -130,6 +130,11 @@ BENCH_QUERIES = [
     "semantic_dedup",
     # multimodal: real PNG encode -> Arrow -> decode round trip
     "media_metadata",
+    # r9: DSIR selection, MMR re-rank, dataset auditing
+    "importance_resample_docs",
+    "mmr_rerank_topk",
+    "snapshot_diff_orders",
+    "key_skew_events",
     # kmeans_assign excluded: driver-coordinated iterative loop — at bench
     # scale its wall time is per-job scheduling latency, not throughput.
     # split_leakage_safe excluded: it composes minhash_dedup_pairs +

@@ -214,15 +214,18 @@ def winnow_from_grams(grams: Column, w: int = 16) -> Column:
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined) of the lowercased
-    tokenized text — the dedup shingle unit.
+def word_shingles_of(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) of an ALREADY
+    MATERIALIZED token-array column.
 
-    Word-level shingles stay distinctive even for small-vocabulary
-    corpora (character n-grams of such corpora all collide, turning the
-    LSH posting lists into hot keys — a skew trap at scale).
-    """
-    toks = tokenize(col)
+    Callers must pre-project the token array into its own select
+    (`.select(tokenize(c).alias("_w")).select(word_shingles_of(F.col("_w")))`):
+    passing `tokenize(...)` directly embeds the full split expression
+    inside the transform lambda, where Spark does not hoist loop
+    invariants — the tokenizer re-runs per shingle index, O(tokens²)
+    per document (measured 7.7 s vs 1.2 s on the sf0.1 corpus). The
+    projection boundary survives CollapseProject because the alias is
+    referenced more than once."""
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
@@ -233,6 +236,21 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(grams)
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) of the lowercased
+    tokenized text — the dedup shingle unit.
+
+    Word-level shingles stay distinctive even for small-vocabulary
+    corpora (character n-grams of such corpora all collide, turning the
+    LSH posting lists into hot keys — a skew trap at scale).
+
+    PERFORMANCE: this inline form re-evaluates the tokenizer per
+    shingle index (O(tokens²) per doc — see word_shingles_of). Keep it
+    for oracle-twin expression parity on SMALL frames; hot paths must
+    pre-project the token array and call word_shingles_of."""
+    return word_shingles_of(tokenize(col), n)
 
 
 def char_shingles(col: Column | str, n: int = 3) -> Column:

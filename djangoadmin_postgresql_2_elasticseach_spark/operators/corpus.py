@@ -316,10 +316,15 @@ def top_bigrams(
     """
     from ..functions.text import token_bigrams, tokenize
 
-    grams = token_bigrams(tokenize(F.col(text_col)))
+    # tokens are PRE-PROJECTED before token_bigrams: inlining
+    # tokenize() into the bigram lambda re-evaluates the full split per
+    # element_at — O(tokens²) per doc (measured 7.2 s vs 0.7 s on the
+    # sf0.1 corpus). The projection boundary survives CollapseProject
+    # because the alias is referenced more than once.
     return (
         spread(docs.select(text_col))
-        .select(F.explode(grams).alias("bigram"))
+        .select(tokenize(F.col(text_col)).alias("_w"))
+        .select(F.explode(token_bigrams(F.col("_w"))).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.col("bigram"))
@@ -405,9 +410,13 @@ def repetition_stats(
     from ..functions.textstats import dup_line_fraction
 
     base = spread(docs.select(id_col, text_col))
-    grams = token_bigrams(tokenize(text_col))
+    # pre-project the token array: inlining tokenize() into the bigram
+    # lambda is O(tokens²) per doc (see top_bigrams)
     per_gram = (
-        base.select(F.col(id_col), F.explode(grams).alias("bigram"))
+        base.select(F.col(id_col), tokenize(text_col).alias("_w"))
+        .select(
+            F.col(id_col), F.explode(token_bigrams(F.col("_w"))).alias("bigram")
+        )
         .groupBy(id_col, "bigram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -453,14 +462,23 @@ def decontaminate(
     its shingle set is broadcast, so the scan of the training corpus
     never shuffles. Output: (id, n_overlap, contaminated).
     """
-    from ..functions.text import word_shingles
+    from ..functions.text import tokenize, word_shingles_of
 
-    d = spread(docs.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("sh")
+    # tokens pre-projected before shingling (see word_shingles_of:
+    # the inline form is O(tokens²) per doc)
+    d = (
+        spread(docs.select(id_col, text_col))
+        .select(F.col(id_col), tokenize(text_col).alias("_w"))
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles_of(F.col("_w"), n)).alias("sh"),
+        )
     )
-    b = benchmark.select(
-        F.explode(word_shingles(text_col, n)).alias("sh")
-    ).distinct()
+    b = (
+        benchmark.select(tokenize(text_col).alias("_w"))
+        .select(F.explode(word_shingles_of(F.col("_w"), n)).alias("sh"))
+        .distinct()
+    )
     overlap = (
         d.join(F.broadcast(b), "sh")
         .groupBy(id_col)
@@ -707,10 +725,13 @@ def bigram_lm_logprob(
     )
     doc_bi = (
         spread(docs.select(id_col, text_col), [id_col])
+        # pre-project the token array: inlining tokenize() into the
+        # bigram lambda is O(tokens²) per doc (see top_bigrams)
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("_w"))
         .select(
             F.col(id_col),
             F.explode(
-                token_bigrams(tokenize(F.col(text_col)), as_struct=True)
+                token_bigrams(F.col("_w"), as_struct=True)
             ).alias("g"),
         )
         .select(id_col, F.col("g.a").alias("a"), F.col("g.b").alias("b"))
@@ -1207,13 +1228,12 @@ def importance_resample(
         )
 
     def counts(df: DataFrame, out: str) -> DataFrame:
+        # tokens pre-projected before token_bigrams — the inline form
+        # re-evaluates tokenize() per lambda element, O(tokens²)/doc
         return (
             spread(df.select(text_col))
-            .select(
-                F.explode(
-                    token_bigrams(tokenize(F.col(text_col)))
-                ).alias("g")
-            )
+            .select(tokenize(F.col(text_col)).alias("_w"))
+            .select(F.explode(token_bigrams(F.col("_w"))).alias("g"))
             .select(feat(F.col("g")).alias("f"))
             .groupBy("f")
             .agg(F.count(F.lit(1)).alias(out))
@@ -1254,11 +1274,10 @@ def importance_resample(
     # Gumbel noise alone decides) — one scan, one partial-agg shuffle
     scored = (
         spread(raw.select(id_col, text_col), [id_col])
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("_w"))
         .select(
             F.col(id_col),
-            F.explode_outer(
-                token_bigrams(tokenize(F.col(text_col)))
-            ).alias("g"),
+            F.explode_outer(token_bigrams(F.col("_w"))).alias("g"),
         )
         .select(
             id_col,

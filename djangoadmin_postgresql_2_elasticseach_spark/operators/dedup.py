@@ -58,10 +58,17 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) exploded distinct word n-grams (see
     functions/text.word_shingles for why word-level, not char-level).
     spread() parallelizes the tokenize+shingle regex work past the
-    input's row-group count (plans/tuning.py)."""
-    return spread(docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("sid"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    input's row-group count (plans/tuning.py). Tokens are
+    PRE-PROJECTED before shingling — the inline word_shingles form
+    re-runs the tokenizer per shingle index, O(tokens²) per doc."""
+    from ..functions.text import tokenize, word_shingles_of
+
+    return (
+        spread(docs.select(id_col, text_col))
+        .select(F.col(id_col).alias("sid"), tokenize(text_col).alias("_w"))
+        .select(
+            "sid", F.explode(word_shingles_of(F.col("_w"), n)).alias("shingle")
+        )
     )
 
 
