@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "mmr_rerank_topk",
     "snapshot_diff_orders",
     "key_skew_events",
+    "vocab_coverage_top",
+    "shingle_novelty_docs",
     # kmeans_assign excluded: driver-coordinated iterative loop — at bench
     # scale its wall time is per-job scheduling latency, not throughput.
     # split_leakage_safe excluded: it composes minhash_dedup_pairs +

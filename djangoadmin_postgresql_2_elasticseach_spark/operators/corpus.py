@@ -1309,3 +1309,118 @@ def importance_resample(
         .orderBy(F.desc("sel_key"), F.asc(id_col))
         .limit(n)
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    v: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve: the top-``v`` corpus tokens by
+    frequency with each prefix's cumulative share of ALL token
+    occurrences — the "what does a V-entry vocab buy me" number a
+    tokenizer/vocab-size decision is made from (the token-frequency
+    analogue of BPE merge-table sizing).
+
+    Output: (rank, token, n, coverage, cum_coverage) ordered by rank;
+    ties break on the token string so the curve is total-ordered.
+
+    Scale: token counting is ONE groupBy(token) with map-side combine
+    (the vocabulary shuffles, never the corpus); the grand total rides
+    a broadcast 1-row join; the head is TakeOrderedAndProject and the
+    rank/cumsum window runs over the ``v``-row RESULT — a constant-
+    size frame, never the vocabulary (same bounded-window contract as
+    key_skew_profile).
+    """
+    from ..functions.text import tokenize
+    from pyspark.sql import Window
+
+    counts = (
+        spread(docs.select(text_col))
+        .select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("_total"))
+    head = (
+        counts.join(F.broadcast(tot))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(v)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        head.select(
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("coverage"),
+            F.round(
+                F.sum("n").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.col("_total"),
+                6,
+            ).alias("cum_coverage"),
+        )
+        .orderBy("rank")
+    )
+
+
+def shingle_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word n-grams that appear in no other document — low novelty flags
+    boilerplate/template text that near-dup thresholds miss (the gram
+    population is shared piecewise across many docs without any single
+    pair being near-identical).
+
+    Output: (id, n_shingles, n_novel, novelty) for every doc;
+    shingle-less docs get novelty 1.0 (vacuously novel).
+
+    Scale: one shingle explode (distinct per doc by construction) →
+    gram document-frequency via ONE groupBy(shingle) partial agg —
+    the gram vocabulary shuffles, never the corpus bodies — → join
+    back on the shingle and per-doc count. The same inverted-index
+    shape as decontaminate, self-referential instead of vs a
+    benchmark; the gram DF table is NOT broadcast (corpus-sized gram
+    domains don't fit — the equi-join shuffles both sides on the
+    gram key, AQE-coalesced).
+    """
+    from ..functions.text import tokenize, word_shingles_of
+
+    sh = (
+        spread(docs.select(id_col, text_col), [id_col])
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("_w"))
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles_of(F.col("_w"), n)).alias("sh"),
+        )
+    )
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        sh.join(df_counts, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.coalesce(
+                F.round(F.col("n_novel") / F.col("n_shingles"), 6),
+                F.lit(1.0),
+            ).alias("novelty"),
+        )
+    )

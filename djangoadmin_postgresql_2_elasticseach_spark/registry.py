@@ -1313,6 +1313,25 @@ def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_V = 100
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-VOCAB_V token coverage curve (corpus.vocab_coverage) — the
+    vocab-size sizing stat."""
+    from .operators.corpus import vocab_coverage
+
+    return vocab_coverage(load_table(spark, sf_dir, "documents"), v=VOCAB_V)
+
+
+def _q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty vs the rest of the corpus
+    (corpus.shingle_novelty) — the boilerplate detector."""
+    from .operators.corpus import shingle_novelty
+
+    return shingle_novelty(load_table(spark, sf_dir, "documents"), n=3)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1448,6 +1467,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank_topk": _q_mmr_rerank,
     "snapshot_diff_orders": _q_snapshot_diff,
     "key_skew_events": _q_key_skew,
+    "vocab_coverage_top": _q_vocab_coverage,
+    "shingle_novelty_docs": _q_shingle_novelty,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -3877,6 +3898,38 @@ head AS (
 SELECT row_number() OVER (ORDER BY n DESC, key NULLS FIRST) AS rank,
        key, n, share, skew
 FROM head ORDER BY rank
+"""
+
+    # top-V vocabulary coverage curve — mirror of corpus.vocab_coverage
+    o["vocab_coverage_top"] = f"""
+WITH toks AS (SELECT unnest({_sql_tokens("text")}) AS token FROM documents),
+c AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+t AS (SELECT sum(n) AS total FROM c),
+head AS (SELECT token, n, total FROM c CROSS JOIN t
+         ORDER BY n DESC, token LIMIT {VOCAB_V})
+SELECT row_number() OVER (ORDER BY n DESC, token) AS rank,
+       token, n,
+       round(CAST(n AS DOUBLE) / total, 6) AS coverage,
+       round(CAST(sum(n) OVER (ORDER BY n DESC, token
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / total, 6) AS cum_coverage
+FROM head ORDER BY rank
+"""
+
+    # per-doc distinct-3-gram novelty — mirror of corpus.shingle_novelty
+    o["shingle_novelty_docs"] = f"""
+WITH tk AS (SELECT doc_id, {_sql_tokens("text")} AS w FROM documents),
+s AS (SELECT doc_id, unnest({_sql_shingles("w", 3)}) AS sh FROM tk),
+dfc AS (SELECT sh, count(*) AS df FROM s GROUP BY sh),
+pd AS (SELECT s.doc_id, count(*) AS n_shingles,
+              sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS n_novel
+       FROM s JOIN dfc ON s.sh = dfc.sh GROUP BY s.doc_id)
+SELECT d.doc_id,
+       COALESCE(pd.n_shingles, 0) AS n_shingles,
+       COALESCE(pd.n_novel, 0) AS n_novel,
+       COALESCE(round(CAST(pd.n_novel AS DOUBLE) / pd.n_shingles, 6), 1.0)
+         AS novelty
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 """
 
     return o

@@ -86,3 +86,47 @@ def test_key_skew_profile_tie_breaks_on_key(spark):
     df = spark.createDataFrame([("b",), ("a",), ("c",)], "u string")
     got = key_skew_profile(df, "u", top=3).collect()
     assert [r["key"] for r in got] == ["a", "b", "c"]
+
+
+def test_vocab_coverage_curve_properties(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    got = vocab_coverage(docs, v=3).collect()
+    # counts: a=4, b=3, c=1, d=1 → top-3 = a, b, c (tie c<d); total 9
+    assert [(r["rank"], r["token"], r["n"]) for r in got] == [
+        (1, "a", 4), (2, "b", 3), (3, "c", 1),
+    ]
+    assert abs(got[0]["cum_coverage"] - round(4 / 9, 6)) < 1e-9
+    assert abs(got[2]["cum_coverage"] - round(8 / 9, 6)) < 1e-9
+    # cum_coverage is non-decreasing and ≤ 1
+    cums = [r["cum_coverage"] for r in got]
+    assert cums == sorted(cums) and cums[-1] <= 1.0
+
+
+def test_shingle_novelty_flags_shared_boilerplate(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        shingle_novelty,
+    )
+
+    boiler = "all rights reserved contact us for details"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta"),
+            (2, boiler + " epsilon zeta eta theta"),
+            (3, "completely original text about owls and rivers"),
+            (4, "xy"),  # 1 token → 0 shingles → vacuous novelty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in shingle_novelty(docs, n=3).collect()}
+    # docs 1/2 share the boilerplate 3-grams → novelty well below 1
+    assert got[1]["novelty"] < 1.0 and got[2]["novelty"] < 1.0
+    assert got[3]["novelty"] == 1.0
+    assert got[4]["n_shingles"] == 0 and got[4]["novelty"] == 1.0
+    # the shared grams are exactly the boilerplate-internal ones
+    assert got[1]["n_novel"] < got[1]["n_shingles"]
