@@ -1216,16 +1216,47 @@ def importance_resample(
     selection is orderBy+limit = TakeOrderedAndProject (per-partition
     top-n, no global sort). Target counting shuffles only (feature,
     count) pairs, bounded by n_features after map-side combine.
+
+    Fit/apply split: `dsir_fit` builds the llr table (a PERSISTABLE
+    n_features-row artifact — train once per target corpus, reuse
+    across selection runs like the LM/minhash/ANN indexes) and
+    `dsir_select` scores + Gumbel-samples against it; this function is
+    their composition in one lazy plan.
     """
+    return dsir_select(
+        raw,
+        dsir_fit(raw, target, n_features=n_features, text_col=text_col),
+        n=n,
+        n_features=n_features,
+        seed=seed,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
+def _dsir_feat(tcol: Column, n_features: int) -> Column:
+    """md5-hash a bigram string into [0, n_features) — shared by fit
+    and select so a persisted llr table stays valid."""
+    return (
+        F.conv(F.substring(F.md5(tcol), 1, 8), 16, 10).cast("long")
+        % n_features
+    )
+
+
+def dsir_fit(
+    raw: DataFrame,
+    target: DataFrame,
+    n_features: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """The DSIR importance model: (f, llr) over the FULL feature
+    domain — add-one-smoothed log-likelihood ratio of target vs raw
+    hashed-bigram distributions (see importance_resample). Persist
+    this n_features-row frame once per target corpus and amortize it
+    across dsir_select runs."""
     from ..functions.text import token_bigrams, tokenize
 
     nf = F.lit(n_features)
-
-    def feat(tcol: Column) -> Column:
-        return (
-            F.conv(F.substring(F.md5(tcol), 1, 8), 16, 10).cast("long")
-            % n_features
-        )
 
     def counts(df: DataFrame, out: str) -> DataFrame:
         # tokens pre-projected before token_bigrams — the inline form
@@ -1234,7 +1265,7 @@ def importance_resample(
             spread(df.select(text_col))
             .select(tokenize(F.col(text_col)).alias("_w"))
             .select(F.explode(token_bigrams(F.col("_w"))).alias("g"))
-            .select(feat(F.col("g")).alias("f"))
+            .select(_dsir_feat(F.col("g"), n_features).alias("f"))
             .groupBy("f")
             .agg(F.count(F.lit(1)).alias(out))
         )
@@ -1250,7 +1281,7 @@ def importance_resample(
     w = Window.partitionBy()
     c_t = F.coalesce(F.col("ct"), F.lit(0))
     c_r = F.coalesce(F.col("cr"), F.lit(0))
-    llr = (
+    return (
         domain.join(ct, "f", "left")
         .join(cr, "f", "left")
         .select(
@@ -1270,6 +1301,23 @@ def importance_resample(
             .alias("llr"),
         )
     )
+
+
+def dsir_select(
+    raw: DataFrame,
+    llr: DataFrame,
+    n: int,
+    n_features: int = 1024,
+    seed: int = 17,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score ``raw`` against a fitted llr table (dsir_fit — possibly
+    read back from parquet) and take the Gumbel-top-``n``. One
+    data-sized shuffle (partial agg on the doc id); the llr table
+    broadcasts."""
+    from ..functions.text import token_bigrams, tokenize
+
     # explode_outer keeps bigram-less docs eligible (log_w = 0, their
     # Gumbel noise alone decides) — one scan, one partial-agg shuffle
     scored = (
@@ -1281,7 +1329,9 @@ def importance_resample(
         )
         .select(
             id_col,
-            F.when(F.col("g").isNotNull(), feat(F.col("g"))).alias("f"),
+            F.when(
+                F.col("g").isNotNull(), _dsir_feat(F.col("g"), n_features)
+            ).alias("f"),
         )
         .join(F.broadcast(llr), "f", "left")
         .groupBy(id_col)

@@ -1041,24 +1041,64 @@ def mmr_topk(
     Output: the k selected rows (ord, id, rel, mmr_score), ord 1..k in
     selection order; step 1's score is round(λ·rel, 6).
     """
-    import pandas as pd
-
     cand = brute_force_topk(
         emb, query_vec, k=shortlist, id_col=id_col, vec_col=vec_col
-    ).select(F.col(id_col).alias("id"), F.col("cos_sim").alias("rel"))
+    ).select(
+        F.lit(0).cast("long").alias("qid"),
+        F.col(id_col).alias("id"),
+        F.col("cos_sim").alias("rel"),
+    )
+    return mmr_rerank(
+        cand, emb, k=k, lam=lam, id_col=id_col, vec_col=vec_col
+    ).drop("qid").orderBy("ord")
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    emb: DataFrame,
+    k: int = 8,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy MMR over PRECOMPUTED per-query shortlists — the re-rank
+    stage of mmr_topk factored out so ANY retrieval path can feed it:
+    brute_force_topk (mmr_topk), knn_join batches (mmr_topk_batch), or
+    the IVF/PQ shortlists at scale.
+
+    ``cand`` = (qid, id, rel) with rel already rounded to 6dp; ``emb``
+    supplies the vectors for the pairwise-cosine matrix. Pairs are
+    built per qid (shuffle on the query id; within-query volume is
+    shortlist², a constant) and each query's greedy runs as ONE
+    applyInPandas group — Q queries re-rank as Q independent tasks.
+
+    Output: (qid, ord, id, rel, mmr_score), ord 1..k per qid.
+    """
+    import pandas as pd
+
     vecs = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
     )
     cv = cand.join(vecs, "id")
     a = cv.select(
+        "qid",
         F.col("id").alias("id_a"),
         F.col("rel").alias("rel_a"),
         F.col("_v").alias("_va"),
     )
-    b = cv.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"))
+    b = cv.select(
+        F.col("qid").alias("_qb"),
+        F.col("id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+    )
     pairs = (
-        a.join(F.broadcast(b), F.col("id_a") != F.col("id_b"))
+        a.join(
+            b,
+            (F.col("qid") == F.col("_qb"))
+            & (F.col("id_a") != F.col("id_b")),
+        )
         .select(
+            "qid",
             "id_a",
             "rel_a",
             "id_b",
@@ -1075,6 +1115,7 @@ def mmr_topk(
     kk, ll = int(k), float(lam)
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["qid"].iloc[0])
         rel = (
             pdf[["id_a", "rel_a"]]
             .drop_duplicates()
@@ -1102,26 +1143,63 @@ def mmr_topk(
                 ):
                     best = (score, c)
             score, pick = best
-            out.append((step, pick, rel[pick], score))
+            out.append((qid, step, pick, rel[pick], score))
             selected.append(pick)
             remaining.remove(pick)
         return pd.DataFrame(
-            out, columns=["ord", "id", "rel", "mmr_score"]
+            out, columns=["qid", "ord", "id", "rel", "mmr_score"]
         )
 
     # union the bare candidate rows (id_b NULL) so a 1-candidate
     # shortlist still reaches the greedy group
     solo = cand.select(
+        "qid",
         F.col("id").alias("id_a"),
         F.col("rel").alias("rel_a"),
         F.lit(None).cast("long").alias("id_b"),
         F.lit(None).cast("double").alias("sim"),
     )
-    grouped = pairs.unionByName(solo).withColumn("_q", F.lit(0))
     return (
-        grouped.groupBy("_q")
+        pairs.unionByName(solo)
+        .groupBy("qid")
         .applyInPandas(
-            greedy, schema="ord int, id long, rel double, mmr_score double"
+            greedy,
+            schema="qid long, ord int, id long, rel double, mmr_score double",
         )
-        .orderBy("ord")
+        .orderBy("qid", "ord")
     )
+
+
+def mmr_topk_batch(
+    queries: DataFrame,
+    emb: DataFrame,
+    k: int = 8,
+    shortlist: int = 40,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch MMR: diversity re-rank for EVERY query row at once — the
+    scale form the single-query mmr_topk documents. Shortlists come
+    from knn_join (query batch broadcast against the corpus scan,
+    WindowGroupLimit rank cap → |Q|·shortlist candidate rows), then
+    each query's greedy runs as an independent applyInPandas task via
+    mmr_rerank — a thousand queries re-rank as a thousand tasks, no
+    driver loop anywhere.
+
+    Output: (qid, ord, id, rel, mmr_score), ord 1..k per query.
+    """
+    cand = knn_join(
+        queries,
+        emb,
+        k=shortlist,
+        left_id=id_col,
+        right_id=id_col,
+        left_vec=vec_col,
+        right_vec=vec_col,
+    ).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("id"),
+        F.col("cos_sim").alias("rel"),
+    )
+    return mmr_rerank(cand, emb, k=k, lam=lam, id_col=id_col, vec_col=vec_col)

@@ -130,3 +130,48 @@ def test_shingle_novelty_flags_shared_boilerplate(spark):
     assert got[4]["n_shingles"] == 0 and got[4]["novelty"] == 1.0
     # the shared grams are exactly the boilerplate-internal ones
     assert got[1]["n_novel"] < got[1]["n_shingles"]
+
+
+def test_snapshot_diff_agrees_with_txlog_cdc(spark, tmp_path):
+    """Cross-module consistency: diffing two txlog versions with
+    snapshot_diff (full-outer join over the data) must name exactly
+    the keys/kinds that tx_changes derives from the manifest symmetric
+    difference (which never reads carried-over files). Same truth, two
+    radically different plans."""
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.txlog import (
+        tx_append,
+        tx_merge,
+        tx_read,
+    )
+
+    p = str(tmp_path / "tbl")
+    v1 = tx_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, val string"
+        ),
+        p,
+    )
+    v2 = tx_merge(
+        spark,
+        p,
+        spark.createDataFrame([(2, "B"), (4, "d")], "k long, val string"),
+        key="k",
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.txlog import (
+        tx_changes,
+    )
+
+    cdc = {
+        r["k"]: r["change"]
+        for r in tx_changes(spark, p, v1, v2, key="k").collect()
+    }
+    diff = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(
+            tx_read(spark, p, version=v1),
+            tx_read(spark, p, version=v2),
+            keys=["k"],
+        ).collect()
+    }
+    rename = {"added": "insert", "removed": "delete", "changed": "update"}
+    assert {k: rename[s] for k, s in diff.items()} == cdc

@@ -106,3 +106,63 @@ def test_mmr_k_capped_by_shortlist(spark):
     )
     got = mmr_topk(emb, [1.0, 0.0], k=10, shortlist=2, lam=0.7).collect()
     assert len(got) == 2
+
+
+def test_mmr_batch_matches_single_per_query(spark):
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    emb = _emb(spark, rows)
+    queries = emb.filter("vec_id IN (0, 7)")
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import (
+        mmr_topk_batch,
+    )
+
+    batch = mmr_topk_batch(queries, emb, k=4, shortlist=10, lam=0.6).collect()
+    assert sorted({r["qid"] for r in batch}) == [0, 7]
+    for qid, vec in [(0, rows[0][1]), (7, rows[7][1])]:
+        single = mmr_topk(emb, vec, k=4, shortlist=10, lam=0.6).collect()
+        got = [r for r in batch if r["qid"] == qid]
+        assert [(r["ord"], r["id"], r["rel"], r["mmr_score"]) for r in got] == [
+            (r["ord"], r["id"], r["rel"], r["mmr_score"]) for r in single
+        ]
+
+
+def test_dsir_fit_artifact_roundtrip(spark, tmp_path):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        dsir_fit,
+        dsir_select,
+    )
+
+    raw, tgt = _docs(spark, RAW_ROWS), _docs(spark, TARGET_ROWS)
+    llr = dsir_fit(raw, tgt, n_features=256)
+    path = str(tmp_path / "llr")
+    llr.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    inline = importance_resample(raw, tgt, n=3, n_features=256, seed=5)
+    via_artifact = dsir_select(raw, reloaded, n=3, n_features=256, seed=5)
+    assert [r.asDict() for r in inline.collect()] == [
+        r.asDict() for r in via_artifact.collect()
+    ]
+
+
+def test_r9_operators_on_empty_inputs(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        shingle_novelty,
+        vocab_coverage,
+    )
+
+    empty_docs = _docs(spark, []).filter("1=0")
+    tgt = _docs(spark, TARGET_ROWS)
+    # empty raw → empty selection; empty target → still selects from raw
+    assert importance_resample(empty_docs, tgt, n=5, n_features=64).count() == 0
+    assert (
+        importance_resample(tgt, empty_docs, n=2, n_features=64).count() == 2
+    )
+    assert vocab_coverage(empty_docs, v=10).count() == 0
+    assert shingle_novelty(empty_docs).count() == 0
+    empty_emb = _emb(spark, []).filter("1=0")
+    assert mmr_topk(empty_emb, [1.0, 0.0], k=3, shortlist=5).count() == 0
