@@ -1288,6 +1288,21 @@ def _orders_snapshot_b(orders: DataFrame) -> DataFrame:
     return base.unionByName(added)
 
 
+MMR_BATCH_QIDS = [0, 1]
+
+
+def _q_mmr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MMR (similarity.mmr_topk_batch): every query in the batch
+    re-ranks as an independent applyInPandas task — the scale form of
+    mmr_rerank_topk, driver-checked against per-query unrolled-greedy
+    oracles UNION ALL'd."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(MMR_BATCH_QIDS))
+    return S.mmr_topk_batch(
+        queries, emb, k=MMR_K, shortlist=MMR_SHORTLIST, lam=MMR_LAMBDA
+    )
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Churn-sized snapshot diff (operators/audit.snapshot_diff) of
     orders vs its deterministic edit script."""
@@ -1469,6 +1484,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_skew_events": _q_key_skew,
     "vocab_coverage_top": _q_vocab_coverage,
     "shingle_novelty_docs": _q_shingle_novelty,
+    "mmr_batch_topk": _q_mmr_batch,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -1484,18 +1500,27 @@ ROWS_ONLY: dict[str, str] = {}
 
 
 def _mmr_oracle_sql(
-    k: int = MMR_K, shortlist: int = MMR_SHORTLIST, lam: float = MMR_LAMBDA
+    k: int = MMR_K,
+    shortlist: int = MMR_SHORTLIST,
+    lam: float = MMR_LAMBDA,
+    query_vec_id: int = 0,
+    with_qid: bool = False,
 ) -> str:
     """Unrolled greedy MMR as chained CTEs: s1 = relevance argmax;
     s_i = argmax of round(λ·rel − (1−λ)·max sim(·, selected), 6) over
     the not-yet-selected candidates, tie on ascending id. (1−λ) is
     written as the SAME double expression the engine evaluates
     (1.0 − λ), so a binary-representation difference in the complement
-    can never nudge a 6dp rounding boundary."""
+    can never nudge a 6dp rounding boundary. Every CTE is MATERIALIZED:
+    the unrolled steps reference u_{i-1} multiple times and DuckDB
+    re-executes non-materialized CTEs per reference — exponentially.
+    ``with_qid``/``query_vec_id`` parameterize the batch oracle (one
+    block per query, UNION ALL'd)."""
     cos_q = _cosine_sql("e.embedding", "q.qe")
     cos_ab = _cosine_sql("a.v", "b.v")
+    qid_col = f"{query_vec_id} AS qid, " if with_qid else ""
     parts = [
-        f"""WITH q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        f"""WITH q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id}),
 cand AS MATERIALIZED (
   SELECT e.vec_id AS id, round({cos_q}, 6) AS rel, e.embedding AS v
   FROM embeddings e, q
@@ -1525,9 +1550,22 @@ s{i} AS MATERIALIZED (
 u{i} AS MATERIALIZED (SELECT * FROM u{i - 1} UNION ALL SELECT * FROM s{i})"""
         )
     parts.append(
-        f"\nSELECT ord, id, rel, score AS mmr_score FROM u{k} ORDER BY ord"
+        f"\nSELECT {qid_col}ord, id, rel, score AS mmr_score FROM u{k} ORDER BY ord"
     )
     return "".join(parts)
+
+
+def _mmr_batch_oracle_sql(qids: list[int]) -> str:
+    """Batch MMR oracle: one unrolled-greedy block per query id,
+    UNION ALL'd — each block is exactly the single-query oracle with
+    its own query vector and a qid output column."""
+    blocks = [
+        "SELECT * FROM (\n"
+        + _mmr_oracle_sql(query_vec_id=q, with_qid=True)
+        + "\n)"
+        for q in qids
+    ]
+    return "\nUNION ALL\n".join(blocks) + "\nORDER BY qid, ord"
 
 
 def _build_oracles() -> dict[str, str]:
@@ -3844,6 +3882,7 @@ LIMIT {DSIR_N}
     # the already-selected set, tie on id — byte-identical arithmetic
     # to the engine's greedy over the same 6dp-rounded cosines)
     o["mmr_rerank_topk"] = _mmr_oracle_sql()
+    o["mmr_batch_topk"] = _mmr_batch_oracle_sql(MMR_BATCH_QIDS)
 
     # churn-sized snapshot diff — mirror of audit.snapshot_diff over
     # the SAME deterministic orders edit script the query constructs
