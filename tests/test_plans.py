@@ -457,3 +457,29 @@ def test_quality_classifier_scores_minimal_scans(spark):
     assert plan.count("documents.parquet") == 3, plan.count("documents.parquet")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_importance_resample_plan_shape(spark):
+    """DSIR selection must (a) BROADCAST the llr table into the scoring
+    join — the corpus side never shuffles to meet it — and (b) select
+    the top-n via TakeOrderedAndProject, never a global Sort."""
+    df = registry.QUERIES["importance_resample_docs"](spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_key_skew_and_vocab_head_is_top_n(spark):
+    """The skew/vocab heads are per-partition top-N merges — a global
+    Sort of the full key/vocab domain would be the 100 TB failure."""
+    for name in ("key_skew_events", "vocab_coverage_top"):
+        plan = plan_string(registry.QUERIES[name](spark, SF_SMOKE), mode="simple")
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_snapshot_diff_is_one_full_outer_join(spark):
+    """Churn diff = exactly ONE full-outer join of the two snapshots;
+    no broadcast attempted (both sides are table-sized by contract)."""
+    df = registry.QUERIES["snapshot_diff_orders"](spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("FullOuter") == 1
