@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "vocab_coverage_top",
     "shingle_novelty_docs",
     "mmr_batch_topk",
+    "weighted_sample_docs",
     # kmeans_assign excluded: driver-coordinated iterative loop — at bench
     # scale its wall time is per-job scheduling latency, not throughput.
     # split_leakage_safe excluded: it composes minhash_dedup_pairs +

@@ -1474,3 +1474,63 @@ def shingle_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    n: int,
+    weight_col: str,
+    seed: int = 29,
+    strata: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis & Spirakis
+    (IPL 2006) via the equivalent Gumbel-top-k formulation (Kool et
+    al., ICML 2019): key_i = ln(w_i) + Gumbel(0,1), keep the n largest
+    keys; inclusion probabilities are exactly the E-S successive-
+    sampling ones. This is how a source-mixture decision
+    (source_mixture_weights) MATERIALIZES into a mixed corpus: weight
+    each doc by its source's mix weight (or by length, quality, …)
+    and sample.
+
+    Seeded md5 Gumbel noise per doc id — deterministic, reproducible,
+    oracle-portable (the DSIR construction: u = (h+1)/(2³²+1), g =
+    −ln(−ln u)). Rows with NULL or non-positive weight are EXCLUDED
+    (ln undefined — the E-S contract).
+
+    With ``strata``, the top-n is PER STRATUM (row_number over the
+    stratum partition — bounded per-key state, the source_quota
+    shape); without, a global TakeOrderedAndProject top-n.
+
+    Output: (*strata?, id, weight, sel_key) ordered by sel_key desc
+    within stratum (or globally), id tiebreak.
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967297.0)
+    gumbel = -F.log(-F.log(u))
+    keyed = docs.filter(w.isNotNull() & (w > 0)).select(
+        *(strata or []),
+        F.col(id_col),
+        w.alias("weight"),
+        F.round(F.log(w) + gumbel, 6).alias("sel_key"),
+    )
+    if strata:
+        part = Window.partitionBy(*strata).orderBy(
+            F.desc("sel_key"), F.asc(id_col)
+        )
+        return (
+            keyed.withColumn("_rn", F.row_number().over(part))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn")
+            .orderBy(*strata, F.desc("sel_key"), F.asc(id_col))
+        )
+    return keyed.orderBy(F.desc("sel_key"), F.asc(id_col)).limit(n)

@@ -1288,6 +1288,24 @@ def _orders_snapshot_b(orders: DataFrame) -> DataFrame:
     return base.unionByName(added)
 
 
+WS_SEED, WS_NPER = 29, 10
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Efraimidis–Spirakis weighted sample (weight =
+    n_chars): WS_NPER docs per source, length-proportional inclusion
+    (corpus.weighted_sample)."""
+    from .operators.corpus import weighted_sample
+
+    return weighted_sample(
+        load_table(spark, sf_dir, "documents"),
+        n=WS_NPER,
+        weight_col="n_chars",
+        seed=WS_SEED,
+        strata=["source"],
+    )
+
+
 MMR_BATCH_QIDS = [0, 1]
 
 
@@ -1485,6 +1503,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage_top": _q_vocab_coverage,
     "shingle_novelty_docs": _q_shingle_novelty,
     "mmr_batch_topk": _q_mmr_batch,
+    "weighted_sample_docs": _q_weighted_sample,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -3883,6 +3902,23 @@ LIMIT {DSIR_N}
     # to the engine's greedy over the same 6dp-rounded cosines)
     o["mmr_rerank_topk"] = _mmr_oracle_sql()
     o["mmr_batch_topk"] = _mmr_batch_oracle_sql(MMR_BATCH_QIDS)
+
+    # per-source E-S weighted sample — mirror of corpus.weighted_sample
+    # (same seeded md5 Gumbel construction as the DSIR selection)
+    o["weighted_sample_docs"] = f"""
+WITH keyed AS (
+  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         round(ln(CAST(n_chars AS DOUBLE)) +
+               (-ln(-ln((('0x' || substr(md5('{WS_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         + 1.0) / 4294967297.0))), 6) AS sel_key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY sel_key DESC, doc_id) AS rn
+      FROM keyed)
+SELECT source, doc_id, weight, sel_key FROM r WHERE rn <= {WS_NPER}
+ORDER BY source, sel_key DESC, doc_id
+"""
 
     # churn-sized snapshot diff — mirror of audit.snapshot_diff over
     # the SAME deterministic orders edit script the query constructs

@@ -166,3 +166,45 @@ def test_r9_operators_on_empty_inputs(spark):
     assert shingle_novelty(empty_docs).count() == 0
     empty_emb = _emb(spark, []).filter("1=0")
     assert mmr_topk(empty_emb, [1.0, 0.0], k=3, shortlist=5).count() == 0
+
+
+def test_weighted_sample_statistics_and_determinism(spark):
+    """E-S property: across many seeds, an item with weight 9 is picked
+    (n=1 of {9, 1}) about 90% of the time; zero/NULL weights never."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 9.0), (2, 1.0), (3, 0.0), (4, None)],
+        "doc_id long, w double",
+    )
+    wins = 0
+    trials = 60
+    for seed in range(trials):
+        got = weighted_sample(df, n=1, weight_col="w", seed=seed).collect()
+        assert len(got) == 1 and got[0]["doc_id"] in (1, 2)
+        wins += got[0]["doc_id"] == 1
+    assert 0.75 * trials <= wins < trials  # ~0.9 expected; 4σ≈0.15
+    # determinism: same seed → same pick
+    a = weighted_sample(df, n=1, weight_col="w", seed=7).collect()
+    b = weighted_sample(df, n=1, weight_col="w", seed=7).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_weighted_sample_stratified_quota(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    rows = [(i, "s" + str(i % 3), float(1 + i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+    got = weighted_sample(
+        df, n=4, weight_col="w", seed=3, strata=["src"]
+    ).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["src"], []).append(r["sel_key"])
+    assert set(per) == {"s0", "s1", "s2"}
+    for keys in per.values():
+        assert len(keys) == 4 and keys == sorted(keys, reverse=True)
