@@ -639,24 +639,42 @@ def _q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_triangle_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count (operators/graph.py, degree-ordered wedges) over
     the part co-occurrence graph with SUPPORT ≥ 2 (parts adjacent when
-    ≥2 orders contain both — the market-basket pruning that keeps the
-    graph sparse as data grows; the unthresholded graph's density is an
-    artifact of random co-occurrence, ~120 avg degree at sf0.1). One
-    row: (n_triangles)."""
+    ≥2 DISTINCT orders contain both — the market-basket pruning that
+    keeps the graph sparse as data grows; the unthresholded graph's
+    density is an artifact of random co-occurrence, ~120 avg degree at
+    sf0.1). One row: (n_triangles).
+
+    Edge derivation is the ARRAY form: distinct sorted parts per order
+    (one groupBy), then index-pair explode — r9 A/B measured it 1.5×
+    faster than the lineitem self-join (one exchange of the table
+    instead of two + no join), and collect_set's dedup makes support
+    count ORDERS, fixing the old form's inflation when an order held
+    the same part on two lineitems. Per-order pair fan-out is
+    |parts|²/2 with |parts| ≤ ~7 at any SF (order size is a domain
+    constant, not a scale variable)."""
     from .operators.graph import triangle_count
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    other = li.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    parts = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pairs = (
+        parts.select(
+            F.col("ps"),
+            F.explode(F.sequence(F.lit(1), F.size("ps") - 1)).alias("i"),
+        )
+        .select(
+            F.element_at("ps", F.col("i")).alias("src"),
+            F.slice("ps", F.col("i") + 1, F.size("ps")).alias("rest"),
+        )
+        .select("src", F.explode("rest").alias("dst"))
     )
     edges = (
-        li.join(other, "l_orderkey")
-        .filter(F.col("l_partkey") < F.col("p2"))
-        .groupBy(
-            F.col("l_partkey").alias("src"), F.col("p2").alias("dst")
-        )
+        pairs.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("_sup"))
         .filter(F.col("_sup") >= 2)
         .select("src", "dst")
@@ -3371,10 +3389,11 @@ ORDER BY c_custkey, valid_from
     # id-ordered 3-way self-join — counts each triangle once, same total
     # as the engine's degree-ordered wedge formulation
     o["triangle_part_pairs"] = """
-WITH e AS (
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
   SELECT a, b FROM (
     SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS sup
-    FROM lineitem a JOIN lineitem b
+    FROM op a JOIN op b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
   ) WHERE sup >= 2
