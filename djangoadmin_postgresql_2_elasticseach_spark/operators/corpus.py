@@ -1439,6 +1439,12 @@ def shingle_novelty(
     benchmark; the gram DF table is NOT broadcast (corpus-sized gram
     domains don't fit — the equi-join shuffles both sides on the
     gram key, AQE-coalesced).
+
+    The (id, shingle) frame is referenced twice (DF count + join
+    back) with DIFFERENT shuffle payloads, so no ReusedExchange is
+    possible — it is localCheckpointed once (measured 2.0→1.4 s at
+    sf0.1; the bigram_pmi trade: linear storage for the exploded
+    frame instead of re-running the tokenize+shingle scan).
     """
     from ..functions.text import tokenize, word_shingles_of
 
@@ -1449,6 +1455,7 @@ def shingle_novelty(
             F.col(id_col),
             F.explode(word_shingles_of(F.col("_w"), n)).alias("sh"),
         )
+        .localCheckpoint(eager=True)
     )
     df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (
