@@ -68,12 +68,17 @@ def snapshot_diff(
         *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
         F.lit(True).alias("_in_new"),
     )
+    # null-SAFE key equality: a NULL-keyed row present in both
+    # snapshots is one (possibly changed) row, not a removed+added
+    # pair — the same silent hot spot key_skew_profile warns about
     cond = None
     for k in keys:
-        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        eq = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
         cond = eq if cond is None else (cond & eq)
     j = o.join(n, cond, "full_outer")
 
+    # membership flags, not key nullability: with eqNullSafe keys a
+    # NULL key no longer implies an unmatched side
     status = (
         F.when(F.col("_in_old").isNull(), F.lit("added"))
         .when(F.col("_in_new").isNull(), F.lit("removed"))
@@ -167,8 +172,12 @@ def key_skew_profile(
             "key",
             "n",
             F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+            # multiply in DOUBLE: long n · long n_keys wraps negative
+            # past 2⁶³ (a 10¹¹-row hot key × 10⁸ keys — exactly the
+            # scale this profiler exists for)
             F.round(
-                F.col("n") * F.col("_nkeys") / F.col("_total"), 6
+                F.col("n").cast("double") * F.col("_nkeys") / F.col("_total"),
+                6,
             ).alias("skew"),
         )
         .orderBy(F.desc("n"), F.asc_nulls_first("key"))

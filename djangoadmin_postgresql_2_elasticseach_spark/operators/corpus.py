@@ -1315,8 +1315,22 @@ def dsir_select(
     """Score ``raw`` against a fitted llr table (dsir_fit — possibly
     read back from parquet) and take the Gumbel-top-``n``. One
     data-sized shuffle (partial agg on the doc id); the llr table
-    broadcasts."""
+    broadcasts.
+
+    ``n_features`` MUST equal the fit-time value: the hash domain is
+    baked into the artifact, and a mismatch silently drops llr terms
+    (NULLs under the left join). Validated against the artifact's row
+    count — one job on an n_features-row frame, negligible next to
+    the corpus scan it protects."""
     from ..functions.text import token_bigrams, tokenize
+
+    n_rows = llr.count()
+    if n_rows != n_features:
+        raise ValueError(
+            f"llr table has {n_rows} rows but n_features={n_features}: "
+            "the selector must use the SAME feature count the table "
+            "was fitted with (dsir_fit covers the full hash domain)"
+        )
 
     # explode_outer keeps bigram-less docs eligible (log_w = 0, their
     # Gumbel noise alone decides) — one scan, one partial-agg shuffle
@@ -1524,7 +1538,11 @@ def weighted_sample(
     ).cast("double")
     u = (h + F.lit(1.0)) / F.lit(4294967297.0)
     gumbel = -F.log(-F.log(u))
-    keyed = docs.filter(w.isNotNull() & (w > 0)).select(
+    # NaN guard: Spark orders NaN ABOVE every number, so 'NaN > 0' is
+    # true and a NaN sel_key would sort first and hijack the sample
+    keyed = docs.filter(
+        w.isNotNull() & ~F.isnan(w) & (w > 0)
+    ).select(
         *(strata or []),
         F.col(id_col),
         w.alias("weight"),

@@ -26,7 +26,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import word_shingles
 from ..functions.textstats import fingerprint
 from ..plans.tuning import spread
 from ..session import free_local_checkpoint

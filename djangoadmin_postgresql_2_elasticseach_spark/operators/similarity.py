@@ -1066,11 +1066,19 @@ def mmr_rerank(
     brute_force_topk (mmr_topk), knn_join batches (mmr_topk_batch), or
     the IVF/PQ shortlists at scale.
 
-    ``cand`` = (qid, id, rel) with rel already rounded to 6dp; ``emb``
-    supplies the vectors for the pairwise-cosine matrix. Pairs are
-    built per qid (shuffle on the query id; within-query volume is
-    shortlist², a constant) and each query's greedy runs as ONE
-    applyInPandas group — Q queries re-rank as Q independent tasks.
+    ``cand`` = (qid, id, rel) with rel already rounded to 6dp and LONG
+    qid/id (the applyInPandas schema and tie-break keys are long —
+    string-id tables must map through a surrogate); ``emb`` supplies
+    the vectors for the pairwise-cosine matrix. Candidates with no
+    vector row in ``emb`` are dropped (a stale persisted shortlist
+    against a refreshed embedding table must not crash the greedy),
+    as are NaN-relevance candidates (zero-norm vectors: cosine 0/0 —
+    Spark sorts NaN LARGEST, so a zero vector would otherwise hijack
+    the shortlist while the greedy's NaN comparisons silently
+    misselect). Pairs are built per qid (shuffle on the query id;
+    within-query volume is shortlist², a constant) and each query's
+    greedy runs as ONE applyInPandas group — Q queries re-rank as Q
+    independent tasks.
 
     Output: (qid, ord, id, rel, mmr_score), ord 1..k per qid.
     """
@@ -1079,7 +1087,7 @@ def mmr_rerank(
     vecs = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
     )
-    cv = cand.join(vecs, "id")
+    cv = cand.filter(~F.isnan(F.col("rel"))).join(vecs, "id")
     a = cv.select(
         "qid",
         F.col("id").alias("id_a"),
@@ -1151,8 +1159,10 @@ def mmr_rerank(
         )
 
     # union the bare candidate rows (id_b NULL) so a 1-candidate
-    # shortlist still reaches the greedy group
-    solo = cand.select(
+    # shortlist still reaches the greedy group — built from cv, NOT
+    # cand, so a candidate without a vector row cannot re-enter the
+    # greedy with no sim entries (KeyError at step ≥ 2)
+    solo = cv.select(
         "qid",
         F.col("id").alias("id_a"),
         F.col("rel").alias("rel_a"),

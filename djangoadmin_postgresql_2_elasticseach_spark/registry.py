@@ -3985,7 +3985,7 @@ t AS (SELECT sum(n) AS total, count(*) AS nkeys FROM c),
 head AS (
   SELECT key, n,
          round(CAST(n AS DOUBLE) / total, 6) AS share,
-         round(CAST(n * nkeys AS DOUBLE) / total, 6) AS skew
+         round(CAST(n AS DOUBLE) * nkeys / total, 6) AS skew
   FROM c CROSS JOIN t
   ORDER BY n DESC, key NULLS FIRST LIMIT 20
 )

@@ -175,3 +175,16 @@ def test_snapshot_diff_agrees_with_txlog_cdc(spark, tmp_path):
     }
     rename = {"added": "insert", "removed": "delete", "changed": "update"}
     assert {k: rename[s] for k, s in diff.items()} == cdc
+
+
+def test_snapshot_diff_null_key_matches_across_snapshots(spark):
+    """r9 review fix: NULL-keyed rows present in both snapshots must
+    pair up (eqNullSafe join), not surface as removed+added."""
+    old = _snap(spark, [(None, "x", 1.0), (1, "y", 2.0)])
+    new = _snap(spark, [(None, "x", 1.0), (1, "y", 2.0)])
+    assert snapshot_diff(old, new, ["k"]).count() == 0
+    new2 = _snap(spark, [(None, "CHANGED", 1.0), (1, "y", 2.0)])
+    got = snapshot_diff(old, new2, ["k"]).collect()
+    assert len(got) == 1
+    assert got[0]["k"] is None and got[0]["status"] == "changed"
+    assert got[0]["changed_cols"] == "a"

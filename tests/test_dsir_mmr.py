@@ -208,3 +208,55 @@ def test_weighted_sample_stratified_quota(spark):
     assert set(per) == {"s0", "s1", "s2"}
     for keys in per.values():
         assert len(keys) == 4 and keys == sorted(keys, reverse=True)
+
+
+def test_weighted_sample_excludes_nan_weights(spark):
+    """r9 review fix: NaN weights (e.g. an upstream 0/0) must be
+    excluded, not sorted first."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, float("nan")), (3, 1.0)], "doc_id long, w double"
+    )
+    got = weighted_sample(df, n=3, weight_col="w", seed=11).collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 3]
+
+
+def test_mmr_rerank_tolerates_stale_shortlist_and_zero_vectors(spark):
+    """r9 review fixes: a candidate id missing from emb is dropped
+    (not a greedy KeyError); a zero-norm vector (NaN rel) never enters
+    the selection."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    emb = _emb(
+        spark,
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])],
+    )
+    cand = spark.createDataFrame(
+        [
+            (0, 0, 0.9),            # present
+            (0, 1, 0.8),            # present
+            (0, 99, 0.7),           # stale: no vector row
+            (0, 2, float("nan")),   # zero vector: NaN rel
+        ],
+        "qid long, id long, rel double",
+    )
+    got = mmr_rerank(cand, emb, k=4, lam=0.5).collect()
+    assert [r["id"] for r in got] == [0, 1]
+
+
+def test_dsir_select_rejects_feature_count_mismatch(spark):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        dsir_fit,
+        dsir_select,
+    )
+    import pytest
+
+    raw, tgt = _docs(spark, RAW_ROWS), _docs(spark, TARGET_ROWS)
+    llr = dsir_fit(raw, tgt, n_features=128)
+    with pytest.raises(ValueError, match="n_features"):
+        dsir_select(raw, llr, n=2, n_features=256)
