@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "shingle_novelty_docs",
     "mmr_batch_topk",
     "weighted_sample_docs",
+    "mmr_hybrid_topk",
     # kmeans_assign excluded: driver-coordinated iterative loop — at bench
     # scale its wall time is per-job scheduling latency, not throughput.
     # split_leakage_safe excluded: it composes minhash_dedup_pairs +

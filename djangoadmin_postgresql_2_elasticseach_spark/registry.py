@@ -1339,6 +1339,28 @@ def _q_mmr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mmr_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid MMR: BM25 lexical relevance + embedding-cosine diversity
+    — mmr_rerank's pluggable-shortlist contract exercised with a
+    NON-vector relevance source (the RAG re-rank shape: retrieve
+    lexically, diversify semantically)."""
+    from .search.bm25 import bm25_topk
+
+    cand = bm25_topk(
+        _docs_indexed(spark, sf_dir), BM25_QUERY, k=MMR_SHORTLIST
+    ).select(
+        F.lit(0).cast("long").alias("qid"),
+        F.col("doc_id").alias("id"),
+        F.col("score").alias("rel"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        S.mmr_rerank(cand, emb, k=MMR_K, lam=MMR_LAMBDA)
+        .drop("qid")
+        .orderBy("ord")
+    )
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Churn-sized snapshot diff (operators/audit.snapshot_diff) of
     orders vs its deterministic edit script."""
@@ -1522,6 +1544,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shingle_novelty_docs": _q_shingle_novelty,
     "mmr_batch_topk": _q_mmr_batch,
     "weighted_sample_docs": _q_weighted_sample,
+    "mmr_hybrid_topk": _q_mmr_hybrid,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -1542,6 +1565,7 @@ def _mmr_oracle_sql(
     lam: float = MMR_LAMBDA,
     query_vec_id: int = 0,
     with_qid: bool = False,
+    cand_sql: str | None = None,
 ) -> str:
     """Unrolled greedy MMR as chained CTEs: s1 = relevance argmax;
     s_i = argmax of round(λ·rel − (1−λ)·max sim(·, selected), 6) over
@@ -1552,16 +1576,20 @@ def _mmr_oracle_sql(
     the unrolled steps reference u_{i-1} multiple times and DuckDB
     re-executes non-materialized CTEs per reference — exponentially.
     ``with_qid``/``query_vec_id`` parameterize the batch oracle (one
-    block per query, UNION ALL'd)."""
+    block per query, UNION ALL'd). ``cand_sql`` swaps in a custom
+    candidate CTE body — (id, rel, v) with its own relevance source
+    (e.g. BM25 for the hybrid re-rank) — while the greedy steps stay
+    byte-identical; it must embed its own ORDER/LIMIT."""
     cos_q = _cosine_sql("e.embedding", "q.qe")
     cos_ab = _cosine_sql("a.v", "b.v")
     qid_col = f"{query_vec_id} AS qid, " if with_qid else ""
-    parts = [
-        f"""WITH q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id}),
-cand AS MATERIALIZED (
+    default_cand = f"""
   SELECT e.vec_id AS id, round({cos_q}, 6) AS rel, e.embedding AS v
   FROM embeddings e, q
-  ORDER BY rel DESC, id LIMIT {shortlist}
+  ORDER BY rel DESC, id LIMIT {shortlist}"""
+    parts = [
+        f"""WITH q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id}),
+cand AS MATERIALIZED ({cand_sql if cand_sql is not None else default_cand}
 ),
 p AS MATERIALIZED (
   SELECT a.id AS ia, b.id AS ib, round({cos_ab}, 6) AS sim
@@ -2619,6 +2647,16 @@ WHERE greatest({bm_matched}) > 0
 ORDER BY score DESC, doc_id
 """
     o["bm25_topk"] = bm25_body + "LIMIT 10"
+
+    # hybrid MMR: BM25 relevance + embedding diversity — the cand CTE
+    # swaps in the bm25 body (vec_id keys documents 1:1 in testdata);
+    # the greedy steps are byte-identical to mmr_rerank_topk's
+    o["mmr_hybrid_topk"] = _mmr_oracle_sql(
+        cand_sql=f"""
+  SELECT b.doc_id AS id, b.score AS rel, e.embedding AS v
+  FROM ({bm25_body} LIMIT {MMR_SHORTLIST}) b
+  JOIN embeddings e ON e.vec_id = b.doc_id"""
+    )
 
     # best_fields multi_match BM25 — mirror of search/bm25.multi_match_bm25:
     # per field, per-doc tf over fuzzy-matched term occurrences + max
