@@ -201,6 +201,14 @@ def admin_inline_save(
             raise ValueError("inline adds require an explicit `now`")
         if created_col in adds.columns:
             raise ValueError(f"{created_col} is stamped, never submitted")
+        unknown = [c for c in adds.columns if c not in set(bridge.columns)]
+        if unknown:
+            # same strictness as admin_save: a misspelled column must
+            # raise, not silently drop and null-fill the real one
+            raise ValueError(
+                f"inline-add columns {unknown} not in bridge table "
+                f"{bridge.columns}"
+            )
         _check_pks(adds, pk)
         clash = bridge.select(pk).join(
             F.broadcast(adds.select(pk)), pk, "left_semi"

@@ -348,27 +348,33 @@ def zorder_maintain(
     # CONCURRENT maintenance runs clobber each other's staged bin
     # (mode=overwrite) and delete files the other planned to read
     tmp = os.path.join(path, f"_zc_tmp_{run_id}")
-    for b, files in sorted(bins.items()):
-        out_name = f"zc-{run_id}-{b}.parquet"
-        if out_name in delete_set:  # not assert: must survive python -O
-            raise RuntimeError(
-                f"compaction output {out_name} collides with a "
-                "planned-delete input; refusing to overwrite"
+    try:
+        for b, files in sorted(bins.items()):
+            out_name = f"zc-{run_id}-{b}.parquet"
+            if out_name in delete_set:  # not assert: must survive python -O
+                raise RuntimeError(
+                    f"compaction output {out_name} collides with a "
+                    "planned-delete input; refusing to overwrite"
+                )
+            df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+            keyed = zorder_key(df, cols, bits)
+            (
+                keyed.repartition(1)
+                .sortWithinPartitions("z_key")
+                .drop("z_key")
+                .write.mode("overwrite")
+                .parquet(tmp)
             )
-        df = spark.read.parquet(*[os.path.join(path, f) for f in files])
-        keyed = zorder_key(df, cols, bits)
-        (
-            keyed.repartition(1)
-            .sortWithinPartitions("z_key")
-            .drop("z_key")
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        os.replace(
-            os.path.join(tmp, part), os.path.join(path, out_name)
-        )
-    shutil.rmtree(tmp, ignore_errors=True)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            os.replace(
+                os.path.join(tmp, part), os.path.join(path, out_name)
+            )
+    finally:
+        # ALWAYS reclaim the run-unique staging dir: with the fixed
+        # '_zc_tmp' name a crashed run's leftovers were overwritten by
+        # the next run; unique names would otherwise leak one orphaned
+        # directory per crash under periodic maintenance
+        shutil.rmtree(tmp, ignore_errors=True)
     for files in bins.values():
         for f in files:
             os.remove(os.path.join(path, f))

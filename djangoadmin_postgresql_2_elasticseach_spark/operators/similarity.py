@@ -743,6 +743,22 @@ def pq_topk_rerank(
     cand = pq_topk(
         codes_df, codebooks, query_vec, k=shortlist, id_col=id_col
     ).select(id_col)
+    return _exact_l2_rerank(emb, cand, query_vec, k, id_col, vec_col)
+
+
+def _exact_l2_rerank(
+    emb: DataFrame,
+    cand: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact squared-L2 top-k over a nominated candidate set: broadcast
+    semi-join into the float table (full-precision vectors read for the
+    shortlist rows only), one fused distance projection, (dist, id)
+    top-k. The ONE exact-distance expression shared by pq_topk_rerank
+    and ivf_pq_topk_rerank — the rounding contract lives here."""
     spark = emb.sparkSession
     qdf = spark.createDataFrame(
         [(1, [float(x) for x in query_vec])], "_qk int, _q array<double>"
@@ -855,16 +871,23 @@ def probe_buckets(
 ) -> set[str]:
     """The query's hyperplane bucket plus every bucket within
     ``probe_hamming`` bit flips — the probe set shared by all IVF
-    variants (driver-side: n_planes sign dots on one vector)."""
+    variants (driver-side: n_planes sign dots on one vector).
+    probe_hamming=h really does yield the full Hamming-≤h ball
+    (Σ C(n_planes, i) buckets — combinations, not just single flips;
+    r9 review fixed h ≥ 2 silently probing the h=1 set)."""
+    from itertools import combinations
+
     qbits = ""
     for h in planes:
         qbits += "1" if sum(q * x for q, x in zip(query_vec, h)) >= 0 else "0"
     probes = {qbits}
-    if probe_hamming >= 1:
-        for i in range(len(planes)):
-            probes.add(
-                qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1 :]
-            )
+    flip = {"0": "1", "1": "0"}
+    for d in range(1, min(probe_hamming, len(planes)) + 1):
+        for idxs in combinations(range(len(planes)), d):
+            bits = list(qbits)
+            for i in idxs:
+                bits[i] = flip[bits[i]]
+            probes.add("".join(bits))
     return probes
 
 
@@ -975,29 +998,17 @@ def ivf_pq_topk_rerank(
     """The full IVFADC serving path: coarse-prune → ADC shortlist →
     exact squared-L2 re-rank of the shortlist rows only (semi-join into
     the float table — full-precision vectors are read for ``shortlist``
-    rows, never the corpus). Output: (id, dist) exact, top-k."""
+    rows, never the corpus). Output: (id, dist) exact, top-k.
+
+    The re-rank tail delegates to ``_exact_l2_rerank`` (shared with
+    pq_topk_rerank) so the exact-distance expression exists ONCE —
+    two hand-kept copies had to stay bit-identical for the rounding
+    assertions (r9 review)."""
     cand = ivf_pq_topk(
         emb, codebooks, query_vec, k=shortlist, n_planes=n_planes,
         probe_hamming=probe_hamming, id_col=id_col, vec_col=vec_col,
     ).select(id_col)
-    spark = emb.sparkSession
-    qdf = spark.createDataFrame(
-        [(1, [float(x) for x in query_vec])], "_qk int, _q array<double>"
-    )
-    v = F.col(vec_col).cast("array<double>")
-    exact = F.aggregate(
-        F.zip_with(v, F.col("_q"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        emb.join(F.broadcast(cand), id_col, "left_semi")
-        .withColumn("_qk", F.lit(1))
-        .join(F.broadcast(qdf), "_qk")
-        .select(F.col(id_col), F.round(exact, 6).alias("dist"))
-        .orderBy("dist", id_col)
-        .limit(k)
-    )
+    return _exact_l2_rerank(emb, cand, query_vec, k, id_col, vec_col)
 
 
 def mmr_topk(

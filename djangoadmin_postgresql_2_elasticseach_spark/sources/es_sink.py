@@ -146,6 +146,11 @@ def write_bulk_cdc(
     """
     from pyspark.sql import functions as F
 
+    # materialize the CDC frame ONCE: the upsert and delete filters
+    # would otherwise each re-execute the full tx_changes plan (two
+    # version-diff reads + a full-outer struct compare) — it is
+    # CDC-sized by contract, so the checkpoint is small
+    changes = changes.select(key, change_col).localCheckpoint(eager=True)
     upserted = changes.filter(F.col(change_col) != "delete").select(key)
     docs = snapshot.join(F.broadcast(upserted), key, "left_semi")
     write_bulk(docs, index, id_field=key, **bulk_kw)

@@ -213,6 +213,28 @@ def _schema_ddl(schema: list[tuple[str, str]]) -> str:
     return ", ".join(f"`{n}` {t}" for n, t in schema)
 
 
+def _effective_schema(
+    spark: SparkSession, log: "TxLog", path: str, version: int | None
+) -> list[tuple[str, str]] | None:
+    """The table schema a write must evolve against: the manifest-
+    recorded schema when present, else — for PRE-SCHEMA manifests that
+    still have data files — the footer-inferred dtypes of the current
+    snapshot. Without this fallback, a write narrower than a
+    pre-schema table would record ITS OWN dtypes as the authoritative
+    manifest schema and every later read would silently project the
+    missing columns away (r9 review finding). None only for an empty
+    or never-committed table."""
+    if version is None:
+        return None
+    s = log.table_schema(version)
+    if s is not None:
+        return s
+    files = log.snapshot(version)
+    if not files:
+        return None
+    return _read_files(spark, path, files, None).dtypes
+
+
 def _read_files(
     spark: SparkSession,
     path: str,
@@ -270,13 +292,19 @@ def tx_append(df: DataFrame, path: str, max_retries: int = 10) -> int:
     Additive schema evolution: the appended frame may carry NEW
     columns (recorded in the manifest; existing files null-fill them
     on read) but must include every existing column with its exact
-    type — ``SchemaEvolutionError`` otherwise. Validation reruns per
+    type — ``SchemaEvolutionError`` otherwise. Validation runs BEFORE
+    the data files are written (a doomed append must not materialize
+    the frame and leak retention-window orphans), then reruns per
     conflict retry against the winner's schema."""
     log = TxLog(path)
+    spark = df.sparkSession
+    pre = _effective_schema(spark, log, path, log.latest_version())
+    if pre is not None:
+        _evolve_schema(pre, df.dtypes)
     names = _write_data_files(df, path)
     for _ in range(max_retries):
         base = log.latest_version()
-        cur_schema = log.table_schema(base)
+        cur_schema = _effective_schema(spark, log, path, base)
         schema = (
             _evolve_schema(cur_schema, df.dtypes)
             if cur_schema is not None
@@ -360,7 +388,11 @@ def tx_merge(
     for _ in range(max_retries):
         base = log.latest_version()
         cur = log.snapshot(base)
-        cur_schema = log.table_schema(base)
+        # effective, not manifest-recorded: a pre-schema table's real
+        # (footer) schema must win over a narrower updates frame, or
+        # the commit would record the narrow schema and every later
+        # read would project the other columns away
+        cur_schema = _effective_schema(spark, log, path, base)
         schema = (
             _evolve_schema(cur_schema, updates.dtypes)
             if cur_schema is not None

@@ -147,8 +147,23 @@ class TxlogCdcEtl:
     def _spans(self, entity: str) -> dict[str, tuple[int | None, int | None]]:
         """Pin every trigger table's [from, to] BEFORE any read — a
         commit landing mid-tick is deferred to the next tick, never
-        half-seen (snapshot isolation across the tick)."""
-        return {t: self._span(entity, t) for t in self.TRIGGERS[entity]}
+        half-seen (snapshot isolation across the tick).
+
+        Every trigger table must have ≥1 committed version: a
+        never-committed table has no manifest schema, so it cannot
+        even read as an empty frame — fail HERE with the contract
+        instead of a FileNotFoundError from deep inside the tick
+        (r9 review finding; commit an initial, possibly empty,
+        snapshot per table before wiring CDC)."""
+        spans = {t: self._span(entity, t) for t in self.TRIGGERS[entity]}
+        missing = [t for t, (_, to_v) in spans.items() if to_v is None]
+        if missing:
+            raise ValueError(
+                f"CDC trigger tables with no committed txlog version: "
+                f"{missing}; tx_append/tx_overwrite an initial snapshot "
+                "(may be empty) before running the CDC tick"
+            )
+        return spans
 
     def _snapshot(self, table: str, spans) -> DataFrame:
         """Current frame of ``table`` pinned at the span's ``to``
@@ -237,6 +252,9 @@ class TxlogCdcEtl:
                 self.sink(docs, entity)
             m = 0
             if self.on_delete is not None:
+                # CDC-sized by contract — checkpoint so count() and
+                # on_delete don't each re-run the version-diff plan
+                deletes = deletes.localCheckpoint(eager=True)
                 m = deletes.count()
                 if m:
                     self.on_delete(deletes, entity)

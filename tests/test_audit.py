@@ -188,3 +188,27 @@ def test_snapshot_diff_null_key_matches_across_snapshots(spark):
     assert len(got) == 1
     assert got[0]["k"] is None and got[0]["status"] == "changed"
     assert got[0]["changed_cols"] == "a"
+
+
+def test_admin_inline_save_rejects_unknown_columns(spark):
+    """r9 review fix: a misspelled inline-add column raises (same
+    strictness as admin_save) instead of silently null-filling."""
+    import datetime as dt
+
+    import pytest
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.admin_write import (
+        admin_inline_save,
+    )
+
+    bridge = spark.createDataFrame(
+        [(1, 10, 100, dt.datetime(2020, 1, 1))],
+        "id long, film_work_id long, genre_id long, created timestamp",
+    )
+    bad = spark.createDataFrame(
+        [(2, 10, 200)], "id long, film_work_id long, genre_ids long"
+    )
+    with pytest.raises(ValueError, match="genre_ids"):
+        admin_inline_save(
+            bridge, adds=bad, now=dt.datetime(2024, 1, 1)
+        )

@@ -260,3 +260,26 @@ def test_dsir_select_rejects_feature_count_mismatch(spark):
     llr = dsir_fit(raw, tgt, n_features=128)
     with pytest.raises(ValueError, match="n_features"):
         dsir_select(raw, llr, n=2, n_features=256)
+
+
+def test_probe_buckets_full_hamming_ball():
+    """r9 review fix: probe_hamming=h yields the FULL Hamming-≤h ball
+    (combinations), not just single-bit flips."""
+    from math import comb
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import (
+        fixed_planes,
+        probe_buckets,
+    )
+
+    planes = fixed_planes(8, 4)
+    q = [1.0] * 8
+    for h in (0, 1, 2, 3, 4):
+        got = probe_buckets(q, planes, probe_hamming=h)
+        assert len(got) == sum(comb(4, i) for i in range(h + 1)), h
+    # every probed bucket really is within h of the home bucket
+    home = next(iter(probe_buckets(q, planes, probe_hamming=0)))
+    ball = probe_buckets(q, planes, probe_hamming=2)
+    assert all(
+        sum(a != b for a, b in zip(home, x)) <= 2 for x in ball
+    )

@@ -384,3 +384,76 @@ def test_schema_evolution_merge_and_cdc(spark, tmp_path):
     assert full.filter(F.col("extra").isNotNull()).count() == 2
     ch = {r["k"]: r["change"] for r in tx_changes(spark, p, 0, v1, "k").collect()}
     assert ch == {3: "update", 4: "update"}, "new-column values are updates"
+
+
+def _strip_manifest_schema(path):
+    """Rewrite every manifest without its schema key — simulates a
+    table created before schema recording existed."""
+    import glob
+    import json
+    import os
+
+    for f in glob.glob(os.path.join(path, "_txlog", "v*.json")):
+        m = json.load(open(f))
+        m.pop("schema", None)
+        with open(f, "w") as fh:
+            json.dump(m, fh)
+
+
+def test_pre_schema_table_narrow_merge_rejected(spark, tmp_path):
+    """r9 review fix: a merge/append NARROWER than a pre-schema table
+    must raise, not record its own dtypes as the manifest schema and
+    silently project the other columns away on every later read."""
+    import pytest
+
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.txlog import (
+        SchemaEvolutionError,
+        tx_append,
+        tx_merge,
+        tx_read,
+    )
+
+    p = str(tmp_path / "t")
+    tx_append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, val string"), p
+    )
+    _strip_manifest_schema(p)
+    narrow = spark.createDataFrame([(2,)], "k long")
+    with pytest.raises(SchemaEvolutionError):
+        tx_merge(spark, p, narrow, key="k")
+    with pytest.raises(SchemaEvolutionError):
+        tx_append(narrow, p)
+    # equal-width writes still work and val survives end to end
+    tx_merge(
+        spark,
+        p,
+        spark.createDataFrame([(2, "B")], "k long, val string"),
+        key="k",
+    )
+    got = {r["k"]: r["val"] for r in tx_read(spark, p).collect()}
+    assert got == {1: "a", 2: "B"}
+
+
+def test_doomed_append_writes_no_orphans(spark, tmp_path):
+    """r9 review fix: schema validation now runs BEFORE data files are
+    written, so a doomed append leaves nothing for vacuum to reap."""
+    import os
+
+    import pytest
+
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.txlog import (
+        SchemaEvolutionError,
+        tx_append,
+    )
+
+    p = str(tmp_path / "t")
+    tx_append(spark.createDataFrame([(1, "a")], "k long, val string"), p)
+    files_before = sorted(
+        f for f in os.listdir(p) if f.endswith(".parquet")
+    )
+    with pytest.raises(SchemaEvolutionError):
+        tx_append(spark.createDataFrame([(2,)], "k long"), p)  # drops val
+    files_after = sorted(
+        f for f in os.listdir(p) if f.endswith(".parquet")
+    )
+    assert files_before == files_after
