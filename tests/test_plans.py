@@ -483,3 +483,20 @@ def test_snapshot_diff_is_one_full_outer_join(spark):
     df = registry.QUERIES["snapshot_diff_orders"](spark, SF_SMOKE)
     plan = plan_string(df, mode="simple")
     assert plan.count("FullOuter") == 1
+
+
+def test_weighted_sample_stratified_uses_window_group_limit(spark):
+    """Per-stratum top-n compiles to WindowGroupLimit (rank cap pushed
+    below the exchange — each map task forwards ≤ n rows per stratum),
+    and the global form is TakeOrderedAndProject."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    docs = registry.load_table(spark, SF_SMOKE, "documents")
+    strat = weighted_sample(
+        docs, n=5, weight_col="n_chars", strata=["source"]
+    )
+    assert "WindowGroupLimit" in plan_string(strat, mode="simple")
+    glob = weighted_sample(docs, n=5, weight_col="n_chars")
+    assert "TakeOrderedAndProject" in plan_string(glob, mode="simple")
