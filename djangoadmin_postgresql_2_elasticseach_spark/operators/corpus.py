@@ -450,6 +450,7 @@ def decontaminate(
     n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Benchmark decontamination by n-gram overlap — the standard
     train/test-leakage scrub (13-gram overlap is the published GPT-3 /
@@ -461,18 +462,28 @@ def decontaminate(
     join back. The benchmark side is tiny relative to the corpus —
     its shingle set is broadcast, so the scan of the training corpus
     never shuffles. Output: (id, n_overlap, contaminated).
+
+    ``tokens_col``: an already-tokenized array<string> column on
+    ``docs`` to shingle instead of re-tokenizing ``text_col`` — lets
+    CorpusPipeline share ONE materialized tokenize between this stage
+    and near-dedup (the benchmark side always tokenizes itself; it is
+    bounded by the benchmark's size, not the corpus).
     """
     from ..functions.text import tokenize, word_shingles_of
 
     # tokens pre-projected before shingling (see word_shingles_of:
     # the inline form is O(tokens²) per doc)
-    d = (
-        spread(docs.select(id_col, text_col))
-        .select(F.col(id_col), tokenize(text_col).alias("_w"))
-        .select(
-            F.col(id_col),
-            F.explode(word_shingles_of(F.col("_w"), n)).alias("sh"),
+    if tokens_col is not None:
+        d_toks = spread(docs.select(id_col, tokens_col)).select(
+            F.col(id_col), F.col(tokens_col).alias("_w")
         )
+    else:
+        d_toks = spread(docs.select(id_col, text_col)).select(
+            F.col(id_col), tokenize(text_col).alias("_w")
+        )
+    d = d_toks.select(
+        F.col(id_col),
+        F.explode(word_shingles_of(F.col("_w"), n)).alias("sh"),
     )
     b = (
         benchmark.select(tokenize(text_col).alias("_w"))
@@ -1223,6 +1234,11 @@ def importance_resample(
     `dsir_select` scores + Gumbel-samples against it; this function is
     their composition in one lazy plan.
     """
+    # validate=False: dsir_fit covers the full hash domain by
+    # construction (domain left-join), so the row-count check would
+    # only re-execute the fit subtree — and would do so at PLAN-BUILD
+    # time, before the caller ever runs the query. Skipping it keeps
+    # the composition one fully-lazy plan.
     return dsir_select(
         raw,
         dsir_fit(raw, target, n_features=n_features, text_col=text_col),
@@ -1231,6 +1247,7 @@ def importance_resample(
         seed=seed,
         id_col=id_col,
         text_col=text_col,
+        validate=False,
     )
 
 
@@ -1311,6 +1328,7 @@ def dsir_select(
     seed: int = 17,
     id_col: str = "doc_id",
     text_col: str = "text",
+    validate: bool = True,
 ) -> DataFrame:
     """Score ``raw`` against a fitted llr table (dsir_fit — possibly
     read back from parquet) and take the Gumbel-top-``n``. One
@@ -1320,17 +1338,27 @@ def dsir_select(
     ``n_features`` MUST equal the fit-time value: the hash domain is
     baked into the artifact, and a mismatch silently drops llr terms
     (NULLs under the left join). Validated against the artifact's row
-    count — one job on an n_features-row frame, negligible next to
-    the corpus scan it protects."""
+    count; the artifact is localCheckpoint'd FIRST so the one
+    execution feeds both the count and the broadcast join — an
+    unmaterialized fit plan (bigram scans of both corpora) would
+    otherwise run twice. ``validate=False`` skips both (used by
+    importance_resample, whose in-process dsir_fit output is
+    full-domain by construction — keeps that composition lazy)."""
     from ..functions.text import token_bigrams, tokenize
 
-    n_rows = llr.count()
-    if n_rows != n_features:
-        raise ValueError(
-            f"llr table has {n_rows} rows but n_features={n_features}: "
-            "the selector must use the SAME feature count the table "
-            "was fitted with (dsir_fit covers the full hash domain)"
-        )
+    if validate:
+        # materialize once: the count below and the broadcast join in
+        # the scoring plan both read the checkpointed n_features-row
+        # result instead of re-running the fit/scan subtree
+        llr = llr.localCheckpoint()
+        n_rows = llr.count()
+        if n_rows != n_features:
+            raise ValueError(
+                f"llr table has {n_rows} rows but n_features="
+                f"{n_features}: the selector must use the SAME feature "
+                "count the table was fitted with (dsir_fit covers the "
+                "full hash domain)"
+            )
 
     # explode_outer keeps bigram-less docs eligible (log_w = 0, their
     # Gumbel noise alone decides) — one scan, one partial-agg shuffle

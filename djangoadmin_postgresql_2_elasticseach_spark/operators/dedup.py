@@ -53,21 +53,38 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _shingled(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    tokens_col: str | None = None,
+) -> DataFrame:
     """(id, shingle) exploded distinct word n-grams (see
     functions/text.word_shingles for why word-level, not char-level).
     spread() parallelizes the tokenize+shingle regex work past the
     input's row-group count (plans/tuning.py). Tokens are
     PRE-PROJECTED before shingling — the inline word_shingles form
-    re-runs the tokenizer per shingle index, O(tokens²) per doc."""
+    re-runs the tokenizer per shingle index, O(tokens²) per doc.
+
+    ``tokens_col``: name of an already-tokenized array<string> column
+    (tokenize() output) to shingle instead of re-running the tokenizer
+    on ``text_col`` — the shared-token-frame contract CorpusPipeline
+    uses so one materialized tokenize feeds decontaminate AND the
+    near-dup stage (at corpus scale, tokenizing the bodies twice is
+    the dominant repeated cost)."""
     from ..functions.text import tokenize, word_shingles_of
 
-    return (
-        spread(docs.select(id_col, text_col))
-        .select(F.col(id_col).alias("sid"), tokenize(text_col).alias("_w"))
-        .select(
-            "sid", F.explode(word_shingles_of(F.col("_w"), n)).alias("shingle")
+    if tokens_col is not None:
+        base = spread(docs.select(id_col, tokens_col)).select(
+            F.col(id_col).alias("sid"), F.col(tokens_col).alias("_w")
         )
+    else:
+        base = spread(docs.select(id_col, text_col)).select(
+            F.col(id_col).alias("sid"), tokenize(text_col).alias("_w")
+        )
+    return base.select(
+        "sid", F.explode(word_shingles_of(F.col("_w"), n)).alias("shingle")
     )
 
 
@@ -77,6 +94,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.4,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via shingle inverted index: explode →
     self-equi-join on shingle → per-pair intersection count → Jaccard.
@@ -86,7 +104,7 @@ def ngram_jaccard_pairs(
     kept standalone as the exactness oracle.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    sh = _shingled(docs, id_col, text_col, n)
+    sh = _shingled(docs, id_col, text_col, n, tokens_col)
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -140,13 +158,14 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = DEFAULT_NUM_HASHES,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: slot i = MIN over shingles of the
     KM-derived hash g_i(shingle) (see _signatures_from_shingles) —
     engine-portable, one md5 per shingle for ALL slots.
     One aggregation produces all signature slots (map-side combine)."""
     return _signatures_from_shingles(
-        _shingled(docs, id_col, text_col, n), id_col, num_hashes
+        _shingled(docs, id_col, text_col, n, tokens_col), id_col, num_hashes
     )
 
 
@@ -216,6 +235,7 @@ def minhash_lsh_candidates(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     max_bucket: int | None = 500,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """LSH banding: signature → (band_idx, band_key=concat of band slots)
     → self-equi-join per bucket → distinct candidate pairs (id_a < id_b).
@@ -226,7 +246,7 @@ def minhash_lsh_candidates(
     ``max_bucket`` drops non-discriminating hot buckets from candidate
     generation (see _lsh_candidates_from_sig).
     """
-    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes, tokens_col)
     return _lsh_candidates_from_sig(sig, id_col, num_hashes, band_size, max_bucket)
 
 
@@ -239,6 +259,7 @@ def minhash_dedup_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     max_bucket: int | None = 500,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Full MinHash dedup: LSH candidates → exact-Jaccard verify ≥ τ.
     Output: (id_a, id_b, jaccard).
@@ -246,8 +267,12 @@ def minhash_dedup_pairs(
     The shingle frame feeds four branches (signatures, sizes, and both
     sides of the verify join); localCheckpoint materializes it once on
     the executors instead of re-running tokenize+explode per branch
-    (~3× wall-clock on the bench corpus)."""
-    sh = _shingled(docs, id_col, text_col, n).localCheckpoint(eager=True)
+    (~3× wall-clock on the bench corpus). ``tokens_col``: reuse an
+    already-materialized token array instead of tokenizing text_col
+    (see _shingled)."""
+    sh = _shingled(docs, id_col, text_col, n, tokens_col).localCheckpoint(
+        eager=True
+    )
     sig = _signatures_from_shingles(sh, id_col, num_hashes)
     cands = _lsh_candidates_from_sig(sig, id_col, num_hashes, band_size, max_bucket)
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -549,6 +574,53 @@ def incremental_dedup_pairs(
     )
 
 
+def _clusters_local(base: DataFrame, free_after: bool = False) -> DataFrame:
+    """Collect a small materialized (a, b) pair frame and solve the
+    whole clustering driver-side: union-find (union-by-min, so every
+    root is its component's minimum = the keeper), then build the full
+    (doc_id, cluster, cluster_size) output locally. Output row count is
+    bounded by the number of distinct endpoints ≤ 2·|pairs| — the
+    caller gates |pairs| before calling. Rows sorted by doc_id so the
+    output is deterministic run-to-run."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = base.collect()
+    ntype = base.schema[0].dataType
+    if free_after:
+        free_local_checkpoint(base)
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = set()
+    for row in rows:
+        a, b = row["a"], row["b"]
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = {n: find(n) for n in nodes}
+    sizes: dict = {}
+    for lab in labels.values():
+        sizes[lab] = sizes.get(lab, 0) + 1
+    data = sorted((n, lab, sizes[lab]) for n, lab in labels.items())
+    schema = StructType(
+        [
+            StructField("doc_id", ntype),
+            StructField("cluster", ntype),
+            StructField("cluster_size", LongType(), nullable=False),
+        ]
+    )
+    return base.sparkSession.createDataFrame(data, schema)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -606,6 +678,18 @@ def dedup_clusters(
     base = pairs.select(
         F.col(id_a).alias("a"), F.col(id_b).alias("b")
     ).localCheckpoint(eager=True)
+    # Whole-graph local finish: when the RAW pair count already fits
+    # the local-finish budget (count of the materialized base — one
+    # cheap job, and an upper bound on the canonical edge count), skip
+    # the distributed machinery entirely — no nodes/edges checkpoints,
+    # no star rounds, no label/size joins: one collect, a driver-side
+    # union-find, and the (doc, cluster, size) output built locally
+    # (bounded by 2·local_finish_edges rows). Beyond the saved jobs
+    # this removes the warm-run variance of the iterative tail — the
+    # usual case at real dup rates, where pairs ≪ corpus.
+    if local_finish_edges and base.count() <= local_finish_edges:
+        out = _clusters_local(base, free_after=True)
+        return out
     nodes = (
         base.select(F.col("a").alias("node"))
         .unionByName(base.select(F.col("b").alias("node")))
@@ -783,22 +867,37 @@ def dedup_clusters(
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    tokens_col: str | None = None,
+) -> DataFrame:
     """SimHash signature as a `bits`-char bitstring over word tokens.
 
     Bit i of the signature = sign of Σ_tokens (±1 by whether hex nibble i
     of md5(token) ≥ 8). Engine-portable: md5 + substring + position
     arithmetic only. 16 bits is the demo width; widen via `bits` ≤ 32.
     Near-dup candidates come from equality on band substrings of the
-    signature (Hamming-adjacent lookup).
+    signature (Hamming-adjacent lookup). ``tokens_col``: reuse an
+    already-materialized tokenize() array instead of re-splitting
+    text_col (shared-token-frame contract, see _shingled).
     """
-    toks = spread(docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("sid"),
-        F.explode(
-            F.array_distinct(
-                F.filter(F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{Nd}]+"), lambda t: t != "")
-            )
-        ).alias("tok"),
+    if tokens_col is not None:
+        tok_arr = spread(docs.select(id_col, tokens_col)).select(
+            F.col(id_col).alias("sid"), F.col(tokens_col).alias("_w")
+        )
+    else:
+        tok_arr = spread(docs.select(id_col, text_col)).select(
+            F.col(id_col).alias("sid"),
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{Nd}]+"),
+                lambda t: t != "",
+            ).alias("_w"),
+        )
+    toks = tok_arr.select(
+        "sid", F.explode(F.array_distinct(F.col("_w"))).alias("tok")
     ).withColumn("h", F.md5(F.col("tok")))
     aggs = []
     for i in range(bits):
@@ -820,6 +919,7 @@ def simhash_neardup_pairs(
     n_bands: int = 2,
     max_hamming: int = 2,
     max_bucket: int | None = 500,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: banded candidate lookup + Hamming verify.
 
@@ -840,7 +940,9 @@ def simhash_neardup_pairs(
 
     Output: (id_a, id_b, hamming) with hamming ≤ max_hamming.
     """
-    sig = simhash(docs, id_col, text_col, bits).localCheckpoint(eager=True)
+    sig = simhash(docs, id_col, text_col, bits, tokens_col).localCheckpoint(
+        eager=True
+    )
     width = bits // n_bands
     bands = F.array(
         *[

@@ -86,7 +86,8 @@ def _st_decontaminate(docs, p, ctx):
     if bench is None:
         raise ValueError("decontaminate stage needs run(benchmark=...)")
     cont = decontaminate(docs, bench, n=p.get("n", 13), id_col=ctx["id_col"],
-                         text_col=ctx["text_col"])
+                         text_col=ctx["text_col"],
+                         tokens_col=ctx.get("tokens_col"))
     return _keep_ids(docs, cont.filter(~F.col("contaminated")), ctx["id_col"])
 
 
@@ -104,7 +105,11 @@ def _st_near_dedup(docs, p, ctx):
     if method not in _PAIR_FNS:
         raise ValueError(f"near_dedup method {method!r} not in {sorted(_PAIR_FNS)}")
     fn_name, default_thr = _PAIR_FNS[method]
-    kwargs: dict[str, Any] = {"id_col": ctx["id_col"], "text_col": ctx["text_col"]}
+    kwargs: dict[str, Any] = {
+        "id_col": ctx["id_col"],
+        "text_col": ctx["text_col"],
+        "tokens_col": ctx.get("tokens_col"),
+    }
     if default_thr is not None:
         kwargs["threshold"] = p.get("threshold", default_thr)
     pairs = getattr(D, fn_name)(docs, **kwargs)
@@ -264,6 +269,21 @@ _REQUIRED_PARAMS = {
 # construction, same loud-failure posture as unknown ops
 _TERMINAL_OPS = {"chunk", "pack"}
 
+# stages whose operators accept a shared pre-tokenized column
+# (tokens_col) — run() materializes tokenize(text) ONCE into the stage
+# checkpoint immediately preceding the first of these, so the
+# decontaminate shingles and the near-dup shingles/signatures derive
+# from the same token frame instead of each re-running the tokenizer
+# over the corpus bodies (at 100 TB the repeated tokenize IS the
+# repeated cost — shingle sizes differ per stage and cannot be shared,
+# token arrays can)
+_TOKEN_CONSUMERS = {"decontaminate", "near_dedup"}
+# stages that rewrite the text column, invalidating any live shared
+# token column — it is dropped and re-derived at the boundary before
+# the next consumer
+_TEXT_MUTATORS = {"pii_scrub"}
+_TOKENS_COL = "_pipe_tokens"
+
 
 class CorpusPipeline:
     """Validated, JSON-able sequence of corpus stages (module docstring
@@ -295,6 +315,7 @@ class CorpusPipeline:
         self.stages = [dict(s) for s in stages]
         self.id_col = id_col
         self.text_col = text_col
+        self._last_checkpoint = None  # set by _execute (report frees it)
 
     @classmethod
     def from_json(cls, spec: str, **kw) -> "CorpusPipeline":
@@ -328,7 +349,31 @@ class CorpusPipeline:
         ``checkpoint_stages=False`` for the single-plan form (useful
         when a downstream optimizer should see through the whole chain,
         e.g. to prune columns the sink never reads).
+
+        Checkpointed runs additionally SHARE ONE TOKEN FRAME across
+        token-consuming stages (_TOKEN_CONSUMERS): tokenize(text) is
+        materialized once, into the checkpoint at the boundary before
+        the first consumer, and every later consumer shingles/signs
+        from that array column instead of re-tokenizing the bodies.
+        A text-mutating stage (_TEXT_MUTATORS) drops the live column;
+        it is re-derived before the next consumer. The helper column
+        never appears in the returned frame. Lazy runs skip sharing —
+        without a materialization boundary the column is just an
+        expression alias that each consumer would re-evaluate anyway.
         """
+        return self._execute(
+            docs, benchmark, lm_train, seed_pos, seed_neg,
+            checkpoint_stages, counts=None,
+        )
+
+    def _execute(
+        self,
+        docs: DataFrame,
+        benchmark, lm_train, seed_pos, seed_neg,
+        checkpoint_stages: bool,
+        counts: list[dict] | None,
+    ) -> DataFrame:
+        from ..functions.text import tokenize
         from ..session import free_local_checkpoint
 
         ctx = {
@@ -339,16 +384,59 @@ class CorpusPipeline:
             "seed_pos": seed_pos,
             "seed_neg": seed_neg,
         }
+        ops = [st["op"] for st in self.stages]
         out = docs
         owned = None  # previous stage's checkpoint, freed after the next
-        for st in self.stages:
+
+        def inject_tokens(df: DataFrame) -> DataFrame:
+            ctx["tokens_col"] = _TOKENS_COL
+            return df.withColumn(
+                _TOKENS_COL, tokenize(F.col(self.text_col))
+            )
+
+        # first stage already consumes tokens AND another consumer
+        # follows: worth one extra input materialization so both read
+        # the same token frame (a lone leading consumer tokenizes
+        # inside its own operator exactly once — nothing to share)
+        if (
+            checkpoint_stages
+            and ops
+            and ops[0] in _TOKEN_CONSUMERS
+            and any(o in _TOKEN_CONSUMERS for o in ops[1:])
+        ):
+            out = inject_tokens(out).localCheckpoint(eager=True)
+            owned = out
+        for i, st in enumerate(self.stages):
             params = {k: v for k, v in st.items() if k != "op"}
             out = STAGE_OPS[st["op"]](out, params, ctx)
             if checkpoint_stages:
+                if st["op"] in _TEXT_MUTATORS and "tokens_col" in ctx:
+                    out = out.drop(_TOKENS_COL)
+                    del ctx["tokens_col"]
+                # inject at the LATEST boundary before the next
+                # consumer (rows only shrink, so later = fewer rows
+                # tokenized), and only when ≥2 consumers remain — a
+                # lone consumer tokenizes once inside its own operator
+                # anyway, so sharing would just bloat the checkpoint
+                if (
+                    "tokens_col" not in ctx
+                    and i + 1 < len(ops)
+                    and ops[i + 1] in _TOKEN_CONSUMERS
+                    and sum(o in _TOKEN_CONSUMERS for o in ops[i + 1:]) >= 2
+                ):
+                    out = inject_tokens(out)
                 out = out.localCheckpoint(eager=True)
                 if owned is not None:
                     free_local_checkpoint(owned)
                 owned = out
+            if counts is not None:
+                counts.append({"stage": st["op"], "rows": out.count()})
+        # the final checkpoint handle, BEFORE any column-drop wrapper —
+        # free_local_checkpoint needs the LogicalRDD frame itself
+        # (report() uses this to release the last stage's blocks)
+        self._last_checkpoint = owned
+        if "tokens_col" in ctx:
+            out = out.drop(_TOKENS_COL)
         return out
 
     def report(
@@ -359,32 +447,18 @@ class CorpusPipeline:
         seed_pos: DataFrame | None = None,
         seed_neg: DataFrame | None = None,
     ) -> list[dict]:
-        """Per-stage survivor counts for pipeline tuning runs. Stages
-        materialize eagerly (the same per-stage checkpoint run() uses —
-        counting each lazily-composed prefix would re-execute earlier
-        stages per count on top of the double-reference cost)."""
+        """Per-stage survivor counts for pipeline tuning runs. Same
+        execution as run() (per-stage checkpoints + shared token
+        frame — counting each lazily-composed prefix would re-execute
+        earlier stages per count on top of the double-reference cost);
+        the final checkpoint is freed before returning since only the
+        counts survive."""
         from ..session import free_local_checkpoint
 
-        ctx = {
-            "id_col": self.id_col,
-            "text_col": self.text_col,
-            "benchmark": benchmark,
-            "lm_train": lm_train,
-            "seed_pos": seed_pos,
-            "seed_neg": seed_neg,
-        }
-        out = docs
         rows = [{"stage": "input", "rows": docs.count()}]
-        owned = None
-        for st in self.stages:
-            params = {k: v for k, v in st.items() if k != "op"}
-            out = STAGE_OPS[st["op"]](out, params, ctx).localCheckpoint(
-                eager=True
-            )
-            rows.append({"stage": st["op"], "rows": out.count()})
-            if owned is not None:
-                free_local_checkpoint(owned)
-            owned = out
-        if owned is not None:
-            free_local_checkpoint(owned)
+        out = self._execute(
+            docs, benchmark, lm_train, seed_pos, seed_neg,
+            checkpoint_stages=True, counts=rows,
+        )
+        free_local_checkpoint(self._last_checkpoint or out)
         return rows

@@ -239,3 +239,103 @@ def test_pipeline_nb_quality_gate(spark):
     assert got == {1, 3}
     with pytest.raises(ValueError, match="seed_pos"):
         pipe.run(docs)
+
+
+def test_pipeline_shares_one_token_frame(spark, monkeypatch):
+    """The shared-token-frame contract (r10): a checkpointed run with
+    two token-consuming stages builds tokenize() exactly TWICE — once
+    for the shared corpus-side column injected at a stage boundary,
+    once for decontaminate's (bounded) benchmark side. Without sharing
+    the corpus bodies would be tokenized once per consuming stage."""
+    from djangoadmin_postgresql_2_elasticseach_spark.functions import text as T
+
+    calls = []
+    real_tokenize = T.tokenize
+
+    def counting(col):
+        calls.append(col)
+        return real_tokenize(col)
+
+    monkeypatch.setattr(T, "tokenize", counting)
+
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(i, base + f" tail{i}") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(0, " ".join(f"b{i}" for i in range(15)))],
+        "doc_id long, text string",
+    )
+    pipe = CorpusPipeline(
+        [
+            {"op": "clean", "min_quality": 0.0},
+            {"op": "decontaminate", "n": 13},
+            {"op": "near_dedup", "method": "minhash", "threshold": 0.99},
+            {"op": "split"},
+        ]
+    )
+    out = pipe.run(docs, benchmark=benchmark)
+    assert len(calls) == 2, f"tokenize built {len(calls)}x, want 2 (shared)"
+    # the helper column never leaks into the result
+    assert set(out.columns) == {"doc_id", "text", "split"}
+
+
+def test_pipeline_sharing_matches_lazy_run(spark):
+    """Checkpointed (token-shared) and lazy (per-stage tokenize) runs
+    must agree row-for-row — the shared frame is an execution detail,
+    not a semantic one."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame(
+        [(i, base + (f" tail{i}" if i % 2 else "")) for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(0, " ".join(f"b{i}" for i in range(15)))],
+        "doc_id long, text string",
+    )
+    pipe = CorpusPipeline(
+        [
+            {"op": "decontaminate", "n": 13},
+            {"op": "near_dedup", "method": "minhash", "threshold": 0.4},
+            {"op": "split"},
+        ]
+    )
+    shared = sorted(map(tuple, pipe.run(docs, benchmark=benchmark).collect()))
+    lazy = sorted(map(tuple, pipe.run(
+        docs, benchmark=benchmark, checkpoint_stages=False).collect()))
+    assert shared == lazy and len(shared) > 0
+
+
+def test_pipeline_pii_scrub_invalidates_shared_tokens(spark):
+    """A text-mutating stage must drop the live token column: the
+    near-dedup AFTER pii_scrub has to see the SCRUBBED tokens. The two
+    docs below differ only in their email address, so they are
+    near-dups only post-scrub — a stale pre-scrub token frame would
+    miss the pair and keep both."""
+    base = " ".join(f"word{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alice@example.com {base}"),
+            (2, f"bob@example.org {base}"),
+            (3, " ".join(f"other{i}" for i in range(25))),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(0, " ".join(f"b{i}" for i in range(15)))],
+        "doc_id long, text string",
+    )
+    pipe = CorpusPipeline(
+        [
+            {"op": "decontaminate", "n": 13},
+            {"op": "near_dedup", "method": "jaccard", "threshold": 0.99},
+            {"op": "pii_scrub"},
+            {"op": "near_dedup", "method": "jaccard", "threshold": 0.99},
+        ]
+    )
+    got = {r["doc_id"] for r in pipe.run(docs, benchmark=benchmark).collect()}
+    # pre-scrub pass keeps all three (emails differ); post-scrub pass
+    # collapses 1/2 (identical after <EMAIL> masking), keeping the min id
+    assert got == {1, 3}
