@@ -1343,7 +1343,10 @@ def _q_mmr_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid MMR: BM25 lexical relevance + embedding-cosine diversity
     — mmr_rerank's pluggable-shortlist contract exercised with a
     NON-vector relevance source (the RAG re-rank shape: retrieve
-    lexically, diversify semantically)."""
+    lexically, diversify semantically). normalize_rel squashes the
+    unbounded BM25 scores to [0,1] within the shortlist so the
+    λ trade-off against the cosine-bounded diversity term is real
+    (ADVICE r9)."""
     from .search.bm25 import bm25_topk
 
     cand = bm25_topk(
@@ -1354,6 +1357,73 @@ def _q_mmr_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("rel"),
     )
     emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        S.mmr_rerank(cand, emb, k=MMR_K, lam=MMR_LAMBDA, normalize_rel=True)
+        .drop("qid")
+        .orderBy("ord")
+    )
+
+
+def _emb_string_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table re-keyed with zero-padded STRING ids — the
+    reference's own key shape (UUID strings, ref etl/main.py:70).
+    Zero-padding makes lexicographic order equal numeric order, so the
+    long-keyed and string-keyed runs select the same shortlist."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        F.concat(
+            F.lit("d"), F.lpad(F.col("vec_id").cast("string"), 6, "0")
+        ).alias("vec_id"),
+        "embedding",
+    )
+
+
+def _q_mmr_string_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR over a STRING-keyed table (similarity.mmr_rerank's r10
+    contract lift — r9 verdict required a surrogate long key): same
+    query/shortlist/λ as mmr_rerank_topk, ids are strings end-to-end;
+    the applyInPandas schema and every tie-break follow the string
+    type."""
+    return S.mmr_topk(
+        _emb_string_keyed(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        k=MMR_K,
+        shortlist=MMR_SHORTLIST,
+        lam=MMR_LAMBDA,
+    )
+
+
+def _q_mmr_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ANN-index→diversity serving path the docstrings
+    advertise (r9 verdict gap #3): build the bucket-PARTITIONED IVF-PQ
+    index on disk, shortlist via ivfpq_query_indexed (partition-pruned
+    probe reads — the float table is never scanned at query time),
+    re-rank the shortlist by exact cosine (the IVFADC re-rank posture,
+    so MMR's rel is the same bounded cosine as mmr_rerank_topk), then
+    greedy-diversify with mmr_rerank."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    books = S.pq_codebooks_deterministic(emb, m=PQ_M, ksub=PQ_KSUB)
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ivfpq_mmr",
+        f"{os.path.basename(sf_dir.rstrip('/')) or 'sf'}-{os.getpid()}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    planes = S.build_ivfpq_index(emb, scratch, books, n_planes=4)
+    sl = S.ivfpq_query_indexed(
+        spark, scratch, books, q, planes, k=MMR_SHORTLIST, probe_hamming=1
+    ).select("vec_id")
+    cand = S.brute_force_topk(
+        emb.join(sl, "vec_id"), q, k=MMR_SHORTLIST
+    ).select(
+        F.lit(0).cast("long").alias("qid"),
+        F.col("vec_id").alias("id"),
+        F.col("cos_sim").alias("rel"),
+    )
     return (
         S.mmr_rerank(cand, emb, k=MMR_K, lam=MMR_LAMBDA)
         .drop("qid")
@@ -1545,6 +1615,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_batch_topk": _q_mmr_batch,
     "weighted_sample_docs": _q_weighted_sample,
     "mmr_hybrid_topk": _q_mmr_hybrid,
+    # r10: string-keyed MMR (no surrogate mapping) and the persisted
+    # IVF-PQ-index → exact-cosine re-rank → MMR composition
+    "mmr_string_ids_topk": _q_mmr_string_ids,
+    "mmr_ivfpq_topk": _q_mmr_ivfpq,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -2650,12 +2724,21 @@ ORDER BY score DESC, doc_id
 
     # hybrid MMR: BM25 relevance + embedding diversity — the cand CTE
     # swaps in the bm25 body (vec_id keys documents 1:1 in testdata);
-    # the greedy steps are byte-identical to mmr_rerank_topk's
+    # the greedy steps are byte-identical to mmr_rerank_topk's. BM25
+    # scores are min-max normalized to [0,1] within the shortlist
+    # (mirror of mmr_rerank's normalize_rel — unbounded rel would make
+    # the cosine-bounded diversity term inert, ADVICE r9)
     o["mmr_hybrid_topk"] = _mmr_oracle_sql(
         cand_sql=f"""
-  SELECT b.doc_id AS id, b.score AS rel, e.embedding AS v
-  FROM ({bm25_body} LIMIT {MMR_SHORTLIST}) b
-  JOIN embeddings e ON e.vec_id = b.doc_id"""
+  SELECT id,
+         round(CASE WHEN mx = mn THEN 1.0
+               ELSE (rel0 - mn) / (mx - mn) END, 6) AS rel,
+         v
+  FROM (
+    SELECT b.doc_id AS id, b.score AS rel0, e.embedding AS v,
+           min(b.score) OVER () AS mn, max(b.score) OVER () AS mx
+    FROM ({bm25_body} LIMIT {MMR_SHORTLIST}) b
+    JOIN embeddings e ON e.vec_id = b.doc_id)"""
     )
 
     # best_fields multi_match BM25 — mirror of search/bm25.multi_match_bm25:
@@ -3809,10 +3892,14 @@ FROM base b FULL OUTER JOIN edits e ON b.doc_id = e.doc_id
     # IVF-PQ: the pq_topk_adc ADC pipeline with the corpus pre-pruned to
     # the ann_ivf_topk probe set (same planes, same codebook rule —
     # codebooks come from the FULL table's 16 lowest ids, matching the
-    # Spark side where training precedes pruning)
+    # Spark side where training precedes pruning). Parameterized by the
+    # result LIMIT so the MMR composition below can reuse the SAME body
+    # for its shortlist instead of keeping a second hand-synced copy.
     bucket_pe = " || ".join(_plane_sql("e.embedding", p) for p in planes)
     bucket_pq = " || ".join(_plane_sql("qv.q", p) for p in planes)
-    o["ivf_pq_topk"] = f"""
+
+    def _ivfpq_adc_sql(limit: int) -> str:
+        return f"""
 WITH qv AS (
   SELECT embedding AS q FROM embeddings ORDER BY vec_id LIMIT 1
 ),
@@ -3859,8 +3946,36 @@ adc AS (
   GROUP BY codes.vec_id
 )
 SELECT vec_id, approx_dist FROM adc
-ORDER BY approx_dist, vec_id LIMIT {PQ_K}
+ORDER BY approx_dist, vec_id LIMIT {limit}
 """
+
+    o["ivf_pq_topk"] = _ivfpq_adc_sql(PQ_K)
+
+    # r10: persisted-IVF-PQ shortlist → exact-cosine rel → MMR greedy.
+    # The shortlist subquery is the ivf_pq_topk body at LIMIT
+    # MMR_SHORTLIST (already oracle-verified shape); rel is the same
+    # 6dp cosine as mmr_rerank_topk; the greedy CTEs come from
+    # _mmr_oracle_sql unchanged.
+    o["mmr_ivfpq_topk"] = _mmr_oracle_sql(
+        cand_sql=f"""
+  SELECT e.vec_id AS id, round({_cosine_sql("e.embedding", "q.qe")}, 6) AS rel,
+         e.embedding AS v
+  FROM embeddings e, q, ({_ivfpq_adc_sql(MMR_SHORTLIST)}) sl
+  WHERE e.vec_id = sl.vec_id
+  ORDER BY rel DESC, id LIMIT {MMR_SHORTLIST}"""
+    )
+
+    # r10: string-keyed MMR — same query/shortlist/λ as mmr_rerank_topk
+    # with zero-padded string ids (lexicographic order == numeric order,
+    # so only the key TYPE changes; the greedy tie-breaks on the string)
+    o["mmr_string_ids_topk"] = _mmr_oracle_sql(
+        cand_sql=f"""
+  SELECT concat('d', lpad(CAST(e.vec_id AS VARCHAR), 6, '0')) AS id,
+         round({_cosine_sql("e.embedding", "q.qe")}, 6) AS rel,
+         e.embedding AS v
+  FROM embeddings e, q
+  ORDER BY rel DESC, id LIMIT {MMR_SHORTLIST}"""
+    )
 
     # hashed-feature Naive Bayes quality classifier — mirror of
     # corpus.quality_classifier_scores (md5 feature hash, add-one llr

@@ -283,3 +283,88 @@ def test_probe_buckets_full_hamming_ball():
     assert all(
         sum(a != b for a, b in zip(home, x)) <= 2 for x in ball
     )
+
+
+def test_mmr_rerank_string_ids_match_long_ids(spark):
+    """String-keyed MMR (r10 contract lift) must select the same docs,
+    in the same order, with the same scores as the long-keyed run when
+    the string ids are an order-preserving rename of the long ids."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import (
+        mmr_topk,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    long_run = mmr_topk(emb, q, k=5, shortlist=20).collect()
+
+    emb_s = emb.select(
+        F.concat(
+            F.lit("d"), F.lpad(F.col("vec_id").cast("string"), 6, "0")
+        ).alias("vec_id"),
+        "embedding",
+    )
+    str_run = mmr_topk(emb_s, q, k=5, shortlist=20).collect()
+    assert [r["id"] for r in str_run] == [
+        f"d{r['id']:06d}" for r in long_run
+    ]
+    assert [(r["ord"], r["rel"], r["mmr_score"]) for r in str_run] == [
+        (r["ord"], r["rel"], r["mmr_score"]) for r in long_run
+    ]
+    # the schema follows the key type
+    assert dict(mmr_topk(emb_s, q, k=2, shortlist=5).dtypes)["id"] == "string"
+
+
+def test_mmr_rerank_rejects_non_key_id_types(spark):
+    """Loud contract: float ids are neither integral nor string."""
+    import pytest
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import (
+        mmr_rerank,
+    )
+    from pyspark.sql import functions as F
+
+    cand = spark.createDataFrame(
+        [(0, 1.5, 0.9)], "qid long, id double, rel double"
+    )
+    emb = spark.createDataFrame(
+        [(1.5, [1.0, 0.0])], "vec_id double, embedding array<double>"
+    )
+    with pytest.raises(TypeError, match="integral or string"):
+        mmr_rerank(cand, emb, k=2)
+
+
+def test_mmr_normalize_rel_squashes_to_unit_range(spark):
+    """normalize_rel: min-max to [0,1] within the shortlist — the
+    lowest-rel candidate maps to 0, the highest to 1, and the greedy
+    trade-off actually diversifies (ADVICE r9: unbounded BM25 rel made
+    the diversity term inert)."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    # two near-identical high-rel vectors + one distinct mid-rel vector:
+    # un-normalized BM25-ish rel (scores 9/8.9/2) would pick both twins;
+    # normalized, diversity kicks the twin out at step 2
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.04, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cand = spark.createDataFrame(
+        [(0, 1, 9.0), (0, 2, 8.9), (0, 3, 2.0)],
+        "qid long, id long, rel double",
+    )
+    rows = mmr_rerank(cand, emb, k=2, lam=0.5, normalize_rel=True).collect()
+    assert [r["id"] for r in rows] == [1, 3]
+    rels = {r["id"]: r["rel"] for r in rows}
+    assert rels[1] == 1.0 and rels[3] == 0.0
+    # un-normalized: relevance dwarfs diversity, the twin survives
+    raw = mmr_rerank(cand, emb, k=2, lam=0.5).collect()
+    assert [r["id"] for r in raw] == [1, 2]

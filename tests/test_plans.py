@@ -500,3 +500,16 @@ def test_weighted_sample_stratified_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan_string(strat, mode="simple")
     glob = weighted_sample(docs, n=5, weight_col="n_chars")
     assert "TakeOrderedAndProject" in plan_string(glob, mode="simple")
+
+
+def test_mmr_ivfpq_composition_prunes_partitions(spark):
+    """The IVF-PQ→MMR registry query must feed the greedy from the
+    PERSISTED index via partition-pruned probe reads: the shortlist
+    subtree reads only the probed bucket directories (PartitionFilters
+    on `bucket`), while the float table is read only for the bounded
+    exact-cosine re-rank + pairwise matrix — never ADC-scanned."""
+    df = registry.QUERIES["mmr_ivfpq_topk"](spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert "PartitionFilters" in plan
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "bucket" in pf_line, pf_line
