@@ -140,6 +140,10 @@ BENCH_QUERIES = [
     "mmr_batch_topk",
     "weighted_sample_docs",
     "mmr_hybrid_topk",
+    # r10: string-keyed MMR; persisted IVF-PQ index build + pruned
+    # probe + exact re-rank + greedy (the full ANN->diversity path)
+    "mmr_string_ids_topk",
+    "mmr_ivfpq_topk",
     # kmeans_assign excluded: driver-coordinated iterative loop — at bench
     # scale its wall time is per-job scheduling latency, not throughput.
     # split_leakage_safe excluded: it composes minhash_dedup_pairs +

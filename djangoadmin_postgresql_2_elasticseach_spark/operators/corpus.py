@@ -16,7 +16,7 @@ expression including evaluation order.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.textstats import fingerprint, lang_id, quality_score
@@ -106,15 +106,38 @@ def clean_corpus(
     """Composed corpus filter: keep `lang` docs with quality ≥ threshold,
     then exact-dedup keeping the lowest id per content fingerprint.
 
-    Plan: one scan computes lang/quality/fingerprint columns, the gates
-    filter BEFORE the dedup shuffle (only surviving (fp, id) pairs cross
-    the wire), and the keeper join is an aggregation + semi-join on fp.
+    Plan: one scan computes lang/quality/fingerprint columns SLIM —
+    the text column is projected away before the dedup window, so the
+    fp-keyed exchange moves (id, q, fp) triples, never document
+    bodies (r10: the previous shape carried text through the window
+    shuffle — corpus-body bytes on the wire for an exchange whose only
+    job is picking keeper ids). The keeper pick is a rank-limit window
+    (compiles to partial WindowGroupLimit: each map task forwards one
+    candidate per fp before the exchange), evaluated once per doc —
+    neither the groupBy-min+join-back form (scores twice) nor the
+    carry-text form survives scale. Text is restored by ONE join of
+    the keeper ids back into the raw scan; the keeper side is
+    survivor-count-sized and AQE broadcasts it at real dup/gate rates.
     """
+    keeper = clean_keeper_ids(docs, lang, min_quality, id_col, text_col)
+    return docs.select(id_col, text_col).join(keeper, id_col)
+
+
+def clean_keeper_ids(
+    docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The slim (id, quality_score) keeper set of clean_corpus — the
+    gate form pipelines join ONCE against their own full-row frame
+    (clean_corpus itself adds the text-restore join for standalone
+    callers). Everything past the scan is body-free."""
     from pyspark.sql import Window
 
     scored = spread(docs.select(id_col, text_col)).select(
         F.col(id_col),
-        F.col(text_col),
         lang_id(text_col).alias("lang_pred"),
         quality_score(text_col).alias("q"),
         fingerprint(text_col).alias("fp"),
@@ -122,16 +145,11 @@ def clean_corpus(
     kept = scored.filter(
         (F.col("lang_pred") == lang) & (F.col("q") >= min_quality)
     )
-    # lowest-id keeper via rank-limit window, NOT groupBy-min + join
-    # back: the join form references `kept` twice, so the regex-heavy
-    # scoring projection ran TWICE per doc; row_number()==1 evaluates it
-    # once and compiles to a partial WindowGroupLimit (each map task
-    # forwards one candidate per fp before the exchange)
     w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
     return (
         kept.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(id_col, text_col, F.col("q").alias("quality_score"))
+        .select(id_col, F.col("q").alias("quality_score"))
     )
 
 
@@ -469,6 +487,32 @@ def decontaminate(
     and near-dedup (the benchmark side always tokenizes itself; it is
     bounded by the benchmark's size, not the corpus).
     """
+    overlap = contamination_overlap(
+        docs, benchmark, n, id_col, text_col, tokens_col
+    )
+    return (
+        docs.select(id_col)
+        .join(overlap, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """The slim (id, n_overlap) frame of CONTAMINATED docs only — the
+    gate form pipelines anti-join against their own full-row frame
+    (decontaminate itself adds the all-docs left join so clean docs
+    get an explicit n_overlap=0 row for reporting)."""
     from ..functions.text import tokenize, word_shingles_of
 
     # tokens pre-projected before shingling (see word_shingles_of:
@@ -490,19 +534,10 @@ def decontaminate(
         .select(F.explode(word_shingles_of(F.col("_w"), n)).alias("sh"))
         .distinct()
     )
-    overlap = (
+    return (
         d.join(F.broadcast(b), "sh")
         .groupBy(id_col)
         .agg(F.count_distinct("sh").alias("n_overlap"))
-    )
-    return (
-        docs.select(id_col)
-        .join(overlap, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
-            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
-        )
     )
 
 
@@ -1403,36 +1438,14 @@ def dsir_select(
     )
 
 
-def vocab_coverage(
-    docs: DataFrame,
-    v: int = 1000,
-    text_col: str = "text",
-) -> DataFrame:
-    """Vocabulary coverage curve: the top-``v`` corpus tokens by
-    frequency with each prefix's cumulative share of ALL token
-    occurrences — the "what does a V-entry vocab buy me" number a
-    tokenizer/vocab-size decision is made from (the token-frequency
-    analogue of BPE merge-table sizing).
-
-    Output: (rank, token, n, coverage, cum_coverage) ordered by rank;
-    ties break on the token string so the curve is total-ordered.
-
-    Scale: token counting is ONE groupBy(token) with map-side combine
-    (the vocabulary shuffles, never the corpus); the grand total rides
-    a broadcast 1-row join; the head is TakeOrderedAndProject and the
-    rank/cumsum window runs over the ``v``-row RESULT — a constant-
-    size frame, never the vocabulary (same bounded-window contract as
-    key_skew_profile).
-    """
-    from ..functions.text import tokenize
+def _coverage_curve(counts: DataFrame, v: int) -> DataFrame:
+    """The head/rank/cumsum tail of vocab_coverage over ANY (token, n)
+    frame — shared by the one-shot scan and the persisted-artifact read
+    path so the two can never drift. Grand total rides a broadcast
+    1-row join; head is TakeOrderedAndProject; the window runs over the
+    v-row RESULT only."""
     from pyspark.sql import Window
 
-    counts = (
-        spread(docs.select(text_col))
-        .select(F.explode(tokenize(F.col(text_col))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
     tot = counts.agg(F.sum("n").alias("_total"))
     head = (
         counts.join(F.broadcast(tot))
@@ -1456,6 +1469,109 @@ def vocab_coverage(
         )
         .orderBy("rank")
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    v: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve: the top-``v`` corpus tokens by
+    frequency with each prefix's cumulative share of ALL token
+    occurrences — the "what does a V-entry vocab buy me" number a
+    tokenizer/vocab-size decision is made from (the token-frequency
+    analogue of BPE merge-table sizing).
+
+    Output: (rank, token, n, coverage, cum_coverage) ordered by rank;
+    ties break on the token string so the curve is total-ordered.
+
+    Scale: token counting is ONE groupBy(token) with map-side combine
+    (the vocabulary shuffles, never the corpus); the grand total rides
+    a broadcast 1-row join; the head is TakeOrderedAndProject and the
+    rank/cumsum window runs over the ``v``-row RESULT — a constant-
+    size frame, never the vocabulary (same bounded-window contract as
+    key_skew_profile).
+
+    Incremental form: build_token_count_index persists the (token, n)
+    partials once at ingest; per-tick upkeep appends only the BATCH's
+    partial counts (O(delta)) and vocab_coverage_from_index reads the
+    curve without ever re-tokenizing the corpus.
+    """
+    from ..functions.text import tokenize
+
+    counts = (
+        spread(docs.select(text_col))
+        .select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _coverage_curve(counts, v)
+
+
+def _token_partials(docs: DataFrame, text_col: str) -> DataFrame:
+    """(token, n) partial counts of one corpus slice — the mergeable
+    unit of the token-count artifact (counts are additive, so slices
+    merge by SUM: the incremental_rollup mergeable-partials contract)."""
+    from ..functions.text import tokenize
+
+    return (
+        spread(docs.select(text_col))
+        .select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def build_token_count_index(
+    docs: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Persist the corpus token-count table — the vocab_coverage
+    artifact (the minhash-index pattern, dedup.build_minhash_index:
+    tokenize once at ingest, amortize across every later audit read).
+    Rows are (token, n) partials; readers merge by SUM, so upkeep can
+    APPEND batch partials instead of rewriting the vocabulary."""
+    _token_partials(docs, text_col).write.mode("overwrite").parquet(path)
+
+
+def append_token_count_index(
+    new_docs: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Tick upkeep: append ONE batch's token partials. Cost is
+    O(batch) — one explode + groupBy over the delta, no corpus rescan,
+    no vocabulary rewrite. The artifact accumulates one partial row
+    per (batch, token); compact_token_count_index folds them when the
+    file count grows."""
+    _token_partials(new_docs, text_col).write.mode("append").parquet(path)
+
+    from ..plans.tuning import invalidate_spread_cache
+
+    invalidate_spread_cache(new_docs.sparkSession)
+
+
+def compact_token_count_index(spark: SparkSession, path: str) -> None:
+    """Fold accumulated per-batch partials into one row per token —
+    periodic maintenance, not correctness (readers SUM anyway). Plain
+    overwrite-after-read: the same single-writer contract as the
+    minhash index rebuild."""
+    merged = (
+        spark.read.parquet(path).groupBy("token").agg(F.sum("n").alias("n"))
+    )
+    # parquet overwrite of the input path needs a materialized copy
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+
+def vocab_coverage_from_index(
+    spark: SparkSession, path: str, v: int = 1000
+) -> DataFrame:
+    """The vocab_coverage curve served from the persisted artifact:
+    merge the stored partials (vocabulary-sized — the corpus is never
+    touched) and run the SAME _coverage_curve tail as the one-shot
+    scan. N appends == one-shot rebuild, exactly (counts are
+    additive)."""
+    counts = (
+        spark.read.parquet(path).groupBy("token").agg(F.sum("n").alias("n"))
+    )
+    return _coverage_curve(counts, v)
 
 
 def shingle_novelty(
@@ -1510,9 +1626,28 @@ def shingle_novelty(
             ),
         )
     )
+    return _novelty_from_shingles(docs.select(id_col), sh, id_col)
+
+
+def _novelty_from_shingles(
+    doc_ids: DataFrame, sh: DataFrame, id_col: str
+) -> DataFrame:
+    """The DF-count + join-back + per-doc tail of shingle_novelty over
+    ANY (id, sh) frame — shared by the one-shot scan and the persisted
+    shingle-index read path so the two can never drift."""
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        sh.join(df_counts, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
     return (
-        docs.select(id_col)
-        .join(per_doc, id_col, "left")
+        doc_ids.join(per_doc, id_col, "left")
         .select(
             id_col,
             F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
@@ -1523,6 +1658,76 @@ def shingle_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def _doc_shingles(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, sh) distinct word n-grams of one corpus slice — the
+    append-only unit of the shingle index (per-doc distinct shingles
+    are independent across docs, so slices just concatenate)."""
+    from ..functions.text import tokenize, word_shingles_of
+
+    return (
+        spread(docs.select(id_col, text_col), [id_col])
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("_w"))
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles_of(F.col("_w"), n)).alias("sh"),
+        )
+    )
+
+
+def build_shingle_index(
+    docs: DataFrame,
+    path: str,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the exploded (id, shingle) frame — the shingle_novelty
+    artifact (the minhash-index pattern: shingle once at ingest,
+    amortize across audit runs). Per-doc rows are independent, so tick
+    upkeep is a pure APPEND of the batch's shingles — O(delta), no
+    corpus re-shingle ever."""
+    _doc_shingles(docs, n, id_col, text_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def append_shingle_index(
+    new_docs: DataFrame,
+    path: str,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Tick upkeep: append ONE batch's (id, shingle) rows. ``n`` MUST
+    match build time (shingle width is baked into the artifact)."""
+    _doc_shingles(new_docs, n, id_col, text_col).write.mode(
+        "append"
+    ).parquet(path)
+
+    from ..plans.tuning import invalidate_spread_cache
+
+    invalidate_spread_cache(new_docs.sparkSession)
+
+
+def shingle_novelty_from_index(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """shingle_novelty served from the persisted index: gram DF and the
+    join-back run over the STORED (id, sh) rows — the corpus bodies are
+    never re-tokenized. ``doc_ids`` supplies the doc universe (ids with
+    no indexed shingles surface as vacuously novel, same as the
+    one-shot form). N appends == one-shot rebuild, exactly. Unlike the
+    one-shot scan there is nothing to localCheckpoint: both references
+    re-read the slim parquet index, not a tokenize plan."""
+    sh = spark.read.parquet(path).select(F.col(id_col), F.col("sh"))
+    return _novelty_from_shingles(doc_ids.select(id_col), sh, id_col)
 
 
 def weighted_sample(

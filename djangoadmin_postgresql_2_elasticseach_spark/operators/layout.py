@@ -324,9 +324,14 @@ def zorder_maintain(
     on the same path remain unsupported (each run's cleanup can delete
     small files the other's plan selected as inputs); tx_compact on a
     TxLog table is the concurrent-safe path.
-    Crash between write and delete leaves duplicates, the same
-    residual window as the additive rollup — sources/txlog.py's atomic
-    manifest commit closes it: see tx_compact; documented trade here.
+    Each bin's INPUTS are deleted immediately after its os.replace
+    (ADVICE r9: a deferred all-bins cleanup pass meant a crash mid-loop
+    duplicated EVERY bin already replaced) — so a crash duplicates at
+    most the one bin whose replace landed but whose deletes did not,
+    and bins written before the crash are fully consistent; a re-run
+    simply resumes on the remaining small files. Closing even the
+    one-bin window needs an atomic manifest commit — see tx_compact;
+    documented trade here.
     Returns {files_before, files_after, bins_written}.
     """
     import os
@@ -369,15 +374,16 @@ def zorder_maintain(
             os.replace(
                 os.path.join(tmp, part), os.path.join(path, out_name)
             )
+            # retire this bin's inputs NOW — the duplicate window is
+            # one bin wide, not run wide (docstring crash contract)
+            for f in files:
+                os.remove(os.path.join(path, f))
     finally:
         # ALWAYS reclaim the run-unique staging dir: with the fixed
         # '_zc_tmp' name a crashed run's leftovers were overwritten by
         # the next run; unique names would otherwise leak one orphaned
         # directory per crash under periodic maintenance
         shutil.rmtree(tmp, ignore_errors=True)
-    for files in bins.values():
-        for f in files:
-            os.remove(os.path.join(path, f))
     after = len(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
     )

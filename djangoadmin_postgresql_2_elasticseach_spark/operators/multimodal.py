@@ -158,28 +158,6 @@ def extract_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=MEDIA_META_SCHEMA)
 
 
-def resize_stub(media: DataFrame, max_dim: int) -> DataFrame:
-    """Resize plumbing: passes payloads through mapInPandas and rewrites
-    the header dims clamped to ``max_dim`` (a real impl transforms the
-    body too). Output schema == input schema — composable."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            def clamp(b):
-                if b is None or len(b) < _HEADER_LEN or b[:7] != _MAGIC:
-                    return b
-                _, w, h, c = struct.unpack(_HEADER, b[:_HEADER_LEN])
-                scale = max(w, h) / max_dim if max(w, h) > max_dim else 1
-                nw, nh = max(1, int(w / scale)), max(1, int(h / scale))
-                return struct.pack(_HEADER, _MAGIC, nw, nh, c) + b[_HEADER_LEN:]
-
-            pdf = pdf.copy()
-            pdf["payload"] = pdf["payload"].map(clamp)
-            yield pdf
-
-    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
-
-
 def frame_sample_stub(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling plumbing for video-ish payloads: one output row per
     sampled offset (explode shape). Body bytes stand in for frames."""
@@ -250,7 +228,7 @@ def resize_real(media: DataFrame, max_dim: int) -> DataFrame:
     a pipeline filters those on extract_metadata().valid first.
 
     Output schema == input schema, so it composes with
-    extract_metadata / feature_extract exactly like resize_stub."""
+    extract_metadata / feature_extract."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import media_codec as C

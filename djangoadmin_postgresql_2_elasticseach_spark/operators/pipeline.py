@@ -54,9 +54,12 @@ def _drop_ids(docs: DataFrame, ids: DataFrame, id_col: str) -> DataFrame:
 
 
 def _st_clean(docs, p, ctx):
-    from .corpus import clean_corpus
+    # the slim keeper-id form: ONE semi-join against the full-row
+    # frame instead of clean_corpus's text-restore join plus a second
+    # semi-join (the stage only needs ids — r10 stage-count shave)
+    from .corpus import clean_keeper_ids
 
-    kept = clean_corpus(
+    kept = clean_keeper_ids(
         docs,
         lang=p.get("lang", "en"),
         min_quality=p.get("min_quality", 0.6),
@@ -80,15 +83,20 @@ def _st_repetition_gate(docs, p, ctx):
 
 
 def _st_decontaminate(docs, p, ctx):
-    from .corpus import decontaminate
+    # anti-join the CONTAMINATED id set directly — decontaminate's
+    # all-docs left join (which exists so clean docs get explicit
+    # n_overlap=0 rows) would cost the stage an extra id scan + join
+    # just to re-derive the complement (r10 stage-count shave)
+    from .corpus import contamination_overlap
 
     bench = ctx.get("benchmark")
     if bench is None:
         raise ValueError("decontaminate stage needs run(benchmark=...)")
-    cont = decontaminate(docs, bench, n=p.get("n", 13), id_col=ctx["id_col"],
-                         text_col=ctx["text_col"],
-                         tokens_col=ctx.get("tokens_col"))
-    return _keep_ids(docs, cont.filter(~F.col("contaminated")), ctx["id_col"])
+    cont = contamination_overlap(
+        docs, bench, n=p.get("n", 13), id_col=ctx["id_col"],
+        text_col=ctx["text_col"], tokens_col=ctx.get("tokens_col"),
+    )
+    return _drop_ids(docs, cont, ctx["id_col"])
 
 
 _PAIR_FNS = {
@@ -344,8 +352,11 @@ class CorpusPipeline:
         measured 13.3 s lazy vs 9.9 s checkpointed on the bench spec at
         sf0.1, same rows — and the gap widens with stage count).
         Superseded stage checkpoints are freed as soon as the
-        next stage lands (session.free_local_checkpoint); the final
-        frame's blocks belong to the caller. Pass
+        next stage lands (session.free_local_checkpoint). The LAST
+        stage is returned as a lazy tail on the penultimate stage's
+        checkpoint (whose blocks belong to the caller): the caller's
+        own action materializes it, so a final checkpoint would pay
+        the full output twice per run. Pass
         ``checkpoint_stages=False`` for the single-plan form (useful
         when a downstream optimizer should see through the whole chain,
         e.g. to prune columns the sink never reads).
@@ -409,7 +420,15 @@ class CorpusPipeline:
         for i, st in enumerate(self.stages):
             params = {k: v for k, v in st.items() if k != "op"}
             out = STAGE_OPS[st["op"]](out, params, ctx)
-            if checkpoint_stages:
+            # the LAST stage is never checkpointed: its output goes to
+            # the caller's one action (write/collect) anyway, so a
+            # final materialization would pay the full frame twice;
+            # it stays a lazy tail on the previous stage's checkpoint
+            # (which is deliberately NOT freed — the tail reads it).
+            # counts-mode still checkpoints everything: report()'s
+            # count IS an action per stage.
+            last = i + 1 == len(ops)
+            if checkpoint_stages and (not last or counts is not None):
                 if st["op"] in _TEXT_MUTATORS and "tokens_col" in ctx:
                     out = out.drop(_TOKENS_COL)
                     del ctx["tokens_col"]

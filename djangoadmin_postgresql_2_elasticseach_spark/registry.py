@@ -1475,6 +1475,61 @@ def _q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_novelty(load_table(spark, sf_dir, "documents"), n=3)
 
 
+def _audit_scratch(sf_dir: str, kind: str) -> str:
+    """pid-scoped scratch dir for the incremental-audit artifacts (the
+    tar/rollup/upsert convention: concurrent harnesses must not share
+    mutable on-disk state)."""
+    import os
+    import shutil
+    import tempfile
+
+    p = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_{kind}",
+        f"{os.path.basename(sf_dir.rstrip('/')) or 'sf'}-{os.getpid()}",
+    )
+    shutil.rmtree(p, ignore_errors=True)
+    return p
+
+
+def _q_incremental_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-maintained vocab curve (corpus.build/append_token_count_index
+    + vocab_coverage_from_index): build on one corpus third, append two
+    tick deltas, serve the curve from the artifact — the oracle is the
+    ONE-SHOT curve (N ticks == one-shot is the whole correctness claim
+    of mergeable-partial maintenance, the incremental_rollup pattern)."""
+    from .operators.corpus import (
+        append_token_count_index,
+        build_token_count_index,
+        vocab_coverage_from_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _audit_scratch(sf_dir, "vocab_idx")
+    build_token_count_index(docs.filter(F.col("doc_id") % 3 == 0), path)
+    append_token_count_index(docs.filter(F.col("doc_id") % 3 == 1), path)
+    append_token_count_index(docs.filter(F.col("doc_id") % 3 == 2), path)
+    return vocab_coverage_from_index(spark, path, v=VOCAB_V)
+
+
+def _q_incremental_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-maintained novelty (corpus.build/append_shingle_index +
+    shingle_novelty_from_index): the gram DF recomputes over the slim
+    stored (id, shingle) index, never the corpus bodies; oracle = the
+    one-shot shingle_novelty SQL."""
+    from .operators.corpus import (
+        append_shingle_index,
+        build_shingle_index,
+        shingle_novelty_from_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _audit_scratch(sf_dir, "shingle_idx")
+    build_shingle_index(docs.filter(F.col("doc_id") % 2 == 0), path, n=3)
+    append_shingle_index(docs.filter(F.col("doc_id") % 2 == 1), path, n=3)
+    return shingle_novelty_from_index(spark, docs.select("doc_id"), path)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1619,6 +1674,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # IVF-PQ-index → exact-cosine re-rank → MMR composition
     "mmr_string_ids_topk": _q_mmr_string_ids,
     "mmr_ivfpq_topk": _q_mmr_ivfpq,
+    # r10: tick-maintained audit artifacts (N ticks == one-shot)
+    "incremental_vocab_coverage": _q_incremental_vocab,
+    "incremental_shingle_novelty": _q_incremental_shingle_novelty,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -4178,6 +4236,12 @@ SELECT d.doc_id,
          AS novelty
 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 """
+
+    # r10 tick-maintained audit artifacts: the oracle IS the one-shot
+    # query — "N ticks == one-shot" is the correctness claim, so the
+    # incremental forms must hash-match the same SQL
+    o["incremental_vocab_coverage"] = o["vocab_coverage_top"]
+    o["incremental_shingle_novelty"] = o["shingle_novelty_docs"]
 
     return o
 

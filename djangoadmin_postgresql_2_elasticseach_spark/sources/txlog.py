@@ -295,27 +295,42 @@ def tx_append(df: DataFrame, path: str, max_retries: int = 10) -> int:
     type — ``SchemaEvolutionError`` otherwise. Validation runs BEFORE
     the data files are written (a doomed append must not materialize
     the frame and leak retention-window orphans), then reruns per
-    conflict retry against the winner's schema."""
+    conflict retry against the winner's schema. The pre-check is only
+    a fast-fail: a CONCURRENT commit can change the effective schema
+    between it and the retry-loop validation — when that later
+    validation raises, the already-written data files are removed
+    eagerly (same cleanup as tx_compact's conflict abort), so the
+    no-orphans guarantee holds under concurrency too, not just in the
+    serial case (ADVICE r9)."""
     log = TxLog(path)
     spark = df.sparkSession
     pre = _effective_schema(spark, log, path, log.latest_version())
     if pre is not None:
         _evolve_schema(pre, df.dtypes)
     names = _write_data_files(df, path)
-    for _ in range(max_retries):
-        base = log.latest_version()
-        cur_schema = _effective_schema(spark, log, path, base)
-        schema = (
-            _evolve_schema(cur_schema, df.dtypes)
-            if cur_schema is not None
-            else df.dtypes
-        )
-        try:
-            return log.commit(
-                log.snapshot(base) + names, "append", base, schema=schema
+    try:
+        for _ in range(max_retries):
+            base = log.latest_version()
+            cur_schema = _effective_schema(spark, log, path, base)
+            schema = (
+                _evolve_schema(cur_schema, df.dtypes)
+                if cur_schema is not None
+                else df.dtypes
             )
-        except CommitConflict:
-            continue
+            try:
+                return log.commit(
+                    log.snapshot(base) + names, "append", base, schema=schema
+                )
+            except CommitConflict:
+                continue
+    except SchemaEvolutionError:
+        # a concurrent winner evolved the schema out from under us
+        # after the pre-check passed; our files were never referenced
+        # by any manifest — remove them instead of leaving
+        # retention-window orphans
+        for n in names:
+            os.remove(os.path.join(path, n))
+        raise
     raise CommitConflict("append retries exhausted")
 
 

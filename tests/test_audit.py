@@ -212,3 +212,81 @@ def test_admin_inline_save_rejects_unknown_columns(spark):
         admin_inline_save(
             bridge, adds=bad, now=dt.datetime(2024, 1, 1)
         )
+
+
+def test_vocab_coverage_index_ticks_equal_one_shot(spark, tmp_path):
+    """r10 incremental form: build + N append ticks of the token-count
+    artifact must serve the EXACT one-shot curve — counts are additive
+    partials, per-tick cost is one groupBy over the batch only."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        append_token_count_index,
+        build_token_count_index,
+        compact_token_count_index,
+        vocab_coverage,
+        vocab_coverage_from_index,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import (
+        load_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "vocab_idx")
+    build_token_count_index(b0, path)
+    append_token_count_index(b1, path)
+    append_token_count_index(b2, path)
+
+    want = sorted(map(tuple, vocab_coverage(docs, v=50).collect()))
+    got = sorted(map(tuple, vocab_coverage_from_index(spark, path, v=50).collect()))
+    # SF_SMOKE's synthetic corpus has <50 distinct tokens — the head is
+    # the full (identical) vocabulary in both forms
+    assert got == want and len(got) > 0
+    # compaction folds partials without changing the curve
+    compact_token_count_index(spark, path)
+    post = sorted(map(tuple, vocab_coverage_from_index(spark, path, v=50).collect()))
+    assert post == want
+
+
+def test_shingle_index_ticks_equal_one_shot(spark, tmp_path):
+    """r10 incremental form: build + append ticks of the (id, shingle)
+    artifact serve the EXACT one-shot shingle_novelty — including docs
+    with no shingles (vacuously novel) supplied via the id universe."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        append_shingle_index,
+        build_shingle_index,
+        shingle_novelty,
+        shingle_novelty_from_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " one two three"),
+            (2, base + " four five six"),
+            (3, "totally different words entirely here now"),
+            (4, "xy"),  # single token -> no 3-gram shingles
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sh_idx")
+    build_shingle_index(docs.filter(F.col("doc_id") <= 2), path, n=3)
+    append_shingle_index(docs.filter(F.col("doc_id") > 2), path, n=3)
+
+    want = sorted(map(tuple, shingle_novelty(docs, n=3).collect()))
+    got = sorted(
+        map(
+            tuple,
+            shingle_novelty_from_index(
+                spark, docs.select("doc_id"), path
+            ).collect(),
+        )
+    )
+    assert got == want
+    # the shared-boilerplate docs are non-novel, the distinct doc fully
+    # novel, the shingle-less doc vacuously novel
+    by_id = {t[0]: t for t in got}
+    assert by_id[3][3] == 1.0 and by_id[4] == (4, 0, 0, 1.0)
+    assert by_id[1][3] < 1.0 and by_id[2][3] < 1.0

@@ -197,3 +197,54 @@ def test_zorder_maintain_compacts_and_preserves_data(spark, tmp_path):
     # the row multiset is intact
     s = got.groupBy("x", "y").count().collect()
     assert sum(r["count"] for r in s) == 304_000
+
+
+def test_zorder_maintain_crash_duplicates_at_most_one_bin(spark, tmp_path, monkeypatch):
+    """ADVICE r10 crash contract: inputs are retired per bin right after
+    its os.replace, so a crash mid-run duplicates AT MOST the one bin in
+    flight — bins completed earlier are fully consistent (inputs gone),
+    bins not yet reached are untouched. A resumed run converges."""
+    import os
+
+    import pytest
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators import layout as L
+
+    p = str(tmp_path / "t")
+    small = spark.range(4_000).select(
+        (F.col("id") % 100).alias("x"), ((F.col("id") * 31) % 100).alias("y")
+    )
+    small.repartition(24).write.mode("overwrite").parquet(p)
+    n_rows = spark.read.parquet(p).count()
+
+    real_replace = os.replace
+    replaced = []
+
+    def crash_after_first_bin(src, dst):
+        if os.path.basename(dst).startswith("zc-") and replaced:
+            raise RuntimeError("simulated crash before bin 2's rename")
+        real_replace(src, dst)
+        if os.path.basename(dst).startswith("zc-"):
+            replaced.append(dst)
+
+    # zorder_maintain imports os inside the function body, so patch the
+    # global os module attribute itself
+    monkeypatch.setattr("os.replace", crash_after_first_bin)
+    # pick a target that forces >1 bin out of the 24 small files
+    sizes = [
+        os.path.getsize(os.path.join(p, f))
+        for f in os.listdir(p)
+        if f.endswith(".parquet")
+    ]
+    target = sum(sizes) // 3
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        L.zorder_maintain(spark, p, ["x", "y"], target)
+    monkeypatch.undo()
+
+    # bin 1 landed AND its inputs were retired; everything else intact —
+    # no duplicate rows anywhere, the crash lost nothing
+    assert spark.read.parquet(p).count() == n_rows
+    # a resumed maintenance run converges on the remaining small files
+    stats = L.zorder_maintain(spark, p, ["x", "y"], target)
+    assert stats["bins_written"] >= 1
+    assert spark.read.parquet(p).count() == n_rows

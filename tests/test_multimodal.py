@@ -12,7 +12,7 @@ from djangoadmin_postgresql_2_elasticseach_spark.operators.multimodal import (
     extract_metadata,
     filter_by_metadata,
     frame_sample_stub,
-    resize_stub,
+    resize_real,
 )
 
 
@@ -43,7 +43,9 @@ def test_filter_by_metadata(media):
 
 
 def test_resize_then_extract_composes(media):
-    resized = resize_stub(media, max_dim=100)
+    # resize_real's FAKEIMG branch is the header-clamp path the old
+    # resize_stub shipped separately (folded in r10 — one resize export)
+    resized = resize_real(media, max_dim=100)
     meta = {r["media_id"]: r for r in extract_metadata(resized).collect()}
     assert meta[0]["width"] == 100 and meta[0]["height"] == 75
     assert meta[1]["width"] == 64  # already under the cap

@@ -457,3 +457,55 @@ def test_doomed_append_writes_no_orphans(spark, tmp_path):
         f for f in os.listdir(p) if f.endswith(".parquet")
     )
     assert files_before == files_after
+
+
+def test_racing_schema_change_append_cleans_up_files(spark, tmp_path, monkeypatch):
+    """ADVICE r10: the pre-write schema check is only a fast-fail — a
+    CONCURRENT commit can retype a column between it and the retry
+    loop's validation. When the loop validation raises, the append's
+    already-written (never-referenced) data files must be removed, not
+    left as retention-window orphans."""
+    import os
+
+    import pytest
+
+    from djangoadmin_postgresql_2_elasticseach_spark.sources import txlog as T
+
+    p = str(tmp_path / "t")
+    T.tx_append(spark.createDataFrame([(1, "a")], "k long, val string"), p)
+
+    real_write = T._write_data_files
+    raced = []
+
+    def write_then_lose_race(df, table_path):
+        names = real_write(df, table_path)
+        # the "concurrent" winner lands AFTER our pre-check and file
+        # write but BEFORE our commit validation: retypes k to string.
+        # One-shot flag: tx_overwrite itself goes through the patched
+        # _write_data_files — without it the race re-races forever.
+        if not raced:
+            raced.append(True)
+            T.tx_overwrite(
+                spark.createDataFrame([("x", "a")], "k string, val string"),
+                p,
+            )
+        return names
+
+    monkeypatch.setattr(T, "_write_data_files", write_then_lose_race)
+    with pytest.raises(T.SchemaEvolutionError):
+        T.tx_append(spark.createDataFrame([(2, "b")], "k long, val string"), p)
+    monkeypatch.undo()
+
+    log = T.TxLog(p)
+    live = set(log.snapshot(log.latest_version()))
+    on_disk = {f for f in os.listdir(p) if f.endswith(".parquet")}
+    # every parquet on disk is referenced by SOME manifest version
+    # (v0 base append + v1 overwrite); the loser's files are gone
+    all_referenced = set()
+    for v in log.versions():
+        all_referenced.update(log.snapshot(v))
+    assert on_disk == all_referenced
+    # and the table reads as the winner's state
+    rows = T.tx_read(spark, p).collect()
+    assert [(r["k"], r["val"]) for r in rows] == [("x", "a")]
+    assert live == {f for f in log.snapshot(log.latest_version())}
