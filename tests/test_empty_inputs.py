@@ -96,8 +96,19 @@ def test_coverage_doc_in_sync():
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md"),
         encoding="utf-8",
     ).read()
+    # Drop parenthetical commentary (innermost-out, so nesting unwinds) before
+    # extracting "q: a, b, c" runs — otherwise a "(note)" mid-list truncates the
+    # run at the first "(" and every name after it reads as undocumented.
+    stripped = doc
+    while True:
+        next_doc = re.sub(r"\([^()]*\)", " ", stripped)
+        if next_doc == stripped:
+            break
+        stripped = next_doc
+    # Lookahead (zero-width) so one "q: a and q: b" line yields both runs —
+    # a plain greedy match would consume the second "q" as list text.
     referenced = set(re.findall(r"\b([a-z][a-z0-9_]+)\b", " ".join(
-        m for m in re.findall(r"q:\s*([a-zA-Z0-9_,\s]+?)(?:[;|(]|$)", doc, re.M)
+        re.findall(r"(?=\bq:\s*([a-zA-Z0-9_,\s]+))", stripped)
     )))
     implemented = set(registry.QUERIES)
     missing_from_doc = implemented - referenced
