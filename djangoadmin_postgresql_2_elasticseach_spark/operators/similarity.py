@@ -963,6 +963,77 @@ def build_ivfpq_index(
     return planes
 
 
+def ivfpq_index_cached(
+    spark,
+    sf_dir: str,
+    m: int = 4,
+    ksub: int = 16,
+    n_planes: int = 4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_root: str | None = None,
+) -> tuple[str, list[list[list[float]]], list[list[float]]]:
+    """Build-once persisted IVF-PQ index (the `analyzed_corpus_cached`
+    posture from search/index.py, applied to the ANN tier): the float
+    table is scanned ONCE per corpus version at ingest; every serving
+    query probes the bucket-partitioned codes table and reads the
+    codebooks/planes from the sidecar JSON — no corpus scan, no
+    driver-side retraining, on the query path.
+
+    Cache key = corpus file identity (abspath + mtime_ns + size of
+    every part file) + the PQ/plane params, so data regeneration or a
+    parameter change invalidates. The codebooks and plane matrix are
+    stored as `_ivfpq_meta.json` INSIDE the index directory (Spark
+    ignores `_`-prefixed files), which is exactly the "store it beside
+    the codebooks" deployment note on build_ivfpq_index.
+
+    Returns (index_path, codebooks, planes).
+    """
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    parts = [src]
+    if os.path.isdir(src):
+        parts = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(src)
+            for f in fs
+            if f.endswith(".parquet")
+        ) or [src]
+    ident = [os.path.abspath(src), f"m={m}", f"ksub={ksub}",
+             f"planes={n_planes}", id_col, vec_col]
+    for p in parts:
+        st = os.stat(p)
+        ident.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
+    key = hashlib.md5("\x1f".join(ident).encode()).hexdigest()[:16]
+    root = cache_root or os.environ.get(
+        "SPARK_GRAFT_INDEX_CACHE",
+        os.path.join(tempfile.gettempdir(), "spark_graft_index_cache"),
+    )
+    path = os.path.join(root, f"ivfpq-{table}-{key}")
+    meta_path = os.path.join(path, "_ivfpq_meta.json")
+    if os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
+        meta_path
+    ):
+        with open(meta_path, encoding="utf-8") as fh:
+            meta = json.load(fh)
+        return path, meta["codebooks"], meta["planes"]
+    emb = spark.read.parquet(src)
+    books = pq_codebooks_deterministic(
+        emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+    )
+    planes = build_ivfpq_index(
+        emb, path, books, id_col=id_col, vec_col=vec_col, n_planes=n_planes
+    )
+    with open(meta_path, "w", encoding="utf-8") as fh:
+        json.dump({"codebooks": books, "planes": planes}, fh)
+    return path, books, planes
+
+
 def ivfpq_query_indexed(
     spark,
     path: str,

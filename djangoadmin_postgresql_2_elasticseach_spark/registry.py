@@ -1392,30 +1392,56 @@ def _q_mmr_string_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_mmr_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed ANN-index→diversity serving path the docstrings
-    advertise (r9 verdict gap #3): build the bucket-PARTITIONED IVF-PQ
-    index on disk, shortlist via ivfpq_query_indexed (partition-pruned
-    probe reads — the float table is never scanned at query time),
-    re-rank the shortlist by exact cosine (the IVFADC re-rank posture,
-    so MMR's rel is the same bounded cosine as mmr_rerank_topk), then
-    greedy-diversify with mmr_rerank."""
+def _q_ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ INGEST path, benched on its own (r10 verdict #2 split
+    mmr_ivfpq_topk's in-query build out of the serving number): one
+    scan of the float table → deterministic codebooks → per-row codes,
+    written bucket-PARTITIONED. Returns the per-bucket vector counts —
+    the index's partition manifest — so the build is oracled (the
+    bucket expression is the same sign-concat the DuckDB side
+    computes)."""
     import os
     import shutil
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = _query_vec(spark, sf_dir)
     books = S.pq_codebooks_deterministic(emb, m=PQ_M, ksub=PQ_KSUB)
     scratch = os.path.join(
         tempfile.gettempdir(),
-        "spark_graft_ivfpq_mmr",
+        "spark_graft_ivfpq_build",
         f"{os.path.basename(sf_dir.rstrip('/')) or 'sf'}-{os.getpid()}",
     )
     shutil.rmtree(scratch, ignore_errors=True)
-    planes = S.build_ivfpq_index(emb, scratch, books, n_planes=4)
+    S.build_ivfpq_index(emb, scratch, books, n_planes=4)
+    # partition-column type inference reads bitstring "0010" back as
+    # int 10 — lpad to the plane width restores the directory name
+    return (
+        spark.read.parquet(scratch)
+        .groupBy(
+            F.lpad(F.col("bucket").cast("string"), 4, "0").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("bucket")
+    )
+
+
+def _q_mmr_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ANN-index→diversity SERVING path the docstrings
+    advertise (r9 verdict gap #3; r10 verdict #2 moved the index build
+    out of this query): probe the build-once persisted bucket-
+    PARTITIONED IVF-PQ index via ivfpq_query_indexed (partition-pruned
+    probe reads — the float table is never scanned for the shortlist;
+    codebooks/planes come from the index's sidecar JSON, no retrain),
+    re-rank the shortlist by exact cosine (the IVFADC re-rank posture,
+    so MMR's rel is the same bounded cosine as mmr_rerank_topk), then
+    greedy-diversify with mmr_rerank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    path, books, planes = S.ivfpq_index_cached(
+        spark, sf_dir, m=PQ_M, ksub=PQ_KSUB, n_planes=4
+    )
     sl = S.ivfpq_query_indexed(
-        spark, scratch, books, q, planes, k=MMR_SHORTLIST, probe_hamming=1
+        spark, path, books, q, planes, k=MMR_SHORTLIST, probe_hamming=1
     ).select("vec_id")
     cand = S.brute_force_topk(
         emb.join(sl, "vec_id"), q, k=MMR_SHORTLIST
@@ -1674,6 +1700,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # IVF-PQ-index → exact-cosine re-rank → MMR composition
     "mmr_string_ids_topk": _q_mmr_string_ids,
     "mmr_ivfpq_topk": _q_mmr_ivfpq,
+    # r11: the build cost mmr_ivfpq_topk used to hide, visible on its
+    # own (serving probes the cached persisted index)
+    "ivfpq_index_build": _q_ivfpq_index_build,
     # r10: tick-maintained audit artifacts (N ticks == one-shot)
     "incremental_vocab_coverage": _q_incremental_vocab,
     "incremental_shingle_novelty": _q_incremental_shingle_novelty,
@@ -4008,6 +4037,14 @@ ORDER BY approx_dist, vec_id LIMIT {limit}
 """
 
     o["ivf_pq_topk"] = _ivfpq_adc_sql(PQ_K)
+
+    # r11: the index-build manifest — per-bucket vector counts, bucket
+    # = the same sign-concat hyperplane hash the probes prune on
+    o["ivfpq_index_build"] = f"""
+SELECT {bucket_pe} AS bucket, count(*) AS n_vecs
+FROM embeddings e
+GROUP BY 1 ORDER BY bucket
+"""
 
     # r10: persisted-IVF-PQ shortlist → exact-cosine rel → MMR greedy.
     # The shortlist subquery is the ivf_pq_topk body at LIMIT
