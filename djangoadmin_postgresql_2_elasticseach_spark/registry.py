@@ -1556,6 +1556,48 @@ def _q_incremental_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFram
     return shingle_novelty_from_index(spark, docs.select("doc_id"), path)
 
 
+def _posting_index_ticks(spark: SparkSession, sf_dir: str) -> str:
+    """Build the persisted posting index on one corpus third, append
+    two tick deltas (search/index.build/append_posting_index) — the
+    shared setup of the two r11 incremental-search queries. Per-tick
+    cost is O(batch): one analyze pass over the delta, appends into the
+    (field, token-bucket)-partitioned layout."""
+    from .search.index import append_posting_index, build_posting_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _audit_scratch(sf_dir, "posting_idx")
+    build_posting_index(docs.filter(F.col("doc_id") % 3 == 0), path)
+    append_posting_index(docs.filter(F.col("doc_id") % 3 == 1), path)
+    append_posting_index(docs.filter(F.col("doc_id") % 3 == 2), path)
+    return path
+
+
+def _q_incremental_inverted_df(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tick-maintained document frequencies: df served from the
+    persisted postings (a COUNT over the slim index — stored rows are
+    one per (doc, token) across disjoint batches, so appends SUM-merge
+    by construction). Oracle = the ONE-SHOT inverted_df SQL: N ticks ==
+    one-shot is the correctness claim; the corpus is never re-analyzed
+    after ingest (reference incremental-ETL posture, etl/main.py:35)."""
+    from .search.index import doc_frequencies_from_index
+
+    path = _posting_index_ticks(spark, sf_dir)
+    return doc_frequencies_from_index(spark, path)
+
+
+def _q_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the tick-maintained posting index
+    (search/bm25.bm25_topk_from_index): partition-pruned probe of the
+    analyzed query terms' token buckets + the doclens table — no corpus
+    scan at query time. Oracle = the ONE-SHOT bm25_topk SQL."""
+    from .search.bm25 import bm25_topk_from_index
+
+    path = _posting_index_ticks(spark, sf_dir)
+    return bm25_topk_from_index(spark, path, BM25_QUERY, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1703,6 +1745,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r11: the build cost mmr_ivfpq_topk used to hide, visible on its
     # own (serving probes the cached persisted index)
     "ivfpq_index_build": _q_ivfpq_index_build,
+    # r11: tick-maintained posting index (N ticks == one-shot; the last
+    # rebuild-the-world artifact gains O(delta) upkeep)
+    "incremental_inverted_df": _q_incremental_inverted_df,
+    "incremental_bm25_topk": _q_incremental_bm25,
     # r10: tick-maintained audit artifacts (N ticks == one-shot)
     "incremental_vocab_coverage": _q_incremental_vocab,
     "incremental_shingle_novelty": _q_incremental_shingle_novelty,
@@ -2808,6 +2854,11 @@ WHERE greatest({bm_matched}) > 0
 ORDER BY score DESC, doc_id
 """
     o["bm25_topk"] = bm25_body + "LIMIT 10"
+
+    # r11 tick-maintained posting index: the oracles ARE the one-shot
+    # bodies — N appends == a full rebuild is the correctness claim
+    o["incremental_inverted_df"] = o["inverted_df"]
+    o["incremental_bm25_topk"] = o["bm25_topk"]
 
     # hybrid MMR: BM25 relevance + embedding diversity — the cand CTE
     # swaps in the bm25 body (vec_id keys documents 1:1 in testdata);

@@ -75,9 +75,26 @@ def bm25_topk(
             for i in range(len(qterms))
         ],
     )
+    return _score_per_doc(per_doc, stats, len(qterms), id_col, k, k1, b)
+
+
+def _score_per_doc(
+    per_doc: DataFrame,
+    stats: DataFrame,
+    n_terms: int,
+    id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Stage 3 of the BM25 plan — broadcast the 1-row stats, build the
+    RSJ score as ONE native column expression, top-k. Shared by the
+    corpus-scan scorer and the persisted-index serving path so the
+    score arithmetic exists once (two hand-kept copies would have to
+    stay bit-identical for the 4dp parity assertions)."""
     scored = per_doc.crossJoin(F.broadcast(stats))
     score = F.lit(0.0)
-    for i in range(len(qterms)):
+    for i in range(n_terms):
         tf = F.col(f"tf{i}").cast("double")
         df = F.col(f"df{i}").cast("double")
         idf = F.log(
@@ -88,13 +105,76 @@ def bm25_topk(
             F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
         )
         score = score + idf * tf * F.lit(k1 + 1.0) / norm
-    tf_cols = [F.col(f"tf{i}") for i in range(len(qterms))]
+    tf_cols = [F.col(f"tf{i}") for i in range(n_terms)]
     matched = (F.greatest(*tf_cols) if len(tf_cols) > 1 else tf_cols[0]) > 0
     return (
         scored.filter(matched)
         .select(F.col(id_col), F.round(score, 4).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
+    )
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    query: str,
+    field: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 served from the persisted posting index (search/index.py
+    build/append_posting_index) — the production path: the corpus is
+    NEVER scanned or re-analyzed at query time. Postings are read with
+    a partition filter (crc32 token bucket, computed driver-side for
+    the analyzed query terms) plus a pushed `token IN (...)` predicate,
+    so the scan opens ≤ |terms| bucket directories of the slim
+    (token, doc_id, tf) table; doclens supplies dl/N/avgdl. Identical
+    output to bm25_topk over the same docs — N appends == one-shot
+    (tf/dl/df are per-doc facts, df a COUNT over disjoint batches)."""
+    import zlib
+
+    from .index import N_TOKEN_BUCKETS, read_doclens, read_postings
+
+    qterms = analyze_query(query)
+    if not qterms:
+        raise ValueError("empty query after analysis")
+    buckets = sorted(
+        {zlib.crc32(t.encode("utf-8")) % N_TOKEN_BUCKETS for t in qterms}
+    )
+    posts = read_postings(spark, path).filter(
+        (F.col("field") == field)
+        & F.col("tkb").isin(buckets)
+        & F.col("token").isin(list(set(qterms)))
+    )
+    pivot = posts.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("token") == F.lit(t), F.col("tf")).otherwise(0)
+            ).alias(f"tf{i}")
+            for i, t in enumerate(qterms)
+        ]
+    )
+    lens = read_doclens(spark, path).filter(F.col("field") == field)
+    per_doc = (
+        lens.select("doc_id", "dl")
+        .join(pivot, "doc_id", "left")
+        .fillna(0, [f"tf{i}" for i in range(len(qterms))])
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(qterms))
+        ],
+    )
+    scored = _score_per_doc(per_doc, stats, len(qterms), "doc_id", k, k1, b)
+    return (
+        scored if id_col == "doc_id"
+        else scored.withColumnRenamed("doc_id", id_col)
     )
 
 

@@ -173,6 +173,144 @@ def doc_frequencies(postings: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental posting index (r11): O(delta) tick upkeep for the search
+# artifact tier — the last rebuild-the-world artifact (r10 verdict #3).
+# The reference's incremental ETL (etl/main.py:35) re-indexes only
+# new/changed rows into ES; this is that posture for the Spark-side
+# index: per-doc posting rows are independent across docs, so a tick
+# APPENDS one batch's partials and never re-analyzes the corpus.
+# ---------------------------------------------------------------------------
+
+N_TOKEN_BUCKETS = 16
+
+
+def _token_bucket(token) -> "F.Column":
+    """Partition key for the postings layout: crc32(token) % 16 —
+    computable engine-side AND in plain Python (zlib.crc32) so a query
+    can turn its analyzed terms into a partition filter before any
+    file opens."""
+    return F.pmod(F.crc32(F.col(token) if isinstance(token, str) else token),
+                  F.lit(N_TOKEN_BUCKETS))
+
+
+def _posting_partials(
+    docs: DataFrame, fields: tuple[str, ...], id_col: str, stem: bool
+) -> tuple[DataFrame, DataFrame]:
+    """One batch's index rows: postings (field, token, doc_id, tf) over
+    the NON-deduplicated analyzed stream (tf is the BM25 term
+    frequency; df = one row per (doc, token)) and doclens
+    (field, doc_id, dl = Σ tf, derived FROM the postings partial so the
+    batch is analyzed exactly once — the postings frame is eagerly
+    materialized, batch-delta-sized, before the two writes read it).
+    Docs whose analyzed stream is empty produce no rows — exactly the
+    one-shot scorer's universe."""
+    from ..plans.tuning import spread
+
+    post_parts = []
+    for f in fields:
+        toks = spread(docs.select(id_col, f)).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(T.analyze(F.col(f), stem=stem)).alias("token"),
+        )
+        post_parts.append(
+            toks.groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .select(
+                F.lit(f).alias("field"),
+                "token",
+                "doc_id",
+                "tf",
+                _token_bucket("token").alias("tkb"),
+            )
+        )
+    posts = post_parts[0]
+    for p in post_parts[1:]:
+        posts = posts.unionByName(p)
+    posts = posts.localCheckpoint(eager=True)
+    lens = posts.groupBy("field", "doc_id").agg(
+        F.sum("tf").alias("dl")
+    ).select("field", "doc_id", "dl")
+    return posts, lens
+
+
+def build_posting_index(
+    docs: DataFrame,
+    path: str,
+    fields: tuple[str, ...] = ("text",),
+    id_col: str = "doc_id",
+    stem: bool = True,
+) -> None:
+    """Persist the serving search index: `postings/` PARTITIONED BY
+    (field, token-bucket) — a term query prunes to one bucket directory
+    before any file opens — and `doclens/` PARTITIONED BY field (the
+    BM25 length-normalization table). Analyzer runs ONCE, at ingest."""
+    posts, lens = _posting_partials(docs, fields, id_col, stem)
+    posts.write.mode("overwrite").partitionBy("field", "tkb").parquet(
+        os.path.join(path, "postings")
+    )
+    lens.write.mode("overwrite").partitionBy("field").parquet(
+        os.path.join(path, "doclens")
+    )
+
+
+def append_posting_index(
+    new_docs: DataFrame,
+    path: str,
+    fields: tuple[str, ...] = ("text",),
+    id_col: str = "doc_id",
+    stem: bool = True,
+) -> None:
+    """Tick upkeep: append ONE batch's posting + doclen rows — O(batch)
+    analyze/explode/agg, no corpus re-analysis, no index rewrite.
+    Contract (same as the minhash/shingle indexes): batches are
+    disjoint in doc_id — a CHANGED doc retires its old rows via the
+    compaction/txlog path, not by double-appending."""
+    posts, lens = _posting_partials(new_docs, fields, id_col, stem)
+    posts.write.mode("append").partitionBy("field", "tkb").parquet(
+        os.path.join(path, "postings")
+    )
+    lens.write.mode("append").partitionBy("field").parquet(
+        os.path.join(path, "doclens")
+    )
+
+    from ..plans.tuning import invalidate_spread_cache
+
+    invalidate_spread_cache(new_docs.sparkSession)
+
+
+def read_postings(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, "postings"))
+
+
+def read_doclens(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, "doclens"))
+
+
+def doc_frequencies_from_index(spark: SparkSession, path: str) -> DataFrame:
+    """df(field, token) served from the persisted postings: each stored
+    row is one (doc, token) occurrence (disjoint batches), so df is a
+    COUNT over the slim index — SUM-merged across ticks by
+    construction, N appends == one-shot rebuild exactly. The corpus is
+    never touched."""
+    return (
+        read_postings(spark, path)
+        .groupBy("field", "token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def compact_posting_index(spark: SparkSession, path: str) -> None:
+    """Fold the per-tick small files into one file-set per partition —
+    periodic maintenance, not correctness (rows are already one per
+    (doc, token)). Same single-writer overwrite-after-read contract as
+    compact_token_count_index."""
+    for sub, parts in (("postings", ["field", "tkb"]), ("doclens", ["field"])):
+        p = os.path.join(path, sub)
+        merged = spark.read.parquet(p).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").partitionBy(*parts).parquet(p)
+
+
+# ---------------------------------------------------------------------------
 # ES-settings-driven analyzer configuration
 # ---------------------------------------------------------------------------
 

@@ -136,3 +136,129 @@ def test_analyzed_corpus_cache_builds_and_invalidates(spark, tmp_path):
     got2 = analyzed_corpus_cached(spark, sf, cache_root=cache)
     assert got2.count() == 3
     assert len([d for d in os.listdir(cache) if d.startswith("analyzed-")]) == 2
+
+
+# ---------------------------------------------------------------------------
+# Incremental posting index (r11): N ticks == one-shot, partition-pruned
+# serving, compaction bounds the per-tick small files.
+# ---------------------------------------------------------------------------
+
+def _parquet_files(root):
+    return [
+        os.path.join(dp, fn)
+        for dp, _, fns in os.walk(root)
+        for fn in fns
+        if fn.endswith(".parquet")
+    ]
+
+
+@pytest.fixture(scope="module")
+def posting_idx(docs, tmp_path_factory):
+    """Index built as build + 2 append ticks over disjoint corpus thirds
+    — the same shape the registry's incremental_* queries use."""
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        append_posting_index,
+        build_posting_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("posting_idx"))
+    build_posting_index(docs.filter(F.col("doc_id") % 3 == 0), path)
+    append_posting_index(docs.filter(F.col("doc_id") % 3 == 1), path)
+    append_posting_index(docs.filter(F.col("doc_id") % 3 == 2), path)
+    return path
+
+
+def test_posting_index_ticks_equal_one_shot_df(spark, docs, posting_idx):
+    """df served from the tick-built index must equal a from-scratch
+    analysis of the full corpus — the O(delta) upkeep claim."""
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        doc_frequencies_from_index,
+    )
+
+    got = {
+        (r["field"], r["token"]): r["df"]
+        for r in doc_frequencies_from_index(spark, posting_idx).collect()
+    }
+    want = {
+        (r["field"], r["token"]): r["df"]
+        for r in doc_frequencies(
+            posting_table(docs, ["text"], id_col="doc_id")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_posting_index_bm25_matches_scan(spark, docs, posting_idx):
+    """BM25 served from the index == the corpus-scan scorer, score and
+    order, at the scorer's own 4dp rounding."""
+    from djangoadmin_postgresql_2_elasticseach_spark.search.bm25 import (
+        bm25_topk,
+        bm25_topk_from_index,
+    )
+
+    q = "spark vector join"
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_from_index(spark, posting_idx, q, k=10).collect()
+    ]
+    want = [
+        (r["doc_id"], r["score"]) for r in bm25_topk(docs, q, k=10).collect()
+    ]
+    assert got == want and len(got) == 10
+
+
+def test_posting_index_probe_prunes_buckets(spark, posting_idx):
+    """Serving plan pin: the postings scan must carry the driver-side
+    crc32 bucket predicate as a PARTITION filter (field + tkb) — a term
+    probe opens only the query terms' bucket directories."""
+    from djangoadmin_postgresql_2_elasticseach_spark.search.bm25 import (
+        bm25_topk_from_index,
+    )
+
+    df = bm25_topk_from_index(spark, posting_idx, "spark vector join", k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("tkb" in ln for ln in pf_lines), plan[:4000]
+
+
+def test_posting_index_compaction_bounds_files(spark, docs, tmp_path):
+    """After K ticks the index accumulates one file-set per tick;
+    compaction folds them (file count strictly drops) without changing
+    any served value."""
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        append_posting_index,
+        build_posting_index,
+        compact_posting_index,
+        doc_frequencies_from_index,
+    )
+
+    path = str(tmp_path / "idx")
+    sliver = docs.filter(F.col("doc_id") < 40)
+    build_posting_index(sliver.filter(F.col("doc_id") < 10), path)
+    for lo, hi in ((10, 20), (20, 30), (30, 40)):
+        append_posting_index(
+            sliver.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            path,
+        )
+    before_files = len(_parquet_files(path))
+    before = {
+        (r["field"], r["token"]): r["df"]
+        for r in doc_frequencies_from_index(spark, path).collect()
+    }
+    compact_posting_index(spark, path)
+    after_files = len(_parquet_files(path))
+    after = {
+        (r["field"], r["token"]): r["df"]
+        for r in doc_frequencies_from_index(spark, path).collect()
+    }
+    assert after == before
+    assert after_files < before_files
+
+
+def test_posting_index_empty_query_raises(spark, posting_idx):
+    from djangoadmin_postgresql_2_elasticseach_spark.search.bm25 import (
+        bm25_topk_from_index,
+    )
+
+    with pytest.raises(ValueError):
+        bm25_topk_from_index(spark, posting_idx, "the and of")
