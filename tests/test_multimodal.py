@@ -11,7 +11,7 @@ from djangoadmin_postgresql_2_elasticseach_spark.operators.multimodal import (
     encode_fake_image,
     extract_metadata,
     filter_by_metadata,
-    frame_sample_stub,
+    frame_sample_bytes,
     resize_real,
 )
 
@@ -53,7 +53,7 @@ def test_resize_then_extract_composes(media):
 
 
 def test_frame_sample(media):
-    frames = frame_sample_stub(media, every_n_bytes=64).collect()
+    frames = frame_sample_bytes(media, every_n_bytes=64).collect()
     by_id = {}
     for r in frames:
         by_id.setdefault(r["media_id"], []).append(r)
@@ -87,13 +87,13 @@ def test_jpeg_pixel_decode_needs_pillow():
 
 def test_feature_extract_composes_with_similarity(media):
     from djangoadmin_postgresql_2_elasticseach_spark.operators.multimodal import (
-        feature_extract_stub,
+        feature_extract_histogram,
     )
     from djangoadmin_postgresql_2_elasticseach_spark.operators.similarity import (
         brute_force_topk,
     )
 
-    emb = feature_extract_stub(media, dim=8)
+    emb = feature_extract_histogram(media, dim=8)
     rows = {r["media_id"]: r["embedding"] for r in emb.collect()}
     # valid payloads embed to a dim-8 unit-sum histogram; nulls stay null
     assert rows[3] is None
