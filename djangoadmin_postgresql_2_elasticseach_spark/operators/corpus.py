@@ -1713,6 +1713,22 @@ def append_shingle_index(
     invalidate_spread_cache(new_docs.sparkSession)
 
 
+def compact_shingle_index(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Fold the per-tick small files of the shingle index — periodic
+    maintenance, not correctness (rows are already one per (doc,
+    shingle); unlike the token-count index there is nothing to
+    value-fold, only files to merge). Delegates to the atomic
+    temp-dir + rename-swap rewrite in ``sources/writers.compact_parquet``
+    so a crash mid-compaction never loses the index (the txlog
+    ``tx_compact`` is the alternative when the index lives in a
+    transactional table). Returns (files_before, files_after). Same
+    single-writer contract as every index maintenance pass: don't run
+    concurrently with an append tick."""
+    from ..sources.writers import compact_parquet
+
+    return compact_parquet(spark, path)
+
+
 def shingle_novelty_from_index(
     spark: SparkSession,
     doc_ids: DataFrame,

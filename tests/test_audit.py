@@ -290,3 +290,58 @@ def test_shingle_index_ticks_equal_one_shot(spark, tmp_path):
     by_id = {t[0]: t for t in got}
     assert by_id[3][3] == 1.0 and by_id[4] == (4, 0, 0, 1.0)
     assert by_id[1][3] < 1.0 and by_id[2][3] < 1.0
+
+
+def test_shingle_index_compaction_bounds_files(spark, tmp_path):
+    """r11 maintenance pass (r10 verdict #5): after K append ticks the
+    shingle index holds one file-set per tick; compact_shingle_index
+    folds them (file count strictly drops, atomic rename-swap) with
+    novelty values exactly invariant."""
+    import os
+
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        append_shingle_index,
+        build_shingle_index,
+        compact_shingle_index,
+        shingle_novelty_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} word{i} tail{i} extra") for i in range(12)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sh_idx")
+    build_shingle_index(docs.filter(F.col("doc_id") < 3), path, n=3)
+    for lo in (3, 6, 9):
+        append_shingle_index(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 3)
+            ),
+            path,
+            n=3,
+        )
+
+    def _files():
+        return [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+    before_vals = sorted(
+        map(
+            tuple,
+            shingle_novelty_from_index(
+                spark, docs.select("doc_id"), path
+            ).collect(),
+        )
+    )
+    n_before = len(_files())
+    got_before, got_after = compact_shingle_index(spark, path)
+    assert (got_before, got_after) == (n_before, len(_files()))
+    assert len(_files()) < n_before
+    after_vals = sorted(
+        map(
+            tuple,
+            shingle_novelty_from_index(
+                spark, docs.select("doc_id"), path
+            ).collect(),
+        )
+    )
+    assert after_vals == before_vals
