@@ -1508,18 +1508,26 @@ def vocab_coverage(
     return _coverage_curve(counts, v)
 
 
-def _token_partials(docs: DataFrame, text_col: str) -> DataFrame:
+def _token_partials(
+    docs: DataFrame, text_col: str, tokens_col: str | None = None
+) -> DataFrame:
     """(token, n) partial counts of one corpus slice — the mergeable
     unit of the token-count artifact (counts are additive, so slices
-    merge by SUM: the incremental_rollup mergeable-partials contract)."""
+    merge by SUM: the incremental_rollup mergeable-partials contract).
+    ``tokens_col``: an already-materialized tokenize() column to
+    explode instead of re-tokenizing the bodies (the shared-token-frame
+    contract, CorpusPipeline.run_and_maintain)."""
     from ..functions.text import tokenize
 
-    return (
-        spread(docs.select(text_col))
-        .select(F.explode(tokenize(F.col(text_col))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    if tokens_col is not None:
+        toks = spread(docs.select(tokens_col)).select(
+            F.explode(F.col(tokens_col)).alias("token")
+        )
+    else:
+        toks = spread(docs.select(text_col)).select(
+            F.explode(tokenize(F.col(text_col))).alias("token")
+        )
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
 
 
 def build_token_count_index(
@@ -1534,14 +1542,20 @@ def build_token_count_index(
 
 
 def append_token_count_index(
-    new_docs: DataFrame, path: str, text_col: str = "text"
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> None:
     """Tick upkeep: append ONE batch's token partials. Cost is
     O(batch) — one explode + groupBy over the delta, no corpus rescan,
     no vocabulary rewrite. The artifact accumulates one partial row
     per (batch, token); compact_token_count_index folds them when the
-    file count grows."""
-    _token_partials(new_docs, text_col).write.mode("append").parquet(path)
+    file count grows. ``tokens_col``: reuse a materialized token frame
+    instead of re-tokenizing (run_and_maintain's one-pass upkeep)."""
+    _token_partials(new_docs, text_col, tokens_col).write.mode(
+        "append"
+    ).parquet(path)
 
     from ..plans.tuning import invalidate_spread_cache
 
@@ -1661,20 +1675,30 @@ def _novelty_from_shingles(
 
 
 def _doc_shingles(
-    docs: DataFrame, n: int, id_col: str, text_col: str
+    docs: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, sh) distinct word n-grams of one corpus slice — the
     append-only unit of the shingle index (per-doc distinct shingles
-    are independent across docs, so slices just concatenate)."""
+    are independent across docs, so slices just concatenate).
+    ``tokens_col``: shingle an already-materialized tokenize() column
+    instead of re-tokenizing the bodies (run_and_maintain)."""
     from ..functions.text import tokenize, word_shingles_of
 
-    return (
-        spread(docs.select(id_col, text_col), [id_col])
-        .select(F.col(id_col), tokenize(F.col(text_col)).alias("_w"))
-        .select(
-            F.col(id_col),
-            F.explode(word_shingles_of(F.col("_w"), n)).alias("sh"),
+    if tokens_col is not None:
+        base = spread(docs.select(id_col, tokens_col), [id_col]).select(
+            F.col(id_col), F.col(tokens_col).alias("_w")
         )
+    else:
+        base = spread(docs.select(id_col, text_col), [id_col]).select(
+            F.col(id_col), tokenize(F.col(text_col)).alias("_w")
+        )
+    return base.select(
+        F.col(id_col),
+        F.explode(word_shingles_of(F.col("_w"), n)).alias("sh"),
     )
 
 
@@ -1701,10 +1725,13 @@ def append_shingle_index(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> None:
     """Tick upkeep: append ONE batch's (id, shingle) rows. ``n`` MUST
-    match build time (shingle width is baked into the artifact)."""
-    _doc_shingles(new_docs, n, id_col, text_col).write.mode(
+    match build time (shingle width is baked into the artifact).
+    ``tokens_col``: reuse a materialized token frame instead of
+    re-tokenizing (run_and_maintain's one-pass upkeep)."""
+    _doc_shingles(new_docs, n, id_col, text_col, tokens_col).write.mode(
         "append"
     ).parquet(path)
 

@@ -449,6 +449,7 @@ def minhash_index_frame(
     n: int = 3,
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """The MinHash band INDEX of a corpus: one row per (doc, band) —
     (doc_id, band_idx, band_key, sig, bucket_n). `sig` is the full
@@ -460,7 +461,7 @@ def minhash_index_frame(
     not a shuffle of the index."""
     from pyspark.sql import Window
 
-    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes, tokens_col)
     n_bands = num_hashes // band_size
     slots = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
     bands = []
@@ -509,6 +510,36 @@ def build_minhash_index(
     minhash_index_frame(
         docs, id_col, text_col, n, num_hashes, band_size
     ).write.mode("overwrite").partitionBy("band_idx").parquet(path)
+
+
+def append_minhash_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    tokens_col: str | None = None,
+) -> None:
+    """Tick upkeep of the persisted band index: append ONE batch's
+    (doc, band) rows — O(batch) shingle+sign, the corpus is never
+    re-shingled. Appended rows carry their OWN-batch bucket_n (the
+    build_minhash_index docstring's documented undercount: the
+    hot-bucket guard stays conservative until the next rebuild folds
+    buckets). ``n``/``num_hashes``/``band_size`` MUST match build time
+    — the signature layout is baked into the artifact.
+    ``tokens_col``: reuse an already-materialized tokenize() column
+    (CorpusPipeline.run_and_maintain's shared token frame) instead of
+    re-tokenizing ``text_col``. Batches are disjoint in doc_id — the
+    same contract every append-tick index here carries."""
+    minhash_index_frame(
+        new_docs, id_col, text_col, n, num_hashes, band_size, tokens_col
+    ).write.mode("append").partitionBy("band_idx").parquet(path)
+
+    from ..plans.tuning import invalidate_spread_cache
+
+    invalidate_spread_cache(new_docs.sparkSession)
 
 
 def incremental_dedup_pairs(

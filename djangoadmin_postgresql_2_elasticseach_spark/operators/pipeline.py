@@ -377,12 +377,101 @@ class CorpusPipeline:
             checkpoint_stages, counts=None,
         )
 
+    def run_and_maintain(
+        self,
+        docs: DataFrame,
+        *,
+        minhash_index: str | None = None,
+        token_count_index: str | None = None,
+        shingle_index: str | None = None,
+        shingle_n: int = 3,
+        minhash_params: dict | None = None,
+        benchmark: DataFrame | None = None,
+        lm_train: DataFrame | None = None,
+        seed_pos: DataFrame | None = None,
+        seed_neg: DataFrame | None = None,
+    ) -> DataFrame:
+        """One pipeline tick that ALSO tick-maintains the persisted
+        corpus artifacts — from a single pass over the batch.
+
+        Runs the checkpointed pipeline, guarantees the FINAL stage
+        checkpoint carries the shared token column (tokenize of the
+        final, post-mutation text — one extra tokenize build at most,
+        zero when a consumer already kept it live), then appends that
+        ONE materialized frame's partials to each requested index:
+
+        - ``minhash_index`` → dedup.append_minhash_index (band rows)
+        - ``token_count_index`` → corpus.append_token_count_index
+        - ``shingle_index`` → corpus.append_shingle_index
+
+        Without this, per-tick upkeep is three separate ingest scans,
+        each re-reading the batch AND re-running the tokenizer — at
+        100 TB the repeated tokenize over document bodies is the
+        dominant repeated cost (the same argument that motivated the
+        in-run shared token frame). Here the input is read once by the
+        pipeline; the appends read the in-memory final checkpoint.
+
+        First tick bootstraps each index (parquet append creates the
+        directory), so build vs append needs no flag; batches must be
+        disjoint in doc_id (every append-tick index's contract).
+        ``minhash_params``: n / num_hashes / band_size overrides —
+        MUST match across ticks (signature layout is baked in).
+
+        Returns the survivors frame (lazy column-drop tail on the
+        final checkpoint, same shape run() returns). Note the last
+        stage IS materialized here — the price of feeding three
+        appends without recomputing it per append."""
+        if self.stages and self.stages[-1]["op"] in _TERMINAL_OPS:
+            raise ValueError(
+                "run_and_maintain needs doc-grain output: the persisted "
+                "indexes are (doc, ...) artifacts, but the final stage "
+                f"{self.stages[-1]['op']!r} changes the row grain"
+            )
+        from ..functions.text import tokenize as _tokenize
+
+        out = self._execute(
+            docs, benchmark, lm_train, seed_pos, seed_neg,
+            checkpoint_stages=True, counts=None, maintain_tokens=True,
+        )
+        frame = self._last_checkpoint
+        if frame is None:  # zero-stage pipeline: materialize directly
+            frame = docs.withColumn(
+                _TOKENS_COL, _tokenize(F.col(self.text_col))
+            ).localCheckpoint(eager=True)
+            self._last_checkpoint = frame
+            out = frame.drop(_TOKENS_COL)
+
+        from .corpus import append_shingle_index, append_token_count_index
+        from .dedup import append_minhash_index
+
+        if minhash_index is not None:
+            append_minhash_index(
+                frame,
+                minhash_index,
+                self.id_col,
+                self.text_col,
+                tokens_col=_TOKENS_COL,
+                **(minhash_params or {}),
+            )
+        if token_count_index is not None:
+            append_token_count_index(
+                frame, token_count_index, self.text_col,
+                tokens_col=_TOKENS_COL,
+            )
+        if shingle_index is not None:
+            append_shingle_index(
+                frame, shingle_index, shingle_n, self.id_col,
+                self.text_col, tokens_col=_TOKENS_COL,
+            )
+        return out
+
     def _execute(
         self,
         docs: DataFrame,
         benchmark, lm_train, seed_pos, seed_neg,
         checkpoint_stages: bool,
         counts: list[dict] | None,
+        maintain_tokens: bool = False,
     ) -> DataFrame:
         from ..functions.text import tokenize
         from ..session import free_local_checkpoint
@@ -428,7 +517,9 @@ class CorpusPipeline:
             # counts-mode still checkpoints everything: report()'s
             # count IS an action per stage.
             last = i + 1 == len(ops)
-            if checkpoint_stages and (not last or counts is not None):
+            if checkpoint_stages and (
+                not last or counts is not None or maintain_tokens
+            ):
                 if st["op"] in _TEXT_MUTATORS and "tokens_col" in ctx:
                     out = out.drop(_TOKENS_COL)
                     del ctx["tokens_col"]
@@ -436,12 +527,21 @@ class CorpusPipeline:
                 # consumer (rows only shrink, so later = fewer rows
                 # tokenized), and only when ≥2 consumers remain — a
                 # lone consumer tokenizes once inside its own operator
-                # anyway, so sharing would just bloat the checkpoint
-                if (
-                    "tokens_col" not in ctx
-                    and i + 1 < len(ops)
-                    and ops[i + 1] in _TOKEN_CONSUMERS
-                    and sum(o in _TOKEN_CONSUMERS for o in ops[i + 1:]) >= 2
+                # anyway, so sharing would just bloat the checkpoint.
+                # maintain_tokens additionally guarantees the FINAL
+                # checkpoint carries the token column (over the final
+                # text), so run_and_maintain's index appends derive
+                # from one materialized token frame of the survivors.
+                if "tokens_col" not in ctx and (
+                    (maintain_tokens and last)
+                    or (
+                        i + 1 < len(ops)
+                        and ops[i + 1] in _TOKEN_CONSUMERS
+                        and sum(
+                            o in _TOKEN_CONSUMERS for o in ops[i + 1:]
+                        )
+                        >= 2
+                    )
                 ):
                     out = inject_tokens(out)
                 out = out.localCheckpoint(eager=True)

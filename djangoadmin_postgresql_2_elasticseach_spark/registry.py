@@ -1572,6 +1572,34 @@ def _posting_index_ticks(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _q_pipeline_tick_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass artifact upkeep (pipeline.CorpusPipeline.run_and_maintain,
+    r11): two pipeline ticks over disjoint corpus halves each append the
+    minhash band index, token-count index AND shingle index from ONE
+    materialized token frame of the tick's survivors — the batch is
+    read once, tokenized once (pinned in tests/test_pipeline.py), vs
+    three separate ingest scans. Served result: the vocab curve from
+    the maintained token-count artifact; the oracle is the ONE-SHOT
+    curve SQL (N ticks == one-shot). The shingle + minhash artifacts
+    from the same pass are parity-checked in pytest."""
+    from .operators.corpus import vocab_coverage_from_index
+    from .operators.pipeline import CorpusPipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh = _audit_scratch(sf_dir, "pipe_mh")
+    tc = _audit_scratch(sf_dir, "pipe_tc")
+    sh = _audit_scratch(sf_dir, "pipe_sh")
+    pipe = CorpusPipeline([])
+    for pred in (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1):
+        pipe.run_and_maintain(
+            docs.filter(pred),
+            minhash_index=mh,
+            token_count_index=tc,
+            shingle_index=sh,
+        )
+    return vocab_coverage_from_index(spark, tc, v=VOCAB_V)
+
+
 def _q_incremental_inverted_df(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1748,6 +1776,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r11: tick-maintained posting index (N ticks == one-shot; the last
     # rebuild-the-world artifact gains O(delta) upkeep)
     "incremental_inverted_df": _q_incremental_inverted_df,
+    # r11: one-pass pipeline tick maintains minhash + token-count +
+    # shingle artifacts together (served: the vocab curve)
+    "pipeline_tick_upkeep": _q_pipeline_tick_upkeep,
     "incremental_bm25_topk": _q_incremental_bm25,
     # r10: tick-maintained audit artifacts (N ticks == one-shot)
     "incremental_vocab_coverage": _q_incremental_vocab,
@@ -4329,6 +4360,10 @@ FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
     # query — "N ticks == one-shot" is the correctness claim, so the
     # incremental forms must hash-match the same SQL
     o["incremental_vocab_coverage"] = o["vocab_coverage_top"]
+    # r11 one-pass pipeline upkeep: same one-shot-curve oracle — the
+    # zero-stage pipeline's survivors ARE the corpus, so N maintained
+    # ticks must serve the exact one-shot curve
+    o["pipeline_tick_upkeep"] = o["vocab_coverage_top"]
     o["incremental_shingle_novelty"] = o["shingle_novelty_docs"]
 
     return o

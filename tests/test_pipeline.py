@@ -339,3 +339,162 @@ def test_pipeline_pii_scrub_invalidates_shared_tokens(spark):
     # pre-scrub pass keeps all three (emails differ); post-scrub pass
     # collapses 1/2 (identical after <EMAIL> masking), keeping the min id
     assert got == {1, 3}
+
+
+# ---------------------------------------------------------------------------
+# run_and_maintain (r11): one pipeline pass tick-maintains the minhash,
+# token-count and shingle indexes — no extra ingest scans, no extra
+# tokenize over the batch bodies.
+# ---------------------------------------------------------------------------
+
+def _tok_counter(monkeypatch):
+    from djangoadmin_postgresql_2_elasticseach_spark.functions import text as T
+
+    calls = []
+    real = T.tokenize
+
+    def counting(col):
+        calls.append(col)
+        return real(col)
+
+    monkeypatch.setattr(T, "tokenize", counting)
+    return calls
+
+
+def test_run_and_maintain_adds_zero_tokenize_builds(spark, monkeypatch, tmp_path):
+    """With token-consuming stages the shared frame is already live at
+    the final checkpoint, so maintaining all THREE indexes adds ZERO
+    tokenize builds over run()'s own two (corpus + benchmark side) —
+    the one-scan-upkeep pin: a regression to per-append re-tokenize
+    would read 5."""
+    calls = _tok_counter(monkeypatch)
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(i, base + f" tail{i}") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(0, " ".join(f"b{i}" for i in range(15)))],
+        "doc_id long, text string",
+    )
+    pipe = CorpusPipeline(
+        [
+            {"op": "clean", "min_quality": 0.0},
+            {"op": "decontaminate", "n": 13},
+            {"op": "near_dedup", "method": "minhash", "threshold": 0.99},
+            {"op": "split"},
+        ]
+    )
+    out = pipe.run_and_maintain(
+        docs,
+        minhash_index=str(tmp_path / "mh"),
+        token_count_index=str(tmp_path / "tc"),
+        shingle_index=str(tmp_path / "sh"),
+        benchmark=benchmark,
+    )
+    assert len(calls) == 2, f"tokenize built {len(calls)}x, want 2 (shared)"
+    assert set(out.columns) == {"doc_id", "text", "split"}
+    assert out.count() == 5
+
+
+def test_run_and_maintain_consumerless_pipeline_tokenizes_once(
+    spark, monkeypatch, tmp_path
+):
+    """A pipeline with NO token-consuming stage builds tokenize exactly
+    ONCE for maintenance (injected into the final checkpoint) — shared
+    by all three appends."""
+    calls = _tok_counter(monkeypatch)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    pipe = CorpusPipeline([{"op": "clean", "min_quality": 0.0}])
+    pipe.run_and_maintain(
+        docs,
+        minhash_index=str(tmp_path / "mh"),
+        token_count_index=str(tmp_path / "tc"),
+        shingle_index=str(tmp_path / "sh"),
+    )
+    assert len(calls) == 1, f"tokenize built {len(calls)}x, want 1 (shared)"
+
+
+def test_run_and_maintain_ticks_equal_one_shot(spark, tmp_path):
+    """Two run_and_maintain ticks over disjoint batches leave all three
+    artifacts exactly equal to one-shot builds over the combined
+    SURVIVORS (minhash compared modulo bucket_n, the documented
+    own-batch undercount)."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.corpus import (
+        shingle_novelty,
+        shingle_novelty_from_index,
+        vocab_coverage,
+        vocab_coverage_from_index,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.dedup import (
+        minhash_index_frame,
+    )
+
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta doc{i} t{i}")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    mh, tc, sh = (str(tmp_path / d) for d in ("mh", "tc", "sh"))
+    pipe = CorpusPipeline([{"op": "clean", "min_quality": 0.0}])
+    for pred in (F.col("doc_id") < 5, F.col("doc_id") >= 5):
+        pipe.run_and_maintain(
+            docs.filter(pred),
+            minhash_index=mh,
+            token_count_index=tc,
+            shingle_index=sh,
+        )
+
+    got_cov = sorted(
+        map(tuple, vocab_coverage_from_index(spark, tc, v=50).collect())
+    )
+    want_cov = sorted(map(tuple, vocab_coverage(docs, v=50).collect()))
+    assert got_cov == want_cov and len(got_cov) > 0
+
+    got_nov = sorted(
+        map(
+            tuple,
+            shingle_novelty_from_index(
+                spark, docs.select("doc_id"), sh
+            ).collect(),
+        )
+    )
+    want_nov = sorted(map(tuple, shingle_novelty(docs, n=3).collect()))
+    assert got_nov == want_nov
+
+    keep = ["doc_id", "band_idx", "band_key", "sig"]
+    got_mh = sorted(
+        map(tuple, spark.read.parquet(mh).select(*keep).collect())
+    )
+    want_mh = sorted(
+        map(tuple, minhash_index_frame(docs).select(*keep).collect())
+    )
+    assert got_mh == want_mh and len(got_mh) > 0
+
+
+def test_run_and_maintain_indexes_scrubbed_text(spark, tmp_path):
+    """A text-mutating final stage must feed the indexes the MUTATED
+    bodies: after pii_scrub, no indexed token is an email address."""
+    docs = spark.createDataFrame(
+        [(1, "contact alice@example.com about alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    tc = str(tmp_path / "tc")
+    CorpusPipeline([{"op": "pii_scrub"}]).run_and_maintain(
+        docs, token_count_index=tc
+    )
+    toks = {r["token"] for r in spark.read.parquet(tc).collect()}
+    assert "alpha" in toks
+    assert not any("example.com" in t for t in toks), toks
+
+
+def test_run_and_maintain_rejects_grain_changing_tail(spark, tmp_path):
+    pipe = CorpusPipeline(
+        [{"op": "clean", "min_quality": 0.0}, {"op": "pack", "window_tokens": 64}]
+    )
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="grain"):
+        pipe.run_and_maintain(docs, token_count_index=str(tmp_path / "tc"))
