@@ -1559,16 +1559,32 @@ def _q_incremental_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFram
 def _posting_index_ticks(spark: SparkSession, sf_dir: str) -> str:
     """Build the persisted posting index on one corpus third, append
     two tick deltas (search/index.build/append_posting_index) — the
-    shared setup of the two r11 incremental-search queries. Per-tick
-    cost is O(batch): one analyze pass over the delta, appends into the
-    (field, token-bucket)-partitioned layout."""
-    from .search.index import append_posting_index, build_posting_index
+    shared setup of the two r11 incremental-search queries. Ticks
+    consume the PERSISTED analyzed stream (analyzed_corpus_cached via
+    tokens_col) rather than re-emitting the Snowball expression: the
+    full analyzer chain is a huge Column whose per-query Catalyst cost
+    (~10 s) is fixed regardless of batch size, so the tick plan is one
+    cheap explode+agg over the delta's stored tokens — the same
+    amortize-at-ingest posture every other analyzer query takes (and
+    what a production tick does: the ingest pipeline analyzed the
+    batch already; the posting index is a downstream projection)."""
+    from .search.index import (
+        analyzed_corpus_cached,
+        append_posting_index,
+        build_posting_index,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
+    toks = analyzed_corpus_cached(spark, sf_dir)
     path = _audit_scratch(sf_dir, "posting_idx")
-    build_posting_index(docs.filter(F.col("doc_id") % 3 == 0), path)
-    append_posting_index(docs.filter(F.col("doc_id") % 3 == 1), path)
-    append_posting_index(docs.filter(F.col("doc_id") % 3 == 2), path)
+    build_posting_index(
+        toks.filter(F.col("doc_id") % 3 == 0), path, tokens_col="tokens"
+    )
+    append_posting_index(
+        toks.filter(F.col("doc_id") % 3 == 1), path, tokens_col="tokens"
+    )
+    append_posting_index(
+        toks.filter(F.col("doc_id") % 3 == 2), path, tokens_col="tokens"
+    )
     return path
 
 

@@ -194,7 +194,11 @@ def _token_bucket(token) -> "F.Column":
 
 
 def _posting_partials(
-    docs: DataFrame, fields: tuple[str, ...], id_col: str, stem: bool
+    docs: DataFrame,
+    fields: tuple[str, ...],
+    id_col: str,
+    stem: bool,
+    tokens_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One batch's index rows: postings (field, token, doc_id, tf) over
     the NON-deduplicated analyzed stream (tf is the BM25 term
@@ -203,15 +207,33 @@ def _posting_partials(
     batch is analyzed exactly once — the postings frame is eagerly
     materialized, batch-delta-sized, before the two writes read it).
     Docs whose analyzed stream is empty produce no rows — exactly the
-    one-shot scorer's universe."""
+    one-shot scorer's universe.
+
+    ``tokens_col``: an ALREADY-ANALYZED array<string> column (the full
+    T.analyze stream, duplicates kept — e.g. analyzed_corpus_cached's
+    ``tokens``) to explode instead of re-running the analyzer. This is
+    not just a convenience: the full Snowball chain is a very large
+    Column expression whose per-query Catalyst cost (~10 s) is fixed
+    regardless of batch size, so serving ticks from the persisted
+    analyzed artifact is the same amortize-at-ingest posture every
+    other analyzer query here takes. Single-field only (the artifact
+    carries one field's stream)."""
     from ..plans.tuning import spread
 
+    if tokens_col is not None and len(fields) != 1:
+        raise ValueError("tokens_col requires exactly one field")
     post_parts = []
     for f in fields:
-        toks = spread(docs.select(id_col, f)).select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(T.analyze(F.col(f), stem=stem)).alias("token"),
-        )
+        if tokens_col is not None:
+            toks = spread(docs.select(id_col, tokens_col)).select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(F.col(tokens_col)).alias("token"),
+            )
+        else:
+            toks = spread(docs.select(id_col, f)).select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(T.analyze(F.col(f), stem=stem)).alias("token"),
+            )
         post_parts.append(
             toks.groupBy("doc_id", "token")
             .agg(F.count(F.lit(1)).alias("tf"))
@@ -233,24 +255,41 @@ def _posting_partials(
     return posts, lens
 
 
+def _write_posting_batch(
+    posts: DataFrame, lens: DataFrame, path: str, mode: str
+) -> None:
+    """One batch's two writes, REPARTITIONED BY the partition columns
+    first: without it every task holds an open parquet writer per
+    partition directory it touches (tasks × ~17 dirs of concurrent
+    row-group buffers — enough to OOM a default heap on a tiny batch,
+    and a files-per-tick explosion at scale). After the slim
+    batch-delta-sized shuffle, each partition directory is written by
+    exactly one task: bounded writer memory, one file per (field, tkb)
+    per tick."""
+    posts.repartition("field", "tkb").write.mode(mode).partitionBy(
+        "field", "tkb"
+    ).parquet(os.path.join(path, "postings"))
+    lens.repartition("field").write.mode(mode).partitionBy(
+        "field"
+    ).parquet(os.path.join(path, "doclens"))
+
+
 def build_posting_index(
     docs: DataFrame,
     path: str,
     fields: tuple[str, ...] = ("text",),
     id_col: str = "doc_id",
     stem: bool = True,
+    tokens_col: str | None = None,
 ) -> None:
     """Persist the serving search index: `postings/` PARTITIONED BY
     (field, token-bucket) — a term query prunes to one bucket directory
     before any file opens — and `doclens/` PARTITIONED BY field (the
-    BM25 length-normalization table). Analyzer runs ONCE, at ingest."""
-    posts, lens = _posting_partials(docs, fields, id_col, stem)
-    posts.write.mode("overwrite").partitionBy("field", "tkb").parquet(
-        os.path.join(path, "postings")
-    )
-    lens.write.mode("overwrite").partitionBy("field").parquet(
-        os.path.join(path, "doclens")
-    )
+    BM25 length-normalization table). Analyzer runs ONCE, at ingest
+    (or earlier: pass ``tokens_col`` to build from a persisted analyzed
+    stream, see _posting_partials)."""
+    posts, lens = _posting_partials(docs, fields, id_col, stem, tokens_col)
+    _write_posting_batch(posts, lens, path, "overwrite")
 
 
 def append_posting_index(
@@ -259,19 +298,16 @@ def append_posting_index(
     fields: tuple[str, ...] = ("text",),
     id_col: str = "doc_id",
     stem: bool = True,
+    tokens_col: str | None = None,
 ) -> None:
     """Tick upkeep: append ONE batch's posting + doclen rows — O(batch)
     analyze/explode/agg, no corpus re-analysis, no index rewrite.
     Contract (same as the minhash/shingle indexes): batches are
     disjoint in doc_id — a CHANGED doc retires its old rows via the
-    compaction/txlog path, not by double-appending."""
-    posts, lens = _posting_partials(new_docs, fields, id_col, stem)
-    posts.write.mode("append").partitionBy("field", "tkb").parquet(
-        os.path.join(path, "postings")
-    )
-    lens.write.mode("append").partitionBy("field").parquet(
-        os.path.join(path, "doclens")
-    )
+    compaction/txlog path, not by double-appending. ``tokens_col``:
+    append from an already-analyzed stream (_posting_partials)."""
+    posts, lens = _posting_partials(new_docs, fields, id_col, stem, tokens_col)
+    _write_posting_batch(posts, lens, path, "append")
 
     from ..plans.tuning import invalidate_spread_cache
 
@@ -307,7 +343,9 @@ def compact_posting_index(spark: SparkSession, path: str) -> None:
     for sub, parts in (("postings", ["field", "tkb"]), ("doclens", ["field"])):
         p = os.path.join(path, sub)
         merged = spark.read.parquet(p).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").partitionBy(*parts).parquet(p)
+        merged.repartition(*parts).write.mode("overwrite").partitionBy(
+            *parts
+        ).parquet(p)
 
 
 # ---------------------------------------------------------------------------

@@ -154,8 +154,13 @@ def _parquet_files(root):
 
 @pytest.fixture(scope="module")
 def posting_idx(docs, tmp_path_factory):
-    """Index built as build + 2 append ticks over disjoint corpus thirds
-    — the same shape the registry's incremental_* queries use."""
+    """Index built as build + 2 append ticks over disjoint corpus
+    thirds — the same shape the registry's incremental_* queries use.
+    The build runs the in-plan analyzer; the appends consume a
+    PRE-ANALYZED tokens column (tokens_col), so the one-shot-parity
+    assertions below also pin that the two ingest paths produce
+    identical index rows."""
+    from djangoadmin_postgresql_2_elasticseach_spark.functions import text as T
     from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
         append_posting_index,
         build_posting_index,
@@ -163,8 +168,17 @@ def posting_idx(docs, tmp_path_factory):
 
     path = str(tmp_path_factory.mktemp("posting_idx"))
     build_posting_index(docs.filter(F.col("doc_id") % 3 == 0), path)
-    append_posting_index(docs.filter(F.col("doc_id") % 3 == 1), path)
-    append_posting_index(docs.filter(F.col("doc_id") % 3 == 2), path)
+    toks = (
+        docs.filter(F.col("doc_id") % 3 > 0)
+        .select("doc_id", T.analyze(F.col("text")).alias("tokens"))
+        .localCheckpoint(eager=True)
+    )
+    append_posting_index(
+        toks.filter(F.col("doc_id") % 3 == 1), path, tokens_col="tokens"
+    )
+    append_posting_index(
+        toks.filter(F.col("doc_id") % 3 == 2), path, tokens_col="tokens"
+    )
     return path
 
 
@@ -232,13 +246,25 @@ def test_posting_index_compaction_bounds_files(spark, docs, tmp_path):
         doc_frequencies_from_index,
     )
 
+    from djangoadmin_postgresql_2_elasticseach_spark.functions import text as T
+
     path = str(tmp_path / "idx")
-    sliver = docs.filter(F.col("doc_id") < 40)
-    build_posting_index(sliver.filter(F.col("doc_id") < 10), path)
+    # pre-analyze the sliver once — the test is about FILES, and one
+    # analyzer plan instead of four keeps it fast (the analyzer chain's
+    # per-plan Catalyst cost dominates tiny-batch ticks)
+    sliver = (
+        docs.filter(F.col("doc_id") < 40)
+        .select("doc_id", T.analyze(F.col("text")).alias("tokens"))
+        .localCheckpoint(eager=True)
+    )
+    build_posting_index(
+        sliver.filter(F.col("doc_id") < 10), path, tokens_col="tokens"
+    )
     for lo, hi in ((10, 20), (20, 30), (30, 40)):
         append_posting_index(
             sliver.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
             path,
+            tokens_col="tokens",
         )
     before_files = len(_parquet_files(path))
     before = {
