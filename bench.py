@@ -148,6 +148,15 @@ BENCH_QUERIES = [
     # probes the build-once cached index — the serving number; the cold
     # pass pays the one-time cache build, warm is steady-state probes)
     "ivfpq_index_build",
+    # r10/r11: tick-maintained artifact forms — each benches build + N
+    # append ticks + the artifact-served read (ingest-shaped work; the
+    # one-shot reads they amortize are benched separately above)
+    "incremental_vocab_coverage",
+    "incremental_shingle_novelty",
+    "incremental_inverted_df",
+    "incremental_bm25_topk",
+    # r11: one pipeline pass maintaining minhash+token-count+shingle
+    "pipeline_tick_upkeep",
     # kmeans_assign excluded: driver-coordinated iterative loop — at bench
     # scale its wall time is per-job scheduling latency, not throughput.
     # split_leakage_safe excluded: it composes minhash_dedup_pairs +
