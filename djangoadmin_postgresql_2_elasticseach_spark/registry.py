@@ -1631,6 +1631,23 @@ def _q_incremental_inverted_df(
     return doc_frequencies_from_index(spark, path)
 
 
+def _q_incremental_match_phrase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """match_phrase served from the tick-maintained POSITIONAL postings
+    (search/index.match_phrase_from_index — the Lucene execution shape:
+    intersect the phrase terms' posting lists, check positions line up;
+    documents never touched for matching, scan pruned to the terms'
+    bucket directories). Join back to documents only for the projected
+    payload column. Oracle = the ONE-SHOT match_phrase SQL."""
+    from .search.index import match_phrase_from_index
+
+    path = _posting_index_ticks(spark, sf_dir)
+    hits = match_phrase_from_index(spark, path, PHRASE_QUERY)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(hits, "doc_id").select("doc_id", "lang")
+
+
 def _q_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 over the tick-maintained posting index
     (search/bm25.bm25_topk_from_index): partition-pruned probe of the
@@ -1796,6 +1813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # shingle artifacts together (served: the vocab curve)
     "pipeline_tick_upkeep": _q_pipeline_tick_upkeep,
     "incremental_bm25_topk": _q_incremental_bm25,
+    "incremental_match_phrase": _q_incremental_match_phrase,
     # r10: tick-maintained audit artifacts (N ticks == one-shot)
     "incremental_vocab_coverage": _q_incremental_vocab,
     "incremental_shingle_novelty": _q_incremental_shingle_novelty,
@@ -4000,6 +4018,10 @@ WHERE len(tk) >= {len(ph)}
   AND len(list_filter(range(1, greatest(len(tk) - {len(ph)} + 2, 1)),
           i -> {ph_conds})) > 0
 """
+
+    # r11 positional-postings phrase serving: same one-shot oracle
+    o["incremental_match_phrase"] = o["match_phrase"]
+
 
     # keyed MERGE: the oracle derives the post-upsert end state
     # declaratively (updated subset wins at version 1)

@@ -207,7 +207,11 @@ def _posting_partials(
     batch is analyzed exactly once — the postings frame is eagerly
     materialized, batch-delta-sized, before the two writes read it).
     Docs whose analyzed stream is empty produce no rows — exactly the
-    one-shot scorer's universe.
+    one-shot scorer's universe. Each posting also stores the token's
+    sorted POSITIONS in the analyzed stream (the Lucene postings shape)
+    so phrase queries are served from the index too
+    (match_phrase_from_index) — positions are per-doc facts, so the
+    append-tick contract is unchanged.
 
     ``tokens_col``: an ALREADY-ANALYZED array<string> column (the full
     T.analyze stream, duplicates kept — e.g. analyzed_corpus_cached's
@@ -227,21 +231,27 @@ def _posting_partials(
         if tokens_col is not None:
             toks = spread(docs.select(id_col, tokens_col)).select(
                 F.col(id_col).alias("doc_id"),
-                F.explode(F.col(tokens_col)).alias("token"),
+                F.posexplode(F.col(tokens_col)).alias("pos", "token"),
             )
         else:
             toks = spread(docs.select(id_col, f)).select(
                 F.col(id_col).alias("doc_id"),
-                F.explode(T.analyze(F.col(f), stem=stem)).alias("token"),
+                F.posexplode(T.analyze(F.col(f), stem=stem)).alias(
+                    "pos", "token"
+                ),
             )
         post_parts.append(
             toks.groupBy("doc_id", "token")
-            .agg(F.count(F.lit(1)).alias("tf"))
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
             .select(
                 F.lit(f).alias("field"),
                 "token",
                 "doc_id",
                 "tf",
+                "positions",
                 _token_bucket("token").alias("tkb"),
             )
         )
@@ -333,6 +343,73 @@ def doc_frequencies_from_index(spark: SparkSession, path: str) -> DataFrame:
         .groupBy("field", "token")
         .agg(F.count(F.lit(1)).alias("df"))
     )
+
+
+def match_phrase_from_index(
+    spark: SparkSession,
+    path: str,
+    phrase: str,
+    field: str = "text",
+) -> DataFrame:
+    """ES ``match_phrase`` (slop=0) served from the PERSISTED positional
+    postings — how Lucene actually executes phrase queries: intersect
+    the phrase terms' posting lists and check positions line up
+    consecutively, never touching documents. The scan is pruned to the
+    analyzed terms' crc32 bucket directories (driver-side partition
+    filter, same as bm25_topk_from_index) + a pushed ``token IN``;
+    per-doc alignment is one native exists() over the first term's
+    positions probing ``array_contains(pos_j, p + j)``.
+
+    Returns matching ``doc_id`` rows (callers join back for payload —
+    the index stays slim). Same stopword-gap divergence as the
+    scan-based match_phrase (positions are post-stopword indexes);
+    equal output to it over the same docs, pinned in tests."""
+    import functools
+    import operator
+    import zlib
+
+    from .query import analyze_query
+
+    qterms = analyze_query(phrase)
+    if not qterms:
+        raise ValueError("empty phrase after analysis")
+    buckets = sorted(
+        {zlib.crc32(t.encode("utf-8")) % N_TOKEN_BUCKETS for t in qterms}
+    )
+    posts = read_postings(spark, path).filter(
+        (F.col("field") == field)
+        & F.col("tkb").isin(buckets)
+        & F.col("token").isin(list(set(qterms)))
+    )
+    # one row per (doc, token) across disjoint batches, so first() picks
+    # the unique positions array per term
+    pivot = posts.groupBy("doc_id").agg(
+        *[
+            F.first(
+                F.when(F.col("token") == F.lit(t), F.col("positions")),
+                ignorenulls=True,
+            ).alias(f"pos{i}")
+            for i, t in enumerate(qterms)
+        ]
+    )
+    all_present = functools.reduce(
+        operator.and_,
+        [F.col(f"pos{i}").isNotNull() for i in range(len(qterms))],
+    )
+    if len(qterms) == 1:
+        aligned = F.lit(True)
+    else:
+        aligned = F.exists(
+            F.col("pos0"),
+            lambda p: functools.reduce(
+                operator.and_,
+                [
+                    F.array_contains(F.col(f"pos{j}"), p + F.lit(j))
+                    for j in range(1, len(qterms))
+                ],
+            ),
+        )
+    return pivot.filter(all_present).filter(aligned).select("doc_id")
 
 
 def compact_posting_index(spark: SparkSession, path: str) -> None:

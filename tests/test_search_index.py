@@ -288,3 +288,42 @@ def test_posting_index_empty_query_raises(spark, posting_idx):
 
     with pytest.raises(ValueError):
         bm25_topk_from_index(spark, posting_idx, "the and of")
+
+
+def test_match_phrase_from_index_equals_scan(spark, docs, posting_idx):
+    """Phrase search served from the positional postings == the
+    scan-based match_phrase over the same corpus (the Lucene posting-
+    intersection execution vs the token-array exists probe)."""
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        match_phrase_from_index,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.search.query import (
+        match_phrase,
+    )
+
+    for phrase in ("table hash", "spark", "distributed hash table"):
+        got = {
+            r["doc_id"]
+            for r in match_phrase_from_index(
+                spark, posting_idx, phrase
+            ).collect()
+        }
+        want = {
+            r["doc_id"]
+            for r in match_phrase(docs, "text", phrase).collect()
+        }
+        assert got == want, phrase
+    # at least one multi-term phrase must actually match something for
+    # the parity above to mean anything
+    assert (
+        match_phrase_from_index(spark, posting_idx, "table hash").count() > 0
+    )
+
+
+def test_match_phrase_from_index_empty_phrase_raises(spark, posting_idx):
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        match_phrase_from_index,
+    )
+
+    with pytest.raises(ValueError):
+        match_phrase_from_index(spark, posting_idx, "the and of")
