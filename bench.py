@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "incremental_inverted_df",
     "incremental_bm25_topk",
     "incremental_match_phrase",
+    "posting_index_upsert",
     # r11: one pipeline pass maintaining minhash+token-count+shingle
     "pipeline_tick_upkeep",
     # kmeans_assign excluded: driver-coordinated iterative loop — at bench

@@ -1631,6 +1631,39 @@ def _q_incremental_inverted_df(
     return doc_frequencies_from_index(spark, path)
 
 
+def _q_posting_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document UPDATE against the persisted posting index
+    (search/index.upsert_posting_index — the ES update path the
+    reference's incremental ETL drives: re-index modified docs by _id,
+    ES marks old versions deleted): build the index, then one upsert
+    tick re-indexes every doc_id % 7 == 0 with 'zzz '-prefixed text —
+    a slim tombstone append + the new versions' postings, the index
+    never read or rewritten. Served df must equal the ONE-SHOT oracle
+    over the POST-update corpus (dead rows invisible). The 'zzz' prefix
+    token enters via the driver-side analyzer twin (analyze_query), so
+    the tick consumes the cached analyzed stream — no in-plan Snowball."""
+    from .search.index import (
+        analyzed_corpus_cached,
+        build_posting_index,
+        doc_frequencies_from_index,
+        upsert_posting_index,
+    )
+    from .search.query import analyze_query
+
+    toks = analyzed_corpus_cached(spark, sf_dir)
+    path = _audit_scratch(sf_dir, "posting_upsert")
+    build_posting_index(toks, path, tokens_col="tokens")
+    ztoks = analyze_query("zzz")
+    changed = toks.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(
+            F.array(*[F.lit(t) for t in ztoks]), F.col("tokens")
+        ).alias("tokens"),
+    )
+    upsert_posting_index(changed, path, tokens_col="tokens")
+    return doc_frequencies_from_index(spark, path)
+
+
 def _q_incremental_match_phrase(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1814,6 +1847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_tick_upkeep": _q_pipeline_tick_upkeep,
     "incremental_bm25_topk": _q_incremental_bm25,
     "incremental_match_phrase": _q_incremental_match_phrase,
+    "posting_index_upsert": _q_posting_index_upsert,
     # r10: tick-maintained audit artifacts (N ticks == one-shot)
     "incremental_vocab_coverage": _q_incremental_vocab,
     "incremental_shingle_novelty": _q_incremental_shingle_novelty,
@@ -2923,6 +2957,22 @@ ORDER BY score DESC, doc_id
     # r11 tick-maintained posting index: the oracles ARE the one-shot
     # bodies — N appends == a full rebuild is the correctness claim
     o["incremental_inverted_df"] = o["inverted_df"]
+
+    # r11 posting-index UPDATE tick (tombstone + re-add): the oracle is
+    # the one-shot df over the POST-update corpus — dead versions must
+    # be invisible to every reader
+    o["posting_index_upsert"] = f"""
+WITH docs_u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'zzz ' || text ELSE text END AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id, list_distinct({_analyze_col_sql("text")}) AS tks FROM docs_u
+)
+SELECT 'text' AS field, token, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(tks) AS token FROM toks)
+GROUP BY token
+"""
     o["incremental_bm25_topk"] = o["bm25_topk"]
 
     # hybrid MMR: BM25 relevance + embedding diversity — the cand CTE

@@ -258,10 +258,17 @@ def _posting_partials(
     posts = post_parts[0]
     for p in post_parts[1:]:
         posts = posts.unionByName(p)
+    # batch sequence stamp: liveness is "written after the doc's latest
+    # tombstone" (the Lucene deleted-docs model — see
+    # delete_from_posting_index). One value per batch; the single-writer
+    # contract makes time monotone across ticks.
+    import time as _time
+
+    posts = posts.withColumn("seq", F.lit(_time.time_ns()))
     posts = posts.localCheckpoint(eager=True)
-    lens = posts.groupBy("field", "doc_id").agg(
+    lens = posts.groupBy("field", "doc_id", "seq").agg(
         F.sum("tf").alias("dl")
-    ).select("field", "doc_id", "dl")
+    ).select("field", "doc_id", "dl", "seq")
     return posts, lens
 
 
@@ -324,12 +331,82 @@ def append_posting_index(
     invalidate_spread_cache(new_docs.sparkSession)
 
 
-def read_postings(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, "postings"))
+def _apply_tombstones(
+    spark: SparkSession, path: str, df: DataFrame
+) -> DataFrame:
+    """Exclude dead rows: a row is live iff no tombstone exists for its
+    doc, or it was written AFTER the doc's latest tombstone (seq
+    comparison — an upsert's re-added rows carry a newer seq than the
+    delete that retired the old version). The tombstone set is bounded
+    by churn between compactions (compact_posting_index applies it
+    physically and clears it), so the max-per-doc frame broadcasts."""
+    tpath = os.path.join(path, "tombstones")
+    if not os.path.exists(tpath):
+        return df
+    tomb = (
+        spark.read.parquet(tpath)
+        .groupBy("doc_id")
+        .agg(F.max("seq").alias("_tomb_seq"))
+    )
+    return (
+        df.join(F.broadcast(tomb), "doc_id", "left")
+        .filter(
+            F.col("_tomb_seq").isNull() | (F.col("seq") > F.col("_tomb_seq"))
+        )
+        .drop("_tomb_seq")
+    )
 
 
-def read_doclens(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, "doclens"))
+def read_postings(
+    spark: SparkSession, path: str, live_only: bool = True
+) -> DataFrame:
+    df = spark.read.parquet(os.path.join(path, "postings"))
+    return _apply_tombstones(spark, path, df) if live_only else df
+
+
+def read_doclens(
+    spark: SparkSession, path: str, live_only: bool = True
+) -> DataFrame:
+    df = spark.read.parquet(os.path.join(path, "doclens"))
+    return _apply_tombstones(spark, path, df) if live_only else df
+
+
+def delete_from_posting_index(
+    doc_ids: DataFrame, path: str, id_col: str = "doc_id"
+) -> None:
+    """Mark documents deleted WITHOUT rewriting the index — the
+    Lucene/ES deletion model (ES marks the old version deleted on every
+    update; segment merges drop the bodies later). Appends (doc_id,
+    seq) tombstones; every reader (df / BM25 / phrase) excludes rows at
+    or below a doc's latest tombstone, and compact_posting_index
+    applies tombstones physically and clears them. O(|deletes|) — the
+    index is never scanned."""
+    import time as _time
+
+    doc_ids.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.lit(_time.time_ns()).alias("seq"),
+    ).write.mode("append").parquet(os.path.join(path, "tombstones"))
+
+
+def upsert_posting_index(
+    new_docs: DataFrame,
+    path: str,
+    fields: tuple[str, ...] = ("text",),
+    id_col: str = "doc_id",
+    stem: bool = True,
+    tokens_col: str | None = None,
+) -> None:
+    """Re-index CHANGED documents: tombstone the old rows (one slim
+    append), then append the new versions' postings — the ES update
+    path (reference etl/main.py re-indexes modified movies by _id; ES
+    internally does exactly delete-mark + new segment). Cost is
+    O(batch): the existing index is neither read nor rewritten. The
+    re-added rows carry a newer batch seq than the tombstone, so
+    readers serve only the new version; compaction folds the dead rows
+    out physically."""
+    delete_from_posting_index(new_docs.select(id_col), path, id_col)
+    append_posting_index(new_docs, path, fields, id_col, stem, tokens_col)
 
 
 def doc_frequencies_from_index(spark: SparkSession, path: str) -> DataFrame:
@@ -413,16 +490,26 @@ def match_phrase_from_index(
 
 
 def compact_posting_index(spark: SparkSession, path: str) -> None:
-    """Fold the per-tick small files into one file-set per partition —
-    periodic maintenance, not correctness (rows are already one per
-    (doc, token)). Same single-writer overwrite-after-read contract as
+    """Fold the per-tick small files into one file-set per partition
+    and apply tombstones physically (Lucene's segment merge: dead doc
+    versions leave the data files; the tombstone set resets to empty).
+    Periodic maintenance, not correctness — readers already serve the
+    live view. Same single-writer overwrite-after-read contract as
     compact_token_count_index."""
+    import shutil
+
     for sub, parts in (("postings", ["field", "tkb"]), ("doclens", ["field"])):
         p = os.path.join(path, sub)
-        merged = spark.read.parquet(p).localCheckpoint(eager=True)
-        merged.repartition(*parts).write.mode("overwrite").partitionBy(
+        live = _apply_tombstones(
+            spark, path, spark.read.parquet(p)
+        ).localCheckpoint(eager=True)
+        live.repartition(*parts).write.mode("overwrite").partitionBy(
             *parts
         ).parquet(p)
+    # both live sets are rewritten — drop the applied tombstones. A
+    # crash before this point just re-applies them on the already-live
+    # rows (idempotent: live rows are strictly newer than any tombstone)
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -327,3 +327,72 @@ def test_match_phrase_from_index_empty_phrase_raises(spark, posting_idx):
 
     with pytest.raises(ValueError):
         match_phrase_from_index(spark, posting_idx, "the and of")
+
+
+def test_posting_index_delete_upsert_and_merge(spark, tmp_path):
+    """The Lucene/ES update model on the persisted index: deletes are
+    tombstones (no index rewrite), an upsert's re-added rows outrank
+    the tombstone, every reader serves only live versions, and
+    compaction applies tombstones physically then clears them."""
+    import os
+
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        build_posting_index,
+        compact_posting_index,
+        delete_from_posting_index,
+        doc_frequencies_from_index,
+        match_phrase_from_index,
+        read_doclens,
+        read_postings,
+        upsert_posting_index,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.search.query import (
+        analyze_query,
+    )
+
+    a, b, c = analyze_query("alpha beta gamma")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, tokens array<string>"
+        )
+
+    path = str(tmp_path / "idx")
+    build_posting_index(
+        mk([(1, [a, b]), (2, [b, c]), (3, [a, b, c])]),
+        path,
+        tokens_col="tokens",
+    )
+
+    def df_now():
+        return {
+            r["token"]: r["df"]
+            for r in doc_frequencies_from_index(spark, path).collect()
+        }
+
+    delete_from_posting_index(
+        spark.createDataFrame([(2,)], "doc_id long"), path
+    )
+    assert df_now() == {a: 2, b: 2, c: 1}
+
+    # upsert doc 1 -> [gamma, gamma]: old rows die, new version serves
+    upsert_posting_index(mk([(1, [c, c])]), path, tokens_col="tokens")
+    assert df_now() == {a: 1, b: 1, c: 2}
+    hits = {
+        r["doc_id"]
+        for r in match_phrase_from_index(spark, path, "alpha beta").collect()
+    }
+    assert hits == {3}
+    assert {
+        (r["doc_id"], r["dl"]) for r in read_doclens(spark, path).collect()
+    } == {(1, 2), (3, 3)}
+
+    # compaction: values invariant, dead rows physically gone,
+    # tombstone set cleared
+    before = df_now()
+    n_live = read_postings(spark, path).count()
+    assert read_postings(spark, path, live_only=False).count() > n_live
+    compact_posting_index(spark, path)
+    assert df_now() == before
+    assert read_postings(spark, path, live_only=False).count() == n_live
+    assert not os.path.exists(os.path.join(path, "tombstones"))
