@@ -383,8 +383,11 @@ def delete_from_posting_index(
     index is never scanned."""
     import time as _time
 
+    # doc_id keeps the caller's key type (long testdata ids, the
+    # reference's UUID strings) — the liveness join must type-match the
+    # postings' doc_id
     doc_ids.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         F.lit(_time.time_ns()).alias("seq"),
     ).write.mode("append").parquet(os.path.join(path, "tombstones"))
 
@@ -510,6 +513,46 @@ def compact_posting_index(spark: SparkSession, path: str) -> None:
     # crash before this point just re-applies them on the already-live
     # rows (idempotent: live rows are strictly newer than any tombstone)
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+
+
+def posting_index_cdc_sink(
+    path: str,
+    fields: tuple[str, ...] = ("title",),
+    id_col: str = "id",
+):
+    """(sink, on_delete) pair wiring the persisted posting index into
+    the incremental ETL drivers (streaming/incremental.IncrementalEtl,
+    streaming/cdc.TxlogCdcEtl) — the engine serving the reference's
+    ENTIRE loop end-to-end without an external Elasticsearch: the
+    reference polls Postgres and bulk-upserts denormalized docs into
+    ES by _id (etl/main.py bulk path); here the same tick upserts them
+    into the Spark-side index (tombstone + re-add, O(batch)) and hard
+    deletes become tombstones. Searches (term/BM25/phrase *_from_index)
+    then serve the post-tick corpus — effectively-once composes with
+    the drivers' commit-after-sink checkpointing because re-indexing
+    the same batch twice just re-tombstones and re-adds the same
+    version (last write wins, values identical).
+
+    ``sink(docs, entity)`` ignores entities ≠ the indexed one when
+    ``path`` is a str; pass a dict {entity: path} to index several."""
+    paths = path if isinstance(path, dict) else None
+
+    def _path_for(entity: str):
+        if paths is None:
+            return path
+        return paths.get(entity)
+
+    def sink(docs: DataFrame, entity: str) -> None:
+        p = _path_for(entity)
+        if p is not None:
+            upsert_posting_index(docs, p, fields=fields, id_col=id_col)
+
+    def on_delete(ids: DataFrame, entity: str) -> None:
+        p = _path_for(entity)
+        if p is not None:
+            delete_from_posting_index(ids, p, id_col=id_col)
+
+    return sink, on_delete
 
 
 # ---------------------------------------------------------------------------

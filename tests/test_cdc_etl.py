@@ -204,3 +204,81 @@ def test_cdc_propagates_film_delete(spark, tmp_path, txdir):
     out = cdc.run_once("movies")
     assert out["deletes"] == 1 and ("movies", victim) in deleted
     assert all(r["id"] != victim for r in cdc_store.get("movies", []))
+
+
+def test_cdc_tick_maintains_posting_index(spark, tmp_path, txdir):
+    """The full reference loop, self-contained: CDC tick → denormalized
+    docs → upsert into the engine's OWN posting index (instead of an
+    external ES). A title edit is searchable by phrase after the next
+    tick with the old version dead; a hard-deleted film disappears from
+    the live index entirely."""
+    import datetime as dt
+
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        match_phrase_from_index,
+        posting_index_cdc_sink,
+        read_postings,
+    )
+
+    idx = str(tmp_path / "movies_idx")
+    sink, on_delete = posting_index_cdc_sink(
+        {"movies": idx}, fields=("title",), id_col="id"
+    )
+    cdc = TxlogCdcEtl(
+        spark,
+        JsonFileState(str(tmp_path / "cdc.json")),
+        txdir,
+        sink,
+        on_delete=on_delete,
+    )
+    cdc.run_tick()  # cold backfill: every film's title indexed
+    live = read_postings(spark, idx)
+    assert live.select("doc_id").distinct().count() == 10
+
+    # title edit in the reference's discipline → searchable next tick
+    fw = tx_read(spark, txdir["film_work"])
+    target = fw.orderBy("id").first()
+    edit = (
+        fw.filter(F.col("id") == target["id"])
+        .withColumn("title", F.lit("Zebra Quantum Saga"))
+        .withColumn(
+            "modified", F.lit(dt.datetime(2024, 5, 1)).cast("timestamp")
+        )
+    )
+    tx_merge(spark, txdir["film_work"], edit, "id")
+    assert cdc.run_once("movies")["docs"] == 1
+    hits = {
+        r["doc_id"]
+        for r in match_phrase_from_index(
+            spark, idx, "zebra quantum", field="title"
+        ).collect()
+    }
+    assert hits == {target["id"]}
+    # the old title version is dead: the doc's live rows are exactly
+    # the new title's analyzed tokens
+    new_tokens = {
+        r["token"]
+        for r in read_postings(spark, idx)
+        .filter(F.col("doc_id") == target["id"])
+        .collect()
+    }
+    assert new_tokens == {"zebra", "quantum", "saga"}
+
+    # hard delete another film → tombstoned out of the live index
+    victim = (
+        tx_read(spark, txdir["film_work"])
+        .filter(F.col("id") != target["id"])
+        .orderBy("id")
+        .first()["id"]
+    )
+    tx_overwrite(
+        tx_read(spark, txdir["film_work"]).filter(F.col("id") != victim),
+        txdir["film_work"],
+    )
+    assert cdc.run_once("movies")["deletes"] == 1
+    live_ids = {
+        r["doc_id"]
+        for r in read_postings(spark, idx).select("doc_id").distinct().collect()
+    }
+    assert victim not in live_ids and target["id"] in live_ids
+    assert len(live_ids) == 9
