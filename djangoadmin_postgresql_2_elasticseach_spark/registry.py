@@ -1836,21 +1836,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # IVF-PQ-index → exact-cosine re-rank → MMR composition
     "mmr_string_ids_topk": _q_mmr_string_ids,
     "mmr_ivfpq_topk": _q_mmr_ivfpq,
-    # r11: the build cost mmr_ivfpq_topk used to hide, visible on its
-    # own (serving probes the cached persisted index)
-    "ivfpq_index_build": _q_ivfpq_index_build,
-    # r11: tick-maintained posting index (N ticks == one-shot; the last
-    # rebuild-the-world artifact gains O(delta) upkeep)
-    "incremental_inverted_df": _q_incremental_inverted_df,
-    # r11: one-pass pipeline tick maintains minhash + token-count +
-    # shingle artifacts together (served: the vocab curve)
-    "pipeline_tick_upkeep": _q_pipeline_tick_upkeep,
-    "incremental_bm25_topk": _q_incremental_bm25,
-    "incremental_match_phrase": _q_incremental_match_phrase,
-    "posting_index_upsert": _q_posting_index_upsert,
     # r10: tick-maintained audit artifacts (N ticks == one-shot)
     "incremental_vocab_coverage": _q_incremental_vocab,
     "incremental_shingle_novelty": _q_incremental_shingle_novelty,
+    # r11 (appended AFTER every r10 key — the round convention that
+    # keeps the driver window and documented positions stable):
+    # the build cost mmr_ivfpq_topk used to hide, visible on its own
+    # (serving probes the cached persisted index)
+    "ivfpq_index_build": _q_ivfpq_index_build,
+    # tick-maintained posting index (N ticks == one-shot; the last
+    # rebuild-the-world artifact gains O(delta) upkeep), its phrase
+    # serving, and the tombstone update path
+    "incremental_inverted_df": _q_incremental_inverted_df,
+    "incremental_bm25_topk": _q_incremental_bm25,
+    "incremental_match_phrase": _q_incremental_match_phrase,
+    "posting_index_upsert": _q_posting_index_upsert,
+    # one-pass pipeline tick maintains minhash + token-count + shingle
+    # artifacts together (served: the vocab curve)
+    "pipeline_tick_upkeep": _q_pipeline_tick_upkeep,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
