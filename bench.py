@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "incremental_bm25_topk",
     "incremental_match_phrase",
     "posting_index_upsert",
+    "incremental_ivfpq_topk",
     # r11: one pipeline pass maintaining minhash+token-count+shingle
     "pipeline_tick_upkeep",
     # kmeans_assign excluded: driver-coordinated iterative loop — at bench

@@ -924,6 +924,58 @@ def ivf_pq_topk(
     return pq_topk(codes, codebooks, query_vec, k=k, id_col=id_col)
 
 
+def _ivfpq_rows(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    planes: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One batch's index rows (id, bucket, codes, seq) — shared by the
+    one-shot build and the append tick so the encode expression exists
+    once. ``seq`` is the batch liveness stamp (the posting index's
+    tombstone model, search/index.py: a row is live iff newer than its
+    id's latest tombstone)."""
+    import time as _time
+
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    spark = emb.sparkSession
+    bdf = spark.createDataFrame(
+        [(1, [[[float(x) for x in c] for c in book] for book in codebooks])],
+        "_bk int, _books array<array<array<double>>>",
+    )
+    return (
+        emb.withColumn("_bk", F.lit(1))
+        .join(F.broadcast(bdf), "_bk")
+        .select(
+            F.col(id_col),
+            hyperplane_bucket(
+                F.col(vec_col).cast("array<double>"), planes
+            ).alias("bucket"),
+            _pq_codes_col(vec_col, codebooks, m, ds).alias("codes"),
+            F.lit(_time.time_ns()).alias("seq"),
+        )
+    )
+
+
+def _ivfpq_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_ivfpq_meta.json")
+
+
+def read_ivfpq_meta(path: str) -> tuple[list, list]:
+    """(codebooks, planes) from the index's sidecar JSON — appends and
+    queries NEVER retrain; the codebooks are frozen at build time (how
+    production IVF deployments version their quantizers)."""
+    import json
+
+    with open(_ivfpq_meta_path(path), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    return meta["codebooks"], meta["planes"]
+
+
 def build_ivfpq_index(
     emb: DataFrame,
     path: str,
@@ -933,34 +985,106 @@ def build_ivfpq_index(
     n_planes: int = 4,
 ) -> list[list[float]]:
     """Persist the IVF-PQ index: (id, codes) PARTITIONED BY the coarse
-    bucket. One scan of the float table at ingest; the stored table is
-    8+m bytes a row and a query opens only the probed buckets'
-    directories (partition pruning — pinned in tests). Returns the
-    plane matrix (store it beside the codebooks in a real deployment).
-    """
+    bucket — REPARTITIONED by it first, so each bucket directory is
+    written by one task (bounded writer memory, one file per bucket per
+    batch — the posting-index write lesson). One scan of the float
+    table at ingest; the stored table is 8+m bytes a row and a query
+    opens only the probed buckets' directories (partition pruning —
+    pinned in tests). The codebooks + plane matrix are persisted as a
+    sidecar `_ivfpq_meta.json` (Spark ignores `_` files) so append
+    ticks and queries reuse the FROZEN quantizers. Returns the plane
+    matrix."""
+    import json
+
     m = len(codebooks)
     ds = len(codebooks[0][0])
     planes = fixed_planes(m * ds, n_planes)
-    spark = emb.sparkSession
-    bdf = spark.createDataFrame(
-        [(1, [[[float(x) for x in c] for c in book] for book in codebooks])],
-        "_bk int, _books array<array<array<double>>>",
-    )
     (
-        emb.withColumn("_bk", F.lit(1))
-        .join(F.broadcast(bdf), "_bk")
-        .select(
-            F.col(id_col),
-            hyperplane_bucket(
-                F.col(vec_col).cast("array<double>"), planes
-            ).alias("bucket"),
-            _pq_codes_col(vec_col, codebooks, m, ds).alias("codes"),
-        )
+        _ivfpq_rows(emb, codebooks, planes, id_col, vec_col)
+        .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
     )
+    with open(_ivfpq_meta_path(path), "w", encoding="utf-8") as fh:
+        json.dump({"codebooks": codebooks, "planes": planes}, fh)
     return planes
+
+
+def append_ivfpq_index(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Tick upkeep of the vector index: encode ONE batch with the
+    index's FROZEN codebooks/planes (sidecar meta — no retrain, no
+    corpus scan) and append its (id, bucket, codes) rows — O(batch),
+    the vector-tier sibling of search/index.append_posting_index.
+    Recall note: frozen quantizers drift as the embedding distribution
+    shifts; periodic re-train + rebuild is the maintenance pass (the
+    FAISS posture), and N-ticks == one-shot holds exactly for a FIXED
+    codebook, which is what the oracle pins."""
+    books, planes = read_ivfpq_meta(path)
+    (
+        _ivfpq_rows(new_emb, books, planes, id_col, vec_col)
+        .repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def delete_from_ivfpq_index(
+    ids: DataFrame, path: str, id_col: str = "vec_id"
+) -> None:
+    """Tombstone vectors out of the index without rewriting it — same
+    (key, seq) liveness model as delete_from_posting_index (a deleted
+    or re-embedded vector's old code rows become invisible to
+    ivfpq_query_indexed)."""
+    import os
+    import time as _time
+
+    ids.select(
+        F.col(id_col), F.lit(_time.time_ns()).alias("seq")
+    ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
+
+
+def upsert_ivfpq_index(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Re-embed CHANGED items: tombstone the old codes, append the new
+    ones (newer seq wins) — a re-embedded document moves to its new
+    bucket atomically from the reader's perspective."""
+    delete_from_ivfpq_index(new_emb.select(id_col), path, id_col)
+    append_ivfpq_index(new_emb, path, id_col, vec_col)
+
+
+def compact_ivfpq_index(spark, path: str, id_col: str = "vec_id") -> None:
+    """Apply tombstones physically and fold per-tick files — one task
+    and file-set per bucket after the slim shuffle; tombstones reset.
+    Same crash-idempotence argument as compact_posting_index. The
+    sidecar meta is re-written after the overwrite (parquet overwrite
+    clears the directory, sidecar included)."""
+    import json
+    import os
+    import shutil
+
+    from ..search.index import _apply_tombstones
+
+    books, planes = read_ivfpq_meta(path)
+    live = _apply_tombstones(
+        spark, path, spark.read.parquet(path), key=id_col
+    ).localCheckpoint(eager=True)
+    live.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+    with open(_ivfpq_meta_path(path), "w", encoding="utf-8") as fh:
+        json.dump({"codebooks": books, "planes": planes}, fh)
+    shutil.rmtree(os.path.join(path, "_tombstones"), ignore_errors=True)
 
 
 def ivfpq_index_cached(
@@ -1047,11 +1171,17 @@ def ivfpq_query_indexed(
     """Top-k over a persisted IVF-PQ index: the bucket filter is a
     PARTITION-column predicate (prunes directories before any file
     opens), then ADC ranks the probed codes — the float table is never
-    read. Same probe set and ADC arithmetic as `ivf_pq_topk`."""
+    read. Same probe set and ADC arithmetic as `ivf_pq_topk`. Rows
+    retired by delete_from_ivfpq_index / upsert_ivfpq_index are
+    excluded via the shared tombstone liveness filter (no-op when no
+    tombstones exist)."""
+    from ..search.index import _apply_tombstones
+
     probes = probe_buckets(query_vec, planes, probe_hamming)
     codes_df = spark.read.parquet(path).filter(
         F.col("bucket").isin(sorted(probes))
     )
+    codes_df = _apply_tombstones(spark, path, codes_df, key=id_col)
     return pq_topk(codes_df, codebooks, query_vec, k=k, id_col=id_col)
 
 

@@ -1664,6 +1664,31 @@ def _q_posting_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_frequencies_from_index(spark, path)
 
 
+def _q_incremental_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-maintained IVF-PQ index (similarity.append/upsert_ivfpq_index
+    — the vector-tier sibling of the posting ticks): build on one
+    corpus third with FULL-corpus deterministic codebooks, append a
+    second third with the FROZEN sidecar quantizers (no retrain, no
+    corpus scan), land the last third via an UPSERT tick (tombstone +
+    re-add, exercising the liveness filter on the serving path), then
+    probe the partition-pruned index. Oracle = the ONE-SHOT ivf_pq_topk
+    SQL: N ticks under a fixed codebook == one-shot, exactly."""
+    from .operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    books = S.pq_codebooks_deterministic(emb, m=PQ_M, ksub=PQ_KSUB)
+    path = _audit_scratch(sf_dir, "ivfpq_ticks")
+    planes = S.build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 3 == 0), path, books, n_planes=4
+    )
+    S.append_ivfpq_index(emb.filter(F.col("vec_id") % 3 == 1), path)
+    S.upsert_ivfpq_index(emb.filter(F.col("vec_id") % 3 == 2), path)
+    return S.ivfpq_query_indexed(
+        spark, path, books, q, planes, k=PQ_K, probe_hamming=1
+    )
+
+
 def _q_incremental_match_phrase(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1854,6 +1879,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # one-pass pipeline tick maintains minhash + token-count + shingle
     # artifacts together (served: the vocab curve)
     "pipeline_tick_upkeep": _q_pipeline_tick_upkeep,
+    # tick-maintained IVF-PQ index: frozen-codebook appends + an upsert
+    # tick, probed via the liveness-filtered partition-pruned read
+    "incremental_ivfpq_topk": _q_incremental_ivfpq,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -4210,6 +4238,9 @@ ORDER BY approx_dist, vec_id LIMIT {limit}
 """
 
     o["ivf_pq_topk"] = _ivfpq_adc_sql(PQ_K)
+    # r11 tick-maintained vector index: same one-shot oracle — frozen
+    # codebooks make N ticks (+ an upsert) == the one-shot ADC exactly
+    o["incremental_ivfpq_topk"] = o["ivf_pq_topk"]
 
     # r11: the index-build manifest — per-bucket vector counts, bucket
     # = the same sign-concat hyperplane hash the probes prune on

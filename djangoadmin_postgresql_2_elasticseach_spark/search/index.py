@@ -332,24 +332,26 @@ def append_posting_index(
 
 
 def _apply_tombstones(
-    spark: SparkSession, path: str, df: DataFrame
+    spark: SparkSession, path: str, df: DataFrame, key: str = "doc_id"
 ) -> DataFrame:
     """Exclude dead rows: a row is live iff no tombstone exists for its
-    doc, or it was written AFTER the doc's latest tombstone (seq
+    key, or it was written AFTER the key's latest tombstone (seq
     comparison — an upsert's re-added rows carry a newer seq than the
     delete that retired the old version). The tombstone set is bounded
-    by churn between compactions (compact_posting_index applies it
-    physically and clears it), so the max-per-doc frame broadcasts."""
-    tpath = os.path.join(path, "tombstones")
+    by churn between compactions (the compaction passes apply it
+    physically and clear it), so the max-per-key frame broadcasts.
+    Shared by the posting index (key=doc_id) and the IVF-PQ vector
+    index (key=vec_id, operators/similarity.py)."""
+    tpath = os.path.join(path, "_tombstones")
     if not os.path.exists(tpath):
         return df
     tomb = (
         spark.read.parquet(tpath)
-        .groupBy("doc_id")
+        .groupBy(key)
         .agg(F.max("seq").alias("_tomb_seq"))
     )
     return (
-        df.join(F.broadcast(tomb), "doc_id", "left")
+        df.join(F.broadcast(tomb), key, "left")
         .filter(
             F.col("_tomb_seq").isNull() | (F.col("seq") > F.col("_tomb_seq"))
         )
@@ -389,7 +391,7 @@ def delete_from_posting_index(
     doc_ids.select(
         F.col(id_col).alias("doc_id"),
         F.lit(_time.time_ns()).alias("seq"),
-    ).write.mode("append").parquet(os.path.join(path, "tombstones"))
+    ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
 
 
 def upsert_posting_index(
@@ -512,7 +514,7 @@ def compact_posting_index(spark: SparkSession, path: str) -> None:
     # both live sets are rewritten — drop the applied tombstones. A
     # crash before this point just re-applies them on the already-live
     # rows (idempotent: live rows are strictly newer than any tombstone)
-    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "_tombstones"), ignore_errors=True)
 
 
 def posting_index_cdc_sink(

@@ -210,3 +210,66 @@ def test_ivf_pq_rerank_recall_at_least_adc(spark, emb, vecs):
     assert len(set(got_ids) & want) >= len(set(adc_ids) & want)
     for r in got:
         assert r["dist"] == round(_sqdist(vecs[r["vec_id"]], q), 6)
+
+
+def test_ivfpq_index_ticks_upsert_equal_one_shot(spark, emb, vecs, tmp_path):
+    """Tick-maintained IVF-PQ index (r11): build + frozen-codebook
+    append + an UPSERT tick must serve exactly the one-shot indexed
+    query; deletes tombstone vectors out; compaction applies
+    tombstones physically and values stay invariant."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    books = S.pq_codebooks_deterministic(emb, m=4, ksub=16)
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+
+    one = str(tmp_path / "one_shot")
+    planes = S.build_ivfpq_index(emb, one, books, n_planes=4)
+    want = [
+        tuple(r)
+        for r in S.ivfpq_query_indexed(
+            spark, one, books, q, planes, k=10
+        ).collect()
+    ]
+
+    tick = str(tmp_path / "ticks")
+    planes2 = S.build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 3 == 0), tick, books, n_planes=4
+    )
+    assert planes2 == planes
+    S.append_ivfpq_index(emb.filter(F.col("vec_id") % 3 == 1), tick)
+    S.upsert_ivfpq_index(emb.filter(F.col("vec_id") % 3 == 2), tick)
+    got = [
+        tuple(r)
+        for r in S.ivfpq_query_indexed(
+            spark, tick, books, q, planes, k=10
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
+
+    # delete the current top hit -> it disappears, the rest keep order
+    top_id = got[0][0]
+    S.delete_from_ivfpq_index(
+        spark.createDataFrame([(top_id,)], "vec_id long"), tick
+    )
+    after = [
+        tuple(r)
+        for r in S.ivfpq_query_indexed(
+            spark, tick, books, q, planes, k=10
+        ).collect()
+    ]
+    assert top_id not in {r[0] for r in after}
+    assert after[: len(want) - 1] == [r for r in want if r[0] != top_id][:9]
+
+    # compaction: physical drop, tombstones cleared, served values same
+    n_raw = spark.read.parquet(tick).count()
+    S.compact_ivfpq_index(spark, tick)
+    assert spark.read.parquet(tick).count() < n_raw
+    assert not os.path.exists(os.path.join(tick, "_tombstones"))
+    assert [
+        tuple(r)
+        for r in S.ivfpq_query_indexed(
+            spark, tick, books, q, planes, k=10
+        ).collect()
+    ] == after

@@ -395,4 +395,4 @@ def test_posting_index_delete_upsert_and_merge(spark, tmp_path):
     compact_posting_index(spark, path)
     assert df_now() == before
     assert read_postings(spark, path, live_only=False).count() == n_live
-    assert not os.path.exists(os.path.join(path, "tombstones"))
+    assert not os.path.exists(os.path.join(path, "_tombstones"))
