@@ -1175,12 +1175,12 @@ def ivfpq_query_indexed(
     retired by delete_from_ivfpq_index / upsert_ivfpq_index are
     excluded via the shared tombstone liveness filter (no-op when no
     tombstones exist)."""
-    from ..search.index import _apply_tombstones
+    from ..search.index import _apply_tombstones, _read_or_empty
 
     probes = probe_buckets(query_vec, planes, probe_hamming)
-    codes_df = spark.read.parquet(path).filter(
-        F.col("bucket").isin(sorted(probes))
-    )
+    codes_df = _read_or_empty(
+        spark, path, f"{id_col} long, codes array<int>, seq long, bucket string"
+    ).filter(F.col("bucket").isin(sorted(probes)))
     codes_df = _apply_tombstones(spark, path, codes_df, key=id_col)
     return pq_topk(codes_df, codebooks, query_vec, k=k, id_col=id_col)
 

@@ -359,17 +359,37 @@ def _apply_tombstones(
     )
 
 
+POSTINGS_SCHEMA = (
+    "token string, doc_id long, tf long, positions array<int>, seq long, "
+    "field string, tkb int"
+)
+DOCLENS_SCHEMA = "doc_id long, dl long, seq long, field string"
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a parquet dataset, degrading to a typed EMPTY frame when the
+    directory holds no data files (an all-empty-batch index writes only
+    _SUCCESS — there is no footer to infer from). The declared schema
+    uses the default long doc key; a real write always wins over it."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
+
 def read_postings(
     spark: SparkSession, path: str, live_only: bool = True
 ) -> DataFrame:
-    df = spark.read.parquet(os.path.join(path, "postings"))
+    df = _read_or_empty(spark, os.path.join(path, "postings"), POSTINGS_SCHEMA)
     return _apply_tombstones(spark, path, df) if live_only else df
 
 
 def read_doclens(
     spark: SparkSession, path: str, live_only: bool = True
 ) -> DataFrame:
-    df = spark.read.parquet(os.path.join(path, "doclens"))
+    df = _read_or_empty(spark, os.path.join(path, "doclens"), DOCLENS_SCHEMA)
     return _apply_tombstones(spark, path, df) if live_only else df
 
 

@@ -273,3 +273,18 @@ def test_ivfpq_index_ticks_upsert_equal_one_shot(spark, emb, vecs, tmp_path):
             spark, tick, books, q, planes, k=10
         ).collect()
     ] == after
+
+
+def test_ivfpq_index_empty_build_serves_empty(spark, tmp_path):
+    """An all-empty index (zero-doc build) serves an empty result
+    instead of a schema-inference error."""
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    books = [[[0.0] * 4] * 2] * 4  # 4 subspaces x 2 centroids x ds=4
+    path = str(tmp_path / "idx")
+    planes = S.build_ivfpq_index(empty, path, books, n_planes=4)
+    out = S.ivfpq_query_indexed(
+        spark, path, books, [0.1] * 16, planes, k=5
+    )
+    assert out.count() == 0

@@ -396,3 +396,46 @@ def test_posting_index_delete_upsert_and_merge(spark, tmp_path):
     assert df_now() == before
     assert read_postings(spark, path, live_only=False).count() == n_live
     assert not os.path.exists(os.path.join(path, "_tombstones"))
+
+
+def test_posting_index_empty_batches(spark, tmp_path):
+    """Empty corpus build and empty tick appends are no-ops: readers
+    return empty/unchanged results instead of erroring — the
+    empty-input convention every operator family here follows."""
+    from djangoadmin_postgresql_2_elasticseach_spark.search.bm25 import (
+        bm25_topk_from_index,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        append_posting_index,
+        build_posting_index,
+        delete_from_posting_index,
+        doc_frequencies_from_index,
+        match_phrase_from_index,
+        upsert_posting_index,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, tokens array<string>")
+    path = str(tmp_path / "idx")
+    build_posting_index(empty, path, tokens_col="tokens")
+    assert doc_frequencies_from_index(spark, path).count() == 0
+    assert bm25_topk_from_index(spark, path, "anything spark").count() == 0
+    assert match_phrase_from_index(spark, path, "any phrase").count() == 0
+
+    one = spark.createDataFrame(
+        [(1, ["alpha", "beta"])], "doc_id long, tokens array<string>"
+    )
+    append_posting_index(one, path, tokens_col="tokens")
+    before = {
+        (r["token"], r["df"])
+        for r in doc_frequencies_from_index(spark, path).collect()
+    }
+    append_posting_index(empty, path, tokens_col="tokens")
+    upsert_posting_index(empty, path, tokens_col="tokens")
+    delete_from_posting_index(
+        spark.createDataFrame([], "doc_id long"), path
+    )
+    after = {
+        (r["token"], r["df"])
+        for r in doc_frequencies_from_index(spark, path).collect()
+    }
+    assert after == before == {("alpha", 1), ("beta", 1)}
