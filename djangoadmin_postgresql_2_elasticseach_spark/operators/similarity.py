@@ -1066,25 +1066,46 @@ def upsert_ivfpq_index(
 def compact_ivfpq_index(spark, path: str, id_col: str = "vec_id") -> None:
     """Apply tombstones physically and fold per-tick files — one task
     and file-set per bucket after the slim shuffle; tombstones reset.
-    Same crash-idempotence argument as compact_posting_index. The
-    sidecar meta is re-written after the overwrite (parquet overwrite
-    clears the directory, sidecar included)."""
+
+    Staged through a sibling temp dir + two renames (the
+    writers.compact_parquet discipline) instead of an in-place
+    overwrite: the overwrite would clear the directory INCLUDING the
+    sidecar meta, and a crash before the meta re-write would lose the
+    frozen codebooks permanently — they were trained on the original
+    corpus state and are NOT re-derivable. With the swap, a crash
+    leaves the old index intact or the new one complete (meta is
+    written into the temp dir before the swap) — except inside the
+    two-rename window itself, the same instant-between-renames window
+    writers.compact_parquet documents (a transactional table format
+    removes it; its `tx_compact` is the zero-window form). The swap
+    also retires the applied tombstones (they live inside the old
+    directory)."""
     import json
     import os
     import shutil
 
-    from ..search.index import _apply_tombstones
+    from ..search.index import _apply_tombstones, _read_or_empty
+    from ..session import free_local_checkpoint
 
     books, planes = read_ivfpq_meta(path)
-    live = _apply_tombstones(
-        spark, path, spark.read.parquet(path), key=id_col
-    ).localCheckpoint(eager=True)
+    raw = _read_or_empty(
+        spark, path, f"{id_col} long, codes array<int>, seq long, bucket string"
+    )
+    live = _apply_tombstones(spark, path, raw, key=id_col).localCheckpoint(
+        eager=True
+    )
+    tmp = f"{path}.compact-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
     live.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
-    ).parquet(path)
-    with open(_ivfpq_meta_path(path), "w", encoding="utf-8") as fh:
+    ).parquet(tmp)
+    free_local_checkpoint(live)
+    with open(_ivfpq_meta_path(tmp), "w", encoding="utf-8") as fh:
         json.dump({"codebooks": books, "planes": planes}, fh)
-    shutil.rmtree(os.path.join(path, "_tombstones"), ignore_errors=True)
+    old = f"{path}.compact-old-{os.getpid()}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def ivfpq_index_cached(
@@ -1150,11 +1171,22 @@ def ivfpq_index_cached(
     books = pq_codebooks_deterministic(
         emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
     )
+    # build into a pid-suffixed dir, then one atomic rename — two
+    # concurrent cache-missing builders must not interleave writes into
+    # the SHARED cache path (the analyzed_corpus_cached discipline,
+    # search/index.py; build_ivfpq_index writes the sidecar meta, so
+    # the rename carries index + quantizers together). The loser
+    # discards its build and reuses the winner's.
+    tmp = f"{path}.build-{os.getpid()}"
     planes = build_ivfpq_index(
-        emb, path, books, id_col=id_col, vec_col=vec_col, n_planes=n_planes
+        emb, tmp, books, id_col=id_col, vec_col=vec_col, n_planes=n_planes
     )
-    with open(meta_path, "w", encoding="utf-8") as fh:
-        json.dump({"codebooks": books, "planes": planes}, fh)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     return path, books, planes
 
 

@@ -124,6 +124,7 @@ def bm25_topk_from_index(
     k: int = 10,
     k1: float = K1,
     b: float = B,
+    stem: bool | None = None,
 ) -> DataFrame:
     """BM25 served from the persisted posting index (search/index.py
     build/append_posting_index) — the production path: the corpus is
@@ -133,12 +134,23 @@ def bm25_topk_from_index(
     so the scan opens ≤ |terms| bucket directories of the slim
     (token, doc_id, tf) table; doclens supplies dl/N/avgdl. Identical
     output to bm25_topk over the same docs — N appends == one-shot
-    (tf/dl/df are per-doc facts, df a COUNT over disjoint batches)."""
+    (tf/dl/df are per-doc facts, df a COUNT over disjoint batches).
+    ``stem`` defaults to the index's persisted build-time setting
+    (_index_meta.json): the query goes through the same analyzer the
+    stored tokens did — a stemmed query against a stem=False index
+    would silently match nothing."""
     import zlib
 
-    from .index import N_TOKEN_BUCKETS, read_doclens, read_postings
+    from .index import (
+        N_TOKEN_BUCKETS,
+        read_doclens,
+        read_posting_meta,
+        read_postings,
+    )
 
-    qterms = analyze_query(query)
+    if stem is None:  # default to the index's build-time analyzer
+        stem = read_posting_meta(path)["stem"]
+    qterms = analyze_query(query, stem=stem)
     if not qterms:
         raise ValueError("empty query after analysis")
     buckets = sorted(

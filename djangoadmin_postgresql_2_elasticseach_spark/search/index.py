@@ -272,6 +272,22 @@ def _posting_partials(
     return posts, lens
 
 
+def _posting_meta_path(path: str) -> str:
+    return os.path.join(path, "_index_meta.json")
+
+
+def read_posting_meta(path: str) -> dict:
+    """The index's build-time analyzer config ({"stem": bool, "fields":
+    [...]}) — serving reads it so query analysis can never silently
+    diverge from what the stored tokens went through. Absent on
+    pre-meta indexes: callers fall back to the stemmed default."""
+    p = _posting_meta_path(path)
+    if not os.path.exists(p):
+        return {"stem": True, "fields": ["text"]}
+    with open(p, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
 def _write_posting_batch(
     posts: DataFrame, lens: DataFrame, path: str, mode: str
 ) -> None:
@@ -283,12 +299,17 @@ def _write_posting_batch(
     batch-delta-sized shuffle, each partition directory is written by
     exactly one task: bounded writer memory, one file per (field, tkb)
     per tick."""
+    from ..session import free_local_checkpoint
+
     posts.repartition("field", "tkb").write.mode(mode).partitionBy(
         "field", "tkb"
     ).parquet(os.path.join(path, "postings"))
     lens.repartition("field").write.mode(mode).partitionBy(
         "field"
     ).parquet(os.path.join(path, "doclens"))
+    # the batch checkpoint fed both writes — release its blocks, or a
+    # long-running CDC driver leaks one batch-sized block set per tick
+    free_local_checkpoint(posts)
 
 
 def build_posting_index(
@@ -304,9 +325,17 @@ def build_posting_index(
     before any file opens — and `doclens/` PARTITIONED BY field (the
     BM25 length-normalization table). Analyzer runs ONCE, at ingest
     (or earlier: pass ``tokens_col`` to build from a persisted analyzed
-    stream, see _posting_partials)."""
+    stream, see _posting_partials). A REBUILD over an existing path
+    also clears its tombstones — stale ones would hide the fresh rows
+    of any doc deleted in the previous index generation (and liveness
+    would silently ride wall-clock ordering across generations)."""
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "_tombstones"), ignore_errors=True)
     posts, lens = _posting_partials(docs, fields, id_col, stem, tokens_col)
     _write_posting_batch(posts, lens, path, "overwrite")
+    with open(_posting_meta_path(path), "w", encoding="utf-8") as fh:
+        json.dump({"stem": stem, "fields": list(fields)}, fh)
 
 
 def append_posting_index(
@@ -322,7 +351,16 @@ def append_posting_index(
     Contract (same as the minhash/shingle indexes): batches are
     disjoint in doc_id — a CHANGED doc retires its old rows via the
     compaction/txlog path, not by double-appending. ``tokens_col``:
-    append from an already-analyzed stream (_posting_partials)."""
+    append from an already-analyzed stream (_posting_partials). A tick
+    whose ``stem`` disagrees with the index's build-time config raises
+    — mixed-analyzer postings would be silently unsearchable."""
+    if os.path.exists(_posting_meta_path(path)):
+        built = read_posting_meta(path)["stem"]
+        if tokens_col is None and stem != built:
+            raise ValueError(
+                f"index at {path} was built with stem={built}; "
+                f"appending stem={stem} rows would mix analyzers"
+            )
     posts, lens = _posting_partials(new_docs, fields, id_col, stem, tokens_col)
     _write_posting_batch(posts, lens, path, "append")
 
@@ -452,6 +490,7 @@ def match_phrase_from_index(
     path: str,
     phrase: str,
     field: str = "text",
+    stem: bool | None = None,
 ) -> DataFrame:
     """ES ``match_phrase`` (slop=0) served from the PERSISTED positional
     postings — how Lucene actually executes phrase queries: intersect
@@ -472,7 +511,9 @@ def match_phrase_from_index(
 
     from .query import analyze_query
 
-    qterms = analyze_query(phrase)
+    if stem is None:  # default to the index's build-time analyzer
+        stem = read_posting_meta(path)["stem"]
+    qterms = analyze_query(phrase, stem=stem)
     if not qterms:
         raise ValueError("empty phrase after analysis")
     buckets = sorted(
@@ -523,14 +564,20 @@ def compact_posting_index(spark: SparkSession, path: str) -> None:
     compact_token_count_index."""
     import shutil
 
-    for sub, parts in (("postings", ["field", "tkb"]), ("doclens", ["field"])):
+    from ..session import free_local_checkpoint
+
+    for sub, parts, schema in (
+        ("postings", ["field", "tkb"], POSTINGS_SCHEMA),
+        ("doclens", ["field"], DOCLENS_SCHEMA),
+    ):
         p = os.path.join(path, sub)
         live = _apply_tombstones(
-            spark, path, spark.read.parquet(p)
+            spark, path, _read_or_empty(spark, p, schema)
         ).localCheckpoint(eager=True)
         live.repartition(*parts).write.mode("overwrite").partitionBy(
             *parts
         ).parquet(p)
+        free_local_checkpoint(live)
     # both live sets are rewritten — drop the applied tombstones. A
     # crash before this point just re-applies them on the already-live
     # rows (idempotent: live rows are strictly newer than any tombstone)
@@ -541,6 +588,7 @@ def posting_index_cdc_sink(
     path: str,
     fields: tuple[str, ...] = ("title",),
     id_col: str = "id",
+    compact_every: int = 64,
 ):
     """(sink, on_delete) pair wiring the persisted posting index into
     the incremental ETL drivers (streaming/incremental.IncrementalEtl,
@@ -556,8 +604,17 @@ def posting_index_cdc_sink(
     version (last write wins, values identical).
 
     ``sink(docs, entity)`` ignores entities ≠ the indexed one when
-    ``path`` is a str; pass a dict {entity: path} to index several."""
+    ``path`` is a str; pass a dict {entity: path} to index several.
+
+    ``compact_every``: every Nth sink call per entity runs
+    compact_posting_index. Upserting can't know which incoming docs are
+    first-time inserts without reading the index, so EVERY indexed doc
+    leaves a tombstone — without periodic compaction the tombstone set
+    (and its broadcast liveness join) would grow with total docs ever
+    processed, not with churn. Pass 0 to disable (caller owns
+    maintenance)."""
     paths = path if isinstance(path, dict) else None
+    ticks: dict[str, int] = {}
 
     def _path_for(entity: str):
         if paths is None:
@@ -568,6 +625,9 @@ def posting_index_cdc_sink(
         p = _path_for(entity)
         if p is not None:
             upsert_posting_index(docs, p, fields=fields, id_col=id_col)
+            ticks[entity] = ticks.get(entity, 0) + 1
+            if compact_every and ticks[entity] % compact_every == 0:
+                compact_posting_index(docs.sparkSession, p)
 
     def on_delete(ids: DataFrame, entity: str) -> None:
         p = _path_for(entity)

@@ -49,13 +49,16 @@ def query_tokens(query: str) -> list[str]:
     return [t for t in _QUERY_SPLIT.split(query.lower()) if t]
 
 
-def analyze_query(query: str) -> list[str]:
+def analyze_query(query: str, stem: bool = True) -> list[str]:
     """FULL-analyzer query tokens: tokenize → stopword filter →
     snowball stem — the python twin of ``functions.text.analyze``, so
-    the query goes through exactly what the indexed text went through."""
-    from ..functions.snowball import stem
+    the query goes through exactly what the indexed text went through.
+    ``stem=False`` mirrors an index built with ``stem=False`` (the
+    serving side MUST match the index's analyzer, search/index.py)."""
+    from ..functions.snowball import stem as _stem
 
-    return [stem(t) for t in query_tokens(query) if t not in _STOPSET]
+    toks = [t for t in query_tokens(query) if t not in _STOPSET]
+    return [_stem(t) for t in toks] if stem else toks
 
 
 def damerau_variants(term: str) -> list[str]:

@@ -221,8 +221,10 @@ def test_cdc_tick_maintains_posting_index(spark, tmp_path, txdir):
     )
 
     idx = str(tmp_path / "movies_idx")
+    # compact_every=1: every tick runs the physical compaction pass —
+    # pins that the maintenance hook preserves liveness semantics
     sink, on_delete = posting_index_cdc_sink(
-        {"movies": idx}, fields=("title",), id_col="id"
+        {"movies": idx}, fields=("title",), id_col="id", compact_every=1
     )
     cdc = TxlogCdcEtl(
         spark,

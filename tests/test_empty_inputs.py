@@ -107,8 +107,11 @@ def test_coverage_doc_in_sync():
         stripped = next_doc
     # Lookahead (zero-width) so one "q: a and q: b" line yields both runs —
     # a plain greedy match would consume the second "q" as list text.
+    # The run's char class excludes newlines: with \s it would spill past
+    # the q: line into following prose, both minting phantom names from
+    # prose words AND letting a stale name hide inside spilled text.
     referenced = set(re.findall(r"\b([a-z][a-z0-9_]+)\b", " ".join(
-        re.findall(r"(?=\bq:\s*([a-zA-Z0-9_,\s]+))", stripped)
+        re.findall(r"(?=\bq:[ \t]*([a-zA-Z0-9_, \t]+))", stripped)
     )))
     implemented = set(registry.QUERIES)
     missing_from_doc = implemented - referenced

@@ -439,3 +439,43 @@ def test_posting_index_empty_batches(spark, tmp_path):
         for r in doc_frequencies_from_index(spark, path).collect()
     }
     assert after == before == {("alpha", 1), ("beta", 1)}
+
+
+def test_posting_index_stem_config_is_honored(spark, tmp_path):
+    """The index persists its build-time analyzer config; serving
+    defaults to it (a stemmed query against a stem=False index would
+    silently match nothing), and a mixed-analyzer append tick raises."""
+    from djangoadmin_postgresql_2_elasticseach_spark.search.bm25 import (
+        bm25_topk_from_index,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        append_posting_index,
+        build_posting_index,
+        match_phrase_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "running runners everywhere"), (2, "walking walks daily")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_posting_index(docs, path, stem=False)
+
+    # query analyzed with the INDEX's config: 'running' stays unstemmed
+    # and matches; under the old always-stem default it became 'run'
+    # and silently matched nothing
+    hits = bm25_topk_from_index(spark, path, "running", k=5)
+    assert [r["doc_id"] for r in hits.collect()] == [1]
+    assert {
+        r["doc_id"]
+        for r in match_phrase_from_index(
+            spark, path, "running runners"
+        ).collect()
+    } == {1}
+
+    with pytest.raises(ValueError, match="stem"):
+        append_posting_index(
+            spark.createDataFrame([(3, "jumping")], "doc_id long, text string"),
+            path,
+            stem=True,
+        )
