@@ -420,7 +420,16 @@ class CorpusPipeline:
         Returns the survivors frame (lazy column-drop tail on the
         final checkpoint, same shape run() returns). Note the last
         stage IS materialized here — the price of feeding three
-        appends without recomputing it per append."""
+        appends without recomputing it per append.
+
+        CALLER OBLIGATION: the survivors checkpoint
+        (``self._last_checkpoint``) stays alive so the returned frame
+        remains readable. A long-running ticking driver MUST call
+        ``free_survivors()`` once it is done with the returned frame
+        (after its own sink action), or the block manager accumulates
+        one batch-sized block set per tick — measured as a 4.7 s →
+        13.5 s per-tick degradation over a ~100-query session before
+        the registry adopted the discipline (commit 6cd8115)."""
         if self.stages and self.stages[-1]["op"] in _TERMINAL_OPS:
             raise ValueError(
                 "run_and_maintain needs doc-grain output: the persisted "
@@ -464,6 +473,16 @@ class CorpusPipeline:
                 self.text_col, tokens_col=_TOKENS_COL,
             )
         return out
+
+    def free_survivors(self) -> None:
+        """Release the survivors checkpoint a run_and_maintain tick
+        left alive (see its CALLER OBLIGATION note). Idempotent; the
+        frame returned by that tick must not be read afterwards."""
+        if self._last_checkpoint is not None:
+            from ..session import free_local_checkpoint
+
+            free_local_checkpoint(self._last_checkpoint)
+            self._last_checkpoint = None
 
     def _execute(
         self,

@@ -930,14 +930,14 @@ def _ivfpq_rows(
     planes: list[list[float]],
     id_col: str,
     vec_col: str,
+    seq: int,
 ) -> DataFrame:
     """One batch's index rows (id, bucket, codes, seq) — shared by the
     one-shot build and the append tick so the encode expression exists
-    once. ``seq`` is the batch liveness stamp (the posting index's
-    tombstone model, search/index.py: a row is live iff newer than its
-    id's latest tombstone)."""
-    import time as _time
-
+    once. ``seq`` is the batch liveness stamp from the index's
+    PERSISTED monotonic counter (search/index.alloc_index_seqs — the
+    posting index's tombstone model: a row is live iff newer than its
+    id's latest tombstone, by counter order, never wall clock)."""
     m = len(codebooks)
     ds = len(codebooks[0][0])
     spark = emb.sparkSession
@@ -954,7 +954,7 @@ def _ivfpq_rows(
                 F.col(vec_col).cast("array<double>"), planes
             ).alias("bucket"),
             _pq_codes_col(vec_col, codebooks, m, ds).alias("codes"),
-            F.lit(_time.time_ns()).alias("seq"),
+            F.lit(int(seq)).cast("long").alias("seq"),
         )
     )
 
@@ -965,14 +965,21 @@ def _ivfpq_meta_path(path: str) -> str:
     return os.path.join(path, "_ivfpq_meta.json")
 
 
+def _ivfpq_meta(path: str) -> dict:
+    """Full sidecar dict: frozen quantizers + the commit watermarks
+    (next_seq / committed_seq / dead_ranges — absent on pre-r12 legacy
+    indexes, which read with full visibility)."""
+    import json
+
+    with open(_ivfpq_meta_path(path), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
 def read_ivfpq_meta(path: str) -> tuple[list, list]:
     """(codebooks, planes) from the index's sidecar JSON — appends and
     queries NEVER retrain; the codebooks are frozen at build time (how
     production IVF deployments version their quantizers)."""
-    import json
-
-    with open(_ivfpq_meta_path(path), encoding="utf-8") as fh:
-        meta = json.load(fh)
+    meta = _ivfpq_meta(path)
     return meta["codebooks"], meta["planes"]
 
 
@@ -992,22 +999,36 @@ def build_ivfpq_index(
     opens only the probed buckets' directories (partition pruning —
     pinned in tests). The codebooks + plane matrix are persisted as a
     sidecar `_ivfpq_meta.json` (Spark ignores `_` files) so append
-    ticks and queries reuse the FROZEN quantizers. Returns the plane
-    matrix."""
+    ticks and queries reuse the FROZEN quantizers; the sidecar also
+    carries the index's monotonic seq counter + commit watermark
+    (search/index.py commit protocol — ticks publish atomically, no
+    wall-clock liveness). Returns the plane matrix."""
     import json
 
     m = len(codebooks)
     ds = len(codebooks[0][0])
     planes = fixed_planes(m * ds, n_planes)
     (
-        _ivfpq_rows(emb, codebooks, planes, id_col, vec_col)
+        _ivfpq_rows(emb, codebooks, planes, id_col, vec_col, seq=1)
         .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
     )
+    # meta lands AFTER the data (the overwrite clears the directory):
+    # a crash in between leaves no sidecar, and every reader fails
+    # loudly on the incomplete build instead of serving a torn one
     with open(_ivfpq_meta_path(path), "w", encoding="utf-8") as fh:
-        json.dump({"codebooks": codebooks, "planes": planes}, fh)
+        json.dump(
+            {
+                "codebooks": codebooks,
+                "planes": planes,
+                "next_seq": 1,
+                "committed_seq": 1,
+                "dead_ranges": [],
+            },
+            fh,
+        )
     return planes
 
 
@@ -1024,15 +1045,22 @@ def append_ivfpq_index(
     Recall note: frozen quantizers drift as the embedding distribution
     shifts; periodic re-train + rebuild is the maintenance pass (the
     FAISS posture), and N-ticks == one-shot holds exactly for a FIXED
-    codebook, which is what the oracle pins."""
+    codebook, which is what the oracle pins. Published by one atomic
+    sidecar commit: a crash mid-append is invisible, and a re-delivered
+    batch lands under fresh seqs with the orphans fenced dead."""
+    from ..search.index import alloc_index_seqs, commit_index_seq
+
     books, planes = read_ivfpq_meta(path)
+    mpath = _ivfpq_meta_path(path)
+    seq = alloc_index_seqs(mpath, 1, legacy_probe=("_SUCCESS",))
     (
-        _ivfpq_rows(new_emb, books, planes, id_col, vec_col)
+        _ivfpq_rows(new_emb, books, planes, id_col, vec_col, seq=seq)
         .repartition("bucket")
         .write.mode("append")
         .partitionBy("bucket")
         .parquet(path)
     )
+    commit_index_seq(mpath, seq)
 
 
 def delete_from_ivfpq_index(
@@ -1041,13 +1069,18 @@ def delete_from_ivfpq_index(
     """Tombstone vectors out of the index without rewriting it — same
     (key, seq) liveness model as delete_from_posting_index (a deleted
     or re-embedded vector's old code rows become invisible to
-    ivfpq_query_indexed)."""
+    ivfpq_query_indexed); seqs come from the index's persisted counter,
+    so liveness ordering survives driver restarts and clock steps."""
     import os
-    import time as _time
 
+    from ..search.index import alloc_index_seqs, commit_index_seq
+
+    mpath = _ivfpq_meta_path(path)
+    seq = alloc_index_seqs(mpath, 1, legacy_probe=("_SUCCESS",))
     ids.select(
-        F.col(id_col), F.lit(_time.time_ns()).alias("seq")
+        F.col(id_col), F.lit(int(seq)).cast("long").alias("seq")
     ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
+    commit_index_seq(mpath, seq)
 
 
 def upsert_ivfpq_index(
@@ -1057,10 +1090,29 @@ def upsert_ivfpq_index(
     vec_col: str = "embedding",
 ) -> None:
     """Re-embed CHANGED items: tombstone the old codes, append the new
-    ones (newer seq wins) — a re-embedded document moves to its new
-    bucket atomically from the reader's perspective."""
-    delete_from_ivfpq_index(new_emb.select(id_col), path, id_col)
-    append_ivfpq_index(new_emb, path, id_col, vec_col)
+    ones (newer counter seq wins) — the tombstones and the re-added
+    rows publish under a SINGLE commit, so a re-embedded document moves
+    to its new bucket atomically from the reader's perspective and a
+    crash anywhere mid-upsert serves the pre-tick view."""
+    import os
+
+    from ..search.index import alloc_index_seqs, commit_index_seq
+
+    books, planes = read_ivfpq_meta(path)
+    mpath = _ivfpq_meta_path(path)
+    seq_t = alloc_index_seqs(mpath, 2, legacy_probe=("_SUCCESS",))
+    seq_a = seq_t + 1
+    new_emb.select(
+        F.col(id_col), F.lit(int(seq_t)).cast("long").alias("seq")
+    ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
+    (
+        _ivfpq_rows(new_emb, books, planes, id_col, vec_col, seq=seq_a)
+        .repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    commit_index_seq(mpath, seq_a)
 
 
 def compact_ivfpq_index(spark, path: str, id_col: str = "vec_id") -> None:
@@ -1087,21 +1139,23 @@ def compact_ivfpq_index(spark, path: str, id_col: str = "vec_id") -> None:
     from ..search.index import _apply_tombstones, _read_or_empty
     from ..session import free_local_checkpoint
 
-    books, planes = read_ivfpq_meta(path)
+    meta = _ivfpq_meta(path)
     raw = _read_or_empty(
         spark, path, f"{id_col} long, codes array<int>, seq long, bucket string"
     )
-    live = _apply_tombstones(spark, path, raw, key=id_col).localCheckpoint(
-        eager=True
-    )
+    live = _apply_tombstones(
+        spark, path, raw, key=id_col, meta=meta
+    ).localCheckpoint(eager=True)
     tmp = f"{path}.compact-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     live.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(tmp)
     free_local_checkpoint(live)
+    # counters carry across the swap (seq monotonicity outlives any
+    # number of compactions); the applied orphan ranges reset
     with open(_ivfpq_meta_path(tmp), "w", encoding="utf-8") as fh:
-        json.dump({"codebooks": books, "planes": planes}, fh)
+        json.dump({**meta, "dead_ranges": []}, fh)
     old = f"{path}.compact-old-{os.getpid()}"
     os.rename(path, old)
     os.rename(tmp, path)
@@ -1206,14 +1260,21 @@ def ivfpq_query_indexed(
     read. Same probe set and ADC arithmetic as `ivf_pq_topk`. Rows
     retired by delete_from_ivfpq_index / upsert_ivfpq_index are
     excluded via the shared tombstone liveness filter (no-op when no
-    tombstones exist)."""
+    tombstones exist), and only COMMITTED ticks are visible (the
+    sidecar watermark — a crashed half-written append can never serve
+    partial results)."""
+    import os
+
     from ..search.index import _apply_tombstones, _read_or_empty
 
+    meta = (
+        _ivfpq_meta(path) if os.path.exists(_ivfpq_meta_path(path)) else None
+    )
     probes = probe_buckets(query_vec, planes, probe_hamming)
     codes_df = _read_or_empty(
         spark, path, f"{id_col} long, codes array<int>, seq long, bucket string"
     ).filter(F.col("bucket").isin(sorted(probes)))
-    codes_df = _apply_tombstones(spark, path, codes_df, key=id_col)
+    codes_df = _apply_tombstones(spark, path, codes_df, key=id_col, meta=meta)
     return pq_topk(codes_df, codebooks, query_vec, k=k, id_col=id_col)
 
 

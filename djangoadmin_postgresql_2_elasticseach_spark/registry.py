@@ -1414,15 +1414,21 @@ def _q_ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(scratch, ignore_errors=True)
     S.build_ivfpq_index(emb, scratch, books, n_planes=4)
     # partition-column type inference reads bitstring "0010" back as
-    # int 10 — lpad to the plane width restores the directory name
-    return (
+    # int 10 — lpad to the plane width restores the directory name.
+    # Collect the slim per-bucket manifest eagerly so the scratch index
+    # can be removed before returning (repeated harness runs were
+    # leaking one full index per pid — r11 advice).
+    rows = (
         spark.read.parquet(scratch)
         .groupBy(
             F.lpad(F.col("bucket").cast("string"), 4, "0").alias("bucket")
         )
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .orderBy("bucket")
+        .collect()
     )
+    shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "bucket string, n_vecs long")
 
 
 def _q_mmr_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1600,7 +1606,6 @@ def _q_pipeline_tick_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the same pass are parity-checked in pytest."""
     from .operators.corpus import vocab_coverage_from_index
     from .operators.pipeline import CorpusPipeline
-    from .session import free_local_checkpoint
 
     docs = load_table(spark, sf_dir, "documents")
     mh = _audit_scratch(sf_dir, "pipe_mh")
@@ -1615,12 +1620,11 @@ def _q_pipeline_tick_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingle_index=sh,
         )
         # the appends already consumed the survivors checkpoint; free
-        # its half-corpus token-frame blocks (the report() discipline)
-        # or back-to-back bench/driver invocations accumulate them —
-        # measured 4.7 s isolated vs 13.5 s late in a 113-query bench
-        # session purely from block-manager pressure
-        if pipe._last_checkpoint is not None:
-            free_local_checkpoint(pipe._last_checkpoint)
+        # its half-corpus token-frame blocks (run_and_maintain's CALLER
+        # OBLIGATION) or back-to-back bench/driver invocations
+        # accumulate them — measured 4.7 s isolated vs 13.5 s late in a
+        # 113-query bench session purely from block-manager pressure
+        pipe.free_survivors()
     return vocab_coverage_from_index(spark, tc, v=VOCAB_V)
 
 
@@ -1723,6 +1727,88 @@ def _q_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _posting_index_ticks(spark, sf_dir)
     return bm25_topk_from_index(spark, path, BM25_QUERY, k=10)
+
+
+def _q_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE-ONLY BM25 (r11 verdict #6: the ingest composites above
+    hide the steady-state read — this entry probes the build-once
+    CACHED posting index the way mmr_ivfpq_topk probes the cached
+    vector index): bucket-pruned postings + the stats artifact, no
+    corpus scan, no doclens aggregate, no index build in the timed
+    path (the cold bench pass pays the one-time cache build). Oracle =
+    the one-shot bm25_topk SQL."""
+    from .search.bm25 import bm25_topk_from_index
+    from .search.index import posting_index_cached
+
+    path = posting_index_cached(spark, sf_dir)
+    return bm25_topk_from_index(spark, path, BM25_QUERY, k=10)
+
+
+def _q_match_phrase_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE-ONLY phrase query from the cached posting index's
+    positional postings (the Lucene execution: posting-list
+    intersection + position alignment; the corpus is touched only to
+    project the payload column for the matched ids). Oracle = the
+    one-shot match_phrase SQL."""
+    from .search.index import match_phrase_from_index, posting_index_cached
+
+    path = posting_index_cached(spark, sf_dir)
+    hits = match_phrase_from_index(spark, path, PHRASE_QUERY)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(hits, "doc_id").select("doc_id", "lang")
+
+
+def _q_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE-ONLY ANN probe of the build-once cached IVF-PQ index
+    (similarity.ivfpq_query_indexed): partition-pruned bucket read +
+    broadcast ADC table — the float corpus is never scanned; quantizers
+    come from the index sidecar. Oracle = the one-shot ivf_pq_topk
+    SQL (identical probe set + ADC arithmetic)."""
+    path, books, planes = S.ivfpq_index_cached(
+        spark, sf_dir, m=PQ_M, ksub=PQ_KSUB, n_planes=4
+    )
+    return S.ivfpq_query_indexed(
+        spark, path, books, _query_vec(spark, sf_dir), planes,
+        k=PQ_K, probe_hamming=1,
+    )
+
+
+def _q_multimatch_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzzy best_fields multi_match served from the MULTI-FIELD
+    incremental posting index (r11 verdict #7 — the reference's actual
+    query shape, ETLTests-2.json multi_match bodies, on the index
+    tier): build one corpus third + two append ticks with per-field
+    token columns from the cached analyzed artifact, then serve via
+    term-dictionary fuzzy expansion → bucket-pruned postings → per-
+    field BM25 · Lucene fuzzy boost → best_fields max
+    (search/bm25.multimatch_bm25_from_index). Oracle = the ONE-SHOT
+    scan-based multimatch_bm25 SQL."""
+    from .search.bm25 import multimatch_bm25_from_index
+    from .search.index import (
+        analyzed_corpus_cached,
+        append_posting_index,
+        build_posting_index,
+    )
+
+    toks = analyzed_corpus_cached(spark, sf_dir, extra_fields=("source",))
+    path = _audit_scratch(sf_dir, "posting_mf")
+    fields = ("text", "source")
+    tcols = {"text": "tokens", "source": "source_tokens"}
+    build_posting_index(
+        toks.filter(F.col("doc_id") % 3 == 0), path, fields=fields,
+        tokens_col=tcols,
+    )
+    append_posting_index(
+        toks.filter(F.col("doc_id") % 3 == 1), path, fields=fields,
+        tokens_col=tcols,
+    )
+    append_posting_index(
+        toks.filter(F.col("doc_id") % 3 == 2), path, fields=fields,
+        tokens_col=tcols,
+    )
+    return multimatch_bm25_from_index(
+        spark, path, "spark src1", fields=fields, k=10
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1890,6 +1976,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tick-maintained IVF-PQ index: frozen-codebook appends + an upsert
     # tick, probed via the liveness-filtered partition-pruned read
     "incremental_ivfpq_topk": _q_incremental_ivfpq,
+    # r12 (appended AFTER every r11 key — same window convention):
+    # SERVE-ONLY entries probing build-once cached indexes, so the
+    # steady-state read cost is benched apart from the ingest
+    # composites above (r11 verdict #6)
+    "bm25_serve_topk": _q_bm25_serve,
+    "match_phrase_serve": _q_match_phrase_serve,
+    "ivfpq_serve_topk": _q_ivfpq_serve,
+    # fuzzy best_fields multi_match served from the MULTI-FIELD
+    # incremental posting index via term-dictionary expansion
+    "multimatch_bm25_from_index": _q_multimatch_bm25_index,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -3013,6 +3109,8 @@ FROM (SELECT doc_id, unnest(tks) AS token FROM toks)
 GROUP BY token
 """
     o["incremental_bm25_topk"] = o["bm25_topk"]
+    # r12 serve-only read of the cached index: same one-shot body
+    o["bm25_serve_topk"] = o["bm25_topk"]
 
     # hybrid MMR: BM25 relevance + embedding diversity — the cand CTE
     # swaps in the bm25 body (vec_id keys documents 1:1 in testdata);
@@ -3094,6 +3192,11 @@ GROUP BY doc_id
 ORDER BY score DESC, doc_id
 LIMIT 10
 """
+
+    # r12: the index-served fuzzy multi_match — N ticks of the
+    # multi-field posting index + dictionary expansion must equal the
+    # one-shot scan-based ranking exactly
+    o["multimatch_bm25_from_index"] = o["multimatch_bm25"]
 
     # LSH-bucketed near-dup: same hyperplanes as the Spark side inlined as
     # list literals; verify join restricted to equal buckets (scale-path
@@ -4110,6 +4213,8 @@ WHERE len(tk) >= {len(ph)}
 
     # r11 positional-postings phrase serving: same one-shot oracle
     o["incremental_match_phrase"] = o["match_phrase"]
+    # r12 serve-only read of the cached index: same one-shot body
+    o["match_phrase_serve"] = o["match_phrase"]
 
 
     # keyed MERGE: the oracle derives the post-upsert end state
@@ -4249,6 +4354,9 @@ ORDER BY approx_dist, vec_id LIMIT {limit}
     # r11 tick-maintained vector index: same one-shot oracle — frozen
     # codebooks make N ticks (+ an upsert) == the one-shot ADC exactly
     o["incremental_ivfpq_topk"] = o["ivf_pq_topk"]
+    # r12 serve-only probe of the cached index: same probe set + ADC
+    # arithmetic, so the same one-shot oracle
+    o["ivfpq_serve_topk"] = o["ivf_pq_topk"]
 
     # r11: the index-build manifest — per-bucket vector counts, bucket
     # = the same sign-concat hyperplane hash the probes prune on

@@ -128,34 +128,44 @@ def bm25_topk_from_index(
 ) -> DataFrame:
     """BM25 served from the persisted posting index (search/index.py
     build/append_posting_index) — the production path: the corpus is
-    NEVER scanned or re-analyzed at query time. Postings are read with
-    a partition filter (crc32 token bucket, computed driver-side for
-    the analyzed query terms) plus a pushed `token IN (...)` predicate,
-    so the scan opens ≤ |terms| bucket directories of the slim
-    (token, doc_id, tf) table; doclens supplies dl/N/avgdl. Identical
-    output to bm25_topk over the same docs — N appends == one-shot
-    (tf/dl/df are per-doc facts, df a COUNT over disjoint batches).
-    ``stem`` defaults to the index's persisted build-time setting
-    (_index_meta.json): the query goes through the same analyzer the
-    stored tokens did — a stemmed query against a stem=False index
-    would silently match nothing."""
-    import zlib
+    NEVER scanned or re-analyzed at query time, and since r12 neither
+    is the O(corpus) doclens table. The pieces:
 
+    - postings are read with a partition filter (crc32 token bucket
+      computed driver-side from the INDEX's persisted n_buckets) plus
+      a pushed `token IN (...)` predicate, so the scan opens ≤ |terms|
+      bucket directories and skips non-matching row groups (files are
+      token-sorted at write);
+    - per-term document frequencies are COUNTs over those same pruned
+      postings (one live row per (doc, token));
+    - N and avgdl come from the tick-maintained stats/ artifact
+      (index_field_stats — slim per-tick rows, churn-bounded dead
+      correction), NOT a full-doclens aggregate per query (the r11
+      verdict's one remaining O(corpus) serving read);
+    - dl is joined for CANDIDATE docs only (docs holding ≥1 query
+      term — exactly the rows the scorer keeps).
+
+    Identical output to bm25_topk over the same docs — N appends ==
+    one-shot (tf/dl/df are per-doc facts, df a COUNT over disjoint
+    batches). ``stem`` defaults to the index's persisted build-time
+    setting (_index_meta.json): the query goes through the same
+    analyzer the stored tokens did — a stemmed query against a
+    stem=False index would silently match nothing."""
     from .index import (
-        N_TOKEN_BUCKETS,
+        index_field_stats,
         read_doclens,
         read_posting_meta,
         read_postings,
+        term_buckets,
     )
 
+    meta = read_posting_meta(path)
     if stem is None:  # default to the index's build-time analyzer
-        stem = read_posting_meta(path)["stem"]
+        stem = meta["stem"]
     qterms = analyze_query(query, stem=stem)
     if not qterms:
         raise ValueError("empty query after analysis")
-    buckets = sorted(
-        {zlib.crc32(t.encode("utf-8")) % N_TOKEN_BUCKETS for t in qterms}
-    )
+    buckets = term_buckets(qterms, meta["n_buckets"])
     posts = read_postings(spark, path).filter(
         (F.col("field") == field)
         & F.col("tkb").isin(buckets)
@@ -169,20 +179,18 @@ def bm25_topk_from_index(
             for i, t in enumerate(qterms)
         ]
     )
-    lens = read_doclens(spark, path).filter(F.col("field") == field)
-    per_doc = (
-        lens.select("doc_id", "dl")
-        .join(pivot, "doc_id", "left")
-        .fillna(0, [f"tf{i}" for i in range(len(qterms))])
-    )
-    stats = per_doc.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+    # df over the PRUNED postings (live rows are one per (doc, token))
+    dfs = posts.agg(
         *[
-            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
-            for i in range(len(qterms))
-        ],
+            F.coalesce(
+                F.sum((F.col("token") == F.lit(t)).cast("long")), F.lit(0)
+            ).alias(f"df{i}")
+            for i, t in enumerate(qterms)
+        ]
     )
+    stats = dfs.crossJoin(F.broadcast(index_field_stats(spark, path, field)))
+    lens = read_doclens(spark, path).filter(F.col("field") == field)
+    per_doc = pivot.join(lens.select("doc_id", "dl"), "doc_id")
     scored = _score_per_doc(per_doc, stats, len(qterms), "doc_id", k, k1, b)
     return (
         scored if id_col == "doc_id"
@@ -290,6 +298,180 @@ def multi_match_bm25(
                 sum((F.col(f"tf{i}") > 0).cast("int") for i in range(len(qterms)))
                 > 0
             ).select(F.col(id_col), fs.alias("fscore"))
+        )
+    allf = per_field_scores[0]
+    for p in per_field_scores[1:]:
+        allf = allf.unionByName(p)
+    return (
+        allf.groupBy(id_col)
+        .agg(F.round(F.max("fscore"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def multimatch_bm25_from_index(
+    spark,
+    path: str,
+    query: str,
+    fields: tuple[str, ...] = ("text", "source"),
+    id_col: str = "doc_id",
+    k: int = 10,
+    max_edits: int = 1,
+    k1: float = K1,
+    b: float = B,
+    stem: bool | None = None,
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """ES ``multi_match`` (best_fields, fuzziness=1) served from the
+    persisted MULTI-FIELD posting index — the reference's actual search
+    shape (ETLTests-2.json multi_match bodies) on the incremental index
+    tier. Execution is Lucene's own fuzzy plan:
+
+    1. expand each analyzed query term against the TERM DICTIONARY
+       (the tick-maintained termdict/ artifact — vocabulary-sized,
+       sublinear in corpus; Lucene intersects an automaton with its FST
+       term dict, here it is one vectorized OSA-distance scan), collect
+       the matched (field, token, boost-per-query-term) rows — bounded
+       by vocabulary within ``max_edits`` of the query;
+    2. prune the postings scan to the candidate tokens' bucket
+       directories (the index's persisted n_buckets) + a pushed
+       ``token IN``; join the broadcast candidate table to attach
+       boosts;
+    3. per field: one aggregation to per-doc (tf_i, max boost_i),
+       df_i from the same frame, N/avgdl from the stats/ artifact,
+       dl joined for candidate docs only — then the identical RSJ
+       score · Lucene fuzzy boost (1 − d/len(term)) expression the
+       scan-based ``multi_match_bm25`` builds, best_fields MAX across
+       fields, 4dp rounding, ties by id.
+
+    Identical output to ``multi_match_bm25`` over the same corpus
+    (oracle-pinned). ``max_expansions``: optional per-term cap on
+    dictionary expansions, highest boost kept (Lucene's maxExpansions)
+    — leave None for exact scan parity."""
+    from .index import (
+        index_field_stats,
+        read_doclens,
+        read_posting_meta,
+        read_postings,
+        read_termdict,
+        term_buckets,
+    )
+
+    meta = read_posting_meta(path)
+    if stem is None:
+        stem = meta["stem"]
+    qterms = analyze_query(query, stem=stem)
+    if not qterms:
+        raise ValueError("empty query after analysis")
+    missing = [f for f in fields if f not in meta["fields"]]
+    if missing:
+        raise ValueError(
+            f"index at {path} has fields {meta['fields']}; query asks "
+            f"for unindexed {missing}"
+        )
+
+    # 1. dictionary expansion — the ONLY full artifact scan, over the
+    # slim termdict (never the postings, never the corpus)
+    td = read_termdict(spark, path).filter(F.col("field").isin(list(fields)))
+    bexprs = []
+    for i, qt in enumerate(qterms):
+        exact = F.col("token") == F.lit(qt)
+        if max_edits > 0:
+            d = fuzzy_distance(F.col("token"), qt, max_edits)
+            boost = F.when(exact, F.lit(1.0)).otherwise(
+                F.lit(1.0)
+                - d / F.greatest(F.length(F.col("token")), F.lit(1))
+            )
+            bexprs.append(
+                F.when(exact | d.isNotNull(), boost).alias(f"b{i}")
+            )
+        else:
+            bexprs.append(F.when(exact, F.lit(1.0)).alias(f"b{i}"))
+    any_match = None
+    for i in range(len(qterms)):
+        c = F.col(f"b{i}").isNotNull()
+        any_match = c if any_match is None else (any_match | c)
+    expanded = td.select("field", "token", *bexprs).filter(any_match).collect()
+    if max_expansions is not None:
+        kept: list = []
+        for i in range(len(qterms)):
+            hits = sorted(
+                (r for r in expanded if r[f"b{i}"] is not None),
+                key=lambda r: (-r[f"b{i}"], r["field"], r["token"]),
+            )[:max_expansions]
+            kept.extend(hits)
+        seen, dedup = set(), []
+        for r in kept:
+            if (r["field"], r["token"]) not in seen:
+                seen.add((r["field"], r["token"]))
+                dedup.append(r)
+        expanded = dedup
+    if not expanded:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+
+    # 2. bucket-pruned postings probe + broadcast boost attachment
+    cand = spark.createDataFrame(
+        [tuple(r) for r in expanded],
+        "field string, token string, "
+        + ", ".join(f"b{i} double" for i in range(len(qterms))),
+    )
+    buckets = term_buckets({r["token"] for r in expanded}, meta["n_buckets"])
+    posts = read_postings(spark, path).filter(
+        F.col("field").isin(list(fields))
+        & F.col("tkb").isin(buckets)
+        & F.col("token").isin(sorted({r["token"] for r in expanded}))
+    )
+    joined = posts.join(F.broadcast(cand), ["field", "token"])
+
+    # 3. per-field BM25 with fuzzy boosts, best_fields combine
+    per_field_scores = []
+    for field in fields:
+        pf = joined.filter(F.col("field") == field)
+        per_doc = pf.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(F.col(f"b{i}").isNotNull(), F.col("tf")).otherwise(
+                        0
+                    )
+                ).alias(f"tf{i}")
+                for i in range(len(qterms))
+            ],
+            *[F.max(F.col(f"b{i}")).alias(f"bo{i}") for i in range(len(qterms))],
+        )
+        dfs = per_doc.agg(
+            *[
+                F.coalesce(
+                    F.sum((F.col(f"tf{i}") > 0).cast("long")), F.lit(0)
+                ).alias(f"df{i}")
+                for i in range(len(qterms))
+            ]
+        )
+        stats = dfs.crossJoin(
+            F.broadcast(index_field_stats(spark, path, field))
+        )
+        lens = read_doclens(spark, path).filter(F.col("field") == field)
+        scored = per_doc.join(lens.select("doc_id", "dl"), "doc_id").crossJoin(
+            F.broadcast(stats)
+        )
+        fs = F.lit(0.0)
+        for i in range(len(qterms)):
+            tf = F.col(f"tf{i}").cast("double")
+            df = F.col(f"df{i}").cast("double")
+            idf = F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+            )
+            norm = tf + F.lit(k1) * (
+                F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+            )
+            term_score = idf * tf * F.lit(k1 + 1.0) / norm
+            fs = fs + F.when(
+                F.col(f"tf{i}") > 0,
+                term_score * F.coalesce(F.col(f"bo{i}"), F.lit(1.0)),
+            ).otherwise(F.lit(0.0))
+        per_field_scores.append(
+            scored.select(F.col("doc_id").alias(id_col), fs.alias("fscore"))
         )
     allf = per_field_scores[0]
     for p in per_field_scores[1:]:

@@ -14,6 +14,14 @@ Two artifacts, both plain DataFrames/parquet:
 
 `term_lookup` uses the posting table; parity with the scan-based
 search/query.py functions is pinned in tests/test_search_index.py.
+
+The incremental posting index (second half of this module) adds the
+O(delta) tick-maintained form with a small manifest-style commit
+protocol (see `_index_meta.json` below) so ticks are atomic, seqs are
+monotonic without wall clock, and the on-disk layout parameters travel
+with the index instead of living in client code — the same posture ES
+takes (analyzer + shard layout live in index metadata, never in the
+client).
 """
 
 from __future__ import annotations
@@ -21,6 +29,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -122,8 +131,6 @@ def analyzed_corpus_cached(
         try:
             os.rename(tmp, path)
         except OSError:
-            import shutil
-
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
@@ -173,24 +180,181 @@ def doc_frequencies(postings: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Incremental posting index (r11): O(delta) tick upkeep for the search
-# artifact tier — the last rebuild-the-world artifact (r10 verdict #3).
-# The reference's incremental ETL (etl/main.py:35) re-indexes only
-# new/changed rows into ES; this is that posture for the Spark-side
-# index: per-doc posting rows are independent across docs, so a tick
-# APPENDS one batch's partials and never re-analyzes the corpus.
+# Incremental posting index: O(delta) tick upkeep for the search
+# artifact tier. The reference's incremental ETL (etl/main.py:35)
+# re-indexes only new/changed rows into ES; this is that posture for
+# the Spark-side index: per-doc posting rows are independent across
+# docs, so a tick APPENDS one batch's partials and never re-analyzes
+# the corpus.
+#
+# Commit protocol (r12): every index keeps a `_index_meta.json` sidecar
+# holding the analyzer config, the LAYOUT parameters (n_buckets — never
+# recomputed from a client-side constant: a probe against an index
+# built under a different bucket count would prune to the wrong
+# directories and silently return partial results), and a MONOTONIC
+# per-index sequence counter:
+#
+#   next_seq      highest seq ever ALLOCATED (intent watermark)
+#   committed_seq highest seq whose batch fully landed (visibility
+#                 watermark — readers only see rows with seq <= it)
+#   dead_ranges   seq ranges allocated by a writer that crashed before
+#                 its commit; permanently invisible
+#
+# A tick is: allocate seq(s) → write postings, doclens, stats (and for
+# an upsert, tombstones) stamped with them → move committed_seq in ONE
+# atomic sidecar replace. A crash anywhere before the commit leaves
+# every partial write invisible (torn postings-without-doclens can
+# never serve), the next allocation fences the orphan seqs into
+# dead_ranges, and a re-delivered batch lands under fresh seqs with no
+# double count. This is the manifest-commit core of Delta/Iceberg
+# (sources/txlog.py documents the full-table form) specialized to the
+# single-writer index-maintenance contract; seqs come from the counter,
+# never wall clock (an NTP step can reorder time.time_ns() across
+# restarts and silently resurrect tombstoned rows).
 # ---------------------------------------------------------------------------
 
+# default bucket count for NEW builds only — serving and append ticks
+# read the index's persisted value from _index_meta.json
 N_TOKEN_BUCKETS = 16
 
+POSTINGS_SCHEMA = (
+    "token string, doc_id long, tf long, positions array<int>, seq long, "
+    "field string, tkb int"
+)
+DOCLENS_SCHEMA = "doc_id long, dl long, seq long, field string"
+STATS_SCHEMA = "n_docs long, sum_dl long, seq long, field string"
+TERMDICT_SCHEMA = "token string, seq long, field string"
 
-def _token_bucket(token) -> "F.Column":
-    """Partition key for the postings layout: crc32(token) % 16 —
+
+def _token_bucket(token, n_buckets: int) -> "F.Column":
+    """Partition key for the postings layout: crc32(token) % n_buckets —
     computable engine-side AND in plain Python (zlib.crc32) so a query
     can turn its analyzed terms into a partition filter before any
-    file opens."""
+    file opens. ``n_buckets`` is the INDEX's persisted value."""
     return F.pmod(F.crc32(F.col(token) if isinstance(token, str) else token),
-                  F.lit(N_TOKEN_BUCKETS))
+                  F.lit(n_buckets))
+
+
+def term_buckets(terms, n_buckets: int) -> list[int]:
+    """Driver-side twin of _token_bucket for building partition filters."""
+    import zlib
+
+    return sorted({zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms})
+
+
+def _load_meta(meta_path: str) -> dict | None:
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _write_meta(meta_path: str, meta: dict) -> None:
+    """Atomic sidecar replace — the ONE filesystem operation that
+    commits a tick (os.replace is atomic on POSIX)."""
+    os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+    tmp = f"{meta_path}.tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+
+
+def _merge_range(ranges: list, lo: int, hi: int) -> list:
+    out = [list(r) for r in ranges] + [[lo, hi]]
+    out.sort()
+    merged = [out[0]]
+    for lo2, hi2 in out[1:]:
+        if lo2 <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi2)
+        else:
+            merged.append([lo2, hi2])
+    return merged
+
+
+def alloc_index_seqs(
+    meta_path: str,
+    n: int = 1,
+    defaults: dict | None = None,
+    legacy_probe: tuple[str, ...] = (),
+) -> int:
+    """Allocate ``n`` consecutive seqs from the index's persisted
+    counter (single-writer contract — read-increment-replace of the
+    sidecar). Returns the FIRST allocated seq.
+
+    If the previous writer allocated seqs but never committed them
+    (next_seq > committed_seq on entry), their range is fenced into
+    dead_ranges first — those orphan rows stay invisible forever even
+    after committed_seq moves past them.
+
+    ``defaults`` are setdefault-merged into the meta (an index created
+    implicitly by its first upsert tick — the CDC-sink path — records
+    its analyzer/layout config here). ``legacy_probe``: subpaths whose
+    existence marks a pre-counter index (rows stamped with
+    time.time_ns()); the counter then starts ABOVE the current clock so
+    ordering across the migration boundary is preserved."""
+    meta = _load_meta(meta_path) or {}
+    for k, v in (defaults or {}).items():
+        meta.setdefault(k, v)
+    if "next_seq" not in meta:
+        root = os.path.dirname(meta_path)
+        legacy = any(
+            os.path.exists(os.path.join(root, s)) for s in legacy_probe
+        )
+        if legacy:
+            import time as _time
+
+            base = _time.time_ns()
+        else:
+            base = 0
+        meta["next_seq"] = meta["committed_seq"] = base
+        meta.setdefault("dead_ranges", [])
+    if meta["next_seq"] > meta["committed_seq"]:
+        meta["dead_ranges"] = _merge_range(
+            meta.get("dead_ranges") or [],
+            meta["committed_seq"] + 1,
+            meta["next_seq"],
+        )
+    first = meta["next_seq"] + 1
+    meta["next_seq"] += n
+    _write_meta(meta_path, meta)
+    return first
+
+
+def commit_index_seq(meta_path: str, seq: int) -> None:
+    """Publish a tick: one atomic sidecar replace makes every row
+    stamped ``<= seq`` visible. Crash before this call = clean no-op."""
+    meta = _load_meta(meta_path) or {}
+    meta["committed_seq"] = seq
+    _write_meta(meta_path, meta)
+
+
+def _visible(df: DataFrame, meta: dict | None) -> DataFrame:
+    """Filter to COMMITTED rows: seq <= committed_seq and outside every
+    dead range. Identity for legacy indexes (no counter in the meta)
+    — their rows predate the protocol and are all visible."""
+    if not meta or meta.get("committed_seq") is None:
+        return df
+    cond = F.col("seq") <= F.lit(int(meta["committed_seq"]))
+    for lo, hi in meta.get("dead_ranges") or []:
+        cond = cond & ~F.col("seq").between(int(lo), int(hi))
+    return df.filter(cond)
+
+
+def _posting_meta_path(path: str) -> str:
+    return os.path.join(path, "_index_meta.json")
+
+
+def read_posting_meta(path: str) -> dict:
+    """The index's build-time config: analyzer ({"stem", "fields"}),
+    layout ("n_buckets" — serving computes its partition filters from
+    THIS, never a code constant), and the commit watermarks. Absent
+    keys (pre-meta / pre-r12 indexes) fall back to the historical
+    defaults; an absent committed_seq means legacy full visibility."""
+    meta = _load_meta(_posting_meta_path(path)) or {}
+    meta.setdefault("stem", True)
+    meta.setdefault("fields", ["text"])
+    meta.setdefault("n_buckets", N_TOKEN_BUCKETS)
+    return meta
 
 
 def _posting_partials(
@@ -198,14 +362,16 @@ def _posting_partials(
     fields: tuple[str, ...],
     id_col: str,
     stem: bool,
-    tokens_col: str | None = None,
+    tokens_col,
+    seq: int,
+    n_buckets: int,
 ) -> tuple[DataFrame, DataFrame]:
     """One batch's index rows: postings (field, token, doc_id, tf) over
     the NON-deduplicated analyzed stream (tf is the BM25 term
     frequency; df = one row per (doc, token)) and doclens
     (field, doc_id, dl = Σ tf, derived FROM the postings partial so the
     batch is analyzed exactly once — the postings frame is eagerly
-    materialized, batch-delta-sized, before the two writes read it).
+    materialized, batch-delta-sized, before the writes read it).
     Docs whose analyzed stream is empty produce no rows — exactly the
     one-shot scorer's universe. Each posting also stores the token's
     sorted POSITIONS in the analyzed stream (the Lucene postings shape)
@@ -213,25 +379,41 @@ def _posting_partials(
     (match_phrase_from_index) — positions are per-doc facts, so the
     append-tick contract is unchanged.
 
-    ``tokens_col``: an ALREADY-ANALYZED array<string> column (the full
+    ``tokens_col``: ALREADY-ANALYZED array<string> column(s) (the full
     T.analyze stream, duplicates kept — e.g. analyzed_corpus_cached's
-    ``tokens``) to explode instead of re-running the analyzer. This is
-    not just a convenience: the full Snowball chain is a very large
-    Column expression whose per-query Catalyst cost (~10 s) is fixed
-    regardless of batch size, so serving ticks from the persisted
-    analyzed artifact is the same amortize-at-ingest posture every
-    other analyzer query here takes. Single-field only (the artifact
-    carries one field's stream)."""
+    ``tokens`` / ``<field>_tokens``) to explode instead of re-running
+    the analyzer. This is not just a convenience: the full Snowball
+    chain is a very large Column expression whose per-query Catalyst
+    cost (~10 s) is fixed regardless of batch size, so serving ticks
+    from the persisted analyzed artifact is the same
+    amortize-at-ingest posture every other analyzer query here takes.
+    A str names the single field's column; a {field: column} dict
+    covers multi-field indexes (fields missing from the dict are
+    analyzed in-plan).
+
+    ``seq`` is the batch's allocated sequence number (alloc_index_seqs)
+    — liveness is "written after the doc's latest tombstone", by
+    counter order, never wall clock."""
     from ..plans.tuning import spread
 
-    if tokens_col is not None and len(fields) != 1:
-        raise ValueError("tokens_col requires exactly one field")
+    if isinstance(tokens_col, str):
+        if len(fields) != 1:
+            raise ValueError(
+                "a single tokens_col string requires exactly one field; "
+                "pass a {field: column} dict for multi-field indexes"
+            )
+        tokens_col = {fields[0]: tokens_col}
+    tokens_col = tokens_col or {}
+    unknown = sorted(set(tokens_col) - set(fields))
+    if unknown:
+        raise ValueError(f"tokens_col covers non-indexed fields {unknown}")
     post_parts = []
     for f in fields:
-        if tokens_col is not None:
-            toks = spread(docs.select(id_col, tokens_col)).select(
+        col = tokens_col.get(f)
+        if col is not None:
+            toks = spread(docs.select(id_col, col)).select(
                 F.col(id_col).alias("doc_id"),
-                F.posexplode(F.col(tokens_col)).alias("pos", "token"),
+                F.posexplode(F.col(col)).alias("pos", "token"),
             )
         else:
             toks = spread(docs.select(id_col, f)).select(
@@ -252,19 +434,13 @@ def _posting_partials(
                 "doc_id",
                 "tf",
                 "positions",
-                _token_bucket("token").alias("tkb"),
+                _token_bucket("token", n_buckets).alias("tkb"),
             )
         )
     posts = post_parts[0]
     for p in post_parts[1:]:
         posts = posts.unionByName(p)
-    # batch sequence stamp: liveness is "written after the doc's latest
-    # tombstone" (the Lucene deleted-docs model — see
-    # delete_from_posting_index). One value per batch; the single-writer
-    # contract makes time monotone across ticks.
-    import time as _time
-
-    posts = posts.withColumn("seq", F.lit(_time.time_ns()))
+    posts = posts.withColumn("seq", F.lit(int(seq)).cast("long"))
     posts = posts.localCheckpoint(eager=True)
     lens = posts.groupBy("field", "doc_id", "seq").agg(
         F.sum("tf").alias("dl")
@@ -272,42 +448,59 @@ def _posting_partials(
     return posts, lens
 
 
-def _posting_meta_path(path: str) -> str:
-    return os.path.join(path, "_index_meta.json")
-
-
-def read_posting_meta(path: str) -> dict:
-    """The index's build-time analyzer config ({"stem": bool, "fields":
-    [...]}) — serving reads it so query analysis can never silently
-    diverge from what the stored tokens went through. Absent on
-    pre-meta indexes: callers fall back to the stemmed default."""
-    p = _posting_meta_path(path)
-    if not os.path.exists(p):
-        return {"stem": True, "fields": ["text"]}
-    with open(p, encoding="utf-8") as fh:
-        return json.load(fh)
-
-
 def _write_posting_batch(
     posts: DataFrame, lens: DataFrame, path: str, mode: str
 ) -> None:
-    """One batch's two writes, REPARTITIONED BY the partition columns
+    """One batch's writes, REPARTITIONED BY the partition columns
     first: without it every task holds an open parquet writer per
     partition directory it touches (tasks × ~17 dirs of concurrent
     row-group buffers — enough to OOM a default heap on a tiny batch,
     and a files-per-tick explosion at scale). After the slim
     batch-delta-sized shuffle, each partition directory is written by
     exactly one task: bounded writer memory, one file per (field, tkb)
-    per tick."""
+    per tick. Postings are additionally SORTED by token within each
+    file so parquet row-group min/max stats carry a probe's pushed
+    ``token IN`` — a term reads only its row groups, not the whole
+    bucket directory.
+
+    Alongside postings/doclens the batch appends two serving-stats
+    artifacts, both derived from the already-materialized batch frame:
+
+    - stats/: ONE row per field (n_docs, sum_dl, seq) — BM25's corpus
+      statistics are SUM-merged over these slim rows at query time
+      instead of aggregating the full doclens table per query (the one
+      O(corpus) read the r11 serving path still had);
+    - termdict/: the batch's distinct (field, token) — the term
+      dictionary fuzzy expansion scans (vocabulary-sized, sublinear in
+      corpus; Lucene's FST term dict is the same idea).
+
+    None of these writes is visible until the caller's
+    commit_index_seq — a crash between them can't serve a torn view."""
     from ..session import free_local_checkpoint
 
-    posts.repartition("field", "tkb").write.mode(mode).partitionBy(
-        "field", "tkb"
-    ).parquet(os.path.join(path, "postings"))
-    lens.repartition("field").write.mode(mode).partitionBy(
+    posts.repartition("field", "tkb").sortWithinPartitions(
+        "field", "tkb", "token"
+    ).write.mode(mode).partitionBy("field", "tkb").parquet(
+        os.path.join(path, "postings")
+    )
+    lens.repartition("field").sortWithinPartitions(
+        "field", "doc_id"
+    ).write.mode(mode).partitionBy("field").parquet(
+        os.path.join(path, "doclens")
+    )
+    lens.groupBy("field", "seq").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).select("n_docs", "sum_dl", "seq", "field").repartition(
         "field"
-    ).parquet(os.path.join(path, "doclens"))
-    # the batch checkpoint fed both writes — release its blocks, or a
+    ).write.mode(mode).partitionBy("field").parquet(
+        os.path.join(path, "stats")
+    )
+    posts.select("token", "seq", "field").distinct().repartition(
+        "field"
+    ).sortWithinPartitions("field", "token").write.mode(mode).partitionBy(
+        "field"
+    ).parquet(os.path.join(path, "termdict"))
+    # the batch checkpoint fed all writes — release its blocks, or a
     # long-running CDC driver leaks one batch-sized block set per tick
     free_local_checkpoint(posts)
 
@@ -318,24 +511,63 @@ def build_posting_index(
     fields: tuple[str, ...] = ("text",),
     id_col: str = "doc_id",
     stem: bool = True,
-    tokens_col: str | None = None,
+    tokens_col=None,
+    n_buckets: int = N_TOKEN_BUCKETS,
 ) -> None:
     """Persist the serving search index: `postings/` PARTITIONED BY
     (field, token-bucket) — a term query prunes to one bucket directory
-    before any file opens — and `doclens/` PARTITIONED BY field (the
-    BM25 length-normalization table). Analyzer runs ONCE, at ingest
-    (or earlier: pass ``tokens_col`` to build from a persisted analyzed
-    stream, see _posting_partials). A REBUILD over an existing path
-    also clears its tombstones — stale ones would hide the fresh rows
-    of any doc deleted in the previous index generation (and liveness
-    would silently ride wall-clock ordering across generations)."""
-    import shutil
+    before any file opens — plus `doclens/` (BM25 length
+    normalization), `stats/` (corpus statistics) and `termdict/` (the
+    term dictionary), all PARTITIONED BY field. Analyzer runs ONCE, at
+    ingest (or earlier: pass ``tokens_col`` to build from a persisted
+    analyzed stream, see _posting_partials).
 
+    ``n_buckets`` is persisted in `_index_meta.json` and every append
+    tick and probe reads it from there — tuning the module default
+    never mis-probes an existing index. The initial meta (written
+    BEFORE the data, committed_seq=0) makes a crashed build read as an
+    EMPTY index, not a torn one; a REBUILD over an existing path also
+    clears its tombstones — stale ones would hide the fresh rows of
+    any doc deleted in the previous index generation."""
     shutil.rmtree(os.path.join(path, "_tombstones"), ignore_errors=True)
-    posts, lens = _posting_partials(docs, fields, id_col, stem, tokens_col)
+    _write_meta(
+        _posting_meta_path(path),
+        {
+            "stem": stem,
+            "fields": list(fields),
+            "n_buckets": int(n_buckets),
+            "next_seq": 1,
+            "committed_seq": 0,
+            "dead_ranges": [],
+        },
+    )
+    posts, lens = _posting_partials(
+        docs, fields, id_col, stem, tokens_col, seq=1, n_buckets=n_buckets
+    )
     _write_posting_batch(posts, lens, path, "overwrite")
-    with open(_posting_meta_path(path), "w", encoding="utf-8") as fh:
-        json.dump({"stem": stem, "fields": list(fields)}, fh)
+    commit_index_seq(_posting_meta_path(path), 1)
+
+
+def _validate_tick_config(
+    meta: dict, fields: tuple[str, ...], stem: bool, tokens_col, path: str
+) -> None:
+    """Reject a tick whose config disagrees with the index's persisted
+    one BEFORE anything is written — an upsert that tombstones first
+    and then fails validation would leave the batch's docs deleted
+    with no replacement (silently vanished)."""
+    if "stem" in meta and tokens_col is None and stem != meta["stem"]:
+        raise ValueError(
+            f"index at {path} was built with stem={meta['stem']}; "
+            f"appending stem={stem} rows would mix analyzers"
+        )
+    known = set(meta.get("fields") or [])
+    unknown = [f for f in fields if f not in known]
+    if known and unknown:
+        raise ValueError(
+            f"index at {path} has fields {sorted(known)}; the tick "
+            f"supplies unknown fields {unknown} — rebuild to change "
+            "the mapping (the ES fixed-mapping contract)"
+        )
 
 
 def append_posting_index(
@@ -344,25 +576,40 @@ def append_posting_index(
     fields: tuple[str, ...] = ("text",),
     id_col: str = "doc_id",
     stem: bool = True,
-    tokens_col: str | None = None,
+    tokens_col=None,
 ) -> None:
-    """Tick upkeep: append ONE batch's posting + doclen rows — O(batch)
-    analyze/explode/agg, no corpus re-analysis, no index rewrite.
-    Contract (same as the minhash/shingle indexes): batches are
-    disjoint in doc_id — a CHANGED doc retires its old rows via the
-    compaction/txlog path, not by double-appending. ``tokens_col``:
-    append from an already-analyzed stream (_posting_partials). A tick
-    whose ``stem`` disagrees with the index's build-time config raises
-    — mixed-analyzer postings would be silently unsearchable."""
-    if os.path.exists(_posting_meta_path(path)):
-        built = read_posting_meta(path)["stem"]
-        if tokens_col is None and stem != built:
-            raise ValueError(
-                f"index at {path} was built with stem={built}; "
-                f"appending stem={stem} rows would mix analyzers"
-            )
-    posts, lens = _posting_partials(new_docs, fields, id_col, stem, tokens_col)
+    """Tick upkeep: append ONE batch's posting + doclen + stats rows —
+    O(batch) analyze/explode/agg, no corpus re-analysis, no index
+    rewrite, published by one atomic commit (a crash mid-tick serves
+    the pre-tick view; a re-delivered batch lands under fresh seqs
+    with the orphan rows fenced dead, so at-least-once delivery never
+    double-counts tf). Contract (same as the minhash/shingle indexes):
+    batches are disjoint in doc_id — a CHANGED doc retires its old
+    rows via upsert_posting_index. A tick whose ``stem``/``fields``
+    disagree with the index's persisted config raises before writing.
+    On a path with no meta (first CDC tick) the call establishes the
+    index config."""
+    mpath = _posting_meta_path(path)
+    meta = _load_meta(mpath)
+    if meta is not None:
+        _validate_tick_config(meta, fields, stem, tokens_col, path)
+    n_buckets = (meta or {}).get("n_buckets", N_TOKEN_BUCKETS)
+    seq = alloc_index_seqs(
+        mpath,
+        1,
+        defaults={
+            "stem": stem,
+            "fields": list(fields),
+            "n_buckets": int(n_buckets),
+        },
+        legacy_probe=("postings", "_tombstones"),
+    )
+    posts, lens = _posting_partials(
+        new_docs, fields, id_col, stem, tokens_col, seq=seq,
+        n_buckets=n_buckets,
+    )
     _write_posting_batch(posts, lens, path, "append")
+    commit_index_seq(mpath, seq)
 
     from ..plans.tuning import invalidate_spread_cache
 
@@ -370,21 +617,28 @@ def append_posting_index(
 
 
 def _apply_tombstones(
-    spark: SparkSession, path: str, df: DataFrame, key: str = "doc_id"
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    key: str = "doc_id",
+    meta: dict | None = None,
 ) -> DataFrame:
     """Exclude dead rows: a row is live iff no tombstone exists for its
     key, or it was written AFTER the key's latest tombstone (seq
     comparison — an upsert's re-added rows carry a newer seq than the
     delete that retired the old version). The tombstone set is bounded
-    by churn between compactions (the compaction passes apply it
-    physically and clear it), so the max-per-key frame broadcasts.
-    Shared by the posting index (key=doc_id) and the IVF-PQ vector
-    index (key=vec_id, operators/similarity.py)."""
+    by churn between compactions (compaction applies it physically;
+    the tiered pass folds it to one row per key), so the max-per-key
+    frame broadcasts. ``meta`` applies the commit-watermark visibility
+    to BOTH sides (None = legacy full visibility). Shared by the
+    posting index (key=doc_id) and the IVF-PQ vector index (key=vec_id,
+    operators/similarity.py)."""
     tpath = os.path.join(path, "_tombstones")
+    df = _visible(df, meta)
     if not os.path.exists(tpath):
         return df
     tomb = (
-        spark.read.parquet(tpath)
+        _visible(spark.read.parquet(tpath), meta)
         .groupBy(key)
         .agg(F.max("seq").alias("_tomb_seq"))
     )
@@ -395,13 +649,6 @@ def _apply_tombstones(
         )
         .drop("_tomb_seq")
     )
-
-
-POSTINGS_SCHEMA = (
-    "token string, doc_id long, tf long, positions array<int>, seq long, "
-    "field string, tkb int"
-)
-DOCLENS_SCHEMA = "doc_id long, dl long, seq long, field string"
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
@@ -421,14 +668,104 @@ def read_postings(
     spark: SparkSession, path: str, live_only: bool = True
 ) -> DataFrame:
     df = _read_or_empty(spark, os.path.join(path, "postings"), POSTINGS_SCHEMA)
-    return _apply_tombstones(spark, path, df) if live_only else df
+    if not live_only:
+        return df
+    return _apply_tombstones(spark, path, df, meta=read_posting_meta(path))
 
 
 def read_doclens(
     spark: SparkSession, path: str, live_only: bool = True
 ) -> DataFrame:
     df = _read_or_empty(spark, os.path.join(path, "doclens"), DOCLENS_SCHEMA)
-    return _apply_tombstones(spark, path, df) if live_only else df
+    if not live_only:
+        return df
+    return _apply_tombstones(spark, path, df, meta=read_posting_meta(path))
+
+
+def read_termdict(spark: SparkSession, path: str) -> DataFrame:
+    """Distinct committed (field, token) — the term dictionary. Each
+    tick appends ITS batch's distinct terms, so the raw table holds one
+    row per (field, token, tick-that-saw-it); the reader re-distincts.
+    A term whose last doc was tombstoned may linger until compaction —
+    harmless: its pruned postings contribute no rows. Legacy indexes
+    (no termdict/ artifact) derive it from the postings once."""
+    tdir = os.path.join(path, "termdict")
+    meta = read_posting_meta(path)
+    if not os.path.isdir(tdir):
+        return (
+            read_postings(spark, path).select("field", "token").distinct()
+        )
+    return (
+        _visible(_read_or_empty(spark, tdir, TERMDICT_SCHEMA), meta)
+        .select("field", "token")
+        .distinct()
+    )
+
+
+def index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """LIVE corpus statistics per field: (field, n_docs, sum_dl) —
+    BM25's N and avgdl served WITHOUT aggregating the O(corpus) doclens
+    table per query (the r11 verdict's serving flag). Cost model:
+
+    - base: SUM over stats/ (one slim row per field per tick);
+    - dead correction: only when tombstones exist — subtract the
+      tombstoned doc versions' doclens rows, found via a broadcast join
+      against the churn-bounded tombstone key set. Zero tombstones
+      (the steady post-compaction state) never touches doclens at all.
+
+    Invariant maintained by every writer: stats/ equals the per-field
+    sums of ALL visible doclens rows on disk (live + dead) — appends
+    add both together under one commit; the tiered pass folds doclens
+    FILES without dropping dead rows; the full compaction drops dead
+    rows and recomputes stats/ inside one atomic swap."""
+    meta = read_posting_meta(path)
+    sdir = os.path.join(path, "stats")
+    if not os.path.isdir(sdir):
+        # legacy index (pre-stats artifact): the historical full-doclens
+        # aggregate, kept only for indexes built before r12
+        return read_doclens(spark, path).groupBy("field").agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+        )
+    base = (
+        _visible(_read_or_empty(spark, sdir, STATS_SCHEMA), meta)
+        .groupBy("field")
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
+    )
+    tpath = os.path.join(path, "_tombstones")
+    if not os.path.exists(tpath):
+        return base
+    tomb = (
+        _visible(spark.read.parquet(tpath), meta)
+        .groupBy("doc_id")
+        .agg(F.max("seq").alias("_tomb_seq"))
+    )
+    lens = _visible(
+        _read_or_empty(spark, os.path.join(path, "doclens"), DOCLENS_SCHEMA),
+        meta,
+    )
+    dead = (
+        lens.join(F.broadcast(tomb), "doc_id")
+        .filter(F.col("seq") <= F.col("_tomb_seq"))
+        .groupBy("field")
+        .agg(F.count(F.lit(1)).alias("_dn"), F.sum("dl").alias("_dsum"))
+    )
+    return base.join(dead, "field", "left").select(
+        "field",
+        (F.col("n_docs") - F.coalesce(F.col("_dn"), F.lit(0))).alias(
+            "n_docs"
+        ),
+        (F.col("sum_dl") - F.coalesce(F.col("_dsum"), F.lit(0))).alias(
+            "sum_dl"
+        ),
+    )
+
+
+def index_field_stats(spark: SparkSession, path: str, field: str) -> DataFrame:
+    """One-row (n_docs, avgdl) for a field — the broadcast side of the
+    BM25 serving score."""
+    return index_stats(spark, path).filter(F.col("field") == field).select(
+        "n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl")
+    )
 
 
 def delete_from_posting_index(
@@ -437,19 +774,22 @@ def delete_from_posting_index(
     """Mark documents deleted WITHOUT rewriting the index — the
     Lucene/ES deletion model (ES marks the old version deleted on every
     update; segment merges drop the bodies later). Appends (doc_id,
-    seq) tombstones; every reader (df / BM25 / phrase) excludes rows at
-    or below a doc's latest tombstone, and compact_posting_index
-    applies tombstones physically and clears them. O(|deletes|) — the
-    index is never scanned."""
-    import time as _time
-
+    seq) tombstones under their own committed seq; every reader
+    (df / BM25 / phrase / stats) excludes rows at or below a doc's
+    latest tombstone, and the compaction passes apply tombstones
+    physically. O(|deletes|) — the index is never scanned."""
+    mpath = _posting_meta_path(path)
+    seq = alloc_index_seqs(
+        mpath, 1, legacy_probe=("postings", "_tombstones")
+    )
     # doc_id keeps the caller's key type (long testdata ids, the
     # reference's UUID strings) — the liveness join must type-match the
     # postings' doc_id
     doc_ids.select(
         F.col(id_col).alias("doc_id"),
-        F.lit(_time.time_ns()).alias("seq"),
+        F.lit(int(seq)).cast("long").alias("seq"),
     ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
+    commit_index_seq(mpath, seq)
 
 
 def upsert_posting_index(
@@ -458,18 +798,47 @@ def upsert_posting_index(
     fields: tuple[str, ...] = ("text",),
     id_col: str = "doc_id",
     stem: bool = True,
-    tokens_col: str | None = None,
+    tokens_col=None,
 ) -> None:
     """Re-index CHANGED documents: tombstone the old rows (one slim
     append), then append the new versions' postings — the ES update
     path (reference etl/main.py re-indexes modified movies by _id; ES
     internally does exactly delete-mark + new segment). Cost is
     O(batch): the existing index is neither read nor rewritten. The
-    re-added rows carry a newer batch seq than the tombstone, so
-    readers serve only the new version; compaction folds the dead rows
-    out physically."""
-    delete_from_posting_index(new_docs.select(id_col), path, id_col)
-    append_posting_index(new_docs, path, fields, id_col, stem, tokens_col)
+    tombstones and the re-added rows (one seq apart, counter order)
+    publish under a SINGLE commit — a reader never sees the doc
+    deleted-but-not-re-added, and a crash anywhere mid-upsert serves
+    the pre-tick view. Config validation runs before anything is
+    written (a rejected upsert is a clean no-op)."""
+    mpath = _posting_meta_path(path)
+    meta = _load_meta(mpath)
+    if meta is not None:
+        _validate_tick_config(meta, fields, stem, tokens_col, path)
+    n_buckets = (meta or {}).get("n_buckets", N_TOKEN_BUCKETS)
+    seq_t = alloc_index_seqs(
+        mpath,
+        2,
+        defaults={
+            "stem": stem,
+            "fields": list(fields),
+            "n_buckets": int(n_buckets),
+        },
+        legacy_probe=("postings", "_tombstones"),
+    )
+    seq_a = seq_t + 1
+    new_docs.select(
+        F.col(id_col).alias("doc_id"), F.lit(int(seq_t)).cast("long").alias("seq")
+    ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
+    posts, lens = _posting_partials(
+        new_docs, fields, id_col, stem, tokens_col, seq=seq_a,
+        n_buckets=n_buckets,
+    )
+    _write_posting_batch(posts, lens, path, "append")
+    commit_index_seq(mpath, seq_a)
+
+    from ..plans.tuning import invalidate_spread_cache
+
+    invalidate_spread_cache(new_docs.sparkSession)
 
 
 def doc_frequencies_from_index(spark: SparkSession, path: str) -> DataFrame:
@@ -497,9 +866,10 @@ def match_phrase_from_index(
     the phrase terms' posting lists and check positions line up
     consecutively, never touching documents. The scan is pruned to the
     analyzed terms' crc32 bucket directories (driver-side partition
-    filter, same as bm25_topk_from_index) + a pushed ``token IN``;
-    per-doc alignment is one native exists() over the first term's
-    positions probing ``array_contains(pos_j, p + j)``.
+    filter computed from the INDEX's persisted n_buckets, same as
+    bm25_topk_from_index) + a pushed ``token IN``; per-doc alignment is
+    one native exists() over the first term's positions probing
+    ``array_contains(pos_j, p + j)``.
 
     Returns matching ``doc_id`` rows (callers join back for payload —
     the index stays slim). Same stopword-gap divergence as the
@@ -507,18 +877,16 @@ def match_phrase_from_index(
     equal output to it over the same docs, pinned in tests."""
     import functools
     import operator
-    import zlib
 
     from .query import analyze_query
 
+    meta = read_posting_meta(path)
     if stem is None:  # default to the index's build-time analyzer
-        stem = read_posting_meta(path)["stem"]
+        stem = meta["stem"]
     qterms = analyze_query(phrase, stem=stem)
     if not qterms:
         raise ValueError("empty phrase after analysis")
-    buckets = sorted(
-        {zlib.crc32(t.encode("utf-8")) % N_TOKEN_BUCKETS for t in qterms}
-    )
+    buckets = term_buckets(qterms, meta["n_buckets"])
     posts = read_postings(spark, path).filter(
         (F.col("field") == field)
         & F.col("tkb").isin(buckets)
@@ -556,39 +924,253 @@ def match_phrase_from_index(
 
 
 def compact_posting_index(spark: SparkSession, path: str) -> None:
-    """Fold the per-tick small files into one file-set per partition
-    and apply tombstones physically (Lucene's segment merge: dead doc
-    versions leave the data files; the tombstone set resets to empty).
-    Periodic maintenance, not correctness — readers already serve the
-    live view. Same single-writer overwrite-after-read contract as
-    compact_token_count_index."""
-    import shutil
+    """FULL compaction: fold the per-tick small files into one file-set
+    per partition, apply tombstones physically (Lucene's segment merge:
+    dead doc versions leave the data files; the tombstone set resets to
+    empty), recompute stats/ and termdict/ from the live rows, and
+    clear dead_ranges. Periodic maintenance, not correctness — readers
+    already serve the live view.
 
+    Staged through a sibling temp dir + two renames (the
+    compact_ivfpq_index / writers.compact_parquet discipline) instead
+    of the r11 in-place overwrite: a crash mid-rewrite leaves the old
+    index intact or the new one complete — never a lost index. The
+    swap also retires the applied tombstones (they live inside the old
+    directory). O(index) by nature; the tiered pass below is the
+    steady-state maintenance at scale."""
     from ..session import free_local_checkpoint
 
-    for sub, parts, schema in (
-        ("postings", ["field", "tkb"], POSTINGS_SCHEMA),
-        ("doclens", ["field"], DOCLENS_SCHEMA),
-    ):
-        p = os.path.join(path, sub)
+    meta = read_posting_meta(path)
+    committed = int(meta.get("committed_seq") or 0)
+    posts = read_postings(spark, path).localCheckpoint(eager=True)
+    lens = read_doclens(spark, path).localCheckpoint(eager=True)
+    tmp = f"{path}.compact-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    posts.repartition("field", "tkb").sortWithinPartitions(
+        "field", "tkb", "token"
+    ).write.mode("overwrite").partitionBy("field", "tkb").parquet(
+        os.path.join(tmp, "postings")
+    )
+    lens.repartition("field").sortWithinPartitions(
+        "field", "doc_id"
+    ).write.mode("overwrite").partitionBy("field").parquet(
+        os.path.join(tmp, "doclens")
+    )
+    lens.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).select(
+        "n_docs", "sum_dl", F.lit(committed).cast("long").alias("seq"), "field"
+    ).repartition("field").write.mode("overwrite").partitionBy(
+        "field"
+    ).parquet(os.path.join(tmp, "stats"))
+    posts.select(
+        "token", F.lit(committed).cast("long").alias("seq"), "field"
+    ).distinct().repartition("field").sortWithinPartitions(
+        "field", "token"
+    ).write.mode("overwrite").partitionBy("field").parquet(
+        os.path.join(tmp, "termdict")
+    )
+    free_local_checkpoint(posts)
+    free_local_checkpoint(lens)
+    _write_meta(_posting_meta_path(tmp), {**meta, "dead_ranges": []})
+    old = f"{path}.compact-old-{os.getpid()}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _leaf_partition_dirs(root: str) -> list[str]:
+    """Partition directories that directly hold parquet files."""
+    out = []
+    for dp, _dns, fns in os.walk(root):
+        if any(f.endswith(".parquet") for f in fns):
+            out.append(dp)
+    return sorted(out)
+
+
+def _leaf_parquet_files(leaf: str) -> list[str]:
+    return [
+        os.path.join(leaf, f)
+        for f in os.listdir(leaf)
+        if f.endswith(".parquet")
+    ]
+
+
+def _swap_leaf(
+    df: DataFrame,
+    leaf: str,
+    path: str,
+    sort_cols: tuple[str, ...],
+    target_bytes: int = 128 << 20,
+) -> None:
+    """Rewrite one partition directory crash-safely: write the folded
+    rows into an underscore-prefixed sibling (invisible to Spark
+    readers), then two renames. File count targets ``target_bytes``
+    per file so a genuinely large leaf keeps multiple files."""
+    import math
+
+    size = sum(os.path.getsize(f) for f in _leaf_parquet_files(leaf))
+    nfiles = max(1, math.ceil(size / target_bytes))
+    w = df.repartition(nfiles)
+    if sort_cols:
+        w = w.sortWithinPartitions(*sort_cols)
+    tag = f"{os.getpid()}-{abs(hash(leaf)) % 10**8}"
+    tmp = os.path.join(path, f"_fold-{tag}")
+    old = os.path.join(path, f"_fold-old-{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    w.write.mode("overwrite").parquet(tmp)
+    os.rename(leaf, old)
+    os.rename(tmp, leaf)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def compact_posting_index_tiered(
+    spark: SparkSession, path: str, max_files: int = 8
+) -> None:
+    """TIERED maintenance (the Lucene merge policy, vs the full pass's
+    O(index) rewrite — the r11 verdict flag on the CDC sink's periodic
+    full rewrites): fold ONLY the partition directories whose
+    small-file count exceeds ``max_files``; untouched partitions are
+    carried by name — their files are never read, rewritten, or
+    renamed (the sources/txlog.py tx_compact carry-by-name pattern,
+    applied per partition directory). Each folded leaf swaps in
+    atomically via rename, so a crash leaves every leaf either old or
+    new — both serve identical visible content.
+
+    Per artifact:
+    - postings leaves drop dead + orphan rows and re-sort by token
+      (restoring row-group skipping on long-lived hot buckets);
+    - doclens leaves fold FILES ONLY — dead rows are kept because the
+      stats/ invariant (index_stats docstring) needs them until a full
+      compaction retires both sides atomically;
+    - stats leaves fold to one row per field;
+    - termdict leaves fold to distinct terms;
+    - the tombstone set folds to one row per key, bounding the
+      liveness broadcast by distinct churned keys rather than
+      delete-call count.
+
+    Tombstones are NOT cleared (that requires every postings partition
+    rewritten — the full pass), and dead_ranges persist until then."""
+    meta = read_posting_meta(path)
+    committed = int(meta.get("committed_seq") or 0)
+
+    for leaf in _leaf_partition_dirs(os.path.join(path, "postings")):
+        if len(_leaf_parquet_files(leaf)) <= max_files:
+            continue
         live = _apply_tombstones(
-            spark, path, _read_or_empty(spark, p, schema)
-        ).localCheckpoint(eager=True)
-        live.repartition(*parts).write.mode("overwrite").partitionBy(
-            *parts
-        ).parquet(p)
-        free_local_checkpoint(live)
-    # both live sets are rewritten — drop the applied tombstones. A
-    # crash before this point just re-applies them on the already-live
-    # rows (idempotent: live rows are strictly newer than any tombstone)
-    shutil.rmtree(os.path.join(path, "_tombstones"), ignore_errors=True)
+            spark, path, spark.read.parquet(leaf), meta=meta
+        )
+        _swap_leaf(live, leaf, path, ("token",))
+    for leaf in _leaf_partition_dirs(os.path.join(path, "doclens")):
+        if len(_leaf_parquet_files(leaf)) <= max_files:
+            continue
+        _swap_leaf(
+            _visible(spark.read.parquet(leaf), meta), leaf, path, ("doc_id",)
+        )
+    for leaf in _leaf_partition_dirs(os.path.join(path, "stats")):
+        if len(_leaf_parquet_files(leaf)) <= max_files:
+            continue
+        folded = (
+            _visible(spark.read.parquet(leaf), meta)
+            .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
+            .select("n_docs", "sum_dl", F.lit(committed).cast("long").alias("seq"))
+        )
+        _swap_leaf(folded, leaf, path, ())
+    for leaf in _leaf_partition_dirs(os.path.join(path, "termdict")):
+        if len(_leaf_parquet_files(leaf)) <= max_files:
+            continue
+        folded = (
+            _visible(spark.read.parquet(leaf), meta)
+            .select("token")
+            .distinct()
+            .select("token", F.lit(committed).cast("long").alias("seq"))
+        )
+        _swap_leaf(folded, leaf, path, ("token",))
+    tpath = os.path.join(path, "_tombstones")
+    if os.path.isdir(tpath) and len(_leaf_parquet_files(tpath)) > max_files:
+        folded = (
+            _visible(spark.read.parquet(tpath), meta)
+            .groupBy("doc_id")
+            .agg(F.max("seq").alias("seq"))
+        )
+        _swap_leaf(folded, tpath, path, ("doc_id",))
+
+
+def posting_index_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_fields: tuple[str, ...] = (),
+    n_buckets: int = N_TOKEN_BUCKETS,
+    cache_root: str | None = None,
+) -> str:
+    """Build-once persisted posting index over a corpus table (the
+    `analyzed_corpus_cached` / `ivfpq_index_cached` posture applied to
+    the text-search tier): the SERVE-ONLY queries probe this without
+    paying the ingest — the production separation the bench entries
+    bm25_serve_topk / match_phrase_serve measure.
+
+    Cache key = corpus file identity + the analyzer-rule hash + the
+    layout params, so data regeneration, stemmer changes, and layout
+    tuning all invalidate. Built FROM the cached analyzed artifact
+    (one analyzer pass per corpus version, shared with every other
+    search query), staged in a pid-suffixed dir and atomically renamed
+    — concurrent builders race cleanly. Returns the index path; fields
+    are ("text", *extra_fields) with id_col as the doc key."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    parts = [src]
+    if os.path.isdir(src):
+        parts = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(src)
+            for f in fs
+            if f.endswith(".parquet")
+        ) or [src]
+    ident = [
+        os.path.abspath(src), _analyzer_version(), id_col, text_col,
+        ",".join(extra_fields), f"nb={n_buckets}", "posting-v1",
+    ]
+    for p in parts:
+        st = os.stat(p)
+        ident.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
+    key = hashlib.md5("\x1f".join(ident).encode()).hexdigest()[:16]
+    root = cache_root or os.environ.get(
+        "SPARK_GRAFT_INDEX_CACHE",
+        os.path.join(tempfile.gettempdir(), "spark_graft_index_cache"),
+    )
+    path = os.path.join(root, f"posting-{table}-{key}")
+    if os.path.exists(_posting_meta_path(path)):
+        return path
+    toks = analyzed_corpus_cached(
+        spark, sf_dir, table=table, id_col=id_col, text_col=text_col,
+        cache_root=cache_root, extra_fields=extra_fields,
+    )
+    fields = ("text", *extra_fields)
+    tokens_col = {"text": "tokens"}
+    tokens_col.update({f: f"{f}_tokens" for f in extra_fields})
+    tmp = f"{path}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_posting_index(
+        toks, tmp, fields=fields, id_col=id_col, tokens_col=tokens_col,
+        n_buckets=n_buckets,
+    )
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
 
 
 def posting_index_cdc_sink(
-    path: str,
+    path,
     fields: tuple[str, ...] = ("title",),
     id_col: str = "id",
-    compact_every: int = 64,
+    compact_every: int = 16,
+    full_compact_every: int = 0,
+    max_files: int = 8,
 ):
     """(sink, on_delete) pair wiring the persisted posting index into
     the incremental ETL drivers (streaming/incremental.IncrementalEtl,
@@ -601,18 +1183,19 @@ def posting_index_cdc_sink(
     then serve the post-tick corpus — effectively-once composes with
     the drivers' commit-after-sink checkpointing because re-indexing
     the same batch twice just re-tombstones and re-adds the same
-    version (last write wins, values identical).
+    version (last write wins, values identical), and a tick that
+    crashes mid-write never published (the index's own commit
+    watermark).
 
     ``sink(docs, entity)`` ignores entities ≠ the indexed one when
     ``path`` is a str; pass a dict {entity: path} to index several.
 
-    ``compact_every``: every Nth sink call per entity runs
-    compact_posting_index. Upserting can't know which incoming docs are
-    first-time inserts without reading the index, so EVERY indexed doc
-    leaves a tombstone — without periodic compaction the tombstone set
-    (and its broadcast liveness join) would grow with total docs ever
-    processed, not with churn. Pass 0 to disable (caller owns
-    maintenance)."""
+    Maintenance: every ``compact_every`` sink calls per entity runs the
+    TIERED pass (folds only partitions past ``max_files`` small files
+    and folds the tombstone set to one row per churned key — O(hot
+    partitions + churn), never O(index)); every ``full_compact_every``
+    calls runs the full pass (retires tombstones + dead rows
+    physically). 0 disables either (caller owns maintenance)."""
     paths = path if isinstance(path, dict) else None
     ticks: dict[str, int] = {}
 
@@ -626,8 +1209,15 @@ def posting_index_cdc_sink(
         if p is not None:
             upsert_posting_index(docs, p, fields=fields, id_col=id_col)
             ticks[entity] = ticks.get(entity, 0) + 1
-            if compact_every and ticks[entity] % compact_every == 0:
+            if (
+                full_compact_every
+                and ticks[entity] % full_compact_every == 0
+            ):
                 compact_posting_index(docs.sparkSession, p)
+            elif compact_every and ticks[entity] % compact_every == 0:
+                compact_posting_index_tiered(
+                    docs.sparkSession, p, max_files=max_files
+                )
 
     def on_delete(ids: DataFrame, entity: str) -> None:
         p = _path_for(entity)
