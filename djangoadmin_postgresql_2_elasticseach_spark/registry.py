@@ -1775,39 +1775,22 @@ def _q_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_multimatch_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES fuzzy best_fields multi_match served from the MULTI-FIELD
-    incremental posting index (r11 verdict #7 — the reference's actual
-    query shape, ETLTests-2.json multi_match bodies, on the index
-    tier): build one corpus third + two append ticks with per-field
-    token columns from the cached analyzed artifact, then serve via
-    term-dictionary fuzzy expansion → bucket-pruned postings → per-
-    field BM25 · Lucene fuzzy boost → best_fields max
-    (search/bm25.multimatch_bm25_from_index). Oracle = the ONE-SHOT
+    posting index (r11 verdict #7 — the reference's actual query shape,
+    ETLTests-2.json multi_match bodies, on the index tier): probe the
+    build-once CACHED (text, source) index via term-dictionary fuzzy
+    expansion (length-band-pruned vocab scan) → bucket-pruned postings
+    → per-field BM25 · Lucene fuzzy boost → best_fields max
+    (search/bm25.multimatch_bm25_from_index). This is the SERVING
+    number; the tick-maintained multi-field ingest (build + append with
+    per-field token columns) is parity-pinned against the same scan
+    oracle in tests/test_index_commits.py. Oracle = the ONE-SHOT
     scan-based multimatch_bm25 SQL."""
     from .search.bm25 import multimatch_bm25_from_index
-    from .search.index import (
-        analyzed_corpus_cached,
-        append_posting_index,
-        build_posting_index,
-    )
+    from .search.index import posting_index_cached
 
-    toks = analyzed_corpus_cached(spark, sf_dir, extra_fields=("source",))
-    path = _audit_scratch(sf_dir, "posting_mf")
-    fields = ("text", "source")
-    tcols = {"text": "tokens", "source": "source_tokens"}
-    build_posting_index(
-        toks.filter(F.col("doc_id") % 3 == 0), path, fields=fields,
-        tokens_col=tcols,
-    )
-    append_posting_index(
-        toks.filter(F.col("doc_id") % 3 == 1), path, fields=fields,
-        tokens_col=tcols,
-    )
-    append_posting_index(
-        toks.filter(F.col("doc_id") % 3 == 2), path, fields=fields,
-        tokens_col=tcols,
-    )
+    path = posting_index_cached(spark, sf_dir, extra_fields=("source",))
     return multimatch_bm25_from_index(
-        spark, path, "spark src1", fields=fields, k=10
+        spark, path, "spark src1", fields=("text", "source"), k=10
     )
 
 

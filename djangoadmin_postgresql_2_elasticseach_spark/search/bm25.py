@@ -371,13 +371,31 @@ def multimatch_bm25_from_index(
             f"for unindexed {missing}"
         )
 
-    # 1. dictionary expansion — the ONLY full artifact scan, over the
-    # slim termdict (never the postings, never the corpus)
-    td = read_termdict(spark, path).filter(F.col("field").isin(list(fields)))
-    bexprs = []
-    for i, qt in enumerate(qterms):
-        exact = F.col("token") == F.lit(qt)
-        if max_edits > 0:
+    # 1. dictionary expansion → candidate rows (field, token, b0..bn)
+    # where b_i is the token's Lucene fuzzy boost against query term i
+    # (1.0 exact, 1 − d/len fuzzy, None no match). Exact-only queries
+    # skip the dictionary entirely — the candidates ARE the query terms
+    # (a term absent from the index just matches no postings). Fuzzy
+    # queries scan the slim termdict pruned to the reachable LENGTH
+    # BAND (an edit changes length by ≤ max_edits) — never the
+    # postings, never the corpus.
+    n = len(qterms)
+    if max_edits <= 0:
+        byft: dict = {}
+        for f in fields:
+            for i, qt in enumerate(qterms):
+                row = byft.setdefault((f, qt), [f, qt] + [None] * n)
+                row[2 + i] = 1.0
+        expanded = [tuple(r) for r in byft.values()]
+    else:
+        lens_q = [len(t) for t in qterms]
+        td = read_termdict(
+            spark, path, fields=tuple(fields),
+            length_between=(min(lens_q) - max_edits, max(lens_q) + max_edits),
+        )
+        bexprs = []
+        for i, qt in enumerate(qterms):
+            exact = F.col("token") == F.lit(qt)
             d = fuzzy_distance(F.col("token"), qt, max_edits)
             boost = F.when(exact, F.lit(1.0)).otherwise(
                 F.lit(1.0)
@@ -386,25 +404,28 @@ def multimatch_bm25_from_index(
             bexprs.append(
                 F.when(exact | d.isNotNull(), boost).alias(f"b{i}")
             )
-        else:
-            bexprs.append(F.when(exact, F.lit(1.0)).alias(f"b{i}"))
-    any_match = None
-    for i in range(len(qterms)):
-        c = F.col(f"b{i}").isNotNull()
-        any_match = c if any_match is None else (any_match | c)
-    expanded = td.select("field", "token", *bexprs).filter(any_match).collect()
+        any_match = None
+        for i in range(n):
+            c = F.col(f"b{i}").isNotNull()
+            any_match = c if any_match is None else (any_match | c)
+        expanded = [
+            tuple(r)
+            for r in td.select("field", "token", *bexprs)
+            .filter(any_match)
+            .collect()
+        ]
     if max_expansions is not None:
         kept: list = []
-        for i in range(len(qterms)):
+        for i in range(n):
             hits = sorted(
-                (r for r in expanded if r[f"b{i}"] is not None),
-                key=lambda r: (-r[f"b{i}"], r["field"], r["token"]),
+                (r for r in expanded if r[2 + i] is not None),
+                key=lambda r: (-r[2 + i], r[0], r[1]),
             )[:max_expansions]
             kept.extend(hits)
         seen, dedup = set(), []
         for r in kept:
-            if (r["field"], r["token"]) not in seen:
-                seen.add((r["field"], r["token"]))
+            if (r[0], r[1]) not in seen:
+                seen.add((r[0], r[1]))
                 dedup.append(r)
         expanded = dedup
     if not expanded:
@@ -412,15 +433,16 @@ def multimatch_bm25_from_index(
 
     # 2. bucket-pruned postings probe + broadcast boost attachment
     cand = spark.createDataFrame(
-        [tuple(r) for r in expanded],
+        expanded,
         "field string, token string, "
-        + ", ".join(f"b{i} double" for i in range(len(qterms))),
+        + ", ".join(f"b{i} double" for i in range(n)),
     )
-    buckets = term_buckets({r["token"] for r in expanded}, meta["n_buckets"])
+    cand_tokens = sorted({r[1] for r in expanded})
+    buckets = term_buckets(cand_tokens, meta["n_buckets"])
     posts = read_postings(spark, path).filter(
         F.col("field").isin(list(fields))
         & F.col("tkb").isin(buckets)
-        & F.col("token").isin(sorted({r["token"] for r in expanded}))
+        & F.col("token").isin(cand_tokens)
     )
     joined = posts.join(F.broadcast(cand), ["field", "token"])
 

@@ -682,24 +682,36 @@ def read_doclens(
     return _apply_tombstones(spark, path, df, meta=read_posting_meta(path))
 
 
-def read_termdict(spark: SparkSession, path: str) -> DataFrame:
+def read_termdict(
+    spark: SparkSession,
+    path: str,
+    fields: tuple[str, ...] | None = None,
+    length_between: tuple[int, int] | None = None,
+) -> DataFrame:
     """Distinct committed (field, token) — the term dictionary. Each
     tick appends ITS batch's distinct terms, so the raw table holds one
     row per (field, token, tick-that-saw-it); the reader re-distincts.
     A term whose last doc was tombstoned may linger until compaction —
     harmless: its pruned postings contribute no rows. Legacy indexes
-    (no termdict/ artifact) derive it from the postings once."""
+    (no termdict/ artifact) derive it from the postings once.
+
+    ``fields`` prunes to those partition directories;
+    ``length_between`` pushes a (lo, hi) token-length band BEFORE the
+    distinct — fuzzy expansion only ever matches tokens within
+    max_edits of a query term's length, so the band cuts the distinct
+    shuffle from vocabulary-sized to band-sized."""
     tdir = os.path.join(path, "termdict")
     meta = read_posting_meta(path)
     if not os.path.isdir(tdir):
-        return (
-            read_postings(spark, path).select("field", "token").distinct()
-        )
-    return (
-        _visible(_read_or_empty(spark, tdir, TERMDICT_SCHEMA), meta)
-        .select("field", "token")
-        .distinct()
-    )
+        td = read_postings(spark, path).select("field", "token")
+    else:
+        td = _visible(_read_or_empty(spark, tdir, TERMDICT_SCHEMA), meta)
+    if fields is not None:
+        td = td.filter(F.col("field").isin(list(fields)))
+    if length_between is not None:
+        lo, hi = length_between
+        td = td.filter(F.length("token").between(int(lo), int(hi)))
+    return td.select("field", "token").distinct()
 
 
 def index_stats(spark: SparkSession, path: str) -> DataFrame:
@@ -1054,6 +1066,14 @@ def compact_posting_index_tiered(
     rewritten — the full pass), and dead_ranges persist until then."""
     meta = read_posting_meta(path)
     committed = int(meta.get("committed_seq") or 0)
+
+    # crash debris from a previous tiered pass: a `_fold-*` staging dir
+    # is dead the moment its writer is (single-writer contract) — the
+    # leaf it staged for is still the old, correct one. Spark readers
+    # ignore underscore dirs, so this is reclamation, not correctness.
+    for d in os.listdir(path):
+        if d.startswith("_fold-"):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
     for leaf in _leaf_partition_dirs(os.path.join(path, "postings")):
         if len(_leaf_parquet_files(leaf)) <= max_files:
