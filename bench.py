@@ -169,6 +169,12 @@ BENCH_QUERIES = [
     "match_phrase_serve",
     "ivfpq_serve_topk",
     "multimatch_bm25_from_index",
+    # r12 second half: the bool-DSL body served from the cached posting
+    # index (set-operation candidate resolution + residual predicate),
+    # and the Structured-Streaming-maintained index (two micro-batch
+    # upsert ticks + the BM25 serve — streaming-ingest-shaped)
+    "dsl_search_from_index",
+    "streaming_index_bm25",
     # kmeans_assign excluded: driver-coordinated iterative loop — at bench
     # scale its wall time is per-job scheduling latency, not throughput.
     # split_leakage_safe excluded: it composes minhash_dedup_pairs +

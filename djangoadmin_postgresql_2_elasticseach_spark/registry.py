@@ -1794,6 +1794,84 @@ def _q_multimatch_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r12: the ES bool-DSL body served from the posting index — full-text
+# leaves resolve to bucket-pruned doc-id probes (must intersects via
+# semi-joins, exactly-servable must_not anti-joins), the numeric range
+# stays a residual predicate over the candidate payload rows only
+DSL_INDEXED_QUERY = {
+    "bool": {
+        "must": [{"match": {"text": "spark join"}}],
+        "filter": [{"range": {"n_chars": {"gte": 150, "lt": 400}}}],
+        "must_not": [{"match": {"source": "src9"}}],
+    }
+}
+
+
+def _q_dsl_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES-DSL interpreter served from the INCREMENTAL POSTING INDEX
+    (search/dsl.search_frame_indexed): how ES itself executes a bool
+    body — every text clause is a posting-list probe, doc-id sets
+    combine with set operations, and `_source` (here: the payload
+    columns + the residual range predicate) is read for candidates
+    only. The scan-based `dsl_bool_search` entry keeps the corpus-scan
+    number; this is the serving path at 100 TB. Full-response parity
+    with the scan interpreter over the whole reference Postman corpus
+    is pinned in tests/test_dsl_indexed.py."""
+    from .search.dsl import search_frame_indexed
+    from .search.index import posting_index_cached
+
+    path = posting_index_cached(spark, sf_dir, extra_fields=("source",))
+    docs = load_table(spark, sf_dir, "documents")
+    frame, _scored = search_frame_indexed(
+        spark, docs, DSL_INDEXED_QUERY, path, id_col="doc_id"
+    )
+    return frame.select("doc_id", "lang", "n_chars")
+
+
+def _q_streaming_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The posting index maintained by STRUCTURED STREAMING
+    (streaming/stream.posting_index_stream — the reference's 10 s
+    PG→ES polling loop as readStream→foreachBatch): the corpus arrives
+    as two file chunks, maxFilesPerTrigger=1 forces ≥2 micro-batch
+    upsert ticks, and BM25 then serves from the stream-built index.
+    Oracle = the ONE-SHOT scan-based bm25_topk SQL — micro-batched
+    ingest must be invisible to the served scores."""
+    import os
+    import shutil
+
+    from .search.bm25 import bm25_topk_from_index
+    from .streaming.stream import posting_index_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = _audit_scratch(sf_dir, "streamidx")
+    src = os.path.join(scratch, "incoming")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = posting_index_stream(
+        spark,
+        src,
+        os.path.join(scratch, "posting"),
+        os.path.join(scratch, "ckpt"),
+        schema=docs.schema,
+        fields=("text",),
+        id_col="doc_id",
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination()
+    # collect the slim top-k eagerly so the scratch index can be
+    # removed before returning (the ivfpq_index_build convention)
+    rows = bm25_topk_from_index(
+        spark, os.path.join(scratch, "posting"), BM25_QUERY, k=10
+    ).collect()
+    shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1969,6 +2047,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fuzzy best_fields multi_match served from the MULTI-FIELD
     # incremental posting index via term-dictionary expansion
     "multimatch_bm25_from_index": _q_multimatch_bm25_index,
+    # r12 second half (appended AFTER every earlier key): the ES
+    # bool-DSL surface served from the posting index, and the index
+    # maintained by a Structured-Streaming micro-batch loop
+    "dsl_search_from_index": _q_dsl_search_indexed,
+    "streaming_index_bm25": _q_streaming_index_bm25,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -2657,6 +2740,17 @@ WHERE list_contains({_analyze_col_sql("text")}, 'spark')
   AND lang <> 'zh'
 """
 
+    # r12 index-served bool DSL: must(match OR-tokens) intersected from
+    # the postings, must_not(match) anti-joined, range residual —
+    # declaratively the same predicate set
+    o["dsl_search_from_index"] = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (list_contains({_analyze_col_sql("text")}, 'spark')
+       OR list_contains({_analyze_col_sql("text")}, 'join'))
+  AND n_chars >= 150 AND n_chars < 400
+  AND NOT list_contains({_analyze_col_sql("source")}, 'src9')
+"""
+
     # corpus preparation: chunking / PII scrub / composed clean pass
     from .operators.corpus import EMAIL_RE, NUM_RE, URL_RE
 
@@ -3094,6 +3188,9 @@ GROUP BY token
     o["incremental_bm25_topk"] = o["bm25_topk"]
     # r12 serve-only read of the cached index: same one-shot body
     o["bm25_serve_topk"] = o["bm25_topk"]
+    # r12 Structured-Streaming-maintained index: micro-batched ingest
+    # must be invisible to the served scores — same one-shot body
+    o["streaming_index_bm25"] = o["bm25_topk"]
 
     # hybrid MMR: BM25 relevance + embedding diversity — the cand CTE
     # swaps in the bm25 body (vec_id keys documents 1:1 in testdata);

@@ -362,10 +362,17 @@ def search(docs: DataFrame, body: dict, id_col: str = "id") -> dict:
     sort, aggregations.<name>...). Supports from/size, search_after
     (keyset pagination — each hit carries its `sort` cursor), and
     collapse (one top hit per field value via a partitioned window)."""
-    from pyspark.sql import Window
-
     q = body.get("query")
     frame, scored = _apply_query(docs, q, id_col)
+    return _respond(frame, scored, body, id_col)
+
+
+def _respond(frame: DataFrame, scored: bool, body: dict, id_col: str) -> dict:
+    """The response-building tail shared by the corpus-scan `search`
+    and the index-served `search_indexed`: total count, collapse,
+    search_after keyset, sort/from/size page, aggregations."""
+    from pyspark.sql import Window
+
     total = frame.count()
     size = body.get("size", DEFAULT_SIZE)
 
@@ -406,3 +413,221 @@ def search(docs: DataFrame, body: dict, id_col: str = "id") -> dict:
             frame, body.get("aggs") or body["aggregations"]
         )
     return resp
+
+
+# ---------------------------------------------------------------------------
+# Index-served execution: the same DSL bodies, with full-text leaves
+# resolved against the incremental posting index (search/index.py)
+# instead of scanning the corpus — how ES actually executes them
+# (Lucene resolves every text clause to a doc-id posting intersection;
+# _source is fetched for the hits only). At 100 TB the scan-based
+# `search` reads the whole corpus per query; this path opens ≤ the
+# query terms' bucket directories, combines doc-id sets with
+# semi/anti-joins, and touches document payloads only for the
+# candidate set.
+# ---------------------------------------------------------------------------
+
+
+def _token_candidates(spark, path: str, meta: dict, fields, tokens):
+    """doc_ids holding ANY of ``tokens`` in ANY of ``fields`` — one
+    bucket-pruned postings probe (partition filter from the index's
+    persisted n_buckets + pushed `token IN`), distinct'd. Empty token
+    set → typed-empty frame (an all-stopword match clause matches
+    nothing, exactly like the scan path's `lit(False)`)."""
+    from .index import read_postings, term_buckets
+
+    posts = read_postings(spark, path)
+    if not tokens:
+        return posts.filter(F.lit(False)).select("doc_id")
+    buckets = term_buckets(tokens, meta["n_buckets"])
+    return (
+        posts.filter(
+            F.col("field").isin(list(fields))
+            & F.col("tkb").isin(buckets)
+            & F.col("token").isin(sorted(tokens))
+        )
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def _index_candidates(
+    spark, path: str, q: dict, meta: dict
+) -> tuple[DataFrame | None, dict | None]:
+    """Split a DSL query node into (candidate doc_id frame, residual
+    query). Contract per leaf:
+
+    - EXACT index-servable (match, match_phrase, query_string with
+      explicit indexed fields): (candidates, None) — the frame IS the
+      leaf's result set;
+    - candidate-SUPERSET servable (multi_match — scoring must re-run):
+      (superset, the leaf itself) — the residual rescopes/rescores over
+      the pruned payload rows, which is exact because
+      multi_match_fuzzy's score is per-doc local (no corpus stats);
+    - not servable (term/range/exists/prefix/wildcard on keyword or
+      numeric columns, nested, ids, match_all): (None, the leaf) — it
+      runs as a plain predicate over the already-pruned payload frame.
+
+    bool combines: must/filter children's candidate frames intersect
+    (semi-joins on the slim doc_id sets); should with no positive
+    context unions (only when EVERY child is exactly servable — the
+    minimum_should_match=1 contract); exactly-servable must_not
+    children anti-join. A node with no positively-servable child
+    returns (None, node) — the caller falls back to the corpus scan."""
+    if q is None or "match_all" in q:
+        return None, q
+    if "match" in q:
+        field, value = next(iter(q["match"].items()))
+        if isinstance(value, dict):
+            value = value["query"]
+        if field not in meta["fields"]:
+            return None, q
+        toks = analyze_query(str(value))
+        return _token_candidates(spark, path, meta, [field], toks), None
+    if "match_phrase" in q:
+        field, value = next(iter(q["match_phrase"].items()))
+        if isinstance(value, dict):
+            value = value["query"]
+        if field not in meta["fields"] or not analyze_query(str(value)):
+            return None, q
+        from .index import match_phrase_from_index
+
+        return (
+            match_phrase_from_index(spark, path, str(value), field=field),
+            None,
+        )
+    if "query_string" in q:
+        qs = q["query_string"]["query"]
+        fields = q["query_string"].get("fields")
+        # the no-fields form searches EVERY string column of the docs
+        # frame (keyword columns included) — only the explicit-fields
+        # form over indexed fields is servable
+        if qs == "*:*" or not fields or not set(fields) <= set(meta["fields"]):
+            return None, q
+        toks = analyze_query(qs)
+        return _token_candidates(spark, path, meta, list(fields), toks), None
+    if "multi_match" in q:
+        mm = q["multi_match"]
+        flds = list(mm["fields"])
+        if not set(flds) <= set(meta["fields"]):
+            return None, q
+        qtoks = analyze_query(mm["query"])
+        if not qtoks:
+            return None, q
+        cand_tokens = set(qtoks)
+        if mm.get("fuzziness"):
+            # expand against the term dictionary (vocabulary-sized,
+            # length-band pruned) — same plan multimatch_bm25_from_index
+            # uses; the expansion is a superset of the scorer's fuzzy
+            # hits, which is all a candidate set needs
+            from .index import read_termdict
+            from .query import fuzzy_cond
+
+            lens_q = [len(t) for t in qtoks]
+            td = read_termdict(
+                spark,
+                path,
+                fields=tuple(flds),
+                length_between=(min(lens_q) - 1, max(lens_q) + 1),
+            )
+            cond = None
+            for t in qtoks:
+                c = fuzzy_cond(F.col("token"), t, 1)
+                cond = c if cond is None else (cond | c)
+            cand_tokens |= {
+                r[0]
+                for r in td.select("token").filter(cond).distinct().collect()
+            }
+        return (
+            _token_candidates(spark, path, meta, flds, cand_tokens),
+            q,
+        )
+    if "bool" in q:
+        b = q["bool"]
+
+        def as_list(x):
+            return [x] if isinstance(x, dict) else list(x or [])
+
+        cands: DataFrame | None = None
+        residual: dict[str, list] = {}
+        for clause in ("must", "filter"):
+            for c in as_list(b.get(clause)):
+                cc, rr = _index_candidates(spark, path, c, meta)
+                if cc is not None:
+                    cands = (
+                        cc
+                        if cands is None
+                        else cands.join(cc, "doc_id", "left_semi")
+                    )
+                if rr is not None:
+                    residual.setdefault(clause, []).append(rr)
+        should = as_list(b.get("should"))
+        had_positive = bool(as_list(b.get("must")) or as_list(b.get("filter")))
+        if should and not had_positive:
+            # minimum_should_match=1: the union IS the result set, so
+            # every child must be exactly servable
+            union = None
+            for c in should:
+                cc, rr = _index_candidates(spark, path, c, meta)
+                if cc is None or rr is not None:
+                    return None, q
+                union = cc if union is None else union.unionByName(cc)
+            u = union.distinct()
+            cands = u if cands is None else cands.join(u, "doc_id", "left_semi")
+        # should WITH a positive context is score-boost-only (the scan
+        # path ignores it too) — dropped from the residual deliberately
+        for c in as_list(b.get("must_not")):
+            cc, rr = _index_candidates(spark, path, c, meta)
+            if cc is not None and rr is None and cands is not None:
+                cands = cands.join(cc, "doc_id", "left_anti")
+            else:
+                residual.setdefault("must_not", []).append(c)
+        if cands is None:
+            return None, q
+        return cands, ({"bool": residual} if residual else None)
+    return None, q
+
+
+def search_frame_indexed(
+    spark,
+    docs: DataFrame,
+    q: dict | None,
+    index_path: str,
+    id_col: str = "id",
+) -> tuple[DataFrame, bool]:
+    """Resolve a DSL query node to (frame, scored?) using the posting
+    index for its full-text leaves. Contract: ``docs`` is the corpus
+    the index at ``index_path`` was built/tick-maintained over (same
+    rows, same analyzer — the index meta's stem must be the default
+    True, else everything falls back to the scan). Falls back to the
+    scan-based `_apply_query` when no leaf is index-servable."""
+    from .index import read_posting_meta
+
+    meta = read_posting_meta(index_path)
+    cands: DataFrame | None = None
+    residual = q
+    if q is not None and meta.get("stem", True) is True:
+        cands, residual = _index_candidates(spark, index_path, q, meta)
+    if cands is None:
+        return _apply_query(docs, q, id_col)
+    pruned = docs.join(
+        cands.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+    )
+    if residual is None:
+        return pruned, False
+    return _apply_query(pruned, residual, id_col)
+
+
+def search_indexed(
+    spark, docs: DataFrame, body: dict, index_path: str, id_col: str = "id"
+) -> dict:
+    """`search`, served from the incremental posting index: identical
+    response for every body (pinned in tests — the whole replay corpus
+    runs down both paths), but full-text clauses resolve to bucket-
+    pruned posting probes and the corpus payload is only read for the
+    candidate set. Scoring clauses (multi_match) re-score over the
+    pruned rows — exact, because the DSL scorer is per-doc local."""
+    frame, scored = search_frame_indexed(
+        spark, docs, body.get("query"), index_path, id_col
+    )
+    return _respond(frame, scored, body, id_col)
