@@ -1832,7 +1832,9 @@ def _q_streaming_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The posting index maintained by STRUCTURED STREAMING
     (streaming/stream.posting_index_stream — the reference's 10 s
     PG→ES polling loop as readStream→foreachBatch): the corpus arrives
-    as two file chunks, maxFilesPerTrigger=1 forces ≥2 micro-batch
+    as two file chunks of PRE-ANALYZED rows (analysis-at-ingest — the
+    stream carries the token arrays, so ticks never re-compile the
+    stemmer expression), maxFilesPerTrigger=1 forces ≥2 micro-batch
     upsert ticks, and BM25 then serves from the stream-built index.
     Oracle = the ONE-SHOT scan-based bm25_topk SQL — micro-batched
     ingest must be invisible to the served scores."""
@@ -1840,9 +1842,10 @@ def _q_streaming_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from .search.bm25 import bm25_topk_from_index
+    from .search.index import analyzed_corpus_cached
     from .streaming.stream import posting_index_stream
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = analyzed_corpus_cached(spark, sf_dir).select("doc_id", "tokens")
     scratch = _audit_scratch(sf_dir, "streamidx")
     src = os.path.join(scratch, "incoming")
     docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
@@ -1861,6 +1864,7 @@ def _q_streaming_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         max_files_per_trigger=1,
         available_now=True,
+        tokens_col={"text": "tokens"},
     )
     q.awaitTermination()
     # collect the slim top-k eagerly so the scratch index can be

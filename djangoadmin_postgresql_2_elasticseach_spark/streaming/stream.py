@@ -223,6 +223,7 @@ def posting_index_stream(
     trigger_seconds: int = 10,
     max_files_per_trigger: int = 100,
     available_now: bool = False,
+    tokens_col=None,
 ) -> StreamingQuery:
     """Structured-Streaming maintenance of the persisted posting index:
     each micro-batch of new/changed document files upserts into the
@@ -246,7 +247,16 @@ def posting_index_stream(
     At scale: every tick is O(batch) — the corpus is never re-analyzed,
     the index never rewritten; maintenance (tiered/full compaction) is
     the owner's periodic pass, exactly like the batch CDC sink
-    (search/index.posting_index_cdc_sink)."""
+    (search/index.posting_index_cdc_sink).
+
+    ``tokens_col`` (str or {field: column}, see _posting_partials):
+    streamed rows that already carry their ANALYZED token arrays —
+    analysis-at-ingest, the posture every other index consumer here
+    takes — index without re-running the analyzer, and, as important
+    at micro-batch cadence, without re-compiling the large stemmer
+    expression per tick (a fixed ~seconds Catalyst cost per batch that
+    dwarfs small-batch work; raw-text streams pay it, pre-analyzed
+    streams don't)."""
     from ..search.index import upsert_posting_index
 
     stream = (
@@ -259,7 +269,8 @@ def posting_index_stream(
         if batch_df.isEmpty():
             return
         upsert_posting_index(
-            batch_df, index_path, fields=fields, id_col=id_col
+            batch_df, index_path, fields=fields, id_col=id_col,
+            tokens_col=tokens_col,
         )
 
     writer = stream.writeStream.foreachBatch(process).option(
