@@ -175,6 +175,9 @@ BENCH_QUERIES = [
     # upsert ticks + the BM25 serve — streaming-ingest-shaped)
     "dsl_search_from_index",
     "streaming_index_bm25",
+    # stored-fields tier: zero-corpus-read DSL serving + GET-by-id
+    "dsl_search_stored",
+    "doc_lookup_stored",
     # kmeans_assign excluded: driver-coordinated iterative loop — at bench
     # scale its wall time is per-job scheduling latency, not throughput.
     # split_leakage_safe excluded: it composes minhash_dedup_pairs +

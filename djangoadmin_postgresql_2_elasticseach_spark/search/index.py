@@ -217,6 +217,11 @@ def doc_frequencies(postings: DataFrame) -> DataFrame:
 # read the index's persisted value from _index_meta.json
 N_TOKEN_BUCKETS = 16
 
+# default doc-id bucket count for the docstore (stored fields) layout —
+# persisted in the meta like n_buckets; point lookups prune to their
+# ids' buckets
+N_STORE_BUCKETS = 16
+
 POSTINGS_SCHEMA = (
     "token string, doc_id long, tf long, positions array<int>, seq long, "
     "field string, tkb int"
@@ -354,6 +359,8 @@ def read_posting_meta(path: str) -> dict:
     meta.setdefault("stem", True)
     meta.setdefault("fields", ["text"])
     meta.setdefault("n_buckets", N_TOKEN_BUCKETS)
+    meta.setdefault("store_cols", None)
+    meta.setdefault("n_store_buckets", N_STORE_BUCKETS)
     return meta
 
 
@@ -505,6 +512,91 @@ def _write_posting_batch(
     free_local_checkpoint(posts)
 
 
+def _store_bucket(doc_id, n_buckets: int) -> "F.Column":
+    """Docstore partition key: crc32 of the STRING form of the doc key
+    (long testdata ids and the reference's UUID strings hash the same
+    way engine-side and driver-side — see store_buckets)."""
+    col = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    return F.pmod(F.crc32(col.cast("string")), F.lit(n_buckets))
+
+
+def store_buckets(ids, n_buckets: int) -> list[int]:
+    """Driver-side twin of _store_bucket for point-lookup pruning."""
+    import zlib
+
+    return sorted({zlib.crc32(str(i).encode("utf-8")) % n_buckets for i in ids})
+
+
+def _write_docstore_batch(
+    docs: DataFrame,
+    id_col: str,
+    store_cols: tuple[str, ...],
+    seq: int,
+    path: str,
+    mode: str,
+    n_store_buckets: int,
+) -> None:
+    """One batch's STORED FIELDS (the ES `_source` / doc-values tier):
+    (doc_id, payload columns, seq) PARTITIONED BY the doc-id bucket, so
+    a point lookup (`fetch_docs`) opens only its ids' directories and a
+    search response's payload never touches the source corpus table.
+    Liveness/visibility are the index's own (same tombstones, same
+    commit watermark) — an upsert's new payload replaces the old one
+    under the same single atomic commit as its postings."""
+    (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in store_cols],
+            F.lit(int(seq)).cast("long").alias("seq"),
+            _store_bucket(F.col(id_col), n_store_buckets).alias("dsb"),
+        )
+        .repartition("dsb")
+        .sortWithinPartitions("dsb", "doc_id")
+        .write.mode(mode)
+        .partitionBy("dsb")
+        .parquet(os.path.join(path, "docstore"))
+    )
+
+
+def read_docstore(
+    spark: SparkSession,
+    path: str,
+    columns: tuple[str, ...] | None = None,
+    live_only: bool = True,
+) -> DataFrame:
+    """The LIVE stored-fields table: one row per live doc (tombstone +
+    commit-watermark filtered), payload columns as stored. ``columns``
+    prunes the projection (parquet is columnar — an aggregation over
+    one field reads one field). This is the `docs` frame for fully
+    index-resident serving: `search_indexed(spark, read_docstore(...),
+    body, path)` answers a DSL body with NO source-corpus read."""
+    df = spark.read.parquet(os.path.join(path, "docstore"))
+    if live_only:
+        df = _apply_tombstones(spark, path, df, meta=read_posting_meta(path))
+    if columns is not None:
+        df = df.select("doc_id", *columns)
+    else:
+        df = df.drop("seq", "dsb")
+    return df
+
+
+def fetch_docs(spark: SparkSession, path: str, ids) -> DataFrame:
+    """Point lookup by doc id — the ES GET /_doc/<id> (and the
+    reference API's detail endpoint, views.py retrieve): prunes to the
+    ids' bucket DIRECTORIES (partition filter computed driver-side from
+    the persisted n_store_buckets) plus a pushed `doc_id IN`, so the
+    read is O(|ids| buckets), not O(corpus). Returns live payload
+    rows."""
+    ids = list(ids)
+    meta = read_posting_meta(path)
+    df = spark.read.parquet(os.path.join(path, "docstore")).filter(
+        F.col("dsb").isin(store_buckets(ids, meta["n_store_buckets"]))
+        & F.col("doc_id").isin(ids)
+    )
+    df = _apply_tombstones(spark, path, df, meta=meta)
+    return df.drop("seq", "dsb")
+
+
 def build_posting_index(
     docs: DataFrame,
     path: str,
@@ -513,6 +605,8 @@ def build_posting_index(
     stem: bool = True,
     tokens_col=None,
     n_buckets: int = N_TOKEN_BUCKETS,
+    store_cols: tuple[str, ...] | None = None,
+    n_store_buckets: int = N_STORE_BUCKETS,
 ) -> None:
     """Persist the serving search index: `postings/` PARTITIONED BY
     (field, token-bucket) — a term query prunes to one bucket directory
@@ -528,7 +622,12 @@ def build_posting_index(
     BEFORE the data, committed_seq=0) makes a crashed build read as an
     EMPTY index, not a torn one; a REBUILD over an existing path also
     clears its tombstones — stale ones would hide the fresh rows of
-    any doc deleted in the previous index generation."""
+    any doc deleted in the previous index generation.
+
+    ``store_cols`` adds the STORED-FIELDS tier (`docstore/` — the ES
+    `_source`): payload columns persisted with the index, doc-id-bucket
+    partitioned, maintained by the same ticks under the same commits —
+    searches and point lookups then never read the source corpus."""
     shutil.rmtree(os.path.join(path, "_tombstones"), ignore_errors=True)
     _write_meta(
         _posting_meta_path(path),
@@ -536,6 +635,8 @@ def build_posting_index(
             "stem": stem,
             "fields": list(fields),
             "n_buckets": int(n_buckets),
+            "store_cols": list(store_cols) if store_cols else None,
+            "n_store_buckets": int(n_store_buckets),
             "next_seq": 1,
             "committed_seq": 0,
             "dead_ranges": [],
@@ -545,6 +646,11 @@ def build_posting_index(
         docs, fields, id_col, stem, tokens_col, seq=1, n_buckets=n_buckets
     )
     _write_posting_batch(posts, lens, path, "overwrite")
+    if store_cols:
+        _write_docstore_batch(
+            docs, id_col, tuple(store_cols), 1, path, "overwrite",
+            n_store_buckets,
+        )
     commit_index_seq(_posting_meta_path(path), 1)
 
 
@@ -570,6 +676,24 @@ def _validate_tick_config(
         )
 
 
+def _tick_store_cols(meta: dict | None, docs: DataFrame, path: str):
+    """The docstore columns a tick must write: the index's persisted
+    store_cols (every tick maintains the stored-fields tier the build
+    declared — a tick that skipped it would serve docs with postings
+    but no payload). Raises BEFORE any write when the batch lacks a
+    stored column."""
+    cols = (meta or {}).get("store_cols")
+    if not cols:
+        return None
+    missing = [c for c in cols if c not in docs.columns]
+    if missing:
+        raise ValueError(
+            f"index at {path} stores fields {cols}; the tick's batch "
+            f"lacks {missing} — stored fields ride every tick"
+        )
+    return tuple(cols)
+
+
 def append_posting_index(
     new_docs: DataFrame,
     path: str,
@@ -593,6 +717,7 @@ def append_posting_index(
     meta = _load_meta(mpath)
     if meta is not None:
         _validate_tick_config(meta, fields, stem, tokens_col, path)
+    store_cols = _tick_store_cols(meta, new_docs, path)
     n_buckets = (meta or {}).get("n_buckets", N_TOKEN_BUCKETS)
     seq = alloc_index_seqs(
         mpath,
@@ -609,6 +734,11 @@ def append_posting_index(
         n_buckets=n_buckets,
     )
     _write_posting_batch(posts, lens, path, "append")
+    if store_cols:
+        _write_docstore_batch(
+            new_docs, id_col, store_cols, seq, path, "append",
+            meta["n_store_buckets"],
+        )
     commit_index_seq(mpath, seq)
 
     from ..plans.tuning import invalidate_spread_cache
@@ -826,6 +956,7 @@ def upsert_posting_index(
     meta = _load_meta(mpath)
     if meta is not None:
         _validate_tick_config(meta, fields, stem, tokens_col, path)
+    store_cols = _tick_store_cols(meta, new_docs, path)
     n_buckets = (meta or {}).get("n_buckets", N_TOKEN_BUCKETS)
     seq_t = alloc_index_seqs(
         mpath,
@@ -846,6 +977,11 @@ def upsert_posting_index(
         n_buckets=n_buckets,
     )
     _write_posting_batch(posts, lens, path, "append")
+    if store_cols:
+        _write_docstore_batch(
+            new_docs, id_col, store_cols, seq_a, path, "append",
+            meta["n_store_buckets"],
+        )
     commit_index_seq(mpath, seq_a)
 
     from ..plans.tuning import invalidate_spread_cache
@@ -982,6 +1118,20 @@ def compact_posting_index(spark: SparkSession, path: str) -> None:
     ).write.mode("overwrite").partitionBy("field").parquet(
         os.path.join(tmp, "termdict")
     )
+    if os.path.isdir(os.path.join(path, "docstore")):
+        # the stored-fields tier rides the swap: live payload rows only
+        # (dead doc versions leave with their postings)
+        store = _apply_tombstones(
+            spark, path,
+            spark.read.parquet(os.path.join(path, "docstore")),
+            meta=meta,
+        ).localCheckpoint(eager=True)
+        store.repartition("dsb").sortWithinPartitions(
+            "dsb", "doc_id"
+        ).write.mode("overwrite").partitionBy("dsb").parquet(
+            os.path.join(tmp, "docstore")
+        )
+        free_local_checkpoint(store)
     free_local_checkpoint(posts)
     free_local_checkpoint(lens)
     _write_meta(_posting_meta_path(tmp), {**meta, "dead_ranges": []})
@@ -1107,6 +1257,13 @@ def compact_posting_index_tiered(
             .select("token", F.lit(committed).cast("long").alias("seq"))
         )
         _swap_leaf(folded, leaf, path, ("token",))
+    for leaf in _leaf_partition_dirs(os.path.join(path, "docstore")):
+        if len(_leaf_parquet_files(leaf)) <= max_files:
+            continue
+        live = _apply_tombstones(
+            spark, path, spark.read.parquet(leaf), meta=meta
+        )
+        _swap_leaf(live, leaf, path, ("doc_id",))
     tpath = os.path.join(path, "_tombstones")
     if os.path.isdir(tpath) and len(_leaf_parquet_files(tpath)) > max_files:
         folded = (
@@ -1126,6 +1283,7 @@ def posting_index_cached(
     extra_fields: tuple[str, ...] = (),
     n_buckets: int = N_TOKEN_BUCKETS,
     cache_root: str | None = None,
+    store_cols: tuple[str, ...] | None = None,
 ) -> str:
     """Build-once persisted posting index over a corpus table (the
     `analyzed_corpus_cached` / `ivfpq_index_cached` posture applied to
@@ -1151,7 +1309,8 @@ def posting_index_cached(
         ) or [src]
     ident = [
         os.path.abspath(src), _analyzer_version(), id_col, text_col,
-        ",".join(extra_fields), f"nb={n_buckets}", "posting-v1",
+        ",".join(extra_fields), f"nb={n_buckets}",
+        f"store={','.join(store_cols or ())}", "posting-v1",
     ]
     for p in parts:
         st = os.stat(p)
@@ -1168,6 +1327,12 @@ def posting_index_cached(
         spark, sf_dir, table=table, id_col=id_col, text_col=text_col,
         cache_root=cache_root, extra_fields=extra_fields,
     )
+    if store_cols:
+        # stored fields come from the corpus payload, joined once at
+        # build; ticks carry them on the batch rows directly
+        toks = toks.join(
+            spark.read.parquet(src).select(id_col, *store_cols), id_col
+        )
     fields = ("text", *extra_fields)
     tokens_col = {"text": "tokens"}
     tokens_col.update({f: f"{f}_tokens" for f in extra_fields})
@@ -1175,7 +1340,7 @@ def posting_index_cached(
     shutil.rmtree(tmp, ignore_errors=True)
     build_posting_index(
         toks, tmp, fields=fields, id_col=id_col, tokens_col=tokens_col,
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, store_cols=store_cols,
     )
     try:
         os.rename(tmp, path)
