@@ -542,6 +542,37 @@ def _index_candidates(
             _token_candidates(spark, path, meta, flds, cand_tokens),
             q,
         )
+    if "nested" in q:
+        # servable when the index maps the dotted nested field
+        # ('actors.name' built via index.element_tokens): a posting
+        # exists iff ANY element matches the token, exactly the scan
+        # handler's exists(element, OR-over-tokens); multiple inner
+        # match leaves AND together (semi-joins), same as its `conds`
+        inner = q["nested"]["query"]
+        matches: list[dict] = []
+        stack = [inner]
+        while stack:
+            node = stack.pop()
+            if "match" in node:
+                matches.append(node["match"])
+            elif "bool" in node:
+                must = node["bool"].get("must", [])
+                stack.extend([must] if isinstance(must, dict) else must)
+            else:
+                return None, q
+        if not matches:
+            return None, q
+        cands = None
+        for m in matches:
+            fld, value = next(iter(m.items()))
+            if isinstance(value, dict):
+                value = value["query"]
+            if fld not in meta["fields"]:
+                return None, q
+            toks = analyze_query(str(value))
+            c = _token_candidates(spark, path, meta, [fld], toks)
+            cands = c if cands is None else cands.join(c, "doc_id", "left_semi")
+        return cands, None
     if "bool" in q:
         b = q["bool"]
 

@@ -512,6 +512,26 @@ def _write_posting_batch(
     free_local_checkpoint(posts)
 
 
+def element_tokens(array_col, stem: bool = True) -> "F.Column":
+    """Analyzed tokens of each element of an ``array<string>`` column,
+    flattened — the index-time token stream for a NESTED text field
+    (ES `actors.name`): a posting (field, token, doc) exists iff ANY
+    element's analyzed tokens contain the token, which is exactly the
+    nested-match semantics the DSL interpreter applies (one element
+    matches any query token). Pass as a ``tokens_col`` entry with the
+    dotted field name::
+
+        docs.withColumn("an", element_tokens("actors_names"))
+        build_posting_index(docs, p, fields=("title", "actors.name"),
+                            tokens_col={"title": ..., "actors.name": "an"})
+
+    Positions span element boundaries, so nested fields serve `match`
+    (any-token) but not `match_phrase` — the same contract as the
+    scan interpreter's nested handler."""
+    col = F.col(array_col) if isinstance(array_col, str) else array_col
+    return F.flatten(F.transform(col, lambda e: T.analyze(e, stem=stem)))
+
+
 def _store_bucket(doc_id, n_buckets: int) -> "F.Column":
     """Docstore partition key: crc32 of the STRING form of the doc key
     (long testdata ids and the reference's UUID strings hash the same

@@ -334,3 +334,40 @@ def test_reference_bodies_route_correctly_and_movies_parity(
     cands, residual = _index_candidates(spark, path, body["query"], meta)
     assert cands is not None and residual == body["query"]
     assert_parity(spark, docs, body, path, id_col="id")
+    # a mapping that ALSO indexes the nested actors.name field (one
+    # element_tokens column) makes the reference's nested body — the
+    # one remaining text construct — index-servable verbatim
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        element_tokens,
+    )
+
+    npath = str(tmp_path_factory.mktemp("movies_dslidx_n") / "posting")
+    build_posting_index(
+        docs.select(
+            "id",
+            "title",
+            F.coalesce("description", F.lit("")).alias("description"),
+        ).join(
+            docs.select(
+                "id", element_tokens("actors_names").alias("an_tokens")
+            ),
+            "id",
+        ),
+        npath,
+        fields=("title", "description", "actors.name"),
+        id_col="id",
+        tokens_col={"actors.name": "an_tokens"},
+    )
+    nmeta = read_posting_meta(npath)
+    nested_body = json.loads(
+        [
+            item["request"]["body"]["raw"]
+            for item in coll.get("item", [])
+            if "nested" in item.get("request", {}).get("body", {}).get("raw", "")
+        ][0]
+    )
+    cands, residual = _index_candidates(
+        spark, npath, nested_body["query"], nmeta
+    )
+    assert cands is not None and residual is None
+    assert_parity(spark, docs, nested_body, npath, id_col="id")
