@@ -696,13 +696,28 @@ def _validate_tick_config(
         )
 
 
-def _tick_store_cols(meta: dict | None, docs: DataFrame, path: str):
+def _tick_store_cols(
+    meta: dict | None, docs: DataFrame, path: str, requested=None
+):
     """The docstore columns a tick must write: the index's persisted
     store_cols (every tick maintains the stored-fields tier the build
     declared — a tick that skipped it would serve docs with postings
-    but no payload). Raises BEFORE any write when the batch lacks a
-    stored column."""
+    but no payload). ``requested`` is the tick's own store_cols
+    argument — it ESTABLISHES the config on a fresh path (the CDC sink
+    creating its index on the first tick) and must agree with an
+    existing one (adding stored fields mid-life would leave the
+    already-indexed docs payload-less — ES's fixed `_source` contract;
+    rebuild to change it). Raises BEFORE any write when the batch
+    lacks a stored column."""
     cols = (meta or {}).get("store_cols")
+    if requested is not None:
+        requested = list(requested)
+        if meta is not None and cols != requested:
+            raise ValueError(
+                f"index at {path} stores fields {cols}; the tick asks "
+                f"for {requested} — rebuild to change stored fields"
+            )
+        cols = requested
     if not cols:
         return None
     missing = [c for c in cols if c not in docs.columns]
@@ -721,6 +736,7 @@ def append_posting_index(
     id_col: str = "doc_id",
     stem: bool = True,
     tokens_col=None,
+    store_cols: tuple[str, ...] | None = None,
 ) -> None:
     """Tick upkeep: append ONE batch's posting + doclen + stats rows —
     O(batch) analyze/explode/agg, no corpus re-analysis, no index
@@ -737,8 +753,9 @@ def append_posting_index(
     meta = _load_meta(mpath)
     if meta is not None:
         _validate_tick_config(meta, fields, stem, tokens_col, path)
-    store_cols = _tick_store_cols(meta, new_docs, path)
+    store_cols = _tick_store_cols(meta, new_docs, path, requested=store_cols)
     n_buckets = (meta or {}).get("n_buckets", N_TOKEN_BUCKETS)
+    n_store = (meta or {}).get("n_store_buckets", N_STORE_BUCKETS)
     seq = alloc_index_seqs(
         mpath,
         1,
@@ -746,6 +763,8 @@ def append_posting_index(
             "stem": stem,
             "fields": list(fields),
             "n_buckets": int(n_buckets),
+            "store_cols": list(store_cols) if store_cols else None,
+            "n_store_buckets": int(n_store),
         },
         legacy_probe=("postings", "_tombstones"),
     )
@@ -756,8 +775,7 @@ def append_posting_index(
     _write_posting_batch(posts, lens, path, "append")
     if store_cols:
         _write_docstore_batch(
-            new_docs, id_col, store_cols, seq, path, "append",
-            meta["n_store_buckets"],
+            new_docs, id_col, store_cols, seq, path, "append", n_store
         )
     commit_index_seq(mpath, seq)
 
@@ -961,6 +979,7 @@ def upsert_posting_index(
     id_col: str = "doc_id",
     stem: bool = True,
     tokens_col=None,
+    store_cols: tuple[str, ...] | None = None,
 ) -> None:
     """Re-index CHANGED documents: tombstone the old rows (one slim
     append), then append the new versions' postings — the ES update
@@ -976,8 +995,9 @@ def upsert_posting_index(
     meta = _load_meta(mpath)
     if meta is not None:
         _validate_tick_config(meta, fields, stem, tokens_col, path)
-    store_cols = _tick_store_cols(meta, new_docs, path)
+    store_cols = _tick_store_cols(meta, new_docs, path, requested=store_cols)
     n_buckets = (meta or {}).get("n_buckets", N_TOKEN_BUCKETS)
+    n_store = (meta or {}).get("n_store_buckets", N_STORE_BUCKETS)
     seq_t = alloc_index_seqs(
         mpath,
         2,
@@ -985,6 +1005,8 @@ def upsert_posting_index(
             "stem": stem,
             "fields": list(fields),
             "n_buckets": int(n_buckets),
+            "store_cols": list(store_cols) if store_cols else None,
+            "n_store_buckets": int(n_store),
         },
         legacy_probe=("postings", "_tombstones"),
     )
@@ -999,8 +1021,7 @@ def upsert_posting_index(
     _write_posting_batch(posts, lens, path, "append")
     if store_cols:
         _write_docstore_batch(
-            new_docs, id_col, store_cols, seq_a, path, "append",
-            meta["n_store_buckets"],
+            new_docs, id_col, store_cols, seq_a, path, "append", n_store
         )
     commit_index_seq(mpath, seq_a)
 
@@ -1376,6 +1397,7 @@ def posting_index_cdc_sink(
     compact_every: int = 16,
     full_compact_every: int = 0,
     max_files: int = 8,
+    store_cols: tuple[str, ...] | None = None,
 ):
     """(sink, on_delete) pair wiring the persisted posting index into
     the incremental ETL drivers (streaming/incremental.IncrementalEtl,
@@ -1394,6 +1416,10 @@ def posting_index_cdc_sink(
 
     ``sink(docs, entity)`` ignores entities ≠ the indexed one when
     ``path`` is a str; pass a dict {entity: path} to index several.
+    ``store_cols`` establishes the STORED-FIELDS tier on the first tick
+    (docstore/ — searches then serve hit payloads without reading the
+    source store at all; the full reference loop needs neither an
+    external ES nor a round trip back to Postgres).
 
     Maintenance: every ``compact_every`` sink calls per entity runs the
     TIERED pass (folds only partitions past ``max_files`` small files
@@ -1412,7 +1438,9 @@ def posting_index_cdc_sink(
     def sink(docs: DataFrame, entity: str) -> None:
         p = _path_for(entity)
         if p is not None:
-            upsert_posting_index(docs, p, fields=fields, id_col=id_col)
+            upsert_posting_index(
+                docs, p, fields=fields, id_col=id_col, store_cols=store_cols
+            )
             ticks[entity] = ticks.get(entity, 0) + 1
             if (
                 full_compact_every

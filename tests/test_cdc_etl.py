@@ -284,3 +284,85 @@ def test_cdc_tick_maintains_posting_index(spark, tmp_path, txdir):
     }
     assert victim not in live_ids and target["id"] in live_ids
     assert len(live_ids) == 9
+
+
+def test_cdc_tick_maintains_docstore_serving_without_source(
+    spark, tmp_path, txdir
+):
+    """The reference loop fully self-contained: CDC tick → denormalized
+    docs → index upsert INCLUDING the stored-fields tier (store_cols on
+    the sink establishes it on the first tick), after which a DSL body
+    is answered entirely from the index directory — hit payloads from
+    docstore/, candidates from the postings — with neither an external
+    ES nor a read back to the source tables. A title edit is visible in
+    both tiers after the next tick; a hard delete disappears from
+    both."""
+    from djangoadmin_postgresql_2_elasticseach_spark.search.dsl import (
+        search_indexed,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        fetch_docs,
+        posting_index_cdc_sink,
+        read_docstore,
+    )
+
+    idx = str(tmp_path / "movies_idx")
+    sink, on_delete = posting_index_cdc_sink(
+        {"movies": idx}, fields=("title",), id_col="id",
+        store_cols=("title", "imdb_rating"),
+    )
+    cdc = TxlogCdcEtl(
+        spark,
+        JsonFileState(str(tmp_path / "cdc.json")),
+        txdir,
+        sink,
+        on_delete=on_delete,
+    )
+    cdc.run_tick()  # cold backfill
+    store = read_docstore(spark, idx)
+    assert store.count() == 10
+    assert set(store.columns) == {"doc_id", "title", "imdb_rating"}
+
+    # title edit → next tick updates postings AND stored payload
+    fw = tx_read(spark, txdir["film_work"])
+    target = fw.orderBy("id").first()
+    tx_merge(
+        spark,
+        txdir["film_work"],
+        fw.filter(F.col("id") == target["id"])
+        .withColumn("title", F.lit("Zebra Quantum Saga"))
+        .withColumn(
+            "modified", F.lit(dt.datetime(2024, 6, 1)).cast("timestamp")
+        ),
+        "id",
+    )
+    assert cdc.run_once("movies")["docs"] == 1
+    got = fetch_docs(spark, idx, [target["id"]]).collect()
+    assert len(got) == 1 and got[0].title == "Zebra Quantum Saga"
+
+    # a search body answered with ZERO source reads: docs frame IS the
+    # docstore; match resolves from the postings
+    resp = search_indexed(
+        spark,
+        read_docstore(spark, idx),
+        {"query": {"match": {"title": "zebra quantum"}}, "size": 5},
+        idx,
+        id_col="doc_id",
+    )
+    assert [h["_id"] for h in resp["hits"]["hits"]] == [str(target["id"])]
+    assert resp["hits"]["hits"][0]["_source"]["title"] == "Zebra Quantum Saga"
+
+    # hard delete leaves both tiers
+    victim = (
+        tx_read(spark, txdir["film_work"])
+        .filter(F.col("id") != target["id"])
+        .orderBy("id")
+        .first()["id"]
+    )
+    tx_overwrite(
+        tx_read(spark, txdir["film_work"]).filter(F.col("id") != victim),
+        txdir["film_work"],
+    )
+    assert cdc.run_once("movies")["deletes"] == 1
+    assert fetch_docs(spark, idx, [victim]).count() == 0
+    assert read_docstore(spark, idx).count() == 9
