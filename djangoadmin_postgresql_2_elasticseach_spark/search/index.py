@@ -600,19 +600,42 @@ def read_docstore(
     return df
 
 
-def fetch_docs(spark: SparkSession, path: str, ids) -> DataFrame:
+def fetch_docs(
+    spark: SparkSession, path: str, ids, max_literal_ids: int = 10_000
+) -> DataFrame:
     """Point lookup by doc id — the ES GET /_doc/<id> (and the
     reference API's detail endpoint, views.py retrieve): prunes to the
     ids' bucket DIRECTORIES (partition filter computed driver-side from
     the persisted n_store_buckets) plus a pushed `doc_id IN`, so the
-    read is O(|ids| buckets), not O(corpus). Returns live payload
-    rows."""
-    ids = list(ids)
+    read is O(|ids| buckets), not O(corpus). Returns live payload rows.
+
+    ``ids`` may be a Python sequence (a page of hits, an mget body) or
+    a DataFrame of keys. Literal pruning caps at ``max_literal_ids`` —
+    past that an IN-literal bloats the plan and the ids cover most
+    buckets anyway, so large sequences and DataFrames take a semi-join
+    instead (the bulk path: one shuffle-free broadcast join when the
+    key side is small, AQE otherwise)."""
     meta = read_posting_meta(path)
-    df = spark.read.parquet(os.path.join(path, "docstore")).filter(
-        F.col("dsb").isin(store_buckets(ids, meta["n_store_buckets"]))
-        & F.col("doc_id").isin(ids)
-    )
+    store = spark.read.parquet(os.path.join(path, "docstore"))
+    if isinstance(ids, DataFrame):
+        key = ids.columns[0]
+        df = store.join(
+            ids.select(F.col(key).alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+    else:
+        ids = list(ids)
+        if len(ids) > max_literal_ids:
+            keys = spark.createDataFrame(
+                [(i,) for i in ids], ["doc_id"]
+            ).distinct()
+            df = store.join(keys, "doc_id", "left_semi")
+        else:
+            df = store.filter(
+                F.col("dsb").isin(store_buckets(ids, meta["n_store_buckets"]))
+                & F.col("doc_id").isin(ids)
+            )
     df = _apply_tombstones(spark, path, df, meta=meta)
     return df.drop("seq", "dsb")
 

@@ -178,3 +178,22 @@ def test_string_keys_bucket_consistently(spark, tmp_path):
     )
     got = fetch_docs(spark, p, ["b-2"]).collect()
     assert len(got) == 1 and got[0].lang == "fr"
+
+
+def test_fetch_docs_dataframe_and_bulk_paths(spark, tmp_path):
+    """fetch_docs accepts a key DataFrame (semi-join bulk path) and
+    caps literal pruning at max_literal_ids — all three routes return
+    the same live rows."""
+    p, docs = _build(spark, tmp_path)
+    want = sorted(
+        map(tuple, docs.select("doc_id", "lang", "n_chars").filter(
+            F.col("doc_id").isin([2, 4, 6])
+        ).collect())
+    )
+    lit = sorted(map(tuple, fetch_docs(spark, p, [2, 4, 6]).collect()))
+    keys = spark.createDataFrame([(2,), (4,), (6,)], ["doc_id"])
+    joined = sorted(map(tuple, fetch_docs(spark, p, keys).collect()))
+    forced = sorted(
+        map(tuple, fetch_docs(spark, p, [2, 4, 6], max_literal_ids=2).collect())
+    )
+    assert lit == joined == forced == want
