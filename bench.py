@@ -178,6 +178,8 @@ BENCH_QUERIES = [
     # stored-fields tier: zero-corpus-read DSL serving + GET-by-id
     "dsl_search_stored",
     "doc_lookup_stored",
+    # ordered sloppy phrase from the positional postings
+    "match_phrase_slop_serve",
     # kmeans_assign excluded: driver-coordinated iterative loop — at bench
     # scale its wall time is per-job scheduling latency, not throughput.
     # split_leakage_safe excluded: it composes minhash_dedup_pairs +

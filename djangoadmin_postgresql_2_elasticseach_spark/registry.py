@@ -1860,6 +1860,28 @@ def _q_dsl_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame.select("doc_id", "lang", "n_chars")
 
 
+PHRASE_SLOP = 1
+
+
+def _q_match_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``match_phrase`` with ``slop`` served from the persisted
+    POSITIONAL postings (Lucene's sloppy phrase, restricted to query
+    order — the documented reordering divergence): the probe prunes to
+    the phrase terms' bucket directories exactly like slop=0, and the
+    alignment becomes the greedy ordered chain over the stored position
+    lists (search/query._sloppy_chain — the same expression the scan
+    path builds, so scan==index by construction). Oracle = the greedy
+    chain in DuckDB over the same analyzed stream."""
+    from .search.index import match_phrase_from_index, posting_index_cached
+
+    path = posting_index_cached(spark, sf_dir)
+    hits = match_phrase_from_index(
+        spark, path, PHRASE_QUERY, slop=PHRASE_SLOP
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(hits, "doc_id").select("doc_id", "lang")
+
+
 def _q_doc_lookup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookup by doc id from the stored-fields tier — ES GET
     /_doc/<id> and the reference API's detail endpoint (views.py
@@ -2109,6 +2131,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # GET-by-id point lookup (partition-pruned O(|ids|) bucket read)
     "dsl_search_stored": _q_dsl_search_stored,
     "doc_lookup_stored": _q_doc_lookup_stored,
+    # sloppy phrase (ordered, gap budget) from the positional postings
+    "match_phrase_slop_serve": _q_match_phrase_slop,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -4358,6 +4382,32 @@ WHERE len(tk) >= {len(ph)}
     o["incremental_match_phrase"] = o["match_phrase"]
     # r12 serve-only read of the cached index: same one-shot body
     o["match_phrase_serve"] = o["match_phrase"]
+
+    # r12 sloppy phrase (ordered, total gaps <= slop): the oracle runs
+    # the SAME greedy chain — for each start position of term 0, each
+    # later term takes its smallest position after the previous term,
+    # and the last must land inside the n-1+slop window (greedy is
+    # optimal for the ordered criterion; reordering is the documented
+    # Lucene divergence, see search/query.phrase_condition)
+    slop = PHRASE_SLOP
+    chain = "x0"
+    for j in range(1, len(ph)):
+        chain = f"list_min(list_filter(p{j}, y{j} -> y{j} > {chain}))"
+    pos_cols = ",\n        ".join(
+        f"list_filter(range(1, len(tk)+1), i -> tk[i] = '{t}') AS p{j}"
+        for j, t in enumerate(ph)
+    )
+    o["match_phrase_slop_serve"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_analyze_col_sql("text")} AS tk FROM documents
+),
+p AS (SELECT doc_id, lang,
+        {pos_cols}
+  FROM t)
+SELECT doc_id, lang FROM p
+WHERE len(list_filter(p0, x0 ->
+        coalesce({chain} <= x0 + {len(ph) - 1 + slop}, false))) > 0
+"""
 
 
     # keyed MERGE: the oracle derives the post-upsert end state

@@ -160,19 +160,30 @@ def _apply_query(docs: DataFrame, q: dict, id_col: str) -> tuple[DataFrame, bool
         return docs.filter(cond), False
     if "match_phrase" in q:
         field, value = next(iter(q["match_phrase"].items()))
+        slop = 0
         if isinstance(value, dict):
+            slop = int(value.get("slop", 0))
             value = value["query"]
         toks = analyze_query(str(value))
-        # consecutive-token semantics over the ANALYZED stream — shared
-        # predicate with search/query.match_phrase (single source of
-        # phrase semantics). (Documented divergence: ES keeps position
-        # holes where stopwords were removed, so "camp story" does NOT
-        # match "camp the story" there but does here — none of the
-        # reference bodies hit it.)
+        # in-order token semantics over the ANALYZED stream, within a
+        # `slop` gap budget — shared predicate with
+        # search/query.match_phrase (single source of phrase
+        # semantics). (Documented divergences: ES keeps position holes
+        # where stopwords were removed, so "camp story" does NOT match
+        # "camp the story" there but does here; ES slop also buys
+        # reordering, this engine matches in query order only — none
+        # of the reference bodies hit either.)
         from .query import phrase_condition
 
+        if slop > 0:
+            # materialize the token stream once — the sloppy chain
+            # references it per term/step (see query.match_phrase)
+            tmp = docs.withColumn("__mp_tokens", field_tokens(docs, field))
+            return tmp.filter(
+                phrase_condition(F.col("__mp_tokens"), toks, slop=slop)
+            ).drop("__mp_tokens"), False
         return docs.filter(
-            phrase_condition(field_tokens(docs, field), toks)
+            phrase_condition(field_tokens(docs, field), toks, slop=0)
         ), False
     if "bool" in q:
         b = q["bool"]
@@ -486,14 +497,18 @@ def _index_candidates(
         return _token_candidates(spark, path, meta, [field], toks), None
     if "match_phrase" in q:
         field, value = next(iter(q["match_phrase"].items()))
+        slop = 0
         if isinstance(value, dict):
+            slop = int(value.get("slop", 0))
             value = value["query"]
         if field not in meta["fields"] or not analyze_query(str(value)):
             return None, q
         from .index import match_phrase_from_index
 
         return (
-            match_phrase_from_index(spark, path, str(value), field=field),
+            match_phrase_from_index(
+                spark, path, str(value), field=field, slop=slop
+            ),
             None,
         )
     if "query_string" in q:

@@ -1072,6 +1072,7 @@ def match_phrase_from_index(
     phrase: str,
     field: str = "text",
     stem: bool | None = None,
+    slop: int = 0,
 ) -> DataFrame:
     """ES ``match_phrase`` (slop=0) served from the PERSISTED positional
     postings — how Lucene actually executes phrase queries: intersect
@@ -1121,7 +1122,7 @@ def match_phrase_from_index(
     )
     if len(qterms) == 1:
         aligned = F.lit(True)
-    else:
+    elif slop <= 0:
         aligned = F.exists(
             F.col("pos0"),
             lambda p: functools.reduce(
@@ -1131,6 +1132,17 @@ def match_phrase_from_index(
                     for j in range(1, len(qterms))
                 ],
             ),
+        )
+    else:
+        # ordered sloppy match over the stored position lists — the
+        # same greedy chain the scan-side phrase_condition builds
+        # (search/query._sloppy_chain), fed by postings positions
+        from .query import _sloppy_chain
+
+        aligned = _sloppy_chain(
+            [F.col(f"pos{i}") for i in range(len(qterms))],
+            len(qterms),
+            slop,
         )
     return pivot.filter(all_present).filter(aligned).select("doc_id")
 

@@ -222,38 +222,93 @@ def multi_match_fuzzy(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
-def phrase_condition(toks, terms: list[str]):
-    """Boolean Column: the analyzed ``terms`` occur CONSECUTIVELY in the
-    token-array expression ``toks`` — the single source of phrase
-    semantics for both ``match_phrase`` and the DSL interpreter's
-    ``match_phrase`` branch.
+def phrase_condition(toks, terms: list[str], slop: int = 0):
+    """Boolean Column: the analyzed ``terms`` occur IN ORDER in the
+    token-array expression ``toks`` with at most ``slop`` total
+    position gaps — the single source of phrase semantics for both
+    ``match_phrase`` and the DSL interpreter's ``match_phrase`` branch.
 
-    One native expression — no explode, no join: ``exists(start
-    positions, all terms line up from start)``. ``F.get`` (0-based,
-    NULL past the end) keeps the probe ANSI-safe when the document is
-    shorter than the phrase (the descending start sequence it produces
-    then yields only NULL probes → false)."""
+    slop=0 is the consecutive fast path: one native expression — no
+    explode, no join: ``exists(start positions, all terms line up from
+    start)``. ``F.get`` (0-based, NULL past the end) keeps the probe
+    ANSI-safe when the document is shorter than the phrase (the
+    descending start sequence it produces then yields only NULL probes
+    → false).
+
+    slop>0 is the ordered window match: an increasing position chain
+    p0<p1<…<p_{n-1}, term i at p_i, with p_{n-1} − p0 ≤ n−1+slop
+    (total inter-term gaps ≤ slop). The chain is found GREEDILY —
+    each step takes the smallest matching position after the previous
+    one, which is optimal for the ordered criterion, so the whole
+    check is one nested native expression per start position.
+    Documented divergence from Lucene's SloppyPhraseScorer: ES slop
+    also buys REORDERING (a transposition costs 2 slop); this
+    implementation matches in query order only — same spirit as the
+    stopword-gap divergence, and mirrored exactly by the DuckDB
+    oracle."""
     import functools
     import operator
 
     if not terms:
         raise ValueError("empty phrase after analysis")
     n = len(terms)
-    starts = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
-    aligned = F.exists(
-        starts,
-        lambda i: functools.reduce(
-            operator.and_,
-            [F.get(toks, i + F.lit(j)) == F.lit(t) for j, t in enumerate(terms)],
-        ),
-    )
-    return (F.size(toks) >= n) & aligned
+    if slop <= 0:
+        starts = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+        aligned = F.exists(
+            starts,
+            lambda i: functools.reduce(
+                operator.and_,
+                [
+                    F.get(toks, i + F.lit(j)) == F.lit(t)
+                    for j, t in enumerate(terms)
+                ],
+            ),
+        )
+        return (F.size(toks) >= n) & aligned
+
+    idxs = F.sequence(F.lit(0), F.size(toks) - F.lit(1))
+
+    def _positions_of(term):
+        # single-arg lambda factory: a 2-arg lambda would be read by
+        # F.filter as (element, index) and silently change semantics
+        return F.filter(idxs, lambda i: F.get(toks, i) == F.lit(term))
+
+    positions = [_positions_of(t) for t in terms]
+    return (F.size(toks) >= n) & _sloppy_chain(positions, n, slop)
 
 
-def match_phrase(docs: DataFrame, field: str, phrase: str) -> DataFrame:
-    """ES ``match_phrase`` (slop=0): the ANALYZED query terms must occur
-    consecutively in the field's analyzed token stream. Returns the
-    matching rows with the input frame's full schema (callers project).
+def _min_after(arr, p):
+    """Smallest element of ``arr`` strictly after ``p`` (NULL if none)
+    — the greedy step of the ordered sloppy chain."""
+    return F.array_min(F.filter(arr, lambda x: x > p))
+
+
+def _sloppy_chain(positions: list, n: int, slop: int):
+    """exists(p0 ∈ positions[0], greedy chain through positions[1..]
+    stays inside the n−1+slop window). Shared by the corpus-scan
+    phrase and the positional-postings serving path (identical
+    semantics by construction). array_min of an empty filter is NULL,
+    which nulls the window comparison → false — ANSI-safe."""
+    def chain(p0):
+        prev = p0
+        for j in range(1, n):
+            prev = _min_after(positions[j], prev)
+        if n == 1:
+            return F.lit(True)
+        return prev.isNotNull() & (prev <= p0 + F.lit(n - 1 + slop))
+
+    return F.exists(positions[0], chain)
+
+
+def match_phrase(
+    docs: DataFrame, field: str, phrase: str, slop: int = 0
+) -> DataFrame:
+    """ES ``match_phrase``: the ANALYZED query terms must occur in
+    order in the field's analyzed token stream, consecutively at the
+    default ``slop=0`` or within ``slop`` total position gaps (see
+    phrase_condition for the ordered-slop contract and the documented
+    reordering divergence). Returns the matching rows with the input
+    frame's full schema (callers project).
 
     Documented divergence from ES: the analyzer chain REMOVES stopwords
     without leaving position gaps, so a phrase spanning a stopword
@@ -263,4 +318,15 @@ def match_phrase(docs: DataFrame, field: str, phrase: str) -> DataFrame:
     are mirrored exactly by the DuckDB oracle.
     """
     qt = analyze_query(phrase)
-    return docs.filter(phrase_condition(field_tokens(docs, field), qt))
+    if slop <= 0:
+        return docs.filter(
+            phrase_condition(field_tokens(docs, field), qt, slop=0)
+        )
+    # slop>0 references the token stream once PER TERM and once per
+    # greedy step — materialize it as a column first, or the in-plan
+    # analyzer expression is duplicated into every reference and the
+    # resolved tree explodes (Catalyst max-iterations)
+    tmp = docs.withColumn("__mp_tokens", field_tokens(docs, field))
+    return tmp.filter(
+        phrase_condition(F.col("__mp_tokens"), qt, slop=slop)
+    ).drop("__mp_tokens")

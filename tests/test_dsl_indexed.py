@@ -371,3 +371,96 @@ def test_reference_bodies_route_correctly_and_movies_parity(
     )
     assert cands is not None and residual is None
     assert_parity(spark, docs, nested_body, npath, id_col="id")
+
+
+def test_match_phrase_slop_semantics_and_parity(spark, tmp_path):
+    """Ordered sloppy phrase: total inter-term gaps <= slop, in query
+    order only (the documented Lucene reordering divergence). Hand
+    goldens + scan==index parity + shared budget across 3 terms."""
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        build_posting_index,
+        match_phrase_from_index,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.search.query import (
+        match_phrase,
+    )
+
+    from djangoadmin_postgresql_2_elasticseach_spark.functions.text import (
+        analyze,
+    )
+
+    rows = [
+        (1, "alpha beta gamma"),            # gaps 0,0
+        (2, "alpha gap beta gamma"),        # gaps 1,0
+        (3, "alpha gap gap beta gamma"),    # gaps 2,0
+        (4, "beta alpha gamma"),            # out of order
+        (5, "alpha gap beta gap gamma"),    # gaps 1,1
+        (6, "alpha beta"),                  # missing gamma
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    # ONE raw-text case first: the sloppy chain over an IN-PLAN
+    # analyzer stream must not blow up Catalyst resolution (the
+    # materialize-tokens-once fix in query.match_phrase)
+    assert sorted(
+        r.doc_id
+        for r in match_phrase(raw, "text", "alpha beta", slop=1).collect()
+    ) == [1, 2, 5, 6]
+    # the rest run over the persisted token column (analysis-at-ingest)
+    docs = raw.withColumn("tokens", analyze(F.col("text"))).localCheckpoint(
+        eager=True
+    )
+    p = str(tmp_path / "slopidx")
+    build_posting_index(
+        docs, p, fields=("text",), id_col="doc_id",
+        tokens_col={"text": "tokens"},
+    )
+
+    def scan_ids(phrase, slop):
+        return sorted(
+            r.doc_id for r in match_phrase(docs, "text", phrase, slop=slop).collect()
+        )
+
+    def idx_ids(phrase, slop):
+        return sorted(
+            r.doc_id
+            for r in match_phrase_from_index(
+                spark, p, phrase, field="text", slop=slop
+            ).collect()
+        )
+
+    cases = [
+        ("alpha beta", 0, [1, 6]),
+        ("alpha beta", 1, [1, 2, 5, 6]),
+        ("alpha beta", 2, [1, 2, 3, 5, 6]),
+        # 3 terms share ONE budget: doc 5 needs 2 (1+1), doc 2 needs 1
+        ("alpha beta gamma", 0, [1]),
+        ("alpha beta gamma", 1, [1, 2]),
+        ("alpha beta gamma", 2, [1, 2, 3, 5]),
+        # order is required at any slop (documented divergence)
+        ("beta alpha", 0, [4]),
+        ("alpha gamma", 1, [1, 4]),
+    ]
+    for phrase, slop, want in cases:
+        assert scan_ids(phrase, slop) == want, (phrase, slop)
+        assert idx_ids(phrase, slop) == want, ("index", phrase, slop)
+
+
+def test_dsl_slop_body_both_paths(spark, corpus, index_path):
+    body = {
+        "query": {
+            "match_phrase": {"text": {"query": "spark partitioning", "slop": 2}}
+        },
+        "size": 20,
+    }
+    resp = assert_parity(spark, corpus, body, index_path)
+    # doc 3 "spark joins use hash partitioning" — 3 tokens between after
+    # analysis? 'spark joins use hash partitioning' -> [spark, join,
+    # use, hash, partit...]: gaps = 3 -> slop 2 misses, slop 3 hits
+    body3 = {
+        "query": {
+            "match_phrase": {"text": {"query": "spark partitioning", "slop": 3}}
+        },
+        "size": 20,
+    }
+    resp3 = assert_parity(spark, corpus, body3, index_path)
+    assert resp3["hits"]["total"]["value"] >= resp["hits"]["total"]["value"]
