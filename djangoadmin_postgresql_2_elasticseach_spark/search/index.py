@@ -672,6 +672,11 @@ def build_posting_index(
     partitioned, maintained by the same ticks under the same commits —
     searches and point lookups then never read the source corpus."""
     shutil.rmtree(os.path.join(path, "_tombstones"), ignore_errors=True)
+    if not store_cols:
+        # a rebuild that drops the stored tier must remove the previous
+        # generation's docstore — the fresh seq counter would otherwise
+        # make its rows (incl. tombstone-retired versions) visible again
+        shutil.rmtree(os.path.join(path, "docstore"), ignore_errors=True)
     _write_meta(
         _posting_meta_path(path),
         {
@@ -704,10 +709,20 @@ def _validate_tick_config(
     one BEFORE anything is written — an upsert that tombstones first
     and then fails validation would leave the batch's docs deleted
     with no replacement (silently vanished)."""
-    if "stem" in meta and tokens_col is None and stem != meta["stem"]:
+    covered = set()
+    if isinstance(tokens_col, str):
+        covered = set(fields[:1])
+    elif isinstance(tokens_col, dict):
+        covered = set(tokens_col)
+    uncovered = [f for f in fields if f not in covered]
+    if "stem" in meta and uncovered and stem != meta["stem"]:
+        # fields without a pre-analyzed column are analyzed in-plan
+        # with ``stem`` — a mismatch there writes mixed-analyzer
+        # postings no query can match consistently
         raise ValueError(
             f"index at {path} was built with stem={meta['stem']}; "
-            f"appending stem={stem} rows would mix analyzers"
+            f"appending stem={stem} rows for {uncovered} would mix "
+            "analyzers"
         )
     known = set(meta.get("fields") or [])
     unknown = [f for f in fields if f not in known]
@@ -1157,9 +1172,14 @@ def compact_posting_index(spark: SparkSession, path: str) -> None:
 
     Staged through a sibling temp dir + two renames (the
     compact_ivfpq_index / writers.compact_parquet discipline) instead
-    of the r11 in-place overwrite: a crash mid-rewrite leaves the old
-    index intact or the new one complete — never a lost index. The
-    swap also retires the applied tombstones (they live inside the old
+    of the r11 in-place overwrite: a crash during the REWRITE leaves
+    the old index untouched. The residual window is the instant
+    between the two renames — a crash exactly there leaves the old
+    generation complete at `{path}.compact-old-<pid>` but nothing at
+    `path` (same documented window as compact_ivfpq_index); recovery
+    is renaming that directory back, and readers fail LOUDLY
+    (FileNotFoundError), never serve a torn view. The swap also
+    retires the applied tombstones (they live inside the old
     directory). O(index) by nature; the tiered pass below is the
     steady-state maintenance at scale."""
     from ..session import free_local_checkpoint
@@ -1242,8 +1262,13 @@ def _swap_leaf(
     target_bytes: int = 128 << 20,
 ) -> None:
     """Rewrite one partition directory crash-safely: write the folded
-    rows into an underscore-prefixed sibling (invisible to Spark
-    readers), then two renames. File count targets ``target_bytes``
+    rows into an underscore-prefixed staging dir at the INDEX ROOT,
+    then two renames. The staging name embeds the leaf's URL-encoded
+    relative path — `_fold-<enc>` / `_fold-old-<enc>` — which makes a
+    mid-swap crash RECOVERABLE by name: _recover_folds finds a
+    `_fold-old-<enc>` whose decoded leaf is missing and renames it
+    back (the old rows are the only committed copy), so no crash
+    instant loses the partition. File count targets ``target_bytes``
     per file so a genuinely large leaf keeps multiple files."""
     import math
 
@@ -1252,15 +1277,46 @@ def _swap_leaf(
     w = df.repartition(nfiles)
     if sort_cols:
         w = w.sortWithinPartitions(*sort_cols)
-    tag = f"{os.getpid()}-{abs(hash(leaf)) % 10**8}"
-    tmp = os.path.join(path, f"_fold-{tag}")
-    old = os.path.join(path, f"_fold-old-{tag}")
+    from urllib.parse import quote
+
+    # stage at the INDEX ROOT (readers open path/<artifact>, never the
+    # root itself, and a sibling containing '=' inside the artifact
+    # tree would poison Spark's partition discovery); the leaf's
+    # relative path is URL-encoded into the name so recovery can map
+    # the staging dir back to its leaf by name alone
+    enc = quote(os.path.relpath(leaf.rstrip("/"), path), safe="")
+    tmp = os.path.join(path, f"_fold-{enc}")
+    old = os.path.join(path, f"_fold-old-{enc}")
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     w.write.mode("overwrite").parquet(tmp)
     os.rename(leaf, old)
     os.rename(tmp, leaf)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_folds(path: str) -> None:
+    """Reclaim a crashed tiered pass's staging debris WITHOUT losing
+    data (single-writer contract — runs at the start of the next
+    pass). Order matters:
+
+    1. every `_fold-old-X` whose sibling X is MISSING marks a crash
+       between the two swap renames — X's old rows are the only
+       committed copy, so rename them back;
+    2. every remaining `_fold-*` dir (staged new data, or an old copy
+       whose swap completed) is then safe to delete — its leaf exists
+       and serves the committed view."""
+    from urllib.parse import unquote
+
+    entries = [d for d in os.listdir(path) if d.startswith("_fold-")]
+    for d in entries:
+        if not d.startswith("_fold-old-"):
+            continue
+        leaf = os.path.join(path, unquote(d[len("_fold-old-"):]))
+        if not os.path.exists(leaf):
+            os.rename(os.path.join(path, d), leaf)
+    for d in entries:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def compact_posting_index_tiered(
@@ -1293,13 +1349,11 @@ def compact_posting_index_tiered(
     meta = read_posting_meta(path)
     committed = int(meta.get("committed_seq") or 0)
 
-    # crash debris from a previous tiered pass: a `_fold-*` staging dir
-    # is dead the moment its writer is (single-writer contract) — the
-    # leaf it staged for is still the old, correct one. Spark readers
-    # ignore underscore dirs, so this is reclamation, not correctness.
-    for d in os.listdir(path):
-        if d.startswith("_fold-"):
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    # crash debris from a previous tiered pass: restore any leaf whose
+    # swap was cut between its two renames (the old rows are the only
+    # committed copy), then reclaim the rest. Spark readers ignore
+    # underscore dirs, so the staging tier is never served.
+    _recover_folds(path)
 
     for leaf in _leaf_partition_dirs(os.path.join(path, "postings")):
         if len(_leaf_parquet_files(leaf)) <= max_files:

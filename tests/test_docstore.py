@@ -89,13 +89,14 @@ def test_fetch_docs_point_lookup_partition_pruned(spark, tmp_path):
     assert any("dsb" in ln and "IN" in ln for ln in pf), plan[:3000]
     # and the pushed id predicate reaches the scan
     assert any("In(doc_id" in ln for ln in plan.splitlines()), plan[:3000]
-    # the filter names exactly the ids' buckets
+    # driver-side bucket computation agrees with the physical layout:
+    # the ids' buckets exist as dsb directories on disk
     leafs = {
         int(d.split("=")[1])
         for d in os.listdir(os.path.join(p, "docstore"))
         if d.startswith("dsb=")
     }
-    assert set(want) <= leafs or True  # ids' buckets exist on disk
+    assert set(want) <= leafs
 
 
 def test_search_served_entirely_from_index(spark, tmp_path):
@@ -197,3 +198,89 @@ def test_fetch_docs_dataframe_and_bulk_paths(spark, tmp_path):
         map(tuple, fetch_docs(spark, p, [2, 4, 6], max_literal_ids=2).collect())
     )
     assert lit == joined == forced == want
+
+
+def test_tiered_crash_mid_swap_recovers_leaf(spark, tmp_path):
+    """A crash exactly between _swap_leaf's two renames leaves the leaf
+    directory missing and its rows only in `_fold-old-<name>`; the next
+    tiered pass must RESTORE it (rename back), not reclaim it as debris
+    — no crash instant may lose a partition."""
+    import shutil
+
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        compact_posting_index_tiered,
+        read_postings,
+    )
+
+    p, _ = _build(spark, tmp_path)
+    before = sorted(map(tuple, read_postings(spark, p).collect()))
+    # simulate the mid-swap crash on one postings leaf: old rows moved
+    # aside, folded rows staged, leaf gone
+    leaves = sorted(
+        os.path.join(dp)
+        for dp, _dns, fns in os.walk(os.path.join(p, "postings"))
+        if any(f.endswith(".parquet") for f in fns)
+    )
+    from urllib.parse import quote
+
+    leaf = leaves[0]
+    enc = quote(os.path.relpath(leaf, p), safe="")
+    os.rename(leaf, os.path.join(p, f"_fold-old-{enc}"))
+    shutil.copytree(
+        os.path.join(p, f"_fold-old-{enc}"), os.path.join(p, f"_fold-{enc}")
+    )
+    # the live view is now missing the leaf's rows (crash state)
+    assert len(read_postings(spark, p).collect()) < len(before)
+    compact_posting_index_tiered(spark, p, max_files=10_000)
+    assert sorted(map(tuple, read_postings(spark, p).collect())) == before
+    # all staging debris reclaimed
+    assert not [
+        d
+        for dp, dns, _f in os.walk(p)
+        for d in dns
+        if d.startswith("_fold-")
+    ]
+
+
+def test_rebuild_without_store_clears_stale_docstore(spark, tmp_path):
+    """Rebuilding an index WITHOUT store_cols over a path that had a
+    stored tier must remove the old docstore — the fresh seq counter
+    would otherwise resurrect the previous generation's payload rows
+    (including tombstone-retired versions)."""
+    p, docs = _build(spark, tmp_path)
+    upsert_posting_index(
+        spark.createDataFrame([(3, "gamma delta", "de", 999)], SCHEMA),
+        p, fields=("text",), id_col="doc_id",
+    )
+    build_posting_index(docs, p, fields=("text",), id_col="doc_id")
+    assert not os.path.exists(os.path.join(p, "docstore"))
+
+
+def test_partial_tokens_col_still_validates_stem(spark, tmp_path):
+    """A tick whose tokens_col covers only SOME fields must still fail
+    the analyzer check for the uncovered ones — they are analyzed
+    in-plan with the tick's stem and would mix analyzers."""
+    from djangoadmin_postgresql_2_elasticseach_spark.functions.text import (
+        analyze,
+    )
+
+    p = str(tmp_path / "mixidx")
+    docs = spark.createDataFrame(
+        [(1, "running quickly", "books")],
+        "doc_id long, text string, source string",
+    )
+    build_posting_index(
+        docs, p, fields=("text", "source"), id_col="doc_id", stem=False
+    )
+    batch = spark.createDataFrame(
+        [(2, "jumping high", "wiki")],
+        "doc_id long, text string, source string",
+    ).withColumn("tokens", analyze(F.col("text"), stem=False))
+    try:
+        append_posting_index(
+            batch, p, fields=("text", "source"), id_col="doc_id",
+            stem=True, tokens_col={"text": "tokens"},
+        )
+        raise AssertionError("expected ValueError")
+    except ValueError as ex:
+        assert "mix" in str(ex) and "source" in str(ex)
