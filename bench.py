@@ -180,11 +180,36 @@ BENCH_QUERIES = [
     "doc_lookup_stored",
     # ordered sloppy phrase from the positional postings
     "match_phrase_slop_serve",
-    # kmeans_assign excluded: driver-coordinated iterative loop — at bench
-    # scale its wall time is per-job scheduling latency, not throughput.
-    # split_leakage_safe excluded: it composes minhash_dedup_pairs +
-    # dedup_clusters + split_corpus, all three benched individually —
-    # including it would double-count their work in the total
+    # r13: ANN serve with payload from the vector index's OWN
+    # stored-fields tier (no float-table / corpus read in the plan)
+    "ivfpq_serve_payload",
+    # r13 (r12 verdict #8): the headline reference-API shapes — the
+    # admin/REST surface (SURVEY P7-P9, O2/O3, A8) and the scan-based
+    # ES-DSL bool body — benched directly; all sub-second
+    "term_search",
+    "paginate_orders",
+    "admin_list_filter",
+    "detail_lookup",
+    "icontains_search",
+    "match_all_limit",
+    "count_envelope",
+    "dsl_bool_search",
+    "paginate_after",
+    "simhash_neardup_pairs",
+    # Exclusions (every registry query NOT listed above, with why —
+    # r12 verdict #8 requires each to be documented):
+    # - kmeans_assign: driver-coordinated iterative loop — at bench
+    #   scale its wall time is per-job scheduling latency, not
+    #   throughput.
+    # - split_leakage_safe: composes minhash_dedup_pairs +
+    #   dedup_clusters + split_corpus, all three benched individually —
+    #   including it would double-count their work in the total.
+    # - ngram_jaccard, embedding_neardup: all-pairs quadratic
+    #   VERIFICATION paths (oracle-checked for correctness); their
+    #   scale paths — minhash_dedup_pairs, embedding_neardup_lsh,
+    #   simhash_neardup_pairs — are benched instead.
+    # - minhash_signatures: the signature-build component of
+    #   minhash_dedup_pairs (benched) — double-count otherwise.
 ]
 
 

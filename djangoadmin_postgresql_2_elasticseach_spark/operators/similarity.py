@@ -983,6 +983,109 @@ def read_ivfpq_meta(path: str) -> tuple[list, list]:
     return meta["codebooks"], meta["planes"]
 
 
+def _ivfpq_store_batch(
+    emb: DataFrame,
+    id_col: str,
+    store_cols: tuple[str, ...],
+    seq: int,
+    path: str,
+    mode: str,
+    n_store_buckets: int,
+) -> None:
+    """One batch's STORED FIELDS for the vector index (the posting
+    index's docstore tier mirrored onto the ANN side): (id, payload,
+    seq) partitioned by the id's crc32 bucket under `_docstore/`
+    (underscore-prefixed — the codes table at the index root uses
+    partition discovery, which a non-key=value sibling dir would
+    poison). Same commit/tombstone liveness as the codes: an upserted
+    vector's new payload replaces the old one under the one atomic
+    sidecar commit, so a serve query returns (id, payload, score) with
+    the float corpus never in the plan."""
+    import os
+
+    from ..search.index import _store_bucket
+
+    missing = [c for c in store_cols if c not in emb.columns]
+    if missing:
+        raise ValueError(
+            f"ivfpq index at {path} stores fields {list(store_cols)}; "
+            f"the batch lacks {missing} — stored fields ride every tick"
+        )
+    (
+        emb.select(
+            F.col(id_col),
+            *[F.col(c) for c in store_cols],
+            F.lit(int(seq)).cast("long").alias("seq"),
+            _store_bucket(F.col(id_col), n_store_buckets).alias("vsb"),
+        )
+        .repartition("vsb")
+        .sortWithinPartitions("vsb", id_col)
+        .write.mode(mode)
+        .partitionBy("vsb")
+        .parquet(os.path.join(path, "_docstore"))
+    )
+
+
+def ivfpq_fetch_payload(
+    spark, path: str, ids, id_col: str = "vec_id"
+) -> DataFrame:
+    """Point lookup into the vector index's stored-fields tier — the
+    ANN twin of search/index.fetch_docs: prunes to the ids' `vsb`
+    bucket directories (driver-side crc32 partition filter from the
+    persisted n_store_buckets) plus a pushed `id IN`, returns live
+    payload rows. O(|ids| buckets), never a corpus or store scan."""
+    import os
+
+    from ..search.index import _apply_tombstones, store_buckets
+
+    meta = _ivfpq_meta(path)
+    ids = list(ids)
+    store = spark.read.parquet(os.path.join(path, "_docstore")).filter(
+        F.col("vsb").isin(store_buckets(ids, meta.get("n_store_buckets", 16)))
+        & F.col(id_col).isin(ids)
+    )
+    store = _apply_tombstones(spark, path, store, key=id_col, meta=meta)
+    return store.drop("seq", "vsb")
+
+
+def ivfpq_topk_stored(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fully index-resident ANN serve: probe the bucket-pruned codes
+    (ADC, quantizers from the sidecar), then attach the hits' payload
+    from the index's OWN stored-fields tier — neither the embeddings
+    float table nor any corpus table appears in the plan (plan-pinned
+    in tests/test_ivfpq_store.py). The top-k page (k rows) is
+    collected to drive the store's partition pruning — the audited
+    top-k-page collect pattern, k-bounded by construction. Output:
+    (id, *store_cols, approx_dist), ADC order, ties by id."""
+    meta = _ivfpq_meta(path)
+    hits = ivfpq_query_indexed(
+        spark, path, meta["codebooks"], query_vec, meta["planes"],
+        k=k, probe_hamming=probe_hamming, id_col=id_col,
+    ).collect()
+    if not hits:
+        cols = ", ".join(f"{c} string" for c in meta.get("store_cols") or [])
+        schema = f"{id_col} long" + (f", {cols}" if cols else "")
+        return spark.createDataFrame([], schema + ", approx_dist double")
+    hdf = spark.createDataFrame(
+        [(r[id_col], r["approx_dist"]) for r in hits],
+        f"{id_col} long, approx_dist double",
+    )
+    payload = ivfpq_fetch_payload(
+        spark, path, [r[id_col] for r in hits], id_col=id_col
+    )
+    return (
+        payload.join(F.broadcast(hdf), id_col)
+        .orderBy("approx_dist", id_col)
+    )
+
+
 def build_ivfpq_index(
     emb: DataFrame,
     path: str,
@@ -990,6 +1093,8 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 4,
+    store_cols: tuple[str, ...] | None = None,
+    n_store_buckets: int = 16,
 ) -> list[list[float]]:
     """Persist the IVF-PQ index: (id, codes) PARTITIONED BY the coarse
     bucket — REPARTITIONED by it first, so each bucket directory is
@@ -1002,7 +1107,13 @@ def build_ivfpq_index(
     ticks and queries reuse the FROZEN quantizers; the sidecar also
     carries the index's monotonic seq counter + commit watermark
     (search/index.py commit protocol — ticks publish atomically, no
-    wall-clock liveness). Returns the plane matrix."""
+    wall-clock liveness). Returns the plane matrix.
+
+    ``store_cols`` adds the STORED-FIELDS tier (`_docstore/`): payload
+    columns persisted with the index, id-bucket partitioned, carried
+    by every tick under the same commits — ANN serves then return
+    (id, payload, score) without the float table or corpus in the
+    plan (ivfpq_topk_stored)."""
     import json
 
     m = len(codebooks)
@@ -1015,6 +1126,11 @@ def build_ivfpq_index(
         .partitionBy("bucket")
         .parquet(path)
     )
+    if store_cols:
+        _ivfpq_store_batch(
+            emb, id_col, tuple(store_cols), 1, path, "overwrite",
+            n_store_buckets,
+        )
     # meta lands AFTER the data (the overwrite clears the directory):
     # a crash in between leaves no sidecar, and every reader fails
     # loudly on the incomplete build instead of serving a torn one
@@ -1023,6 +1139,8 @@ def build_ivfpq_index(
             {
                 "codebooks": codebooks,
                 "planes": planes,
+                "store_cols": list(store_cols) if store_cols else None,
+                "n_store_buckets": int(n_store_buckets),
                 "next_seq": 1,
                 "committed_seq": 1,
                 "dead_ranges": [],
@@ -1051,6 +1169,8 @@ def append_ivfpq_index(
     from ..search.index import alloc_index_seqs, commit_index_seq
 
     books, planes = read_ivfpq_meta(path)
+    store_cols = _ivfpq_meta(path).get("store_cols")
+    n_store = _ivfpq_meta(path).get("n_store_buckets", 16)
     mpath = _ivfpq_meta_path(path)
     seq = alloc_index_seqs(mpath, 1, legacy_probe=("_SUCCESS",))
     (
@@ -1060,6 +1180,10 @@ def append_ivfpq_index(
         .partitionBy("bucket")
         .parquet(path)
     )
+    if store_cols:
+        _ivfpq_store_batch(
+            new_emb, id_col, tuple(store_cols), seq, path, "append", n_store
+        )
     commit_index_seq(mpath, seq)
 
 
@@ -1099,6 +1223,8 @@ def upsert_ivfpq_index(
     from ..search.index import alloc_index_seqs, commit_index_seq
 
     books, planes = read_ivfpq_meta(path)
+    store_cols = _ivfpq_meta(path).get("store_cols")
+    n_store = _ivfpq_meta(path).get("n_store_buckets", 16)
     mpath = _ivfpq_meta_path(path)
     seq_t = alloc_index_seqs(mpath, 2, legacy_probe=("_SUCCESS",))
     seq_a = seq_t + 1
@@ -1112,6 +1238,11 @@ def upsert_ivfpq_index(
         .partitionBy("bucket")
         .parquet(path)
     )
+    if store_cols:
+        _ivfpq_store_batch(
+            new_emb, id_col, tuple(store_cols), seq_a, path, "append",
+            n_store,
+        )
     commit_index_seq(mpath, seq_a)
 
 
@@ -1152,6 +1283,19 @@ def compact_ivfpq_index(spark, path: str, id_col: str = "vec_id") -> None:
         "bucket"
     ).parquet(tmp)
     free_local_checkpoint(live)
+    if os.path.isdir(os.path.join(path, "_docstore")):
+        # the stored-fields tier rides the swap: live payload only
+        store = _apply_tombstones(
+            spark, path,
+            spark.read.parquet(os.path.join(path, "_docstore")),
+            key=id_col, meta=meta,
+        ).localCheckpoint(eager=True)
+        store.repartition("vsb").sortWithinPartitions(
+            "vsb", id_col
+        ).write.mode("overwrite").partitionBy("vsb").parquet(
+            os.path.join(tmp, "_docstore")
+        )
+        free_local_checkpoint(store)
     # counters carry across the swap (seq monotonicity outlives any
     # number of compactions); the applied orphan ranges reset
     with open(_ivfpq_meta_path(tmp), "w", encoding="utf-8") as fh:
@@ -1172,6 +1316,7 @@ def ivfpq_index_cached(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache_root: str | None = None,
+    store_cols: tuple[str, ...] | None = None,
 ) -> tuple[str, list[list[list[float]]], list[list[float]]]:
     """Build-once persisted IVF-PQ index (the `analyzed_corpus_cached`
     posture from search/index.py, applied to the ANN tier): the float
@@ -1204,7 +1349,8 @@ def ivfpq_index_cached(
             if f.endswith(".parquet")
         ) or [src]
     ident = [os.path.abspath(src), f"m={m}", f"ksub={ksub}",
-             f"planes={n_planes}", id_col, vec_col]
+             f"planes={n_planes}", id_col, vec_col,
+             f"store={','.join(store_cols or ())}"]
     for p in parts:
         st = os.stat(p)
         ident.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
@@ -1233,7 +1379,8 @@ def ivfpq_index_cached(
     # discards its build and reuses the winner's.
     tmp = f"{path}.build-{os.getpid()}"
     planes = build_ivfpq_index(
-        emb, tmp, books, id_col=id_col, vec_col=vec_col, n_planes=n_planes
+        emb, tmp, books, id_col=id_col, vec_col=vec_col, n_planes=n_planes,
+        store_cols=store_cols,
     )
     try:
         os.rename(tmp, path)

@@ -1898,6 +1898,25 @@ def _q_doc_lookup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivfpq_serve_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: FULLY index-resident ANN serve — probe the build-once
+    cached IVF-PQ index (partition-pruned buckets, broadcast ADC
+    table) and attach the hits' payload from the index's OWN
+    stored-fields tier (`_docstore/`, similarity._ivfpq_store_batch):
+    (vec_id, label, approx_dist) with NEITHER the embeddings float
+    table NOR any corpus table in the plan (plan-pinned in
+    tests/test_ivfpq_store.py). The ES serving posture on the vector
+    tier: search AND `_source` both come out of the index directory.
+    Oracle = the one-shot ADC SQL joined to the payload column."""
+    path, _books, _planes = S.ivfpq_index_cached(
+        spark, sf_dir, m=PQ_M, ksub=PQ_KSUB, n_planes=4,
+        store_cols=("label",),
+    )
+    return S.ivfpq_topk_stored(
+        spark, path, _query_vec(spark, sf_dir), k=PQ_K, probe_hamming=1
+    )
+
+
 def _q_streaming_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The posting index maintained by STRUCTURED STREAMING
     (streaming/stream.posting_index_stream — the reference's 10 s
@@ -2133,6 +2152,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lookup_stored": _q_doc_lookup_stored,
     # sloppy phrase (ordered, gap budget) from the positional postings
     "match_phrase_slop_serve": _q_match_phrase_slop,
+    # r13 (appended AFTER every r12 key — window convention): the
+    # vector index's stored-fields tier — ANN serve returning
+    # (id, payload, score) with no float-table or corpus read
+    "ivfpq_serve_payload": _q_ivfpq_serve_payload,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -4550,6 +4573,15 @@ ORDER BY approx_dist, vec_id LIMIT {limit}
     # r12 serve-only probe of the cached index: same probe set + ADC
     # arithmetic, so the same one-shot oracle
     o["ivfpq_serve_topk"] = o["ivf_pq_topk"]
+    # r13 stored-fields serve: the same ADC ranking with the payload
+    # column attached — the oracle reads embeddings for the label; the
+    # engine must NOT (its payload comes from the index's _docstore/)
+    o["ivfpq_serve_payload"] = f"""
+SELECT t.vec_id, e.label, t.approx_dist
+FROM ({_ivfpq_adc_sql(PQ_K)}) t
+JOIN embeddings e ON e.vec_id = t.vec_id
+ORDER BY t.approx_dist, t.vec_id
+"""
 
     # r11: the index-build manifest — per-bucket vector counts, bucket
     # = the same sign-concat hyperplane hash the probes prune on

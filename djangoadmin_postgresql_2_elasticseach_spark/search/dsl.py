@@ -29,6 +29,12 @@ from ..functions.text import analyze
 
 DEFAULT_SIZE = 10
 
+# ES's multi_match/fuzzy `max_expansions` default: each query term
+# expands to at most this many dictionary terms (closest first) on the
+# index-served path, bounding the driver-side candidate collect by
+# construction (r12 verdict #6)
+DEFAULT_MAX_EXPANSIONS = 50
+
 
 def _apply_query(docs: DataFrame, q: dict, id_col: str) -> tuple[DataFrame, bool]:
     """Returns (filtered/scored frame, scored?)."""
@@ -503,6 +509,12 @@ def _index_candidates(
             value = value["query"]
         if field not in meta["fields"] or not analyze_query(str(value)):
             return None, q
+        if field in (meta.get("element_fields") or []):
+            # element_tokens positions span element boundaries — a
+            # phrase probe would admit cross-element false positives,
+            # so the leaf falls back to the scan path (which evaluates
+            # phrases per element, the correct nested semantics)
+            return None, q
         from .index import match_phrase_from_index
 
         return (
@@ -534,10 +546,17 @@ def _index_candidates(
             # expand against the term dictionary (vocabulary-sized,
             # length-band pruned) — same plan multimatch_bm25_from_index
             # uses; the expansion is a superset of the scorer's fuzzy
-            # hits, which is all a candidate set needs
+            # hits, which is all a candidate set needs. Each query
+            # term's expansion is CAPPED at max_expansions (ES's
+            # default 50, closest first — Lucene's maxExpansions): the
+            # driver collect is bounded by construction, |terms| ·
+            # max_expansions rows, however adversarial the vocabulary.
             from .index import read_termdict
-            from .query import fuzzy_cond
+            from .query import fuzzy_cond, fuzzy_distance
 
+            max_expansions = int(
+                mm.get("max_expansions", DEFAULT_MAX_EXPANSIONS)
+            )
             lens_q = [len(t) for t in qtoks]
             td = read_termdict(
                 spark,
@@ -545,14 +564,18 @@ def _index_candidates(
                 fields=tuple(flds),
                 length_between=(min(lens_q) - 1, max(lens_q) + 1),
             )
-            cond = None
             for t in qtoks:
-                c = fuzzy_cond(F.col("token"), t, 1)
-                cond = c if cond is None else (cond | c)
-            cand_tokens |= {
-                r[0]
-                for r in td.select("token").filter(cond).distinct().collect()
-            }
+                cand_tokens |= {
+                    r[0]
+                    for r in td.select("token")
+                    .filter(fuzzy_cond(F.col("token"), t, 1))
+                    .distinct()
+                    .orderBy(
+                        fuzzy_distance(F.col("token"), t, 1), F.col("token")
+                    )
+                    .limit(max_expansions)
+                    .collect()
+                }
         return (
             _token_candidates(spark, path, meta, flds, cand_tokens),
             q,

@@ -222,9 +222,28 @@ N_TOKEN_BUCKETS = 16
 # ids' buckets
 N_STORE_BUCKETS = 16
 
+# layout version persisted in the meta. v2 (r13) carries the document
+# length ``dl`` ON EVERY POSTING ROW (Lucene's norms-with-postings
+# posture: the length norm lives beside the postings, read only for
+# scored candidates) and keeps the per-field corpus statistics in the
+# META SIDECAR instead of a stats/ parquet dataset — so a BM25 serve
+# reads NOTHING but the pruned posting buckets plus the meta: the
+# doclens table (O(corpus), partitioned by field only) leaves the
+# serve path entirely (the r12 verdict's last O(corpus) serving read).
+# v1 indexes (pre-r13) keep the doclens join + stats/ artifact; a FULL
+# compaction migrates them to v2.
+LAYOUT_V = 2
+
+# tombstone frames larger than this (parquet bytes on disk) take a
+# plain shuffle join instead of a broadcast: churn between compactions
+# is normally tiny, but a bulk re-index between tiered passes makes
+# the tombstone set O(re-indexed docs) — an unconditional broadcast
+# there is a driver/executor OOM, not a slowdown (r12 verdict #4)
+TOMBSTONE_BROADCAST_MAX_BYTES = 32 << 20
+
 POSTINGS_SCHEMA = (
-    "token string, doc_id long, tf long, positions array<int>, seq long, "
-    "field string, tkb int"
+    "token string, doc_id long, tf long, positions array<int>, dl long, "
+    "seq long, field string, tkb int"
 )
 DOCLENS_SCHEMA = "doc_id long, dl long, seq long, field string"
 STATS_SCHEMA = "n_docs long, sum_dl long, seq long, field string"
@@ -276,6 +295,73 @@ def _merge_range(ranges: list, lo: int, hi: int) -> list:
     return merged
 
 
+class ConcurrentIndexWriter(RuntimeError):
+    """A second writer tried to allocate seqs while another LIVE writer
+    holds the index's lease — the single-writer contract would be
+    violated (two interleaved read-modify-replace cycles on the sidecar
+    can lose allocations), so the late writer fails fast instead of
+    corrupting the counter."""
+
+
+def _lease_path(meta_path: str) -> str:
+    return os.path.join(os.path.dirname(meta_path), "_writer.lease")
+
+
+def _pid_alive(pid: int) -> bool:
+    if pid <= 0:
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _acquire_writer_lease(meta_path: str) -> None:
+    """Claim the index's single-writer lease (O_CREAT|O_EXCL — the
+    sources/txlog.py claim-file pattern) before touching the seq
+    counter. Reentrant for the OWNING pid (a tick retried in-process
+    after a failure resumes cleanly); a lease left by a DEAD pid is
+    stolen (the next alloc fences its orphan seqs anyway); a lease held
+    by a LIVE foreign pid raises ConcurrentIndexWriter — turning
+    silent counter corruption into a clean error."""
+    lease = _lease_path(meta_path)
+    os.makedirs(os.path.dirname(lease), exist_ok=True)
+    for _attempt in range(2):
+        try:
+            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return
+        except FileExistsError:
+            try:
+                with open(lease, encoding="utf-8") as fh:
+                    pid = int(fh.read().strip() or 0)
+            except (OSError, ValueError):
+                pid = 0
+            if pid == os.getpid():
+                return  # reentrant: this process already owns the index
+            if _pid_alive(pid):
+                raise ConcurrentIndexWriter(
+                    f"index at {os.path.dirname(lease)} is being written "
+                    f"by live pid {pid} (single-writer contract)"
+                )
+            try:  # stale lease from a crashed writer — steal and retry
+                os.unlink(lease)
+            except FileNotFoundError:
+                pass
+    raise ConcurrentIndexWriter(f"could not acquire lease {lease}")
+
+
+def _release_writer_lease(meta_path: str) -> None:
+    try:
+        os.unlink(_lease_path(meta_path))
+    except FileNotFoundError:
+        pass
+
+
 def alloc_index_seqs(
     meta_path: str,
     n: int = 1,
@@ -296,7 +382,12 @@ def alloc_index_seqs(
     its analyzer/layout config here). ``legacy_probe``: subpaths whose
     existence marks a pre-counter index (rows stamped with
     time.time_ns()); the counter then starts ABOVE the current clock so
-    ordering across the migration boundary is preserved."""
+    ordering across the migration boundary is preserved.
+
+    Acquires the index's single-writer LEASE first (held until
+    commit_index_seq): a concurrent live writer raises
+    ConcurrentIndexWriter instead of silently losing allocations."""
+    _acquire_writer_lease(meta_path)
     meta = _load_meta(meta_path) or {}
     for k, v in (defaults or {}).items():
         meta.setdefault(k, v)
@@ -325,12 +416,28 @@ def alloc_index_seqs(
     return first
 
 
-def commit_index_seq(meta_path: str, seq: int) -> None:
+def commit_index_seq(
+    meta_path: str, seq: int, stats_delta: dict | None = None
+) -> None:
     """Publish a tick: one atomic sidecar replace makes every row
-    stamped ``<= seq`` visible. Crash before this call = clean no-op."""
+    stamped ``<= seq`` visible. Crash before this call = clean no-op.
+    Releases the single-writer lease taken at allocation.
+
+    ``stats_delta`` ({field: (n_docs, sum_dl)}) is ADDED into the
+    meta's ``field_stats`` under the SAME atomic replace — layout-v2
+    indexes keep BM25's corpus statistics in the sidecar, so the
+    commit and the stats move together (a crashed tick updates
+    neither)."""
     meta = _load_meta(meta_path) or {}
     meta["committed_seq"] = seq
+    if stats_delta is not None:
+        fs = meta.get("field_stats") or {}
+        for field, (n_docs, sum_dl) in stats_delta.items():
+            cur = fs.get(field) or [0, 0]
+            fs[field] = [cur[0] + int(n_docs), cur[1] + int(sum_dl)]
+        meta["field_stats"] = fs
     _write_meta(meta_path, meta)
+    _release_writer_lease(meta_path)
 
 
 def _visible(df: DataFrame, meta: dict | None) -> DataFrame:
@@ -355,12 +462,19 @@ def read_posting_meta(path: str) -> dict:
     THIS, never a code constant), and the commit watermarks. Absent
     keys (pre-meta / pre-r12 indexes) fall back to the historical
     defaults; an absent committed_seq means legacy full visibility."""
+    _maybe_recover_folds(path)
     meta = _load_meta(_posting_meta_path(path)) or {}
     meta.setdefault("stem", True)
     meta.setdefault("fields", ["text"])
     meta.setdefault("n_buckets", N_TOKEN_BUCKETS)
     meta.setdefault("store_cols", None)
     meta.setdefault("n_store_buckets", N_STORE_BUCKETS)
+    # pre-r13 indexes: no dl on posting rows, stats live in stats/
+    meta.setdefault("layout_v", 1)
+    meta.setdefault("field_stats", None)
+    # fields whose positions were flattened across array elements
+    # (element_tokens) — they serve `match` but NOT phrase queries
+    meta.setdefault("element_fields", [])
     return meta
 
 
@@ -372,6 +486,7 @@ def _posting_partials(
     tokens_col,
     seq: int,
     n_buckets: int,
+    with_dl: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """One batch's index rows: postings (field, token, doc_id, tf) over
     the NON-deduplicated analyzed stream (tf is the BM25 term
@@ -448,16 +563,34 @@ def _posting_partials(
     for p in post_parts[1:]:
         posts = posts.unionByName(p)
     posts = posts.withColumn("seq", F.lit(int(seq)).cast("long"))
+    if with_dl:
+        # layout v2: dl rides every posting row (the Lucene norms
+        # posture) — one window over the batch-delta-sized frame, so
+        # BM25 serves from the pruned bucket probe alone and never
+        # joins the O(corpus) doclens table
+        from pyspark.sql import Window
+
+        posts = posts.withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy("field", "doc_id"))
+        )
     posts = posts.localCheckpoint(eager=True)
-    lens = posts.groupBy("field", "doc_id", "seq").agg(
-        F.sum("tf").alias("dl")
-    ).select("field", "doc_id", "dl", "seq")
+    lens = (
+        posts.groupBy("field", "doc_id", "seq")
+        .agg(F.sum("tf").alias("dl"))
+        .select("field", "doc_id", "dl", "seq")
+    )
     return posts, lens
 
 
 def _write_posting_batch(
-    posts: DataFrame, lens: DataFrame, path: str, mode: str
-) -> None:
+    posts: DataFrame,
+    lens: DataFrame,
+    path: str,
+    mode: str,
+    fields: tuple[str, ...] = (),
+    layout_v: int = LAYOUT_V,
+    extra_writes: tuple = (),
+) -> dict | None:
     """One batch's writes, REPARTITIONED BY the partition columns
     first: without it every task holds an open parquet writer per
     partition directory it touches (tasks × ~17 dirs of concurrent
@@ -470,19 +603,32 @@ def _write_posting_batch(
     ``token IN`` — a term reads only its row groups, not the whole
     bucket directory.
 
-    Alongside postings/doclens the batch appends two serving-stats
-    artifacts, both derived from the already-materialized batch frame:
+    Alongside postings/doclens the batch maintains the serving stats:
 
-    - stats/: ONE row per field (n_docs, sum_dl, seq) — BM25's corpus
-      statistics are SUM-merged over these slim rows at query time
-      instead of aggregating the full doclens table per query (the one
-      O(corpus) read the r11 serving path still had);
+    - layout v2: per-field (n_docs, sum_dl) are measured as OBSERVATION
+      metrics ON the doclens write itself (zero extra jobs) and
+      returned as a stats delta for commit_index_seq to fold into the
+      meta sidecar — no stats/ dataset exists, and BM25's N/avgdl are a
+      sidecar read, not a Spark scan;
+    - layout v1 (legacy): the historical stats/ rows are appended so
+      the pre-r13 invariant (stats/ == per-field sums of all visible
+      doclens rows) keeps holding for old indexes;
     - termdict/: the batch's distinct (field, token) — the term
       dictionary fuzzy expansion scans (vocabulary-sized, sublinear in
       corpus; Lucene's FST term dict is the same idea).
 
-    None of these writes is visible until the caller's
-    commit_index_seq — a crash between them can't serve a torn view."""
+    The slim artifact writes (doclens, termdict, legacy stats, plus any
+    ``extra_writes`` thunks — the docstore tier) all read the one
+    eagerly-materialized batch checkpoint, so they run CONCURRENTLY in
+    a thread pool: per-tick wall is the largest write, not the sum of
+    4-5 small fixed-overhead Spark jobs (the r12-measured per-tick
+    commit-protocol regression). None of these writes is visible until
+    the caller's commit_index_seq — a crash between them can't serve a
+    torn view."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
     from ..session import free_local_checkpoint
 
     posts.repartition("field", "tkb").sortWithinPartitions(
@@ -490,26 +636,63 @@ def _write_posting_batch(
     ).write.mode(mode).partitionBy("field", "tkb").parquet(
         os.path.join(path, "postings")
     )
-    lens.repartition("field").sortWithinPartitions(
-        "field", "doc_id"
-    ).write.mode(mode).partitionBy("field").parquet(
-        os.path.join(path, "doclens")
-    )
-    lens.groupBy("field", "seq").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).select("n_docs", "sum_dl", "seq", "field").repartition(
-        "field"
-    ).write.mode(mode).partitionBy("field").parquet(
-        os.path.join(path, "stats")
-    )
-    posts.select("token", "seq", "field").distinct().repartition(
-        "field"
-    ).sortWithinPartitions("field", "token").write.mode(mode).partitionBy(
-        "field"
-    ).parquet(os.path.join(path, "termdict"))
+
+    obs = None
+    lens_w = lens
+    fields = list(fields)
+    if layout_v >= 2:
+        obs = Observation()
+        exprs = []
+        for i, f in enumerate(fields):
+            cond = F.col("field") == F.lit(f)
+            exprs.append(F.count(F.when(cond, 1)).alias(f"n{i}"))
+            exprs.append(
+                F.coalesce(
+                    F.sum(F.when(cond, F.col("dl"))), F.lit(0)
+                ).alias(f"s{i}")
+            )
+        lens_w = lens.observe(obs, *exprs)
+
+    def w_doclens():
+        lens_w.repartition("field").sortWithinPartitions(
+            "field", "doc_id"
+        ).write.mode(mode).partitionBy("field").parquet(
+            os.path.join(path, "doclens")
+        )
+
+    def w_stats_legacy():
+        lens.groupBy("field", "seq").agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+        ).select("n_docs", "sum_dl", "seq", "field").repartition(
+            "field"
+        ).write.mode(mode).partitionBy("field").parquet(
+            os.path.join(path, "stats")
+        )
+
+    def w_termdict():
+        posts.select("token", "seq", "field").distinct().repartition(
+            "field"
+        ).sortWithinPartitions("field", "token").write.mode(
+            mode
+        ).partitionBy("field").parquet(os.path.join(path, "termdict"))
+
+    writes = [w_doclens, w_termdict, *extra_writes]
+    if layout_v < 2:
+        writes.append(w_stats_legacy)
+    with ThreadPoolExecutor(max_workers=len(writes)) as ex:
+        for fut in [ex.submit(w) for w in writes]:
+            fut.result()
+
+    stats_delta = None
+    if obs is not None:
+        got = obs.get
+        stats_delta = {
+            f: (got[f"n{i}"], got[f"s{i}"]) for i, f in enumerate(fields)
+        }
     # the batch checkpoint fed all writes — release its blocks, or a
     # long-running CDC driver leaks one batch-sized block set per tick
     free_local_checkpoint(posts)
+    return stats_delta
 
 
 def element_tokens(array_col, stem: bool = True) -> "F.Column":
@@ -650,6 +833,7 @@ def build_posting_index(
     n_buckets: int = N_TOKEN_BUCKETS,
     store_cols: tuple[str, ...] | None = None,
     n_store_buckets: int = N_STORE_BUCKETS,
+    element_fields: tuple[str, ...] = (),
 ) -> None:
     """Persist the serving search index: `postings/` PARTITIONED BY
     (field, token-bucket) — a term query prunes to one bucket directory
@@ -670,7 +854,17 @@ def build_posting_index(
     ``store_cols`` adds the STORED-FIELDS tier (`docstore/` — the ES
     `_source`): payload columns persisted with the index, doc-id-bucket
     partitioned, maintained by the same ticks under the same commits —
-    searches and point lookups then never read the source corpus."""
+    searches and point lookups then never read the source corpus.
+
+    ``element_fields`` declares which fields' token streams were
+    flattened across array elements (element_tokens — nested ES fields
+    like `actors.name`): persisted in the meta so the phrase-query
+    paths REFUSE them (positions span element boundaries; a phrase
+    probe there would return cross-element false positives) — the DSL
+    interpreter falls back to the scan for those fields."""
+    bad_el = sorted(set(element_fields) - set(fields))
+    if bad_el:
+        raise ValueError(f"element_fields {bad_el} not in fields {fields}")
     shutil.rmtree(os.path.join(path, "_tombstones"), ignore_errors=True)
     if not store_cols:
         # a rebuild that drops the stored tier must remove the previous
@@ -685,6 +879,9 @@ def build_posting_index(
             "n_buckets": int(n_buckets),
             "store_cols": list(store_cols) if store_cols else None,
             "n_store_buckets": int(n_store_buckets),
+            "element_fields": list(element_fields),
+            "layout_v": LAYOUT_V,
+            "field_stats": None,
             "next_seq": 1,
             "committed_seq": 0,
             "dead_ranges": [],
@@ -693,13 +890,18 @@ def build_posting_index(
     posts, lens = _posting_partials(
         docs, fields, id_col, stem, tokens_col, seq=1, n_buckets=n_buckets
     )
-    _write_posting_batch(posts, lens, path, "overwrite")
+    extra = ()
     if store_cols:
-        _write_docstore_batch(
-            docs, id_col, tuple(store_cols), 1, path, "overwrite",
-            n_store_buckets,
+        extra = (
+            lambda: _write_docstore_batch(
+                docs, id_col, tuple(store_cols), 1, path, "overwrite",
+                n_store_buckets,
+            ),
         )
-    commit_index_seq(_posting_meta_path(path), 1)
+    stats_delta = _write_posting_batch(
+        posts, lens, path, "overwrite", fields=fields, extra_writes=extra
+    )
+    commit_index_seq(_posting_meta_path(path), 1, stats_delta=stats_delta)
 
 
 def _validate_tick_config(
@@ -794,6 +996,9 @@ def append_posting_index(
     store_cols = _tick_store_cols(meta, new_docs, path, requested=store_cols)
     n_buckets = (meta or {}).get("n_buckets", N_TOKEN_BUCKETS)
     n_store = (meta or {}).get("n_store_buckets", N_STORE_BUCKETS)
+    # a tick writes the LAYOUT the index was built with: mixing dl-on-
+    # posting rows into a v1 index would leave its files schema-split
+    layout_v = meta.get("layout_v", 1) if meta is not None else LAYOUT_V
     seq = alloc_index_seqs(
         mpath,
         1,
@@ -803,19 +1008,27 @@ def append_posting_index(
             "n_buckets": int(n_buckets),
             "store_cols": list(store_cols) if store_cols else None,
             "n_store_buckets": int(n_store),
+            "layout_v": layout_v,
+            "element_fields": [],
         },
         legacy_probe=("postings", "_tombstones"),
     )
     posts, lens = _posting_partials(
         new_docs, fields, id_col, stem, tokens_col, seq=seq,
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, with_dl=layout_v >= 2,
     )
-    _write_posting_batch(posts, lens, path, "append")
+    extra = ()
     if store_cols:
-        _write_docstore_batch(
-            new_docs, id_col, store_cols, seq, path, "append", n_store
+        extra = (
+            lambda: _write_docstore_batch(
+                new_docs, id_col, store_cols, seq, path, "append", n_store
+            ),
         )
-    commit_index_seq(mpath, seq)
+    stats_delta = _write_posting_batch(
+        posts, lens, path, "append", fields=fields, layout_v=layout_v,
+        extra_writes=extra,
+    )
+    commit_index_seq(mpath, seq, stats_delta=stats_delta)
 
     from ..plans.tuning import invalidate_spread_cache
 
@@ -835,10 +1048,15 @@ def _apply_tombstones(
     delete that retired the old version). The tombstone set is bounded
     by churn between compactions (compaction applies it physically;
     the tiered pass folds it to one row per key), so the max-per-key
-    frame broadcasts. ``meta`` applies the commit-watermark visibility
-    to BOTH sides (None = legacy full visibility). Shared by the
-    posting index (key=doc_id) and the IVF-PQ vector index (key=vec_id,
-    operators/similarity.py)."""
+    frame normally broadcasts — but the hint is THRESHOLD-GATED on the
+    tombstone files' on-disk size (TOMBSTONE_BROADCAST_MAX_BYTES): a
+    bulk re-index between compactions makes the set O(re-indexed
+    docs), and an unconditional broadcast there is an OOM, not a
+    slowdown; past the gate the liveness filter becomes a plain join
+    (AQE picks the strategy). ``meta`` applies the commit-watermark
+    visibility to BOTH sides (None = legacy full visibility). Shared
+    by the posting index (key=doc_id) and the IVF-PQ vector index
+    (key=vec_id, operators/similarity.py)."""
     tpath = os.path.join(path, "_tombstones")
     df = _visible(df, meta)
     if not os.path.exists(tpath):
@@ -848,8 +1066,16 @@ def _apply_tombstones(
         .groupBy(key)
         .agg(F.max("seq").alias("_tomb_seq"))
     )
+    tomb_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dns, fns in os.walk(tpath)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    if tomb_bytes <= TOMBSTONE_BROADCAST_MAX_BYTES:
+        tomb = F.broadcast(tomb)
     return (
-        df.join(F.broadcast(tomb), key, "left")
+        df.join(tomb, key, "left")
         .filter(
             F.col("_tomb_seq").isNull() | (F.col("seq") > F.col("_tomb_seq"))
         )
@@ -938,17 +1164,29 @@ def index_stats(spark: SparkSession, path: str) -> DataFrame:
     rows and recomputes stats/ inside one atomic swap."""
     meta = read_posting_meta(path)
     sdir = os.path.join(path, "stats")
-    if not os.path.isdir(sdir):
+    if meta.get("field_stats") is not None:
+        # layout v2: the per-field sums live in the meta sidecar,
+        # folded in atomically at each commit — the base is a pure
+        # metadata read, zero Spark scans on the serve path
+        base = spark.createDataFrame(
+            [(f, int(n), int(s)) for f, (n, s) in meta["field_stats"].items()],
+            "field string, n_docs long, sum_dl long",
+        )
+    elif not os.path.isdir(sdir):
         # legacy index (pre-stats artifact): the historical full-doclens
         # aggregate, kept only for indexes built before r12
         return read_doclens(spark, path).groupBy("field").agg(
             F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
         )
-    base = (
-        _visible(_read_or_empty(spark, sdir, STATS_SCHEMA), meta)
-        .groupBy("field")
-        .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
-    )
+    else:
+        base = (
+            _visible(_read_or_empty(spark, sdir, STATS_SCHEMA), meta)
+            .groupBy("field")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("sum_dl").alias("sum_dl"),
+            )
+        )
     tpath = os.path.join(path, "_tombstones")
     if not os.path.exists(tpath):
         return base
@@ -980,9 +1218,12 @@ def index_stats(spark: SparkSession, path: str) -> DataFrame:
 
 def index_field_stats(spark: SparkSession, path: str, field: str) -> DataFrame:
     """One-row (n_docs, avgdl) for a field — the broadcast side of the
-    BM25 serving score."""
+    BM25 serving score. try_divide: an EMPTY field (v2 meta stats keep
+    a (0, 0) row per declared field) yields NULL avgdl instead of an
+    ANSI divide-by-zero — the scorer's candidate set is empty there
+    anyway."""
     return index_stats(spark, path).filter(F.col("field") == field).select(
-        "n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl")
+        "n_docs", F.try_divide(F.col("sum_dl"), F.col("n_docs")).alias("avgdl")
     )
 
 
@@ -1036,6 +1277,7 @@ def upsert_posting_index(
     store_cols = _tick_store_cols(meta, new_docs, path, requested=store_cols)
     n_buckets = (meta or {}).get("n_buckets", N_TOKEN_BUCKETS)
     n_store = (meta or {}).get("n_store_buckets", N_STORE_BUCKETS)
+    layout_v = meta.get("layout_v", 1) if meta is not None else LAYOUT_V
     seq_t = alloc_index_seqs(
         mpath,
         2,
@@ -1045,6 +1287,8 @@ def upsert_posting_index(
             "n_buckets": int(n_buckets),
             "store_cols": list(store_cols) if store_cols else None,
             "n_store_buckets": int(n_store),
+            "layout_v": layout_v,
+            "element_fields": [],
         },
         legacy_probe=("postings", "_tombstones"),
     )
@@ -1054,14 +1298,20 @@ def upsert_posting_index(
     ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
     posts, lens = _posting_partials(
         new_docs, fields, id_col, stem, tokens_col, seq=seq_a,
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, with_dl=layout_v >= 2,
     )
-    _write_posting_batch(posts, lens, path, "append")
+    extra = ()
     if store_cols:
-        _write_docstore_batch(
-            new_docs, id_col, store_cols, seq_a, path, "append", n_store
+        extra = (
+            lambda: _write_docstore_batch(
+                new_docs, id_col, store_cols, seq_a, path, "append", n_store
+            ),
         )
-    commit_index_seq(mpath, seq_a)
+    stats_delta = _write_posting_batch(
+        posts, lens, path, "append", fields=fields, layout_v=layout_v,
+        extra_writes=extra,
+    )
+    commit_index_seq(mpath, seq_a, stats_delta=stats_delta)
 
     from ..plans.tuning import invalidate_spread_cache
 
@@ -1109,6 +1359,15 @@ def match_phrase_from_index(
     from .query import analyze_query
 
     meta = read_posting_meta(path)
+    if field in (meta.get("element_fields") or []):
+        # positions of an element_tokens field span element boundaries
+        # — a phrase probe would return cross-element false positives;
+        # fail loudly (the DSL path falls back to the scan instead)
+        raise ValueError(
+            f"field {field!r} was indexed via element_tokens (positions "
+            "span element boundaries); phrase queries are not servable "
+            "from the index for it"
+        )
     if stem is None:  # default to the index's build-time analyzer
         stem = meta["stem"]
     qterms = analyze_query(phrase, stem=stem)
@@ -1181,60 +1440,94 @@ def compact_posting_index(spark: SparkSession, path: str) -> None:
     (FileNotFoundError), never serve a torn view. The swap also
     retires the applied tombstones (they live inside the old
     directory). O(index) by nature; the tiered pass below is the
-    steady-state maintenance at scale."""
+    steady-state maintenance at scale.
+
+    Runs under the single-writer lease, and FIRST reclaims any crashed
+    tiered pass's staging debris (_recover_folds — without it a leaf
+    whose swap was cut between renames would be silently absent from
+    the rewrite and its only committed copy deleted with the old
+    generation). Also MIGRATES v1 indexes to layout v2: dl is
+    recomputed onto every posting row and the per-field stats fold
+    into the meta sidecar (the stats/ dataset is retired)."""
     from ..session import free_local_checkpoint
 
-    meta = read_posting_meta(path)
-    committed = int(meta.get("committed_seq") or 0)
-    posts = read_postings(spark, path).localCheckpoint(eager=True)
-    lens = read_doclens(spark, path).localCheckpoint(eager=True)
-    tmp = f"{path}.compact-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    posts.repartition("field", "tkb").sortWithinPartitions(
-        "field", "tkb", "token"
-    ).write.mode("overwrite").partitionBy("field", "tkb").parquet(
-        os.path.join(tmp, "postings")
-    )
-    lens.repartition("field").sortWithinPartitions(
-        "field", "doc_id"
-    ).write.mode("overwrite").partitionBy("field").parquet(
-        os.path.join(tmp, "doclens")
-    )
-    lens.groupBy("field").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).select(
-        "n_docs", "sum_dl", F.lit(committed).cast("long").alias("seq"), "field"
-    ).repartition("field").write.mode("overwrite").partitionBy(
-        "field"
-    ).parquet(os.path.join(tmp, "stats"))
-    posts.select(
-        "token", F.lit(committed).cast("long").alias("seq"), "field"
-    ).distinct().repartition("field").sortWithinPartitions(
-        "field", "token"
-    ).write.mode("overwrite").partitionBy("field").parquet(
-        os.path.join(tmp, "termdict")
-    )
-    if os.path.isdir(os.path.join(path, "docstore")):
-        # the stored-fields tier rides the swap: live payload rows only
-        # (dead doc versions leave with their postings)
-        store = _apply_tombstones(
-            spark, path,
-            spark.read.parquet(os.path.join(path, "docstore")),
-            meta=meta,
-        ).localCheckpoint(eager=True)
-        store.repartition("dsb").sortWithinPartitions(
-            "dsb", "doc_id"
-        ).write.mode("overwrite").partitionBy("dsb").parquet(
-            os.path.join(tmp, "docstore")
+    mpath = _posting_meta_path(path)
+    _acquire_writer_lease(mpath)
+    try:
+        _recover_folds(path)
+        meta = read_posting_meta(path)
+        committed = int(meta.get("committed_seq") or 0)
+        posts = read_postings(spark, path)
+        if "dl" not in posts.columns:
+            # v1 → v2 migration: the live rows gain dl here, once
+            from pyspark.sql import Window
+
+            posts = posts.withColumn(
+                "dl", F.sum("tf").over(Window.partitionBy("field", "doc_id"))
+            )
+        posts = posts.localCheckpoint(eager=True)
+        lens = read_doclens(spark, path).localCheckpoint(eager=True)
+        tmp = f"{path}.compact-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        posts.repartition("field", "tkb").sortWithinPartitions(
+            "field", "tkb", "token"
+        ).write.mode("overwrite").partitionBy("field", "tkb").parquet(
+            os.path.join(tmp, "postings")
         )
-        free_local_checkpoint(store)
-    free_local_checkpoint(posts)
-    free_local_checkpoint(lens)
-    _write_meta(_posting_meta_path(tmp), {**meta, "dead_ranges": []})
-    old = f"{path}.compact-old-{os.getpid()}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+        lens.repartition("field").sortWithinPartitions(
+            "field", "doc_id"
+        ).write.mode("overwrite").partitionBy("field").parquet(
+            os.path.join(tmp, "doclens")
+        )
+        field_stats = {
+            r["field"]: [int(r["n_docs"]), int(r["sum_dl"] or 0)]
+            for r in lens.groupBy("field")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("sum_dl"),
+            )
+            .collect()
+        }
+        for f in meta.get("fields") or []:
+            field_stats.setdefault(f, [0, 0])
+        posts.select(
+            "token", F.lit(committed).cast("long").alias("seq"), "field"
+        ).distinct().repartition("field").sortWithinPartitions(
+            "field", "token"
+        ).write.mode("overwrite").partitionBy("field").parquet(
+            os.path.join(tmp, "termdict")
+        )
+        if os.path.isdir(os.path.join(path, "docstore")):
+            # the stored-fields tier rides the swap: live payload rows
+            # only (dead doc versions leave with their postings)
+            store = _apply_tombstones(
+                spark, path,
+                spark.read.parquet(os.path.join(path, "docstore")),
+                meta=meta,
+            ).localCheckpoint(eager=True)
+            store.repartition("dsb").sortWithinPartitions(
+                "dsb", "doc_id"
+            ).write.mode("overwrite").partitionBy("dsb").parquet(
+                os.path.join(tmp, "docstore")
+            )
+            free_local_checkpoint(store)
+        free_local_checkpoint(posts)
+        free_local_checkpoint(lens)
+        _write_meta(
+            _posting_meta_path(tmp),
+            {
+                **meta,
+                "dead_ranges": [],
+                "layout_v": LAYOUT_V,
+                "field_stats": field_stats,
+            },
+        )
+        old = f"{path}.compact-old-{os.getpid()}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        _release_writer_lease(mpath)
 
 
 def _leaf_partition_dirs(root: str) -> list[str]:
@@ -1314,9 +1607,55 @@ def _recover_folds(path: str) -> None:
             continue
         leaf = os.path.join(path, unquote(d[len("_fold-old-"):]))
         if not os.path.exists(leaf):
-            os.rename(os.path.join(path, d), leaf)
+            try:
+                os.rename(os.path.join(path, d), leaf)
+            except OSError:
+                pass  # a concurrent recoverer won the rename — fine
     for d in entries:
         shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+def _maybe_recover_folds(path: str) -> None:
+    """Close the crashed-tiered-pass window ON FIRST ACCESS instead of
+    at next maintenance (r12 advice): when fold-staging debris exists,
+    a reader briefly claims the single-writer lease and runs
+    _recover_folds — so a leaf whose swap was cut between renames is
+    restored before anything reads the index with that partition
+    silently absent. If the lease is HELD (a live tiered pass mid-swap
+    — its staging dirs are legitimate working state) the reader leaves
+    recovery to the writer. No-op in the overwhelmingly common case:
+    one os.listdir, no entries, return."""
+    try:
+        if not any(d.startswith("_fold-") for d in os.listdir(path)):
+            return
+    except OSError:
+        return
+    mpath = _posting_meta_path(path)
+    lease = _lease_path(mpath)
+    try:
+        fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            with open(lease, encoding="utf-8") as fh:
+                pid = int(fh.read().strip() or 0)
+        except (OSError, ValueError):
+            pid = 0
+        if _pid_alive(pid):
+            return  # a live writer owns the debris; it will recover
+        try:
+            os.unlink(lease)
+        except FileNotFoundError:
+            pass
+        try:
+            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return  # lost the steal race — the winner recovers
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        _recover_folds(path)
+    finally:
+        _release_writer_lease(mpath)
 
 
 def compact_posting_index_tiered(
@@ -1345,7 +1684,23 @@ def compact_posting_index_tiered(
       delete-call count.
 
     Tombstones are NOT cleared (that requires every postings partition
-    rewritten — the full pass), and dead_ranges persist until then."""
+    rewritten — the full pass), and dead_ranges persist until then.
+
+    Runs under the single-writer lease: while it is held, a reader
+    seeing mid-swap staging dirs leaves them alone
+    (_maybe_recover_folds checks the lease); after a crash the stale
+    lease is stealable and the debris recoverable by anyone."""
+    mpath = _posting_meta_path(path)
+    _acquire_writer_lease(mpath)
+    try:
+        _compact_tiered_locked(spark, path, max_files)
+    finally:
+        _release_writer_lease(mpath)
+
+
+def _compact_tiered_locked(
+    spark: SparkSession, path: str, max_files: int
+) -> None:
     meta = read_posting_meta(path)
     committed = int(meta.get("committed_seq") or 0)
 

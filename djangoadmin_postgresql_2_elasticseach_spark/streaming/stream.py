@@ -224,6 +224,7 @@ def posting_index_stream(
     max_files_per_trigger: int = 100,
     available_now: bool = False,
     tokens_col=None,
+    store_cols: tuple | None = None,
 ) -> StreamingQuery:
     """Structured-Streaming maintenance of the persisted posting index:
     each micro-batch of new/changed document files upserts into the
@@ -256,7 +257,15 @@ def posting_index_stream(
     at micro-batch cadence, without re-compiling the large stemmer
     expression per tick (a fixed ~seconds Catalyst cost per batch that
     dwarfs small-batch work; raw-text streams pay it, pre-analyzed
-    streams don't)."""
+    streams don't).
+
+    ``store_cols`` establishes/maintains the STORED-FIELDS tier
+    (docstore/ — the ES `_source`) from the stream, exactly like the
+    batch CDC sink: the first micro-batch records the stored columns in
+    the index meta, every later batch carries them under the same
+    atomic tick commit, and searches/GET-by-id then serve payloads
+    with zero source-corpus reads (search/index.fetch_docs,
+    read_docstore)."""
     from ..search.index import upsert_posting_index
 
     stream = (
@@ -270,7 +279,7 @@ def posting_index_stream(
             return
         upsert_posting_index(
             batch_df, index_path, fields=fields, id_col=id_col,
-            tokens_col=tokens_col,
+            tokens_col=tokens_col, store_cols=store_cols,
         )
 
     writer = stream.writeStream.foreachBatch(process).option(

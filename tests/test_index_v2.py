@@ -1,0 +1,354 @@
+"""r13 index-layout v2: dl carried on every posting row (the Lucene
+norms-with-postings posture — no doclens table anywhere in a BM25
+serve plan), per-field corpus stats in the meta sidecar (folded in
+atomically at commit), v1→v2 migration via full compaction, the
+threshold-gated tombstone broadcast, the single-writer lease, and the
+element-field phrase contract."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from djangoadmin_postgresql_2_elasticseach_spark.functions import text as T
+from djangoadmin_postgresql_2_elasticseach_spark.search import index as IX
+from djangoadmin_postgresql_2_elasticseach_spark.search.bm25 import (
+    bm25_topk,
+    bm25_topk_from_index,
+    multi_match_bm25,
+    multimatch_bm25_from_index,
+)
+from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+    append_posting_index,
+    build_posting_index,
+    compact_posting_index,
+    delete_from_posting_index,
+    read_posting_meta,
+    upsert_posting_index,
+)
+from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+QUERY = "spark vector join"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+@pytest.fixture(scope="module")
+def toks(spark, docs):
+    return (
+        docs.filter(F.col("doc_id") < 60)
+        .select(
+            "doc_id",
+            T.analyze(F.col("text")).alias("tokens"),
+            T.analyze(F.col("source")).alias("source_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _reads(df, artifact):
+    """Whether any input file of the frame lives under the artifact
+    subdir — plan-string path matching is unreliable (toString
+    truncates long locations), inputFiles is exact."""
+    return any(f"/{artifact}/" in f for f in df.inputFiles())
+
+
+def _topk(df):
+    return [(r[0], r[1]) for r in df.collect()]
+
+
+def _doctor_to_v1(spark, path):
+    """Rewrite a freshly-built index into the pre-r13 on-disk layout:
+    drop the dl posting column, restore the stats/ dataset, and stamp
+    the meta layout_v=1 — a faithful v1 index for exercising the
+    legacy serve path and the migration."""
+    posts = spark.read.parquet(os.path.join(path, "postings")).drop("dl")
+    tmp = os.path.join(path, "postings.v1")
+    posts.repartition("field", "tkb").write.mode("overwrite").partitionBy(
+        "field", "tkb"
+    ).parquet(tmp)
+    shutil.rmtree(os.path.join(path, "postings"))
+    os.rename(tmp, os.path.join(path, "postings"))
+    lens = spark.read.parquet(os.path.join(path, "doclens"))
+    lens.groupBy("field", "seq").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).select("n_docs", "sum_dl", "seq", "field").repartition(
+        "field"
+    ).write.mode("overwrite").partitionBy("field").parquet(
+        os.path.join(path, "stats")
+    )
+    mpath = os.path.join(path, "_index_meta.json")
+    with open(mpath, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    meta["layout_v"] = 1
+    meta.pop("field_stats", None)
+    with open(mpath, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+
+
+# ---------------------------------------------------------------------------
+# dl on the posting row: serve plans carry NO doclens scan (r12 verdict
+# top task — the docstring's "candidate docs only" claim held for rows
+# kept, not bytes read)
+# ---------------------------------------------------------------------------
+
+
+def test_v2_bm25_serve_plan_reads_no_doclens(spark, toks, tmp_path):
+    path = str(tmp_path / "idx")
+    build_posting_index(toks, path, tokens_col={"text": "tokens"})
+    assert read_posting_meta(path)["layout_v"] >= 2
+    df = bm25_topk_from_index(spark, path, QUERY, k=10)
+    assert not _reads(df, "doclens")
+    # N/avgdl come from the meta sidecar, not a stats/ dataset scan
+    assert not _reads(df, "stats")
+    plan = _plan(df)
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("tkb" in ln for ln in pf_lines), plan[:4000]
+
+
+def test_v2_multimatch_serve_plan_reads_no_doclens(spark, toks, tmp_path):
+    path = str(tmp_path / "idx")
+    build_posting_index(
+        toks,
+        path,
+        fields=("text", "source"),
+        tokens_col={"text": "tokens", "source": "source_tokens"},
+    )
+    df = multimatch_bm25_from_index(
+        spark, path, "spark src1", fields=("text", "source"), k=10
+    )
+    assert not _reads(df, "doclens")
+    assert not _reads(df, "stats")
+
+
+def test_v2_serve_parity_through_ticks(spark, toks, tmp_path):
+    """build + append + upsert + delete, then: index serve == scan
+    scorer over the live corpus (dl off the posting rows must track
+    every mutation exactly)."""
+    path = str(tmp_path / "idx")
+    build_posting_index(
+        toks.filter(F.col("doc_id") < 30), path, tokens_col={"text": "tokens"}
+    )
+    append_posting_index(
+        toks.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+        path,
+        tokens_col={"text": "tokens"},
+    )
+    upsert_posting_index(
+        toks.filter(F.col("doc_id") % 7 == 0), path,
+        tokens_col={"text": "tokens"},
+    )
+    delete_from_posting_index(
+        spark.createDataFrame([(3,), (11,)], "doc_id long"), path
+    )
+    live = toks.filter(~F.col("doc_id").isin(3, 11))
+    assert _topk(bm25_topk_from_index(spark, path, QUERY, k=10)) == _topk(
+        bm25_topk(live, QUERY, k=10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# v1 legacy path + full-compaction migration
+# ---------------------------------------------------------------------------
+
+
+def test_v1_layout_still_serves_and_migrates(spark, toks, tmp_path):
+    path = str(tmp_path / "idx")
+    build_posting_index(
+        toks,
+        path,
+        fields=("text", "source"),
+        tokens_col={"text": "tokens", "source": "source_tokens"},
+    )
+    want = _topk(bm25_topk(toks, QUERY, k=10))
+    want_mm = _topk(
+        multi_match_bm25(toks, "spark src1", ["text", "source"], k=10)
+    )
+    _doctor_to_v1(spark, path)
+    assert read_posting_meta(path)["layout_v"] == 1
+    # the v1 serve path (doclens join + stats/ artifact) still works
+    df = bm25_topk_from_index(spark, path, QUERY, k=10)
+    assert _reads(df, "doclens")
+    assert _topk(df) == want
+    assert _topk(
+        multimatch_bm25_from_index(
+            spark, path, "spark src1", fields=("text", "source"), k=10
+        )
+    ) == want_mm
+    # full compaction migrates: dl onto the rows, stats into the meta
+    compact_posting_index(spark, path)
+    meta = read_posting_meta(path)
+    assert meta["layout_v"] >= 2 and meta["field_stats"]
+    assert not os.path.isdir(os.path.join(path, "stats"))
+    df2 = bm25_topk_from_index(spark, path, QUERY, k=10)
+    assert not _reads(df2, "doclens")
+    assert _topk(df2) == want
+
+
+# ---------------------------------------------------------------------------
+# threshold-gated tombstone broadcast (r12 verdict #4)
+# ---------------------------------------------------------------------------
+
+
+def test_tombstone_broadcast_gate(spark, toks, tmp_path, monkeypatch):
+    path = str(tmp_path / "idx")
+    build_posting_index(toks, path, tokens_col={"text": "tokens"})
+    upsert_posting_index(
+        toks.filter(F.col("doc_id") % 3 == 0), path,
+        tokens_col={"text": "tokens"},
+    )
+    want = _topk(bm25_topk_from_index(spark, path, QUERY, k=10))
+    # force the non-broadcast liveness join: identical results, and the
+    # tombstone side carries no broadcast hint in the plan
+    monkeypatch.setattr(IX, "TOMBSTONE_BROADCAST_MAX_BYTES", -1)
+    got = bm25_topk_from_index(spark, path, QUERY, k=10)
+    assert _topk(got) == want
+
+
+# ---------------------------------------------------------------------------
+# single-writer lease (r12 verdict #7)
+# ---------------------------------------------------------------------------
+
+
+def test_live_foreign_writer_is_rejected(spark, toks, tmp_path):
+    path = str(tmp_path / "idx")
+    build_posting_index(toks, path, tokens_col={"text": "tokens"})
+    before = _topk(bm25_topk_from_index(spark, path, QUERY, k=10))
+    # simulate a LIVE concurrent writer: pid 1 always exists
+    with open(os.path.join(path, "_writer.lease"), "w") as fh:
+        fh.write("1")
+    with pytest.raises(IX.ConcurrentIndexWriter):
+        upsert_posting_index(
+            toks.filter(F.col("doc_id") < 5), path,
+            tokens_col={"text": "tokens"},
+        )
+    os.unlink(os.path.join(path, "_writer.lease"))
+    # the rejected tick wrote nothing visible
+    assert _topk(bm25_topk_from_index(spark, path, QUERY, k=10)) == before
+
+
+def test_stale_lease_is_stolen_and_released(spark, toks, tmp_path):
+    path = str(tmp_path / "idx")
+    build_posting_index(toks, path, tokens_col={"text": "tokens"})
+    # a crashed writer's lease (dead pid) must not wedge the index
+    with open(os.path.join(path, "_writer.lease"), "w") as fh:
+        fh.write("999999999")
+    append_posting_index(
+        spark.createDataFrame(
+            [(900, ["alpha", "beta"])], "doc_id long, tokens array<string>"
+        ),
+        path,
+        tokens_col={"text": "tokens"},
+    )
+    # tick committed and released the lease
+    assert not os.path.exists(os.path.join(path, "_writer.lease"))
+    got = {
+        r["doc_id"]
+        for r in IX.read_postings(spark, path)
+        .filter(F.col("token") == "alpha")
+        .select("doc_id")
+        .collect()
+    }
+    assert 900 in got
+
+
+# ---------------------------------------------------------------------------
+# element-field phrase contract (r12 advice)
+# ---------------------------------------------------------------------------
+
+
+def test_element_field_refuses_phrase_and_dsl_falls_back(spark, tmp_path):
+    from djangoadmin_postgresql_2_elasticseach_spark.search.dsl import (
+        _index_candidates,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        element_tokens,
+        match_phrase_from_index,
+    )
+
+    rows = [
+        # doc 1: phrase "alice cooper" spans TWO elements — a flattened
+        # positional probe would falsely report it as an exact match
+        (1, ["alice", "cooper bands"], "x"),
+        (2, ["alice cooper"], "y"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "id long, names array<string>, title string"
+    ).withColumn("ntok", element_tokens("names", stem=True))
+    path = str(tmp_path / "idx")
+    build_posting_index(
+        docs,
+        path,
+        fields=("names",),
+        id_col="id",
+        tokens_col={"names": "ntok"},
+        element_fields=("names",),
+    )
+    meta = read_posting_meta(path)
+    assert meta["element_fields"] == ["names"]
+    # the direct phrase probe fails LOUDLY instead of silently serving
+    # cross-element false positives
+    with pytest.raises(ValueError, match="element_tokens"):
+        match_phrase_from_index(spark, path, "alice cooper", field="names")
+    # the DSL planner refuses the leaf (falls back to the scan path)…
+    q = {"match_phrase": {"names": "alice cooper"}}
+    cand, residual = _index_candidates(spark, path, q, meta)
+    assert cand is None and residual == q
+    # …while plain `match` on the same field still serves exactly
+    cand, residual = _index_candidates(
+        spark, path, {"match": {"names": "alice"}}, meta
+    )
+    assert residual is None
+    assert {r["doc_id"] for r in cand.collect()} == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# indexed-DSL fuzzy expansion cap (r12 verdict #6)
+# ---------------------------------------------------------------------------
+
+
+def test_indexed_fuzzy_expansion_is_capped(spark, tmp_path):
+    from djangoadmin_postgresql_2_elasticseach_spark.search.dsl import (
+        _index_candidates,
+    )
+
+    # adversarial vocabulary: many distinct terms at distance 1 of the
+    # query term "dat0" — an uncapped expansion collects them all
+    rows = [(i, [f"dat{i % 30}"]) for i in range(60)]
+    docs = spark.createDataFrame(rows, "id long, tokens array<string>")
+    path = str(tmp_path / "idx")
+    build_posting_index(
+        docs, path, fields=("text",), id_col="id",
+        tokens_col={"text": "tokens"},
+    )
+    meta = read_posting_meta(path)
+
+    def n_cands(max_exp):
+        q = {
+            "multi_match": {
+                "query": "dat0",
+                "fields": ["text"],
+                "fuzziness": "AUTO",
+                "max_expansions": max_exp,
+            }
+        }
+        cand, residual = _index_candidates(spark, path, q, meta)
+        assert residual is not None  # superset leaf: scoring re-runs
+        return cand.count()
+
+    # cap=1: the exact term is the closest expansion — its 2 docs only
+    assert n_cands(1) == 2
+    # a loose cap admits more candidate docs than the tight one
+    assert n_cands(30) > n_cands(1)

@@ -118,3 +118,56 @@ def test_replayed_batch_is_value_idempotent(spark, tmp_path):
     assert _topk(spark, idx) == before
     # and the index files stay a real directory tree (no torn artifacts)
     assert os.path.exists(os.path.join(idx, "_index_meta.json"))
+
+
+def test_stream_maintains_stored_fields_tier(spark, tmp_path):
+    """r13: `store_cols` passthrough — a STREAM-maintained index
+    establishes and maintains the docstore tier exactly like the batch
+    CDC sink: after two micro-batch ticks, GET-by-id and DSL payload
+    serving run with ZERO corpus reads (every input file lives inside
+    the index directory)."""
+    from djangoadmin_postgresql_2_elasticseach_spark.search.dsl import (
+        search_indexed,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        fetch_docs,
+        read_docstore,
+        read_posting_meta,
+    )
+
+    rows = [(i, t, f"s{i % 3}") for i, t in ROWS]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    src = str(tmp_path / "incoming")
+    idx = str(tmp_path / "posting")
+    corpus.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    corpus.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = posting_index_stream(
+        spark,
+        src,
+        idx,
+        str(tmp_path / "ckpt"),
+        schema=corpus.schema,
+        fields=("text",),
+        id_col="doc_id",
+        max_files_per_trigger=1,
+        available_now=True,
+        store_cols=("src",),
+    )
+    q.awaitTermination()
+    # the first micro-batch established the stored-fields config
+    assert read_posting_meta(idx)["store_cols"] == ["src"]
+    # GET-by-id serves payload from the index tree only
+    got = fetch_docs(spark, idx, [1, 4])
+    assert all(idx in f for f in got.inputFiles())
+    assert {(r.doc_id, r.src) for r in got.collect()} == {(1, "s1"), (4, "s1")}
+    # a DSL body over the docstore: zero corpus reads end-to-end
+    store = read_docstore(spark, idx)
+    resp = search_indexed(
+        spark, store, {"query": {"match": {"text": "broadcast"}}}, idx,
+        id_col="doc_id",
+    )
+    assert {h["_id"] for h in resp["hits"]["hits"]} == {"2", "7"}
