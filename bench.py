@@ -195,7 +195,6 @@ BENCH_QUERIES = [
     "count_envelope",
     "dsl_bool_search",
     "paginate_after",
-    "simhash_neardup_pairs",
     # Exclusions (every registry query NOT listed above, with why —
     # r12 verdict #8 requires each to be documented):
     # - kmeans_assign: driver-coordinated iterative loop — at bench
@@ -207,7 +206,14 @@ BENCH_QUERIES = [
     # - ngram_jaccard, embedding_neardup: all-pairs quadratic
     #   VERIFICATION paths (oracle-checked for correctness); their
     #   scale paths — minhash_dedup_pairs, embedding_neardup_lsh,
-    #   simhash_neardup_pairs — are benched instead.
+    #   simhash — are benched instead.
+    # - simhash_neardup_pairs: at the registry params (4 bands of 8
+    #   bits) band buckets have FIXED 256-value cardinality, so bucket
+    #   occupancy grows linearly with the corpus and the candidate
+    #   pair join is quadratic-at-scale (measured 11 s at sf0.1 —
+    #   ~12% of the whole bench by itself); the banded `simhash`
+    #   signature query is benched, the pair join stays a
+    #   correctness-oracled verification shape.
     # - minhash_signatures: the signature-build component of
     #   minhash_dedup_pairs (benched) — double-count otherwise.
 ]

@@ -1151,11 +1151,17 @@ def index_stats(spark: SparkSession, path: str) -> DataFrame:
     BM25's N and avgdl served WITHOUT aggregating the O(corpus) doclens
     table per query (the r11 verdict's serving flag). Cost model:
 
-    - base: SUM over stats/ (one slim row per field per tick);
+    - base: v2 — a pure meta-sidecar read (zero Spark scans); v1 — SUM
+      over stats/ (one slim row per field per tick);
     - dead correction: only when tombstones exist — subtract the
       tombstoned doc versions' doclens rows, found via a broadcast join
       against the churn-bounded tombstone key set. Zero tombstones
       (the steady post-compaction state) never touches doclens at all.
+      (A collected-keys IN-literal fast path was tried and REVERTED:
+      past a few hundred keys the literal bloats analysis/codegen —
+      measured +3.7 s on the streaming composite — and Spark does not
+      push large In lists to parquet row-group filters anyway, so the
+      broadcast join is the right shape at every churn size.)
 
     Invariant maintained by every writer: stats/ equals the per-field
     sums of ALL visible doclens rows on disk (live + dead) — appends
@@ -1795,7 +1801,10 @@ def posting_index_cached(
     ident = [
         os.path.abspath(src), _analyzer_version(), id_col, text_col,
         ",".join(extra_fields), f"nb={n_buckets}",
-        f"store={','.join(store_cols or ())}", "posting-v1",
+        # layout generation rides the cache identity: an r12-built (v1)
+        # cached index must not satisfy a v2 build request — it would
+        # silently serve through the legacy doclens-join path
+        f"store={','.join(store_cols or ())}", f"posting-v{LAYOUT_V}",
     ]
     for p in parts:
         st = os.stat(p)

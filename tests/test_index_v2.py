@@ -352,3 +352,4 @@ def test_indexed_fuzzy_expansion_is_capped(spark, tmp_path):
     assert n_cands(1) == 2
     # a loose cap admits more candidate docs than the tight one
     assert n_cands(30) > n_cands(1)
+
