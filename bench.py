@@ -181,8 +181,11 @@ BENCH_QUERIES = [
     # ordered sloppy phrase from the positional postings
     "match_phrase_slop_serve",
     # r13: ANN serve with payload from the vector index's OWN
-    # stored-fields tier (no float-table / corpus read in the plan)
+    # stored-fields tier (no float-table / corpus read in the plan),
+    # and hybrid retrieval entirely from the two index tiers (BM25
+    # posting probe + ADC probe, RRF fusion)
     "ivfpq_serve_payload",
+    "hybrid_serve_rrf",
     # r13 (r12 verdict #8): the headline reference-API shapes — the
     # admin/REST surface (SURVEY P7-P9, O2/O3, A8) and the scan-based
     # ES-DSL bool body — benched directly; all sub-second

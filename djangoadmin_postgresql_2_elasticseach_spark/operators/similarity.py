@@ -1262,7 +1262,33 @@ def compact_ivfpq_index(spark, path: str, id_col: str = "vec_id") -> None:
     writers.compact_parquet documents (a transactional table format
     removes it; its `tx_compact` is the zero-window form). The swap
     also retires the applied tombstones (they live inside the old
-    directory)."""
+    directory).
+
+    Runs under the index's single-writer LEASE (r13): the pass reads
+    the sidecar at start and writes a copy into the swap — a tick
+    committing mid-pass would otherwise have its watermark bump
+    silently replaced by the stale copy (rows invisible AND their seqs
+    re-allocatable: corruption, not staleness)."""
+    import json
+    import os
+    import shutil
+
+    from ..search.index import (
+        _acquire_writer_lease,
+        _apply_tombstones,
+        _read_or_empty,
+        _release_writer_lease,
+    )
+    from ..session import free_local_checkpoint
+
+    _acquire_writer_lease(_ivfpq_meta_path(path))
+    try:
+        _compact_ivfpq_locked(spark, path, id_col)
+    finally:
+        _release_writer_lease(_ivfpq_meta_path(path))
+
+
+def _compact_ivfpq_locked(spark, path: str, id_col: str) -> None:
     import json
     import os
     import shutil

@@ -1917,6 +1917,28 @@ def _q_ivfpq_serve_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hybrid_serve_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: FULLY index-resident hybrid retrieval — BM25 top-20 off the
+    cached posting index (layout v2: pruned bucket probe only) fused by
+    RRF with ADC top-20 off the cached IVF-PQ index (partition-pruned
+    bucket probe, sidecar quantizers). Neither branch reads a corpus or
+    float table; fusion is a ≤40-row join (search/hybrid.
+    hybrid_topk_indexed — ES's `rrf` retriever over its own index
+    tiers). Oracle = the scan-based bm25 SQL and the ADC SQL ranked
+    and fused with the same integer-rank RRF arithmetic."""
+    from .search.hybrid import hybrid_topk_indexed
+    from .search.index import posting_index_cached
+
+    posting = posting_index_cached(spark, sf_dir)
+    ivfpq, _books, _planes = S.ivfpq_index_cached(
+        spark, sf_dir, m=PQ_M, ksub=PQ_KSUB, n_planes=4
+    )
+    return hybrid_topk_indexed(
+        spark, posting, ivfpq, BM25_QUERY, _query_vec(spark, sf_dir),
+        k=10, k_branch=20, probe_hamming=1,
+    )
+
+
 def _q_streaming_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The posting index maintained by STRUCTURED STREAMING
     (streaming/stream.posting_index_stream — the reference's 10 s
@@ -2156,6 +2178,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # vector index's stored-fields tier — ANN serve returning
     # (id, payload, score) with no float-table or corpus read
     "ivfpq_serve_payload": _q_ivfpq_serve_payload,
+    # r13: hybrid retrieval entirely from the two index tiers (BM25
+    # posting probe + IVF-PQ ADC probe, RRF fusion — no corpus reads)
+    "hybrid_serve_rrf": _q_hybrid_serve_rrf,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -4581,6 +4606,29 @@ SELECT t.vec_id, e.label, t.approx_dist
 FROM ({_ivfpq_adc_sql(PQ_K)}) t
 JOIN embeddings e ON e.vec_id = t.vec_id
 ORDER BY t.approx_dist, t.vec_id
+"""
+
+    # r13 index-resident hybrid: rank the scan-equivalent branch bodies
+    # (BM25 SQL desc by score; ADC SQL asc by distance — both id
+    # tiebreak, exactly the engine's branch orders) and fuse with the
+    # same 1/(60+rank) arithmetic as hybrid_search_rrf
+    o["hybrid_serve_rrf"] = f"""
+WITH lex AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM ({bm25_body} LIMIT 20)
+),
+vec AS (
+  SELECT vec_id AS id,
+         row_number() OVER (ORDER BY approx_dist ASC, vec_id) AS rank
+  FROM ({_ivfpq_adc_sql(20)})
+)
+SELECT coalesce(l.id, v.id) AS doc_id,
+       round(coalesce(1.0 / (60 + l.rank), 0.0)
+             + coalesce(1.0 / (60 + v.rank), 0.0), 6) AS rrf_score
+FROM lex l FULL OUTER JOIN vec v ON l.id = v.id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
 """
 
     # r11: the index-build manifest — per-bucket vector counts, bucket

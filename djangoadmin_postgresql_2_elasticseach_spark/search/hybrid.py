@@ -26,13 +26,17 @@ from pyspark.sql import functions as F
 RRF_K = 60  # the constant from the RRF paper; ES uses the same default
 
 
-def rank_of(topk: DataFrame, order_col: str, id_col: str) -> DataFrame:
+def rank_of(
+    topk: DataFrame, order_col: str, id_col: str, ascending: bool = False
+) -> DataFrame:
     """Attach 1-based rank to an already-LIMITed top-k frame.
 
     The single-partition Window is deliberate and safe: the input is a
-    top-k result (k rows), never a corpus-sized frame.
+    top-k result (k rows), never a corpus-sized frame. ``ascending``
+    ranks distances (smaller = better) instead of scores.
     """
-    w = Window.orderBy(F.desc(order_col), F.col(id_col))
+    order = F.asc(order_col) if ascending else F.desc(order_col)
+    w = Window.orderBy(order, F.col(id_col))
     return topk.select(
         F.col(id_col), F.row_number().over(w).alias("rank")
     )
@@ -104,5 +108,55 @@ def hybrid_topk(
         brute_force_topk(emb, query_vec, k=k_branch, id_col=vec_id_col),
         "cos_sim",
         vec_id_col,
+    )
+    return rrf_fuse([lex, vec], id_col=doc_id_col, k=k, k0=k0)
+
+
+def hybrid_topk_indexed(
+    spark,
+    posting_path: str,
+    ivfpq_path: str,
+    query_text: str,
+    query_vec: list[float],
+    k: int = 10,
+    k_branch: int = 20,
+    k0: int = RRF_K,
+    probe_hamming: int = 1,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """The FULLY INDEX-RESIDENT hybrid retrieval serve: lexical branch
+    = BM25 off the persisted posting index (layout v2 — the pruned
+    bucket probe is the whole read), vector branch = ADC off the
+    persisted IVF-PQ index (partition-pruned bucket probe, quantizers
+    from the sidecar), fused by RRF. NEITHER branch touches a corpus
+    or float table — this is the 100 TB serving shape: two
+    index-directory probes, each ending in TakeOrderedAndProject, and
+    a ≤(2·k_branch)-row fusion join (ES's `rrf` retriever over its own
+    index tiers). Both branch rankings are pinned to their one-shot
+    oracles elsewhere; the fusion arithmetic is integer-rank exact.
+
+    `emb`'s vec_id is taken to key the same documents as the posting
+    index's doc_id (the testdata 1:1 contract, same as hybrid_topk).
+    Returns (doc_id, rrf_score) top-k, 6dp, id tiebreak."""
+    from ..operators.similarity import _ivfpq_meta, ivfpq_query_indexed
+    from .bm25 import bm25_topk_from_index
+
+    lex = rank_of(
+        bm25_topk_from_index(
+            spark, posting_path, query_text, id_col=doc_id_col, k=k_branch
+        ),
+        "score",
+        doc_id_col,
+    )
+    meta = _ivfpq_meta(ivfpq_path)
+    vec = rank_of(
+        ivfpq_query_indexed(
+            spark, ivfpq_path, meta["codebooks"], query_vec,
+            meta["planes"], k=k_branch, probe_hamming=probe_hamming,
+            id_col="vec_id",
+        ),
+        "approx_dist",
+        "vec_id",
+        ascending=True,  # ADC is a distance: smaller = better
     )
     return rrf_fuse([lex, vec], id_col=doc_id_col, k=k, k0=k0)

@@ -865,6 +865,10 @@ def build_posting_index(
     bad_el = sorted(set(element_fields) - set(fields))
     if bad_el:
         raise ValueError(f"element_fields {bad_el} not in fields {fields}")
+    # a REBUILD resets the seq counter — racing a live writer's ticks
+    # here is counter corruption, not just staleness, so the build
+    # claims the same single-writer lease ticks use (commit releases)
+    _acquire_writer_lease(_posting_meta_path(path))
     shutil.rmtree(os.path.join(path, "_tombstones"), ignore_errors=True)
     if not store_cols:
         # a rebuild that drops the stored tier must remove the previous

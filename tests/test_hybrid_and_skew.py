@@ -58,3 +58,62 @@ def test_skew_safe_distinct_matches_plain_under_skew(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "_salt" in plan
     assert "xxhash64" in plan
+
+
+def test_hybrid_indexed_is_index_resident_and_matches_scan_branches(
+    spark, tmp_path
+):
+    """r13 hybrid_topk_indexed: every input file of the fused frame
+    lives inside the two index directories (no corpus, no float
+    table), and the fusion equals rrf_fuse over the two branch serves
+    it composes."""
+    from djangoadmin_postgresql_2_elasticseach_spark.functions.text import (
+        analyze,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.operators import (
+        similarity as S,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.search.bm25 import (
+        bm25_topk_from_index,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.search.hybrid import (
+        hybrid_topk_indexed,
+        rank_of,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        build_posting_index,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import (
+        load_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(64)
+    toks = docs.select("doc_id", analyze(F.col("text")).alias("tokens"))
+    posting = str(tmp_path / "posting")
+    build_posting_index(toks, posting, tokens_col={"text": "tokens"})
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(64)
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    books = S.pq_codebooks_deterministic(emb, m=4, ksub=16)
+    ivfpq = str(tmp_path / "ivfpq")
+    planes = S.build_ivfpq_index(emb, ivfpq, books, n_planes=4)
+
+    fused = hybrid_topk_indexed(
+        spark, posting, ivfpq, "spark vector join", q,
+        k=5, k_branch=10, probe_hamming=4,
+    )
+    for f in fused.inputFiles():
+        assert posting in f or ivfpq in f, f
+    lex = rank_of(
+        bm25_topk_from_index(spark, posting, "spark vector join", k=10),
+        "score", "doc_id",
+    )
+    vec = rank_of(
+        S.ivfpq_query_indexed(
+            spark, ivfpq, books, q, planes, k=10, probe_hamming=4
+        ),
+        "approx_dist", "vec_id", ascending=True,
+    )
+    want = rrf_fuse([lex, vec], id_col="doc_id", k=5).collect()
+    assert fused.collect() == want

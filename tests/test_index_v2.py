@@ -353,3 +353,16 @@ def test_indexed_fuzzy_expansion_is_capped(spark, tmp_path):
     # a loose cap admits more candidate docs than the tight one
     assert n_cands(30) > n_cands(1)
 
+
+def test_rebuild_respects_live_writer_lease(spark, toks, tmp_path):
+    """A REBUILD resets the seq counter, so racing a live writer is
+    counter corruption — build claims the same lease ticks use."""
+    path = str(tmp_path / "idx")
+    build_posting_index(toks, path, tokens_col={"text": "tokens"})
+    with open(os.path.join(path, "_writer.lease"), "w") as fh:
+        fh.write("1")  # a live foreign writer (pid 1 always exists)
+    with pytest.raises(IX.ConcurrentIndexWriter):
+        build_posting_index(toks, path, tokens_col={"text": "tokens"})
+    os.unlink(os.path.join(path, "_writer.lease"))
+    build_posting_index(toks, path, tokens_col={"text": "tokens"})
+    assert read_posting_meta(path)["committed_seq"] == 1
