@@ -186,6 +186,9 @@ BENCH_QUERIES = [
     # posting probe + ADC probe, RRF fusion)
     "ivfpq_serve_payload",
     "hybrid_serve_rrf",
+    # r13: full IVFADC — ADC shortlist + exact re-rank over vectors
+    # stored IN the index (embeddings table never in the plan)
+    "ivfpq_serve_rerank",
     # r13 (r12 verdict #8): the headline reference-API shapes — the
     # admin/REST surface (SURVEY P7-P9, O2/O3, A8) and the scan-based
     # ES-DSL bool body — benched directly; all sub-second

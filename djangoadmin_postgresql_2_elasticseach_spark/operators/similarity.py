@@ -1086,6 +1086,46 @@ def ivfpq_topk_stored(
     )
 
 
+def ivfpq_serve_rerank(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The FULL IVFADC serving path, entirely index-resident: ADC
+    shortlist off the bucket-pruned codes, then EXACT squared-L2
+    re-rank over full-precision vectors fetched from the index's OWN
+    stored-fields tier (`_docstore/` built with the vector column in
+    ``store_cols``) — the embeddings source table is never in the
+    plan. This is how a deployed FAISS/Lucene-HNSW serving node works:
+    quantized probe + exact re-read of shortlist vectors from its own
+    storage. Reads: probed code buckets + the shortlist ids' store
+    buckets (point-lookup pruned). Output (id, dist) exact, 6dp, top-k
+    — shares `_exact_l2_rerank`'s distance expression, so the rounding
+    contract exists once."""
+    meta = _ivfpq_meta(path)
+    stored = meta.get("store_cols") or []
+    if vec_col not in stored:
+        raise ValueError(
+            f"ivfpq index at {path} stores {stored}; exact re-rank "
+            f"needs {vec_col!r} in store_cols at build time"
+        )
+    cand = ivfpq_query_indexed(
+        spark, path, meta["codebooks"], query_vec, meta["planes"],
+        k=shortlist, probe_hamming=probe_hamming, id_col=id_col,
+    ).select(id_col).collect()
+    ids = [r[id_col] for r in cand]
+    if not ids:
+        return spark.createDataFrame([], f"{id_col} long, dist double")
+    vecs = ivfpq_fetch_payload(spark, path, ids, id_col=id_col)
+    keys = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    return _exact_l2_rerank(vecs, keys, query_vec, k, id_col, vec_col)
+
+
 def build_ivfpq_index(
     emb: DataFrame,
     path: str,

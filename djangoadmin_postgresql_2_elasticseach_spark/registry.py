@@ -1908,12 +1908,40 @@ def _q_ivfpq_serve_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ivfpq_store.py). The ES serving posture on the vector
     tier: search AND `_source` both come out of the index directory.
     Oracle = the one-shot ADC SQL joined to the payload column."""
-    path, _books, _planes = S.ivfpq_index_cached(
-        spark, sf_dir, m=PQ_M, ksub=PQ_KSUB, n_planes=4,
-        store_cols=("label",),
-    )
+    path = _ivfpq_stored_cached(spark, sf_dir)
     return S.ivfpq_topk_stored(
         spark, path, _query_vec(spark, sf_dir), k=PQ_K, probe_hamming=1
+    ).select("vec_id", "label", "approx_dist")
+
+
+def _ivfpq_stored_cached(spark: SparkSession, sf_dir: str) -> str:
+    """ONE cached IVF-PQ index with the stored-fields tier carrying
+    BOTH the payload column and the full-precision vectors — shared by
+    ivfpq_serve_payload and ivfpq_serve_rerank so the bench's cold
+    pass pays one build (the _dsl_index_cached discipline). Parquet is
+    columnar: the payload serve reads only `label`, the re-rank only
+    `embedding`."""
+    path, _books, _planes = S.ivfpq_index_cached(
+        spark, sf_dir, m=PQ_M, ksub=PQ_KSUB, n_planes=4,
+        store_cols=("label", "embedding"),
+    )
+    return path
+
+
+def _q_ivfpq_serve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: the FULL IVFADC serving path with zero source-table reads —
+    bucket-pruned ADC shortlist (50), exact squared-L2 re-rank over
+    full-precision vectors fetched from the index's own stored-fields
+    tier (point-lookup pruned to the shortlist ids' buckets). The
+    embeddings table is never in the plan. Oracle = the ADC-shortlist
+    SQL re-ranked by the same exact-L2 expression."""
+    return S.ivfpq_serve_rerank(
+        spark,
+        _ivfpq_stored_cached(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        k=PQ_K,
+        shortlist=50,
+        probe_hamming=1,
     )
 
 
@@ -2181,6 +2209,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r13: hybrid retrieval entirely from the two index tiers (BM25
     # posting probe + IVF-PQ ADC probe, RRF fusion — no corpus reads)
     "hybrid_serve_rrf": _q_hybrid_serve_rrf,
+    # r13: full IVFADC — ADC shortlist + exact re-rank over vectors
+    # stored IN the index (embeddings table never read)
+    "ivfpq_serve_rerank": _q_ivfpq_serve_rerank,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -4629,6 +4660,21 @@ SELECT coalesce(l.id, v.id) AS doc_id,
 FROM lex l FULL OUTER JOIN vec v ON l.id = v.id
 ORDER BY rrf_score DESC, doc_id
 LIMIT 10
+"""
+
+    # r13 full IVFADC serve: ADC shortlist (50) re-ranked by exact
+    # squared-L2 — the engine reads the vectors from its own stored
+    # tier; the oracle reads them from the table (same values)
+    o["ivfpq_serve_rerank"] = f"""
+WITH sl AS (SELECT vec_id FROM ({_ivfpq_adc_sql(50)})),
+qx AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1)
+SELECT e.vec_id,
+       round(list_sum(list_transform(list_zip(e.embedding, qx.qe),
+         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS dist
+FROM embeddings e JOIN sl ON e.vec_id = sl.vec_id CROSS JOIN qx
+ORDER BY dist, e.vec_id
+LIMIT {PQ_K}
 """
 
     # r11: the index-build manifest — per-bucket vector counts, bucket

@@ -107,3 +107,34 @@ def test_store_batch_missing_column_fails_before_write(spark, emb, tmp_path):
     _build(emb, path)
     with pytest.raises(ValueError, match="stored fields"):
         S.append_ivfpq_index(emb.drop("label"), path)
+
+
+def test_serve_rerank_matches_table_rerank_and_stays_index_resident(
+    spark, emb, qvec, tmp_path
+):
+    """ivfpq_serve_rerank == the same ADC shortlist re-ranked against
+    the source float table (_exact_l2_rerank), and every file it reads
+    lives inside the index directory."""
+    path = str(tmp_path / "ivfpq")
+    books = S.pq_codebooks_deterministic(emb, m=4, ksub=16)
+    planes = S.build_ivfpq_index(
+        emb, path, books, n_planes=4, store_cols=("label", "embedding")
+    )
+    got = S.ivfpq_serve_rerank(
+        spark, path, qvec, k=5, shortlist=20, probe_hamming=4
+    )
+    assert got.inputFiles() and all(path in f for f in got.inputFiles())
+    cand = S.ivfpq_query_indexed(
+        spark, path, books, qvec, planes, k=20, probe_hamming=4
+    ).select("vec_id")
+    want = S._exact_l2_rerank(emb, cand, qvec, 5, "vec_id", "embedding")
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+
+def test_serve_rerank_requires_stored_vectors(spark, emb, qvec, tmp_path):
+    path = str(tmp_path / "ivfpq")
+    _build(emb, path)  # stores label only
+    with pytest.raises(ValueError, match="store_cols"):
+        S.ivfpq_serve_rerank(spark, path, qvec, k=5)
