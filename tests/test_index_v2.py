@@ -157,6 +157,10 @@ def test_v2_serve_parity_through_ticks(spark, toks, tmp_path):
     assert _topk(bm25_topk_from_index(spark, path, QUERY, k=10)) == _topk(
         bm25_topk(live, QUERY, k=10)
     )
+    # v2 ticks never launch the stats-dataset write job (the r12
+    # per-tick fixed-cost item): the stats live in the meta sidecar
+    assert not os.path.isdir(os.path.join(path, "stats"))
+    assert read_posting_meta(path)["field_stats"]
 
 
 # ---------------------------------------------------------------------------
