@@ -1039,6 +1039,11 @@ def ivfpq_fetch_payload(
     from ..search.index import _apply_tombstones, store_buckets
 
     meta = _ivfpq_meta(path)
+    if not meta.get("store_cols"):
+        raise ValueError(
+            f"ivfpq index at {path} has no stored-fields tier — build "
+            "it with store_cols to serve payload from the index"
+        )
     ids = list(ids)
     store = spark.read.parquet(os.path.join(path, "_docstore")).filter(
         F.col("vsb").isin(store_buckets(ids, meta.get("n_store_buckets", 16)))
@@ -1067,6 +1072,11 @@ def ivfpq_topk_stored(
     import os
 
     meta = _ivfpq_meta(path)
+    if not meta.get("store_cols"):
+        raise ValueError(
+            f"ivfpq index at {path} has no stored-fields tier — build "
+            "it with store_cols to serve payload from the index"
+        )
     hits = ivfpq_query_indexed(
         spark, path, meta["codebooks"], query_vec, meta["planes"],
         k=k, probe_hamming=probe_hamming, id_col=id_col,
@@ -1162,7 +1172,33 @@ def build_ivfpq_index(
     columns persisted with the index, id-bucket partitioned, carried
     by every tick under the same commits — ANN serves then return
     (id, payload, score) without the float table or corpus in the
-    plan (ivfpq_topk_stored)."""
+    plan (ivfpq_topk_stored).
+
+    Takes the single-writer LEASE before the overwrite: a rebuild
+    resets the seq counter, so racing a live ticker is counter
+    corruption (its commit would stamp a watermark above a fresh
+    counter). The overwrite itself wipes the directory INCLUDING the
+    lease file — a tick that starts mid-rebuild is the documented
+    rebuild contract (don't), but a tick already HOLDING the lease
+    fails this build fast."""
+    import json
+
+    from ..search.index import _acquire_writer_lease, _release_writer_lease
+
+    _acquire_writer_lease(_ivfpq_meta_path(path))
+    try:
+        return _build_ivfpq_locked(
+            emb, path, codebooks, id_col, vec_col, n_planes, store_cols,
+            n_store_buckets,
+        )
+    finally:
+        _release_writer_lease(_ivfpq_meta_path(path))
+
+
+def _build_ivfpq_locked(
+    emb, path, codebooks, id_col, vec_col, n_planes, store_cols,
+    n_store_buckets,
+):
     import json
 
     m = len(codebooks)
@@ -1215,25 +1251,31 @@ def append_ivfpq_index(
     codebook, which is what the oracle pins. Published by one atomic
     sidecar commit: a crash mid-append is invisible, and a re-delivered
     batch lands under fresh seqs with the orphans fenced dead."""
-    from ..search.index import alloc_index_seqs, commit_index_seq
+    from ..search.index import (
+        _release_lease_on_error,
+        alloc_index_seqs,
+        commit_index_seq,
+    )
 
     books, planes = read_ivfpq_meta(path)
     store_cols = _ivfpq_meta(path).get("store_cols")
     n_store = _ivfpq_meta(path).get("n_store_buckets", 16)
     mpath = _ivfpq_meta_path(path)
     seq = alloc_index_seqs(mpath, 1, legacy_probe=("_SUCCESS",))
-    (
-        _ivfpq_rows(new_emb, books, planes, id_col, vec_col, seq=seq)
-        .repartition("bucket")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(path)
-    )
-    if store_cols:
-        _ivfpq_store_batch(
-            new_emb, id_col, tuple(store_cols), seq, path, "append", n_store
+    with _release_lease_on_error(mpath):
+        (
+            _ivfpq_rows(new_emb, books, planes, id_col, vec_col, seq=seq)
+            .repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(path)
         )
-    commit_index_seq(mpath, seq)
+        if store_cols:
+            _ivfpq_store_batch(
+                new_emb, id_col, tuple(store_cols), seq, path, "append",
+                n_store,
+            )
+        commit_index_seq(mpath, seq)
 
 
 def delete_from_ivfpq_index(
@@ -1246,14 +1288,19 @@ def delete_from_ivfpq_index(
     so liveness ordering survives driver restarts and clock steps."""
     import os
 
-    from ..search.index import alloc_index_seqs, commit_index_seq
+    from ..search.index import (
+        _release_lease_on_error,
+        alloc_index_seqs,
+        commit_index_seq,
+    )
 
     mpath = _ivfpq_meta_path(path)
     seq = alloc_index_seqs(mpath, 1, legacy_probe=("_SUCCESS",))
-    ids.select(
-        F.col(id_col), F.lit(int(seq)).cast("long").alias("seq")
-    ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
-    commit_index_seq(mpath, seq)
+    with _release_lease_on_error(mpath):
+        ids.select(
+            F.col(id_col), F.lit(int(seq)).cast("long").alias("seq")
+        ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
+        commit_index_seq(mpath, seq)
 
 
 def upsert_ivfpq_index(
@@ -1269,7 +1316,11 @@ def upsert_ivfpq_index(
     crash anywhere mid-upsert serves the pre-tick view."""
     import os
 
-    from ..search.index import alloc_index_seqs, commit_index_seq
+    from ..search.index import (
+        _release_lease_on_error,
+        alloc_index_seqs,
+        commit_index_seq,
+    )
 
     books, planes = read_ivfpq_meta(path)
     store_cols = _ivfpq_meta(path).get("store_cols")
@@ -1277,22 +1328,23 @@ def upsert_ivfpq_index(
     mpath = _ivfpq_meta_path(path)
     seq_t = alloc_index_seqs(mpath, 2, legacy_probe=("_SUCCESS",))
     seq_a = seq_t + 1
-    new_emb.select(
-        F.col(id_col), F.lit(int(seq_t)).cast("long").alias("seq")
-    ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
-    (
-        _ivfpq_rows(new_emb, books, planes, id_col, vec_col, seq=seq_a)
-        .repartition("bucket")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(path)
-    )
-    if store_cols:
-        _ivfpq_store_batch(
-            new_emb, id_col, tuple(store_cols), seq_a, path, "append",
-            n_store,
+    with _release_lease_on_error(mpath):
+        new_emb.select(
+            F.col(id_col), F.lit(int(seq_t)).cast("long").alias("seq")
+        ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
+        (
+            _ivfpq_rows(new_emb, books, planes, id_col, vec_col, seq=seq_a)
+            .repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(path)
         )
-    commit_index_seq(mpath, seq_a)
+        if store_cols:
+            _ivfpq_store_batch(
+                new_emb, id_col, tuple(store_cols), seq_a, path, "append",
+                n_store,
+            )
+        commit_index_seq(mpath, seq_a)
 
 
 def compact_ivfpq_index(spark, path: str, id_col: str = "vec_id") -> None:
@@ -1318,17 +1370,7 @@ def compact_ivfpq_index(spark, path: str, id_col: str = "vec_id") -> None:
     committing mid-pass would otherwise have its watermark bump
     silently replaced by the stale copy (rows invisible AND their seqs
     re-allocatable: corruption, not staleness)."""
-    import json
-    import os
-    import shutil
-
-    from ..search.index import (
-        _acquire_writer_lease,
-        _apply_tombstones,
-        _read_or_empty,
-        _release_writer_lease,
-    )
-    from ..session import free_local_checkpoint
+    from ..search.index import _acquire_writer_lease, _release_writer_lease
 
     _acquire_writer_lease(_ivfpq_meta_path(path))
     try:

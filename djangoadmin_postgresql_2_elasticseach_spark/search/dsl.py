@@ -564,18 +564,22 @@ def _index_candidates(
                 fields=tuple(flds),
                 length_between=(min(lens_q) - 1, max(lens_q) + 1),
             )
-            for t in qtoks:
-                cand_tokens |= {
-                    r[0]
-                    for r in td.select("token")
-                    .filter(fuzzy_cond(F.col("token"), t, 1))
-                    .distinct()
-                    .orderBy(
-                        fuzzy_distance(F.col("token"), t, 1), F.col("token")
-                    )
-                    .limit(max_expansions)
-                    .collect()
-                }
+            # one union of per-term TakeOrdered frames → ONE Spark job
+            # and one driver round-trip for the whole expansion
+            per_term = [
+                td.select("token")
+                .filter(fuzzy_cond(F.col("token"), t, 1))
+                .distinct()
+                .orderBy(
+                    fuzzy_distance(F.col("token"), t, 1), F.col("token")
+                )
+                .limit(max_expansions)
+                for t in qtoks
+            ]
+            merged = per_term[0]
+            for p in per_term[1:]:
+                merged = merged.unionByName(p)
+            cand_tokens |= {r[0] for r in merged.collect()}
         return (
             _token_candidates(spark, path, meta, flds, cand_tokens),
             q,

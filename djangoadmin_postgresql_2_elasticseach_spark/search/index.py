@@ -307,6 +307,24 @@ def _lease_path(meta_path: str) -> str:
     return os.path.join(os.path.dirname(meta_path), "_writer.lease")
 
 
+def _lease_token() -> str:
+    """pid:thread — two THREADS of one process are still two writers
+    (interleaved sidecar read-modify-replace loses allocations exactly
+    like two processes), so reentrancy is per-thread, not per-pid."""
+    import threading
+
+    return f"{os.getpid()}:{threading.get_ident()}"
+
+
+def _lease_pid(content: str) -> int:
+    """Owner pid from lease content; 0 = unparseable. Accepts both the
+    token form (pid:tid) and the bare-pid form."""
+    try:
+        return int(content.strip().split(":")[0] or 0)
+    except ValueError:
+        return 0
+
+
 def _pid_alive(pid: int) -> bool:
     if pid <= 0:
         return False
@@ -320,39 +338,55 @@ def _pid_alive(pid: int) -> bool:
 
 
 def _acquire_writer_lease(meta_path: str) -> None:
-    """Claim the index's single-writer lease (O_CREAT|O_EXCL — the
-    sources/txlog.py claim-file pattern) before touching the seq
-    counter. Reentrant for the OWNING pid (a tick retried in-process
-    after a failure resumes cleanly); a lease left by a DEAD pid is
+    """Claim the index's single-writer lease before touching the seq
+    counter (the sources/txlog.py claim-file pattern). The claim is an
+    ATOMIC create-with-content: the token is written to a private temp
+    file and os.link()ed into place — a racing acquirer can never
+    observe a half-written (empty) lease and mistake a live writer for
+    a dead one. Reentrant for the OWNING pid+thread (a tick retried on
+    the same thread resumes cleanly); a lease left by a DEAD pid is
     stolen (the next alloc fences its orphan seqs anyway); a lease held
-    by a LIVE foreign pid raises ConcurrentIndexWriter — turning
-    silent counter corruption into a clean error."""
+    by a LIVE pid — another process OR another thread of this one —
+    raises ConcurrentIndexWriter, turning silent counter corruption
+    into a clean error."""
     lease = _lease_path(meta_path)
     os.makedirs(os.path.dirname(lease), exist_ok=True)
-    for _attempt in range(2):
-        try:
-            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-            return
-        except FileExistsError:
+    token = _lease_token()
+    tmp = f"{lease}.claim-{token.replace(':', '-')}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(token)
+    try:
+        for _attempt in range(2):
             try:
-                with open(lease, encoding="utf-8") as fh:
-                    pid = int(fh.read().strip() or 0)
-            except (OSError, ValueError):
-                pid = 0
-            if pid == os.getpid():
-                return  # reentrant: this process already owns the index
-            if _pid_alive(pid):
-                raise ConcurrentIndexWriter(
-                    f"index at {os.path.dirname(lease)} is being written "
-                    f"by live pid {pid} (single-writer contract)"
-                )
-            try:  # stale lease from a crashed writer — steal and retry
-                os.unlink(lease)
-            except FileNotFoundError:
-                pass
-    raise ConcurrentIndexWriter(f"could not acquire lease {lease}")
+                os.link(tmp, lease)  # atomic: exists == fully written
+                return
+            except FileExistsError:
+                try:
+                    with open(lease, encoding="utf-8") as fh:
+                        content = fh.read()
+                except OSError:
+                    continue  # released between link and read — retry
+                if content.strip() == token:
+                    return  # reentrant: this thread already owns it
+                pid = _lease_pid(content)
+                if _pid_alive(pid) or pid == 0:
+                    # live foreign writer — or content we can't parse,
+                    # which is treated as live (never steal blind)
+                    raise ConcurrentIndexWriter(
+                        f"index at {os.path.dirname(lease)} is being "
+                        f"written by live owner {content.strip()!r} "
+                        "(single-writer contract)"
+                    )
+                try:  # stale lease from a crashed writer — steal, retry
+                    os.unlink(lease)
+                except FileNotFoundError:
+                    pass
+        raise ConcurrentIndexWriter(f"could not acquire lease {lease}")
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def _release_writer_lease(meta_path: str) -> None:
@@ -360,6 +394,25 @@ def _release_writer_lease(meta_path: str) -> None:
         os.unlink(_lease_path(meta_path))
     except FileNotFoundError:
         pass
+
+
+def _release_lease_on_error(meta_path: str):
+    """Context manager for the span between alloc and commit: a tick
+    whose writes fail releases the lease before re-raising — its orphan
+    seqs are fenced at the next allocation anyway, and holding on would
+    wedge every OTHER process's writes and compactions for the life of
+    this one (the owning thread could re-enter, nobody else could)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def guard():
+        try:
+            yield
+        except BaseException:
+            _release_writer_lease(meta_path)
+            raise
+
+    return guard()
 
 
 def alloc_index_seqs(
@@ -891,21 +944,23 @@ def build_posting_index(
             "dead_ranges": [],
         },
     )
-    posts, lens = _posting_partials(
-        docs, fields, id_col, stem, tokens_col, seq=1, n_buckets=n_buckets
-    )
-    extra = ()
-    if store_cols:
-        extra = (
-            lambda: _write_docstore_batch(
-                docs, id_col, tuple(store_cols), 1, path, "overwrite",
-                n_store_buckets,
-            ),
+    with _release_lease_on_error(_posting_meta_path(path)):
+        posts, lens = _posting_partials(
+            docs, fields, id_col, stem, tokens_col, seq=1,
+            n_buckets=n_buckets,
         )
-    stats_delta = _write_posting_batch(
-        posts, lens, path, "overwrite", fields=fields, extra_writes=extra
-    )
-    commit_index_seq(_posting_meta_path(path), 1, stats_delta=stats_delta)
+        extra = ()
+        if store_cols:
+            extra = (
+                lambda: _write_docstore_batch(
+                    docs, id_col, tuple(store_cols), 1, path, "overwrite",
+                    n_store_buckets,
+                ),
+            )
+        stats_delta = _write_posting_batch(
+            posts, lens, path, "overwrite", fields=fields, extra_writes=extra
+        )
+        commit_index_seq(_posting_meta_path(path), 1, stats_delta=stats_delta)
 
 
 def _validate_tick_config(
@@ -1002,7 +1057,16 @@ def append_posting_index(
     n_store = (meta or {}).get("n_store_buckets", N_STORE_BUCKETS)
     # a tick writes the LAYOUT the index was built with: mixing dl-on-
     # posting rows into a v1 index would leave its files schema-split
-    layout_v = meta.get("layout_v", 1) if meta is not None else LAYOUT_V
+    # meta absent: only a genuinely FRESH path (first CDC tick) takes
+    # the v2 layout — a pre-meta legacy index (postings exist, no
+    # sidecar) must keep writing dl-less v1 rows or the dataset
+    # schema-splits and the v2 serve reads NULL dl for legacy docs
+    if meta is not None:
+        layout_v = meta.get("layout_v", 1)
+    elif os.path.isdir(os.path.join(path, "postings")):
+        layout_v = 1
+    else:
+        layout_v = LAYOUT_V
     seq = alloc_index_seqs(
         mpath,
         1,
@@ -1017,22 +1081,24 @@ def append_posting_index(
         },
         legacy_probe=("postings", "_tombstones"),
     )
-    posts, lens = _posting_partials(
-        new_docs, fields, id_col, stem, tokens_col, seq=seq,
-        n_buckets=n_buckets, with_dl=layout_v >= 2,
-    )
-    extra = ()
-    if store_cols:
-        extra = (
-            lambda: _write_docstore_batch(
-                new_docs, id_col, store_cols, seq, path, "append", n_store
-            ),
+    with _release_lease_on_error(mpath):
+        posts, lens = _posting_partials(
+            new_docs, fields, id_col, stem, tokens_col, seq=seq,
+            n_buckets=n_buckets, with_dl=layout_v >= 2,
         )
-    stats_delta = _write_posting_batch(
-        posts, lens, path, "append", fields=fields, layout_v=layout_v,
-        extra_writes=extra,
-    )
-    commit_index_seq(mpath, seq, stats_delta=stats_delta)
+        extra = ()
+        if store_cols:
+            extra = (
+                lambda: _write_docstore_batch(
+                    new_docs, id_col, store_cols, seq, path, "append",
+                    n_store,
+                ),
+            )
+        stats_delta = _write_posting_batch(
+            posts, lens, path, "append", fields=fields, layout_v=layout_v,
+            extra_writes=extra,
+        )
+        commit_index_seq(mpath, seq, stats_delta=stats_delta)
 
     from ..plans.tuning import invalidate_spread_cache
 
@@ -1254,11 +1320,12 @@ def delete_from_posting_index(
     # doc_id keeps the caller's key type (long testdata ids, the
     # reference's UUID strings) — the liveness join must type-match the
     # postings' doc_id
-    doc_ids.select(
-        F.col(id_col).alias("doc_id"),
-        F.lit(int(seq)).cast("long").alias("seq"),
-    ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
-    commit_index_seq(mpath, seq)
+    with _release_lease_on_error(mpath):
+        doc_ids.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(int(seq)).cast("long").alias("seq"),
+        ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
+        commit_index_seq(mpath, seq)
 
 
 def upsert_posting_index(
@@ -1287,7 +1354,16 @@ def upsert_posting_index(
     store_cols = _tick_store_cols(meta, new_docs, path, requested=store_cols)
     n_buckets = (meta or {}).get("n_buckets", N_TOKEN_BUCKETS)
     n_store = (meta or {}).get("n_store_buckets", N_STORE_BUCKETS)
-    layout_v = meta.get("layout_v", 1) if meta is not None else LAYOUT_V
+    # meta absent: only a genuinely FRESH path (first CDC tick) takes
+    # the v2 layout — a pre-meta legacy index (postings exist, no
+    # sidecar) must keep writing dl-less v1 rows or the dataset
+    # schema-splits and the v2 serve reads NULL dl for legacy docs
+    if meta is not None:
+        layout_v = meta.get("layout_v", 1)
+    elif os.path.isdir(os.path.join(path, "postings")):
+        layout_v = 1
+    else:
+        layout_v = LAYOUT_V
     seq_t = alloc_index_seqs(
         mpath,
         2,
@@ -1303,25 +1379,28 @@ def upsert_posting_index(
         legacy_probe=("postings", "_tombstones"),
     )
     seq_a = seq_t + 1
-    new_docs.select(
-        F.col(id_col).alias("doc_id"), F.lit(int(seq_t)).cast("long").alias("seq")
-    ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
-    posts, lens = _posting_partials(
-        new_docs, fields, id_col, stem, tokens_col, seq=seq_a,
-        n_buckets=n_buckets, with_dl=layout_v >= 2,
-    )
-    extra = ()
-    if store_cols:
-        extra = (
-            lambda: _write_docstore_batch(
-                new_docs, id_col, store_cols, seq_a, path, "append", n_store
-            ),
+    with _release_lease_on_error(mpath):
+        new_docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(int(seq_t)).cast("long").alias("seq"),
+        ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
+        posts, lens = _posting_partials(
+            new_docs, fields, id_col, stem, tokens_col, seq=seq_a,
+            n_buckets=n_buckets, with_dl=layout_v >= 2,
         )
-    stats_delta = _write_posting_batch(
-        posts, lens, path, "append", fields=fields, layout_v=layout_v,
-        extra_writes=extra,
-    )
-    commit_index_seq(mpath, seq_a, stats_delta=stats_delta)
+        extra = ()
+        if store_cols:
+            extra = (
+                lambda: _write_docstore_batch(
+                    new_docs, id_col, store_cols, seq_a, path, "append",
+                    n_store,
+                ),
+            )
+        stats_delta = _write_posting_batch(
+            posts, lens, path, "append", fields=fields, layout_v=layout_v,
+            extra_writes=extra,
+        )
+        commit_index_seq(mpath, seq_a, stats_delta=stats_delta)
 
     from ..plans.tuning import invalidate_spread_cache
 
@@ -1642,30 +1721,42 @@ def _maybe_recover_folds(path: str) -> None:
         return
     mpath = _posting_meta_path(path)
     lease = _lease_path(mpath)
+    token = _lease_token()
+    tmp = f"{lease}.claim-{token.replace(':', '-')}"
     try:
-        fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(token)
+        for _attempt in range(2):
+            try:
+                os.link(tmp, lease)
+            except FileExistsError:
+                # a held lease — including OUR OWN (a pass mid-swap in
+                # this thread calling read_posting_meta must NOT have
+                # its staging reclaimed under it) — means skip; only a
+                # dead owner's lease is stolen for recovery
+                try:
+                    with open(lease, encoding="utf-8") as fh:
+                        content = fh.read()
+                except OSError:
+                    continue
+                pid = _lease_pid(content)
+                if content.strip() == token or _pid_alive(pid) or pid == 0:
+                    return
+                try:
+                    os.unlink(lease)
+                except FileNotFoundError:
+                    pass
+                continue
+            try:
+                _recover_folds(path)
+            finally:
+                _release_writer_lease(mpath)
+            return
+    finally:
         try:
-            with open(lease, encoding="utf-8") as fh:
-                pid = int(fh.read().strip() or 0)
-        except (OSError, ValueError):
-            pid = 0
-        if _pid_alive(pid):
-            return  # a live writer owns the debris; it will recover
-        try:
-            os.unlink(lease)
+            os.unlink(tmp)
         except FileNotFoundError:
             pass
-        try:
-            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return  # lost the steal race — the winner recovers
-    try:
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
-        _recover_folds(path)
-    finally:
-        _release_writer_lease(mpath)
 
 
 def compact_posting_index_tiered(

@@ -389,12 +389,15 @@ def test_two_process_interleaved_writers(spark, toks, tmp_path):
 
     # writer A (separate process): allocates a seq, holds the lease,
     # never commits (simulated long tick, then crash)
+    import djangoadmin_postgresql_2_elasticseach_spark as pkg
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
     code = (
         "import sys, time; sys.path.insert(0, %r); "
         "from djangoadmin_postgresql_2_elasticseach_spark.search.index "
         "import alloc_index_seqs; "
         "alloc_index_seqs(%r, 1); print('HELD', flush=True); time.sleep(60)"
-        % ("/root/repo", os.path.join(path, "_index_meta.json"))
+        % (repo_root, os.path.join(path, "_index_meta.json"))
     )
     proc = subprocess.Popen(
         [sys.executable, "-c", code], stdout=subprocess.PIPE, text=True
@@ -421,3 +424,52 @@ def test_two_process_interleaved_writers(spark, toks, tmp_path):
     assert meta["dead_ranges"], "A's orphan allocation must be fenced"
     # value-idempotent upsert of identical docs: serving unchanged
     assert _topk(bm25_topk_from_index(spark, path, QUERY, k=10)) == before
+
+
+def test_pre_meta_legacy_tick_stays_v1(spark, toks, tmp_path):
+    """A tick on a PRE-META legacy index (postings exist, no sidecar)
+    must keep the v1 layout: writing dl-bearing rows next to dl-less
+    files would schema-split the dataset and the v2 serve would read
+    NULL dl for every legacy doc."""
+    path = str(tmp_path / "idx")
+    build_posting_index(
+        toks.filter(F.col("doc_id") < 40), path, tokens_col={"text": "tokens"}
+    )
+    _doctor_to_v1(spark, path)
+    os.remove(os.path.join(path, "_index_meta.json"))  # pre-meta now
+    append_posting_index(
+        toks.filter(F.col("doc_id") >= 40), path, tokens_col={"text": "tokens"}
+    )
+    meta = read_posting_meta(path)
+    assert meta["layout_v"] == 1
+    posts = IX.read_postings(spark, path)
+    assert "dl" not in posts.columns
+    # the v1 serve path covers the WHOLE corpus, old and new rows
+    assert _topk(bm25_topk_from_index(spark, path, QUERY, k=10)) == _topk(
+        bm25_topk(toks, QUERY, k=10)
+    )
+
+
+def test_failed_tick_releases_lease(spark, toks, tmp_path, monkeypatch):
+    """A tick whose writes fail must release the lease before
+    re-raising — a long-lived driver that hit one bad batch must not
+    wedge every OTHER process's writes for its lifetime."""
+    path = str(tmp_path / "idx")
+    build_posting_index(toks, path, tokens_col={"text": "tokens"})
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated write failure")
+
+    monkeypatch.setattr(IX, "_write_posting_batch", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        upsert_posting_index(
+            toks.filter(F.col("doc_id") < 5), path,
+            tokens_col={"text": "tokens"},
+        )
+    assert not os.path.exists(os.path.join(path, "_writer.lease"))
+    monkeypatch.undo()
+    # the retried tick lands; the failed one's seqs are fenced
+    upsert_posting_index(
+        toks.filter(F.col("doc_id") < 5), path, tokens_col={"text": "tokens"}
+    )
+    assert read_posting_meta(path)["dead_ranges"]
