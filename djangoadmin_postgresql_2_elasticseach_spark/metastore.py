@@ -1,0 +1,404 @@
+"""Durability backend seam for the index tiers — metadata publish,
+writer lease, and namespace primitives behind ONE small interface.
+
+Every commit/lease/recovery primitive the incremental indexes rely on
+(search/index.py commit protocol, operators/similarity.py IVF-PQ tier)
+funnels through an ``IndexMetastore`` instance instead of calling
+``os``/``shutil`` directly. The default backend is POSIX-local
+(``LocalPosixMetastore`` — today's behavior, byte-for-byte), and the
+interface is the *deployment boundary*: on a real cluster with indexes
+on an object store none of the POSIX primitives exist, so a cluster
+deployment implements this interface against a real metadata service.
+This is the Delta Lake LogStore / Iceberg commit-interface posture —
+the table format is portable, the last-metre atomicity is a pluggable
+backend contract.
+
+The contract any backend must satisfy (pinned by
+tests/test_metastore_contract.py — run its suite against a new backend
+before trusting it):
+
+- ``publish_meta`` is ALL-OR-NOTHING: a concurrent ``load_meta`` sees
+  the previous document or the new one, never a torn mix, and a crash
+  mid-publish leaves the previous document readable. POSIX: write temp
+  + ``os.replace``. Object store: conditional PUT (If-Match / ETag
+  CAS) or a DynamoDB-style commit record; plain S3 PUT of a whole
+  object is atomic per-object, which is sufficient because the sidecar
+  is a single document.
+- ``try_claim_lease`` is an ATOMIC create-if-absent WITH content: a
+  racing claimer can never observe a half-written lease. POSIX:
+  write-private-temp + ``os.link``. Object store: conditional PUT
+  If-None-Match, or a lock row with a conditional insert.
+- ``read_lease`` returns (content, age_seconds). Age is the time since
+  the last claim/heartbeat — the TTL clock. POSIX: file mtime. Object
+  store: server-side last-modified (never the writer's clock).
+- ``release_lease`` verifies ownership (content == token) before
+  deleting and raises ``LeaseOwnershipError`` otherwise — an
+  out-of-protocol release can never silently drop a LIVE writer's
+  lease (r13 verdict #4).
+- ``rename`` is atomic within the namespace. Object stores have NO
+  atomic rename: a backend for them must either route the swap
+  protocols through a manifest pointer (write new generation dirs,
+  CAS the sidecar's generation pointer — every reader already resolves
+  artifact paths through ``read_posting_meta``, so the indirection
+  slots in above this seam) or copy+delete with the recovery naming
+  the protocols already use. SCALING.md ("single-host boundary")
+  documents this.
+
+Liveness policy (``holder_state``) lives HERE, above the backend,
+because it is token-format logic, not storage logic:
+
+- v2 tokens (``v2;host;pid;pid_start;tid[;r]``) carry the hostname and
+  the process START TIME: on the same host a pid probe plus start-time
+  compare is EXACT liveness (pid reuse by an unrelated process shows a
+  different start time → dead, steal; the r13 wedge is gone). On a
+  DIFFERENT host a pid is meaningless, so liveness degrades to the
+  lease TTL: a foreign holder whose lease is older than
+  ``LEASE_TTL_S`` (no heartbeat) is dead.
+- legacy tokens (bare pid / ``pid:tid``, written by pre-r14 code) keep
+  the pid probe but gain the TTL backstop — pid reuse can wedge them
+  at most TTL seconds instead of forever.
+- unparseable content is treated as a live holder (never steal blind)
+  until the TTL expires.
+- a ``;r`` suffix marks a READER-RECOVERY claim (_maybe_recover_folds)
+  — writers seeing one retry briefly instead of failing, because
+  recovery holds the lease for milliseconds (r13 advice #3).
+
+Long-running passes (compactions) heartbeat the lease so a legitimate
+multi-minute rewrite is never TTL-stolen by a foreign host.
+"""
+
+from __future__ import annotations
+
+import abc
+import json
+import os
+import shutil
+import socket
+import time
+
+# Foreign-host / legacy / unparseable leases older than this are
+# considered dead regardless of pid appearance. Same-host v2 tokens
+# never rely on it (pid + start-time is exact there). Owners of long
+# passes heartbeat well inside it.
+LEASE_TTL_S = float(os.environ.get("SPARK_GRAFT_LEASE_TTL", "900"))
+
+# Writers finding a reader-recovery claim retry for up to ~1 s —
+# recovery is one listdir + a few renames, never a Spark job.
+RECOVERY_WAIT_TRIES = 20
+RECOVERY_WAIT_SLEEP_S = 0.05
+
+
+class LeaseOwnershipError(RuntimeError):
+    """A release/commit was attempted by a caller that does not hold
+    the lease — out-of-protocol, and silently honoring it would drop a
+    LIVE writer's lease and re-open the interleaved-counter window the
+    lease exists to close."""
+
+
+class LeaseHeldError(RuntimeError):
+    """The lease is held by a live foreign writer."""
+
+
+class IndexMetastore(abc.ABC):
+    """Metadata/lock/namespace backend for the index tiers. See module
+    docstring for the semantic contract each method must satisfy."""
+
+    # -- manifest sidecar -------------------------------------------------
+    @abc.abstractmethod
+    def load_meta(self, meta_path: str) -> dict | None: ...
+
+    @abc.abstractmethod
+    def publish_meta(self, meta_path: str, meta: dict) -> None: ...
+
+    # -- writer lease -----------------------------------------------------
+    @abc.abstractmethod
+    def try_claim_lease(self, lease_path: str, token: str) -> str | None:
+        """Atomically claim if absent. Returns None on success, else
+        the current holder's content (never torn)."""
+
+    @abc.abstractmethod
+    def read_lease(self, lease_path: str) -> tuple[str, float] | None:
+        """(content, age_seconds) of the current lease, or None."""
+
+    @abc.abstractmethod
+    def break_lease(self, lease_path: str) -> None:
+        """Unconditional delete — used only after holder_state() says
+        the holder is dead (the steal path)."""
+
+    @abc.abstractmethod
+    def release_lease(self, lease_path: str, token: str) -> None:
+        """Ownership-checked delete: no-op if absent, delete if
+        content == token, LeaseOwnershipError otherwise."""
+
+    @abc.abstractmethod
+    def heartbeat_lease(self, lease_path: str, token: str) -> None:
+        """Refresh the lease's age clock (owner only; no-op if the
+        lease is no longer ours — the next commit will fail loudly)."""
+
+    # -- namespace ops (swap/recovery protocols build on these) ----------
+    @abc.abstractmethod
+    def listdir(self, path: str) -> list[str]: ...
+
+    @abc.abstractmethod
+    def exists(self, path: str) -> bool: ...
+
+    @abc.abstractmethod
+    def rename(self, src: str, dst: str) -> None: ...
+
+    @abc.abstractmethod
+    def remove_tree(self, path: str) -> None: ...
+
+    @abc.abstractmethod
+    def makedirs(self, path: str) -> None: ...
+
+    @abc.abstractmethod
+    def put_text(self, path: str, content: str) -> None:
+        """Small control file (e.g. carrying the lease token into a
+        staging dir so a generation swap never leaves the live path
+        lease-less mid-window)."""
+
+
+class LocalPosixMetastore(IndexMetastore):
+    """The default backend: local/NFS-POSIX filesystem semantics —
+    ``os.replace`` sidecar publish, ``os.link`` lease claim, atomic
+    ``os.rename`` swaps. Correct on one host (and the test harness);
+    the module docstring + SCALING.md state the boundary."""
+
+    name = "local-posix"
+
+    def load_meta(self, meta_path: str) -> dict | None:
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def publish_meta(self, meta_path: str, meta: dict) -> None:
+        os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+        tmp = f"{meta_path}.tmp-{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, meta_path)  # atomic on POSIX
+
+    def try_claim_lease(self, lease_path: str, token: str) -> str | None:
+        os.makedirs(os.path.dirname(lease_path), exist_ok=True)
+        # write the token to a PRIVATE temp file, os.link into place:
+        # exists == fully written, a racer never reads a torn claim
+        tmp = f"{lease_path}.claim-{os.getpid()}-{id(token) & 0xFFFF:x}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(token)
+        try:
+            try:
+                os.link(tmp, lease_path)
+                return None
+            except FileExistsError:
+                try:
+                    with open(lease_path, encoding="utf-8") as fh:
+                        return fh.read()
+                except OSError:
+                    # released between link and read — report a holder
+                    # we can't read; the acquire loop just retries
+                    return ""
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    def read_lease(self, lease_path: str) -> tuple[str, float] | None:
+        try:
+            with open(lease_path, encoding="utf-8") as fh:
+                content = fh.read()
+            age = max(0.0, time.time() - os.stat(lease_path).st_mtime)
+            return content, age
+        except OSError:
+            return None
+
+    def break_lease(self, lease_path: str) -> None:
+        try:
+            os.unlink(lease_path)
+        except FileNotFoundError:
+            pass
+
+    def release_lease(self, lease_path: str, token: str) -> None:
+        got = self.read_lease(lease_path)
+        if got is None:
+            return
+        if got[0].strip() != token:
+            raise LeaseOwnershipError(
+                f"lease {lease_path} is held by {got[0].strip()!r}, "
+                f"not by releasing caller {token!r}"
+            )
+        try:
+            os.unlink(lease_path)
+        except FileNotFoundError:
+            pass
+
+    def heartbeat_lease(self, lease_path: str, token: str) -> None:
+        got = self.read_lease(lease_path)
+        if got is not None and got[0].strip() == token:
+            try:
+                os.utime(lease_path)
+            except OSError:
+                pass
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def remove_tree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def put_text(self, path: str, content: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(content)
+
+
+_STORE: IndexMetastore = LocalPosixMetastore()
+
+
+def get_metastore() -> IndexMetastore:
+    return _STORE
+
+
+def set_metastore(store: IndexMetastore) -> IndexMetastore:
+    """Swap the process-wide backend (tests / cluster deployments).
+    Returns the previous one so callers can restore it."""
+    global _STORE
+    prev, _STORE = _STORE, store
+    return prev
+
+
+# ---------------------------------------------------------------------------
+# token format + liveness policy (backend-independent)
+# ---------------------------------------------------------------------------
+
+
+def _proc_start(pid: int) -> str:
+    """Kernel start time of ``pid`` (clock ticks since boot — /proc
+    stat field 22). '0' where /proc is unavailable (non-Linux), which
+    degrades same-host liveness to the plain pid probe."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            raw = fh.read().decode("ascii", "replace")
+        # comm (field 2) is parenthesized and may contain spaces —
+        # split after the LAST ')'
+        rest = raw.rsplit(")", 1)[1].split()
+        return rest[19]  # field 22, 1-based, minus the 2 consumed
+    except (OSError, IndexError):
+        return "0"
+
+
+def make_token(recovery: bool = False) -> str:
+    """v2 writer identity: host + pid + pid start-time + thread. Two
+    THREADS are two writers (interleaved sidecar read-modify-replace
+    loses allocations exactly like two processes), hence the tid. The
+    start time defeats pid reuse; the hostname stops a foreign host's
+    live writer from reading as a dead local pid (r13 advice #1)."""
+    import threading
+
+    pid = os.getpid()
+    tok = (
+        f"v2;{socket.gethostname()};{pid};{_proc_start(pid)};"
+        f"{threading.get_ident()}"
+    )
+    return tok + ";r" if recovery else tok
+
+
+def _legacy_pid(content: str) -> int:
+    """Owner pid from a pre-r14 lease (bare pid or pid:tid); 0 if
+    unparseable."""
+    try:
+        return int(content.strip().split(":")[0] or 0)
+    except ValueError:
+        return 0
+
+
+def _pid_alive(pid: int) -> bool:
+    if pid <= 0:
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def holder_state(content: str, age: float) -> str:
+    """'live' | 'dead' | 'recovery' for a lease's current holder.
+
+    v2 same-host: exact (pid probe + start-time compare). v2 foreign
+    host: TTL. Legacy/unparseable: pid probe (when possible) with the
+    TTL as a backstop so neither pid reuse nor garbage content wedges
+    the index forever (r13 what's-wrong #3)."""
+    content = content.strip()
+    if content.startswith("v2;"):
+        parts = content.split(";")
+        if len(parts) >= 5:
+            _v, host, pid_s, start, _tid = parts[:5]
+            tag = "recovery" if len(parts) > 5 and parts[5] == "r" else "live"
+            if host == socket.gethostname():
+                try:
+                    pid = int(pid_s)
+                except ValueError:
+                    pid = 0
+                if _pid_alive(pid) and _proc_start(pid) == start:
+                    return tag
+                return "dead"
+            return tag if age <= LEASE_TTL_S else "dead"
+        return "live" if age <= LEASE_TTL_S else "dead"
+    pid = _legacy_pid(content)
+    if pid > 0 and not _pid_alive(pid):
+        return "dead"
+    # alive-looking legacy pid (possibly reused) or unparseable: live
+    # until the TTL says otherwise
+    return "live" if age <= LEASE_TTL_S else "dead"
+
+
+def acquire_lease(
+    lease_path: str,
+    token: str | None = None,
+    store: IndexMetastore | None = None,
+) -> str:
+    """Claim the single-writer lease at ``lease_path``. Returns the
+    held token. Reentrant for the owning host+pid+thread. A dead
+    holder's lease is stolen; a live holder raises LeaseHeldError; a
+    live READER-RECOVERY holder is waited out briefly first (it holds
+    the lease for milliseconds)."""
+    store = store or _STORE
+    token = token or make_token()
+    waits = 0
+    holder = ""
+    for _attempt in range(8 + RECOVERY_WAIT_TRIES):
+        if store.try_claim_lease(lease_path, token) is None:
+            return token
+        got = store.read_lease(lease_path)
+        if got is None:
+            continue  # released between claim and read — retry
+        holder, age = got[0].strip(), got[1]
+        if holder == token:
+            return token  # reentrant
+        state = holder_state(holder, age)
+        if state == "dead":
+            store.break_lease(lease_path)
+            continue
+        if state == "recovery" and waits < RECOVERY_WAIT_TRIES:
+            waits += 1
+            time.sleep(RECOVERY_WAIT_SLEEP_S)
+            continue
+        raise LeaseHeldError(
+            f"lease {lease_path} is held by live owner {holder!r}"
+        )
+    raise LeaseHeldError(
+        f"could not acquire lease {lease_path} (last holder {holder!r})"
+    )

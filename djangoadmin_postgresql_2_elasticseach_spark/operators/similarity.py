@@ -1174,32 +1174,53 @@ def build_ivfpq_index(
     (id, payload, score) without the float table or corpus in the
     plan (ivfpq_topk_stored).
 
-    Takes the single-writer LEASE before the overwrite: a rebuild
-    resets the seq counter, so racing a live ticker is counter
-    corruption (its commit would stamp a watermark above a fresh
-    counter). The overwrite itself wipes the directory INCLUDING the
-    lease file — a tick that starts mid-rebuild is the documented
-    rebuild contract (don't), but a tick already HOLDING the lease
-    fails this build fast."""
-    import json
+    Takes the single-writer LEASE before the rebuild: a rebuild resets
+    the seq counter, so racing a live ticker is counter corruption
+    (its commit would stamp a watermark above a fresh counter). The
+    rebuild is STAGED: the new generation (rows + docstore + meta + a
+    copy of OUR lease) is written into a temp dir and renamed into
+    place — the live path's lease file survives the whole build, and
+    the swapped-in directory carries the claim from its first instant,
+    so a tick starting mid-rebuild fails fast at allocation instead of
+    committing into a generation about to be clobbered (r13 advice
+    #4; the ivfpq_index_cached / compaction staging pattern)."""
+    import os
 
-    from ..search.index import _acquire_writer_lease, _release_writer_lease
+    from ..metastore import get_metastore
+    from ..search.index import (
+        _acquire_writer_lease,
+        _lease_path,
+        _lease_token,
+        _release_lease_on_error,
+        _release_writer_lease,
+    )
 
-    _acquire_writer_lease(_ivfpq_meta_path(path))
-    try:
-        return _build_ivfpq_locked(
-            emb, path, codebooks, id_col, vec_col, n_planes, store_cols,
+    mpath = _ivfpq_meta_path(path)
+    _acquire_writer_lease(mpath)
+    with _release_lease_on_error(mpath):
+        store = get_metastore()
+        tmp = f"{path}.build-{os.getpid()}"
+        store.remove_tree(tmp)
+        planes = _build_ivfpq_staged(
+            emb, tmp, codebooks, id_col, vec_col, n_planes, store_cols,
             n_store_buckets,
         )
-    finally:
-        _release_writer_lease(_ivfpq_meta_path(path))
+        store.put_text(_lease_path(_ivfpq_meta_path(tmp)), _lease_token())
+        old = f"{path}.build-old-{os.getpid()}"
+        store.remove_tree(old)
+        if store.exists(path):
+            store.rename(path, old)
+        store.rename(tmp, path)
+        store.remove_tree(old)
+    _release_writer_lease(mpath)
+    return planes
 
 
-def _build_ivfpq_locked(
+def _build_ivfpq_staged(
     emb, path, codebooks, id_col, vec_col, n_planes, store_cols,
     n_store_buckets,
 ):
-    import json
+    from ..metastore import get_metastore
 
     m = len(codebooks)
     ds = len(codebooks[0][0])
@@ -1216,22 +1237,20 @@ def _build_ivfpq_locked(
             emb, id_col, tuple(store_cols), 1, path, "overwrite",
             n_store_buckets,
         )
-    # meta lands AFTER the data (the overwrite clears the directory):
-    # a crash in between leaves no sidecar, and every reader fails
-    # loudly on the incomplete build instead of serving a torn one
-    with open(_ivfpq_meta_path(path), "w", encoding="utf-8") as fh:
-        json.dump(
-            {
-                "codebooks": codebooks,
-                "planes": planes,
-                "store_cols": list(store_cols) if store_cols else None,
-                "n_store_buckets": int(n_store_buckets),
-                "next_seq": 1,
-                "committed_seq": 1,
-                "dead_ranges": [],
-            },
-            fh,
-        )
+    # meta lands AFTER the data within the staging dir: a crash in
+    # between leaves no sidecar there and the LIVE path untouched
+    get_metastore().publish_meta(
+        _ivfpq_meta_path(path),
+        {
+            "codebooks": codebooks,
+            "planes": planes,
+            "store_cols": list(store_cols) if store_cols else None,
+            "n_store_buckets": int(n_store_buckets),
+            "next_seq": 1,
+            "committed_seq": 1,
+            "dead_ranges": [],
+        },
+    )
     return planes
 
 
@@ -1414,13 +1433,19 @@ def _compact_ivfpq_locked(spark, path: str, id_col: str) -> None:
         )
         free_local_checkpoint(store)
     # counters carry across the swap (seq monotonicity outlives any
-    # number of compactions); the applied orphan ranges reset
-    with open(_ivfpq_meta_path(tmp), "w", encoding="utf-8") as fh:
-        json.dump({**meta, "dead_ranges": []}, fh)
+    # number of compactions); the applied orphan ranges reset. The
+    # swapped-in generation carries OUR lease so the live path is
+    # never lease-less mid-swap (see build_ivfpq_index)
+    from ..metastore import get_metastore
+    from ..search.index import _lease_path, _lease_token
+
+    store = get_metastore()
+    store.publish_meta(_ivfpq_meta_path(tmp), {**meta, "dead_ranges": []})
+    store.put_text(_lease_path(_ivfpq_meta_path(tmp)), _lease_token())
     old = f"{path}.compact-old-{os.getpid()}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    store.rename(path, old)
+    store.rename(tmp, path)
+    store.remove_tree(old)
 
 
 def ivfpq_index_cached(

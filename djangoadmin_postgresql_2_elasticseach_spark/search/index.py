@@ -36,6 +36,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..metastore import (
+    LeaseHeldError,
+    LeaseOwnershipError,
+    acquire_lease,
+    get_metastore,
+    make_token,
+)
 
 
 def analyzed_docs(
@@ -267,20 +274,14 @@ def term_buckets(terms, n_buckets: int) -> list[int]:
 
 
 def _load_meta(meta_path: str) -> dict | None:
-    if not os.path.exists(meta_path):
-        return None
-    with open(meta_path, encoding="utf-8") as fh:
-        return json.load(fh)
+    return get_metastore().load_meta(meta_path)
 
 
 def _write_meta(meta_path: str, meta: dict) -> None:
-    """Atomic sidecar replace — the ONE filesystem operation that
-    commits a tick (os.replace is atomic on POSIX)."""
-    os.makedirs(os.path.dirname(meta_path), exist_ok=True)
-    tmp = f"{meta_path}.tmp-{os.getpid()}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, meta_path)
+    """Atomic sidecar publish — the ONE metastore operation that
+    commits a tick (all-or-nothing per the IndexMetastore contract;
+    POSIX backend: temp + os.replace)."""
+    get_metastore().publish_meta(meta_path, meta)
 
 
 def _merge_range(ranges: list, lo: int, hi: int) -> list:
@@ -308,92 +309,54 @@ def _lease_path(meta_path: str) -> str:
 
 
 def _lease_token() -> str:
-    """pid:thread — two THREADS of one process are still two writers
-    (interleaved sidecar read-modify-replace loses allocations exactly
-    like two processes), so reentrancy is per-thread, not per-pid."""
-    import threading
-
-    return f"{os.getpid()}:{threading.get_ident()}"
-
-
-def _lease_pid(content: str) -> int:
-    """Owner pid from lease content; 0 = unparseable. Accepts both the
-    token form (pid:tid) and the bare-pid form."""
-    try:
-        return int(content.strip().split(":")[0] or 0)
-    except ValueError:
-        return 0
-
-
-def _pid_alive(pid: int) -> bool:
-    if pid <= 0:
-        return False
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True
-    return True
+    """This writer's identity: host + pid + pid-start-time + thread
+    (metastore.make_token). Two THREADS of one process are still two
+    writers (interleaved sidecar read-modify-replace loses allocations
+    exactly like two processes), so reentrancy is per-thread. The
+    start time defeats pid reuse; the hostname keeps a foreign host's
+    live writer from reading as a dead local pid."""
+    return make_token()
 
 
 def _acquire_writer_lease(meta_path: str) -> None:
     """Claim the index's single-writer lease before touching the seq
-    counter (the sources/txlog.py claim-file pattern). The claim is an
-    ATOMIC create-with-content: the token is written to a private temp
-    file and os.link()ed into place — a racing acquirer can never
-    observe a half-written (empty) lease and mistake a live writer for
-    a dead one. Reentrant for the OWNING pid+thread (a tick retried on
-    the same thread resumes cleanly); a lease left by a DEAD pid is
-    stolen (the next alloc fences its orphan seqs anyway); a lease held
-    by a LIVE pid — another process OR another thread of this one —
-    raises ConcurrentIndexWriter, turning silent counter corruption
-    into a clean error."""
-    lease = _lease_path(meta_path)
-    os.makedirs(os.path.dirname(lease), exist_ok=True)
-    token = _lease_token()
-    tmp = f"{lease}.claim-{token.replace(':', '-')}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(token)
+    counter. Claim/liveness/steal semantics live in metastore.py
+    (atomic create-with-content claim; exact same-host liveness via
+    pid + start-time; TTL for foreign hosts and legacy/unparseable
+    leases; brief wait-out of reader-recovery claims). Reentrant for
+    the owning host+pid+thread; a live foreign holder raises
+    ConcurrentIndexWriter — a clean error instead of silent counter
+    corruption."""
     try:
-        for _attempt in range(2):
-            try:
-                os.link(tmp, lease)  # atomic: exists == fully written
-                return
-            except FileExistsError:
-                try:
-                    with open(lease, encoding="utf-8") as fh:
-                        content = fh.read()
-                except OSError:
-                    continue  # released between link and read — retry
-                if content.strip() == token:
-                    return  # reentrant: this thread already owns it
-                pid = _lease_pid(content)
-                if _pid_alive(pid) or pid == 0:
-                    # live foreign writer — or content we can't parse,
-                    # which is treated as live (never steal blind)
-                    raise ConcurrentIndexWriter(
-                        f"index at {os.path.dirname(lease)} is being "
-                        f"written by live owner {content.strip()!r} "
-                        "(single-writer contract)"
-                    )
-                try:  # stale lease from a crashed writer — steal, retry
-                    os.unlink(lease)
-                except FileNotFoundError:
-                    pass
-        raise ConcurrentIndexWriter(f"could not acquire lease {lease}")
-    finally:
-        try:
-            os.unlink(tmp)
-        except FileNotFoundError:
-            pass
+        acquire_lease(_lease_path(meta_path), _lease_token())
+    except LeaseHeldError as e:
+        raise ConcurrentIndexWriter(
+            f"{e} (single-writer contract)"
+        ) from None
 
 
-def _release_writer_lease(meta_path: str) -> None:
+def _release_writer_lease(
+    meta_path: str, token: str | None = None, strict: bool = False
+) -> None:
+    """Ownership-checked release: only the holder's own token unlinks
+    the lease (r13 verdict #4 — an out-of-protocol release can no
+    longer silently drop a LIVE writer's lease). ``strict`` raises
+    LeaseOwnershipError on a foreign holder; the default swallows it
+    (cleanup paths — the lease simply isn't ours to release)."""
     try:
-        os.unlink(_lease_path(meta_path))
-    except FileNotFoundError:
-        pass
+        get_metastore().release_lease(
+            _lease_path(meta_path), token or _lease_token()
+        )
+    except LeaseOwnershipError:
+        if strict:
+            raise
+
+
+def _heartbeat_writer_lease(meta_path: str) -> None:
+    """Refresh the lease age clock mid-pass so a legitimate multi-
+    minute compaction is never TTL-stolen (metastore liveness policy:
+    foreign hosts trust the TTL, not the pid)."""
+    get_metastore().heartbeat_lease(_lease_path(meta_path), _lease_token())
 
 
 def _release_lease_on_error(meta_path: str):
@@ -480,7 +443,21 @@ def commit_index_seq(
     meta's ``field_stats`` under the SAME atomic replace — layout-v2
     indexes keep BM25's corpus statistics in the sidecar, so the
     commit and the stats move together (a crashed tick updates
-    neither)."""
+    neither).
+
+    Verifies lease OWNERSHIP before publishing (r13 verdict #4): this
+    is a public module function, and an out-of-protocol caller must
+    not be able to publish a watermark — or drop a live writer's
+    lease — from a thread that never allocated."""
+    got = get_metastore().read_lease(_lease_path(meta_path))
+    token = _lease_token()
+    if got is None or got[0].strip() != token:
+        holder = None if got is None else got[0].strip()
+        raise LeaseOwnershipError(
+            f"commit on {meta_path} by {token!r} which does not hold "
+            f"the writer lease (holder: {holder!r}) — allocate via "
+            "alloc_index_seqs on this thread first"
+        )
     meta = _load_meta(meta_path) or {}
     meta["committed_seq"] = seq
     if stats_delta is not None:
@@ -920,31 +897,36 @@ def build_posting_index(
         raise ValueError(f"element_fields {bad_el} not in fields {fields}")
     # a REBUILD resets the seq counter — racing a live writer's ticks
     # here is counter corruption, not just staleness, so the build
-    # claims the same single-writer lease ticks use (commit releases)
+    # claims the same single-writer lease ticks use (commit releases).
+    # The error guard starts IMMEDIATELY after the claim: a failure
+    # anywhere in the build (disk full, corrupt previous meta) must
+    # release the lease, not wedge every other writer on this host for
+    # the life of this process (r13 advice #2).
     _acquire_writer_lease(_posting_meta_path(path))
-    shutil.rmtree(os.path.join(path, "_tombstones"), ignore_errors=True)
-    if not store_cols:
-        # a rebuild that drops the stored tier must remove the previous
-        # generation's docstore — the fresh seq counter would otherwise
-        # make its rows (incl. tombstone-retired versions) visible again
-        shutil.rmtree(os.path.join(path, "docstore"), ignore_errors=True)
-    _write_meta(
-        _posting_meta_path(path),
-        {
-            "stem": stem,
-            "fields": list(fields),
-            "n_buckets": int(n_buckets),
-            "store_cols": list(store_cols) if store_cols else None,
-            "n_store_buckets": int(n_store_buckets),
-            "element_fields": list(element_fields),
-            "layout_v": LAYOUT_V,
-            "field_stats": None,
-            "next_seq": 1,
-            "committed_seq": 0,
-            "dead_ranges": [],
-        },
-    )
     with _release_lease_on_error(_posting_meta_path(path)):
+        shutil.rmtree(os.path.join(path, "_tombstones"), ignore_errors=True)
+        if not store_cols:
+            # a rebuild that drops the stored tier must remove the
+            # previous generation's docstore — the fresh seq counter
+            # would otherwise make its rows (incl. tombstone-retired
+            # versions) visible again
+            shutil.rmtree(os.path.join(path, "docstore"), ignore_errors=True)
+        _write_meta(
+            _posting_meta_path(path),
+            {
+                "stem": stem,
+                "fields": list(fields),
+                "n_buckets": int(n_buckets),
+                "store_cols": list(store_cols) if store_cols else None,
+                "n_store_buckets": int(n_store_buckets),
+                "element_fields": list(element_fields),
+                "layout_v": LAYOUT_V,
+                "field_stats": None,
+                "next_seq": 1,
+                "committed_seq": 0,
+                "dead_ranges": [],
+            },
+        )
         posts, lens = _posting_partials(
             docs, fields, id_col, stem, tokens_col, seq=1,
             n_buckets=n_buckets,
@@ -1544,6 +1526,7 @@ def compact_posting_index(spark: SparkSession, path: str) -> None:
     _acquire_writer_lease(mpath)
     try:
         _recover_folds(path)
+        _heartbeat_writer_lease(mpath)
         meta = read_posting_meta(path)
         committed = int(meta.get("committed_seq") or 0)
         posts = read_postings(spark, path)
@@ -1602,6 +1585,7 @@ def compact_posting_index(spark: SparkSession, path: str) -> None:
             free_local_checkpoint(store)
         free_local_checkpoint(posts)
         free_local_checkpoint(lens)
+        _heartbeat_writer_lease(mpath)
         _write_meta(
             _posting_meta_path(tmp),
             {
@@ -1611,10 +1595,18 @@ def compact_posting_index(spark: SparkSession, path: str) -> None:
                 "field_stats": field_stats,
             },
         )
+        # carry the lease INTO the new generation before the swap: the
+        # swapped-in directory holds our claim from its first instant,
+        # so no window exists where the live path is lease-less and a
+        # racing tick could acquire mid-swap (r13 advice #4 pattern)
+        store = get_metastore()
+        store.put_text(
+            _lease_path(_posting_meta_path(tmp)), _lease_token()
+        )
         old = f"{path}.compact-old-{os.getpid()}"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        store.rename(path, old)
+        store.rename(tmp, path)
+        store.remove_tree(old)
     finally:
         _release_writer_lease(mpath)
 
@@ -1654,6 +1646,9 @@ def _swap_leaf(
     per file so a genuinely large leaf keeps multiple files."""
     import math
 
+    # one heartbeat per folded leaf: a long tiered pass refreshes its
+    # lease well inside the TTL, so a foreign host never steals it
+    _heartbeat_writer_lease(_posting_meta_path(path))
     size = sum(os.path.getsize(f) for f in _leaf_parquet_files(leaf))
     nfiles = max(1, math.ceil(size / target_bytes))
     w = df.repartition(nfiles)
@@ -1711,52 +1706,29 @@ def _maybe_recover_folds(path: str) -> None:
     _recover_folds — so a leaf whose swap was cut between renames is
     restored before anything reads the index with that partition
     silently absent. If the lease is HELD (a live tiered pass mid-swap
-    — its staging dirs are legitimate working state) the reader leaves
-    recovery to the writer. No-op in the overwhelmingly common case:
-    one os.listdir, no entries, return."""
+    — its staging dirs are legitimate working state, and that includes
+    OUR OWN writer claim on this thread) the reader leaves recovery to
+    the writer. The claim carries the RECOVERY tag (metastore token
+    ``;r``): a legitimate writer racing this millisecond window waits
+    it out instead of hard-failing its tick (r13 advice #3). No-op in
+    the overwhelmingly common case: one listdir, no entries, return."""
     try:
-        if not any(d.startswith("_fold-") for d in os.listdir(path)):
+        if not any(
+            d.startswith("_fold-") for d in get_metastore().listdir(path)
+        ):
             return
     except OSError:
         return
     mpath = _posting_meta_path(path)
-    lease = _lease_path(mpath)
-    token = _lease_token()
-    tmp = f"{lease}.claim-{token.replace(':', '-')}"
+    token = make_token(recovery=True)
     try:
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(token)
-        for _attempt in range(2):
-            try:
-                os.link(tmp, lease)
-            except FileExistsError:
-                # a held lease — including OUR OWN (a pass mid-swap in
-                # this thread calling read_posting_meta must NOT have
-                # its staging reclaimed under it) — means skip; only a
-                # dead owner's lease is stolen for recovery
-                try:
-                    with open(lease, encoding="utf-8") as fh:
-                        content = fh.read()
-                except OSError:
-                    continue
-                pid = _lease_pid(content)
-                if content.strip() == token or _pid_alive(pid) or pid == 0:
-                    return
-                try:
-                    os.unlink(lease)
-                except FileNotFoundError:
-                    pass
-                continue
-            try:
-                _recover_folds(path)
-            finally:
-                _release_writer_lease(mpath)
-            return
+        acquire_lease(_lease_path(mpath), token)
+    except LeaseHeldError:
+        return  # live holder (possibly this thread's own writer claim)
+    try:
+        _recover_folds(path)
     finally:
-        try:
-            os.unlink(tmp)
-        except FileNotFoundError:
-            pass
+        _release_writer_lease(mpath, token=token)
 
 
 def compact_posting_index_tiered(

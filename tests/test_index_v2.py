@@ -473,3 +473,106 @@ def test_failed_tick_releases_lease(spark, toks, tmp_path, monkeypatch):
         toks.filter(F.col("doc_id") < 5), path, tokens_col={"text": "tokens"}
     )
     assert read_posting_meta(path)["dead_ranges"]
+
+
+# ---------------------------------------------------------------------------
+# r14 lease hardening (metastore seam)
+# ---------------------------------------------------------------------------
+
+
+def test_commit_requires_lease_ownership(tmp_path):
+    """r13 verdict #4: commit_index_seq is a public module function —
+    a caller that never allocated (another THREAD here) must get a
+    loud LeaseOwnershipError, publish nothing, and leave the live
+    owner's lease intact."""
+    import threading
+
+    from djangoadmin_postgresql_2_elasticseach_spark.metastore import (
+        LeaseOwnershipError,
+    )
+
+    mpath = str(tmp_path / "idx" / "_index_meta.json")
+    seq = IX.alloc_index_seqs(mpath, 1)  # owner: this thread
+    lease = str(tmp_path / "idx" / "_writer.lease")
+    assert os.path.exists(lease)
+    caught = {}
+
+    def intruder():
+        try:
+            IX.commit_index_seq(mpath, seq)
+        except Exception as e:  # noqa: BLE001 — asserting the type below
+            caught["e"] = e
+
+    t = threading.Thread(target=intruder)
+    t.start()
+    t.join()
+    assert isinstance(caught.get("e"), LeaseOwnershipError)
+    # nothing was published, the owner's lease survived
+    assert os.path.exists(lease)
+    assert IX._load_meta(mpath)["committed_seq"] == 0
+    IX.commit_index_seq(mpath, seq)  # the OWNER commits normally
+    assert IX._load_meta(mpath)["committed_seq"] == seq
+    assert not os.path.exists(lease)
+
+
+def test_failed_build_releases_lease(spark, toks, tmp_path, monkeypatch):
+    """r13 advice #2: a build that fails AFTER acquiring the lease
+    (anywhere — meta write, partials, batch write) must release it
+    instead of wedging every other writer on this host."""
+    path = str(tmp_path / "idx")
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated build failure")
+
+    monkeypatch.setattr(IX, "_posting_partials", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        build_posting_index(toks, path, tokens_col={"text": "tokens"})
+    assert not os.path.exists(os.path.join(path, "_writer.lease"))
+    monkeypatch.undo()
+    build_posting_index(toks, path, tokens_col={"text": "tokens"})
+    assert read_posting_meta(path)["committed_seq"] == 1
+
+
+def test_forged_pid_reuse_lease_is_stolen(spark, toks, tmp_path):
+    """r13 what's-wrong #3: a v2 lease naming a LIVE pid with the
+    WRONG start time is pid reuse — stolen immediately, no TTL wait;
+    while the same pid with a FRESH legacy lease still rejects."""
+    import socket
+
+    path = str(tmp_path / "idx")
+    build_posting_index(toks, path, tokens_col={"text": "tokens"})
+    with open(os.path.join(path, "_writer.lease"), "w") as fh:
+        fh.write(f"v2;{socket.gethostname()};1;424242;77")  # pid 1 is live
+    append_posting_index(
+        spark.createDataFrame(
+            [(901, ["gamma"])], "doc_id long, tokens array<string>"
+        ),
+        path,
+        tokens_col={"text": "tokens"},
+    )
+    assert not os.path.exists(os.path.join(path, "_writer.lease"))
+
+
+def test_stale_foreign_host_lease_is_stolen(spark, toks, tmp_path):
+    """A foreign HOST's lease is TTL-governed: fresh → live writer
+    (reject), stale past LEASE_TTL_S with no heartbeat → dead (steal).
+    Closes the two-hosts-shared-storage hole in pid-only liveness."""
+    import time as _time
+
+    path = str(tmp_path / "idx")
+    build_posting_index(toks, path, tokens_col={"text": "tokens"})
+    lease = os.path.join(path, "_writer.lease")
+    with open(lease, "w") as fh:
+        fh.write("v2;definitely-another-host;999999999;5;77")
+    batch = spark.createDataFrame(
+        [(902, ["delta"])], "doc_id long, tokens array<string>"
+    )
+    with pytest.raises(IX.ConcurrentIndexWriter):
+        append_posting_index(batch, path, tokens_col={"text": "tokens"})
+    # age the lease past the TTL (simulating no heartbeat)
+    from djangoadmin_postgresql_2_elasticseach_spark import metastore as MS
+
+    old = _time.time() - MS.LEASE_TTL_S - 60
+    os.utime(lease, (old, old))
+    append_posting_index(batch, path, tokens_col={"text": "tokens"})
+    assert not os.path.exists(lease)

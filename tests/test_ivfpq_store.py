@@ -138,3 +138,57 @@ def test_serve_rerank_requires_stored_vectors(spark, emb, qvec, tmp_path):
     _build(emb, path)  # stores label only
     with pytest.raises(ValueError, match="store_cols"):
         S.ivfpq_serve_rerank(spark, path, qvec, k=5)
+
+
+def test_rebuild_holds_lease_for_whole_build(spark, emb, qvec, tmp_path):
+    """r13 advice #4: build_ivfpq_index used to delete its own lease
+    via the overwrite of ``path``, leaving the rest of the rebuild
+    unprotected. Now the rebuild is STAGED (temp dir + rename) — a
+    tick attempting to allocate MID-REBUILD hits the live lease and
+    fails fast instead of committing into a generation about to be
+    clobbered."""
+    import threading
+
+    from djangoadmin_postgresql_2_elasticseach_spark.search import index as IX
+
+    path = str(tmp_path / "ivfpq")
+    books, _planes = _build(emb, path)
+
+    build_entered = threading.Event()
+    let_build_finish = threading.Event()
+    orig = S._build_ivfpq_staged
+
+    def gated(*a, **k):
+        build_entered.set()
+        assert let_build_finish.wait(30)
+        return orig(*a, **k)
+
+    S._build_ivfpq_staged = gated
+    result = {}
+
+    def rebuild():
+        try:
+            result["planes"] = S.build_ivfpq_index(
+                emb, path, books, n_planes=4, store_cols=("label",)
+            )
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            result["err"] = e
+
+    t = threading.Thread(target=rebuild)
+    t.start()
+    try:
+        assert build_entered.wait(30)
+        # mid-rebuild: a tick's allocation is rejected by the lease
+        with pytest.raises(IX.ConcurrentIndexWriter):
+            S.append_ivfpq_index(emb.limit(4), path)
+    finally:
+        let_build_finish.set()
+        S._build_ivfpq_staged = orig
+        t.join(60)
+    assert "err" not in result, result.get("err")
+    # the rebuild completed, released the lease, and serves normally
+    assert not os.path.exists(os.path.join(path, "_writer.lease"))
+    got = S.ivfpq_topk_stored(spark, path, qvec, k=5, probe_hamming=4)
+    assert got.count() == 5
+    # and the post-rebuild index accepts ticks again
+    S.append_ivfpq_index(emb.limit(4), path)

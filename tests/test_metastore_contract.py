@@ -1,0 +1,260 @@
+"""Contract tests for the index durability seam (metastore.py).
+
+Every IndexMetastore backend must pass THIS file unchanged — it pins
+the semantics the index tiers' commit/lease/recovery protocols assume
+(r13 verdict #1: the primitives behind the seam are the deployment
+boundary; a new backend — object store + lock service — is trusted iff
+it is added to BACKENDS below and the suite stays green).
+
+No Spark needed: the contract is pure metadata/lock semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pytest
+
+from djangoadmin_postgresql_2_elasticseach_spark import metastore as MS
+from djangoadmin_postgresql_2_elasticseach_spark.metastore import (
+    LeaseHeldError,
+    LeaseOwnershipError,
+    LocalPosixMetastore,
+    acquire_lease,
+    holder_state,
+    make_token,
+)
+
+BACKENDS = [LocalPosixMetastore]
+
+
+@pytest.fixture(params=BACKENDS, ids=lambda c: c().name)
+def store(request):
+    return request.param()
+
+
+# ---------------------------------------------------------------------------
+# manifest sidecar: all-or-nothing publish
+# ---------------------------------------------------------------------------
+
+
+def test_meta_roundtrip(store, tmp_path):
+    mp = str(tmp_path / "idx" / "_index_meta.json")
+    assert store.load_meta(mp) is None
+    store.publish_meta(mp, {"a": 1, "ranges": [[1, 2]]})
+    assert store.load_meta(mp) == {"a": 1, "ranges": [[1, 2]]}
+    store.publish_meta(mp, {"a": 2})
+    assert store.load_meta(mp) == {"a": 2}
+
+
+def test_publish_is_never_torn(store, tmp_path):
+    """Readers hammering load_meta during concurrent publishes must see
+    SOME complete previous/new document, never a torn mix or a parse
+    error — the property every tick commit rides on."""
+    mp = str(tmp_path / "idx" / "_index_meta.json")
+    store.publish_meta(mp, {"v": 0, "pad": "x" * 4096})
+    stop = threading.Event()
+    errors: list[Exception] = []
+
+    def writer():
+        for i in range(1, 200):
+            store.publish_meta(mp, {"v": i, "pad": "x" * 4096})
+        stop.set()
+
+    def reader():
+        last = -1
+        while not stop.is_set():
+            try:
+                meta = store.load_meta(mp)
+            except (json.JSONDecodeError, ValueError) as e:  # torn read
+                errors.append(e)
+                return
+            assert meta is not None and len(meta["pad"]) == 4096
+            assert meta["v"] >= last  # publishes are ordered
+            last = meta["v"]
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=reader) for _ in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert store.load_meta(mp)["v"] == 199
+
+
+# ---------------------------------------------------------------------------
+# lease: atomic claim, ownership-checked release, heartbeat
+# ---------------------------------------------------------------------------
+
+
+def test_claim_is_exclusive_and_reports_holder(store, tmp_path):
+    lp = str(tmp_path / "idx" / "_writer.lease")
+    assert store.try_claim_lease(lp, "tok-a") is None
+    assert store.try_claim_lease(lp, "tok-b").strip() == "tok-a"
+    store.release_lease(lp, "tok-a")
+    assert store.try_claim_lease(lp, "tok-b") is None
+
+
+def test_concurrent_claims_have_one_winner(store, tmp_path):
+    lp = str(tmp_path / "idx" / "_writer.lease")
+    results = {}
+    barrier = threading.Barrier(8)
+
+    def claim(i):
+        barrier.wait()
+        results[i] = store.try_claim_lease(lp, f"tok-{i}")
+
+    ts = [threading.Thread(target=claim, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    winners = [i for i, r in results.items() if r is None]
+    assert len(winners) == 1
+    # every loser saw a FULLY-WRITTEN holder (atomic create-with-content)
+    content, _age = store.read_lease(lp)
+    assert content.strip() == f"tok-{winners[0]}"
+    for i, r in results.items():
+        if i != winners[0]:
+            assert r.strip() == f"tok-{winners[0]}"
+
+
+def test_release_is_ownership_checked(store, tmp_path):
+    lp = str(tmp_path / "idx" / "_writer.lease")
+    store.release_lease(lp, "anything")  # absent lease: no-op
+    assert store.try_claim_lease(lp, "owner") is None
+    with pytest.raises(LeaseOwnershipError):
+        store.release_lease(lp, "intruder")
+    assert store.read_lease(lp)[0].strip() == "owner"  # survived
+    store.release_lease(lp, "owner")
+    assert store.read_lease(lp) is None
+
+
+def test_heartbeat_resets_age_and_ignores_non_owner(store, tmp_path):
+    lp = str(tmp_path / "idx" / "_writer.lease")
+    assert store.try_claim_lease(lp, "owner") is None
+    os.utime(lp, (time.time() - 100, time.time() - 100))
+    _c, age = store.read_lease(lp)
+    assert age > 50
+    store.heartbeat_lease(lp, "intruder")  # non-owner: no effect
+    assert store.read_lease(lp)[1] > 50
+    store.heartbeat_lease(lp, "owner")
+    assert store.read_lease(lp)[1] < 5
+
+
+def test_break_lease(store, tmp_path):
+    lp = str(tmp_path / "idx" / "_writer.lease")
+    store.break_lease(lp)  # absent: no-op
+    assert store.try_claim_lease(lp, "dead-guy") is None
+    store.break_lease(lp)
+    assert store.read_lease(lp) is None
+
+
+# ---------------------------------------------------------------------------
+# namespace ops
+# ---------------------------------------------------------------------------
+
+
+def test_namespace_ops(store, tmp_path):
+    root = str(tmp_path / "ns")
+    store.makedirs(os.path.join(root, "a"))
+    store.put_text(os.path.join(root, "a", "f.txt"), "hello")
+    assert store.exists(os.path.join(root, "a", "f.txt"))
+    assert store.listdir(root) == ["a"]
+    store.rename(os.path.join(root, "a"), os.path.join(root, "b"))
+    assert not store.exists(os.path.join(root, "a"))
+    with open(os.path.join(root, "b", "f.txt")) as fh:
+        assert fh.read() == "hello"
+    store.remove_tree(os.path.join(root, "b"))
+    assert not store.exists(os.path.join(root, "b"))
+    store.remove_tree(os.path.join(root, "b"))  # absent: no-op
+
+
+# ---------------------------------------------------------------------------
+# liveness policy (backend-independent, pinned once)
+# ---------------------------------------------------------------------------
+
+
+def test_token_format_and_own_liveness():
+    tok = make_token()
+    assert tok.startswith("v2;")
+    assert holder_state(tok, 0.0) == "live"
+    assert holder_state(make_token(recovery=True), 0.0) == "recovery"
+
+
+def test_pid_reuse_is_detected_via_start_time():
+    """Forged lease: a LIVE pid (pid 1) with the WRONG start time reads
+    as DEAD — pid reuse by an unrelated process no longer wedges the
+    index (r13 what's-wrong #3 / advice #1)."""
+    import socket
+
+    forged = f"v2;{socket.gethostname()};1;424242;77"
+    assert holder_state(forged, 0.0) == "dead"
+    # while the REAL start time of a live pid reads as live
+    real = f"v2;{socket.gethostname()};1;{MS._proc_start(1)};77"
+    assert holder_state(real, 0.0) == "live"
+
+
+def test_foreign_host_uses_ttl_not_pid():
+    """A live writer on ANOTHER host must not read as a dead local pid
+    (r13 advice #1): fresh foreign lease = live regardless of local
+    pid table; stale (past TTL, no heartbeat) = dead."""
+    fresh = "v2;some-other-host;999999999;5;77"
+    assert holder_state(fresh, 0.0) == "live"
+    assert holder_state(fresh, MS.LEASE_TTL_S + 1) == "dead"
+
+
+def test_legacy_and_garbage_tokens_get_ttl_backstop():
+    assert holder_state("1", 0.0) == "live"  # live pid, fresh
+    assert holder_state("1", MS.LEASE_TTL_S + 1) == "dead"  # pid-reuse cap
+    assert holder_state("999999999", 0.0) == "dead"  # dead pid
+    assert holder_state("!!garbage!!", 0.0) == "live"  # never steal blind
+    assert holder_state("!!garbage!!", MS.LEASE_TTL_S + 1) == "dead"
+
+
+# ---------------------------------------------------------------------------
+# acquire_lease protocol over any backend
+# ---------------------------------------------------------------------------
+
+
+def test_acquire_reentrant_steals_dead_rejects_live(store, tmp_path):
+    lp = str(tmp_path / "idx" / "_writer.lease")
+    tok = acquire_lease(lp, store=store)
+    assert acquire_lease(lp, store=store) == tok  # reentrant same thread
+    store.release_lease(lp, tok)
+    # dead holder (crashed process) is stolen
+    assert store.try_claim_lease(lp, "999999999:1") is None
+    assert acquire_lease(lp, store=store) == tok
+    store.release_lease(lp, tok)
+    # live foreign holder (fresh forged lease, live pid 1) rejects
+    assert store.try_claim_lease(lp, "1") is None
+    with pytest.raises(LeaseHeldError):
+        acquire_lease(lp, store=store)
+    store.break_lease(lp)
+
+
+def test_acquire_waits_out_reader_recovery_claim(store, tmp_path):
+    """A writer racing a reader-recovery claim (token tagged ';r')
+    retries briefly instead of hard-failing its tick (r13 advice #3).
+    The recovery claim is released ~0.2 s in; the writer must win."""
+    lp = str(tmp_path / "idx" / "_writer.lease")
+    # a recovery claim owned by a live pid on this host (our own pid —
+    # the writer's token differs by the ';r' tag, so no reentrancy)
+    rec = make_token(recovery=True)
+    assert store.try_claim_lease(lp, rec) is None
+
+    def release_later():
+        time.sleep(0.2)
+        store.release_lease(lp, rec)
+
+    t = threading.Thread(target=release_later)
+    t.start()
+    tok = acquire_lease(lp, store=store)
+    t.join()
+    assert store.read_lease(lp)[0].strip() == tok
+    store.release_lease(lp, tok)
