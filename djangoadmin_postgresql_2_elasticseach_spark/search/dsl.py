@@ -543,14 +543,19 @@ def _index_candidates(
             return None, q
         cand_tokens = set(qtoks)
         if mm.get("fuzziness"):
-            # expand against the term dictionary (vocabulary-sized,
-            # length-band pruned) — same plan multimatch_bm25_from_index
-            # uses; the expansion is a superset of the scorer's fuzzy
-            # hits, which is all a candidate set needs. Each query
+            # expand against the term dictionary (length-band pruned;
+            # on layout-v3 indexes the band is a partition filter) —
+            # same plan multimatch_bm25_from_index uses. Each query
             # term's expansion is CAPPED at max_expansions (ES's
             # default 50, closest first — Lucene's maxExpansions): the
             # driver collect is bounded by construction, |terms| ·
             # max_expansions rows, however adversarial the vocabulary.
+            # The cap makes this a CAPPED candidate set, NOT a superset
+            # of the scan path's fuzzy hits: past max_expansions
+            # dictionary terms within edit distance 1 of a query term,
+            # the index-served body returns fewer hits than the scan
+            # interpreter for the same query — ES-faithful divergence,
+            # documented in SCALING.md (r13).
             from .index import read_termdict
             from .query import fuzzy_cond, fuzzy_distance
 

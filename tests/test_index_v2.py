@@ -71,7 +71,8 @@ def _topk(df):
 
 def _doctor_to_v1(spark, path):
     """Rewrite a freshly-built index into the pre-r13 on-disk layout:
-    drop the dl posting column, restore the stats/ dataset, and stamp
+    drop the dl posting column, restore the stats/ dataset, flatten
+    the termdict back to field-only partitioning (pre-r14), and stamp
     the meta layout_v=1 — a faithful v1 index for exercising the
     legacy serve path and the migration."""
     posts = spark.read.parquet(os.path.join(path, "postings")).drop("dl")
@@ -81,6 +82,13 @@ def _doctor_to_v1(spark, path):
     ).parquet(tmp)
     shutil.rmtree(os.path.join(path, "postings"))
     os.rename(tmp, os.path.join(path, "postings"))
+    td = spark.read.parquet(os.path.join(path, "termdict")).drop("tlen")
+    tmp = os.path.join(path, "termdict.v1")
+    td.repartition("field").write.mode("overwrite").partitionBy(
+        "field"
+    ).parquet(tmp)
+    shutil.rmtree(os.path.join(path, "termdict"))
+    os.rename(tmp, os.path.join(path, "termdict"))
     lens = spark.read.parquet(os.path.join(path, "doclens"))
     lens.groupBy("field", "seq").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
@@ -576,3 +584,81 @@ def test_stale_foreign_host_lease_is_stolen(spark, toks, tmp_path):
     os.utime(lease, (old, old))
     append_posting_index(batch, path, tokens_col={"text": "tokens"})
     assert not os.path.exists(lease)
+
+
+# ---------------------------------------------------------------------------
+# r14 layout v3: termdict length-band partitioning
+# ---------------------------------------------------------------------------
+
+
+def test_v3_fuzzy_expansion_prunes_termdict_bands(spark, toks, tmp_path):
+    """r13 verdict #2: the fuzzy dictionary expansion must read only
+    candidate LENGTH-BAND partition directories, never the field's
+    whole vocabulary — pinned via executedPlan PartitionFilters
+    (inputFiles ignores partition pruning)."""
+    path = str(tmp_path / "idx")
+    build_posting_index(toks, path, tokens_col={"text": "tokens"})
+    assert read_posting_meta(path)["layout_v"] >= 3
+    td_field = os.path.join(path, "termdict", "field=text")
+    assert any(d.startswith("tlen=") for d in os.listdir(td_field))
+    td = IX.read_termdict(
+        spark, path, fields=("text",), length_between=(4, 6)
+    )
+    plan = _plan(td)
+    assert "PartitionFilters" in plan
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln][0]
+    assert "tlen" in pf and "IN (4,5,6)" in pf.replace("tlen#", "##"), pf
+    # the residual exact filter keeps correctness inside the cap band
+    assert all(4 <= len(r["token"]) <= 6 for r in td.collect())
+
+
+def test_v3_band_cap_collapses_long_tokens(spark, tmp_path):
+    """Tokens past TLEN_CAP share one band; the exact length filter
+    still separates them on read."""
+    long_docs = spark.createDataFrame(
+        [(1, ["a" * 25, "b" * 30, "tok"]), (2, ["a" * 25, "word"])],
+        "doc_id long, tokens array<string>",
+    )
+    path = str(tmp_path / "idx")
+    build_posting_index(long_docs, path, tokens_col={"text": "tokens"})
+    bands = {
+        d
+        for d in os.listdir(os.path.join(path, "termdict", "field=text"))
+        if d.startswith("tlen=")
+    }
+    assert f"tlen={IX.TLEN_CAP}" in bands
+    assert f"tlen={25}" not in bands
+    got = IX.read_termdict(
+        spark, path, fields=("text",), length_between=(25, 25)
+    )
+    assert {r["token"] for r in got.collect()} == {"a" * 25}
+
+
+def test_v2_index_ticks_keep_flat_termdict_and_compaction_migrates(
+    spark, toks, tmp_path
+):
+    """A pre-r14 (v1/v2) index keeps its field-only termdict across
+    ticks — mixing tlen directories into a flat dataset would poison
+    partition discovery — and the FULL compaction migrates the whole
+    artifact to v3 in one swap."""
+    path = str(tmp_path / "idx")
+    build_posting_index(toks, path, tokens_col={"text": "tokens"})
+    _doctor_to_v1(spark, path)
+    td_field = os.path.join(path, "termdict", "field=text")
+    assert not any(d.startswith("tlen=") for d in os.listdir(td_field))
+    upsert_posting_index(
+        toks.filter(F.col("doc_id") < 5), path, tokens_col={"text": "tokens"}
+    )
+    # still flat, still readable, band filter still correct (post-read)
+    assert not any(d.startswith("tlen=") for d in os.listdir(td_field))
+    got = IX.read_termdict(
+        spark, path, fields=("text",), length_between=(4, 6)
+    )
+    assert all(4 <= len(r["token"]) <= 6 for r in got.collect())
+    compact_posting_index(spark, path)
+    assert read_posting_meta(path)["layout_v"] == IX.LAYOUT_V
+    assert any(d.startswith("tlen=") for d in os.listdir(td_field))
+    got2 = IX.read_termdict(
+        spark, path, fields=("text",), length_between=(4, 6)
+    )
+    assert "PartitionFilters" in _plan(got2)
