@@ -189,6 +189,11 @@ BENCH_QUERIES = [
     # r13: full IVFADC — ADC shortlist + exact re-rank over vectors
     # stored IN the index (embeddings table never in the plan)
     "ivfpq_serve_rerank",
+    # r14: the admin icontains surface served from the index tier
+    # (termdict-contains prefilter + pruned posting probe + docstore
+    # residual verify — zero corpus reads; cold pays the one-time
+    # unstemmed-index cache build, warm is the serving number)
+    "icontains_from_index",
     # r13 (r12 verdict #8): the headline reference-API shapes — the
     # admin/REST surface (SURVEY P7-P9, O2/O3, A8) and the scan-based
     # ES-DSL bool body — benched directly; all sub-second
@@ -223,6 +228,30 @@ BENCH_QUERIES = [
     # - minhash_signatures: the signature-build component of
     #   minhash_dedup_pairs (benched) — double-count otherwise.
 ]
+
+
+# Fixed-plan CONTROL queries (code untouched for many rounds) with their
+# BASELINE.md 3-run-median values on this host: the summary emits
+# host_factor = geometric mean of (this run / median), so a degraded host
+# window is machine-readable in BENCH_rN.json instead of needing forensic
+# per-query comparison against git history (r13 verdict #8). ~1.0 =
+# healthy host; sustained >1.2 = degraded window, read totals accordingly.
+HOST_CONTROLS = {
+    "pricing_summary": 1.31,
+    "revenue_by_nation": 1.17,
+    "ann_brute_topk": 0.29,
+}
+
+
+def host_factor(timings: dict[str, float]) -> float | None:
+    import math
+
+    ratios = [
+        timings[q] / m for q, m in HOST_CONTROLS.items() if timings.get(q)
+    ]
+    if not ratios:
+        return None
+    return round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3)
 
 
 def force(df) -> None:
@@ -285,6 +314,7 @@ def main() -> None:
         "queries": timings,
         "cold_sec": round(sum(cold.values()), 3),
         "cold_queries": cold,
+        "host_factor": host_factor(timings),
         "sf": float(sf) if sf else None,
     }
     detail_file = os.path.join(
@@ -302,6 +332,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "cold_sec": round(sum(cold.values()), 3),
+                "host_factor": host_factor(timings),
                 "sf": float(sf) if sf else None,
                 "n_queries": len(timings),
                 "detail_file": "bench_detail.json",

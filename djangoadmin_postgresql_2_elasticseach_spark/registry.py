@@ -2026,6 +2026,27 @@ def _q_streaming_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keep full DuckDB oracles and are value-checked by
 # tests/test_oracle_parity.py (403+-test suite) instead. See
 # COVERAGE.md "driver correctness window".
+def _q_icontains_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: the admin icontains surface (reference admin.py:21 /
+    views.py:92 — ``ILIKE '%q%'``) served from the INDEX tier instead
+    of the corpus scan icontains_search runs: termdict-contains
+    prefilter (vocabulary-sized, sublinear in corpus) → pruned posting
+    probe → docstore semi-join → residual raw-text verify on the
+    STORED payload. Every input file is an index directory — the
+    documents table is never in the plan (pinned in
+    tests/test_icontains_index.py). Needs the UNSTEMMED index variant
+    (raw lowercased vocabulary) with the text payload stored; the
+    preconditions under which this equals the scan byte-for-byte (one
+    letter/digit-run fragment, not inside a stopword) are validated
+    loudly in search/index.icontains_from_index."""
+    from .search.index import icontains_from_index, posting_index_cached
+
+    path = posting_index_cached(
+        spark, sf_dir, stem=False, store_cols=("text",)
+    )
+    return icontains_from_index(spark, path, "UE")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # core relational (reference ETL/API semantics on testdata)
     "denorm_orders": R.denorm_orders,
@@ -2212,6 +2233,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r13: full IVFADC — ADC shortlist + exact re-rank over vectors
     # stored IN the index (embeddings table never read)
     "ivfpq_serve_rerank": _q_ivfpq_serve_rerank,
+    # r14 (appended AFTER every r13 key — window convention): the admin
+    # icontains search served from the index tier (termdict-contains
+    # prefilter + docstore residual verify, zero corpus reads)
+    "icontains_from_index": _q_icontains_from_index,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -4675,6 +4700,14 @@ SELECT e.vec_id,
 FROM embeddings e JOIN sl ON e.vec_id = sl.vec_id CROSS JOIN qx
 ORDER BY dist, e.vec_id
 LIMIT {PQ_K}
+"""
+
+    # r14: the index-served icontains equals the raw ILIKE-style scan
+    # exactly (the serve path's preconditions make the rewrite lossless
+    # — see search/index.icontains_from_index's exactness argument)
+    o["icontains_from_index"] = """
+SELECT doc_id, text FROM documents
+WHERE contains(lower(text), 'ue')
 """
 
     # r11: the index-build manifest — per-bucket vector counts, bucket

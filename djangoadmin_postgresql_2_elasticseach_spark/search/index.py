@@ -75,6 +75,7 @@ def analyzed_corpus_cached(
     text_col: str = "text",
     cache_root: str | None = None,
     extra_fields: tuple[str, ...] = (),
+    stem: bool = True,
 ) -> DataFrame:
     """Index-time analysis, persisted: the (id, tokens) projection of the
     corpus with the full ru_en analyzer applied ONCE per corpus version,
@@ -107,7 +108,7 @@ def analyzed_corpus_cached(
         ) or [src]
     ident = [
         os.path.abspath(src), _analyzer_version(), id_col, text_col,
-        ",".join(extra_fields),
+        ",".join(extra_fields), f"stem={stem}",
     ]
     for p in parts:
         st = os.stat(p)
@@ -129,9 +130,9 @@ def analyzed_corpus_cached(
         tmp = f"{path}.build-{os.getpid()}"
         docs.select(
             id_col,
-            T.analyze(F.col(text_col)).alias("tokens"),
+            T.analyze(F.col(text_col), stem=stem).alias("tokens"),
             *[
-                T.analyze(F.col(f)).alias(f"{f}_tokens")
+                T.analyze(F.col(f), stem=stem).alias(f"{f}_tokens")
                 for f in extra_fields
             ],
         ).write.mode("overwrite").parquet(tmp)
@@ -893,6 +894,111 @@ def fetch_docs(
             )
     df = _apply_tombstones(spark, path, df, meta=meta)
     return df.drop("seq", "dsb")
+
+
+def icontains_from_index(
+    spark: SparkSession,
+    path: str,
+    fragment: str,
+    field: str = "text",
+    max_candidate_terms: int = 10_000,
+) -> DataFrame:
+    """Serve the admin ``icontains`` surface (reference admin.py:21 /
+    views.py:92 — ``ILIKE '%q%'``) from the INDEX tier instead of a
+    corpus scan (the r13 verdict #6 item: fine at PG scale, a full
+    scan at 100×): termdict-contains prefilter → pruned posting probe
+    → docstore fetch → residual raw-text verify. Every read is an
+    index directory; the corpus table is never in the plan.
+
+    Exactness argument (why this equals the scan): tokens are MAXIMAL
+    [letter|digit] runs lowercased (tokenize), so any occurrence of a
+    letter/digit-only fragment in the raw text lies entirely inside
+    one token — a doc matches ``contains(lower(text), frag)`` iff some
+    token contains ``frag``. The residual verify on the STORED raw
+    field removes the one false-positive source (a token surviving in
+    postings whose doc was since upserted) and makes liveness exact.
+    Three preconditions, each raised loudly so the caller can fall
+    back to the scan (operators/api.admin_search — the reference's
+    literal plan):
+
+    - the index must be UNSTEMMED (stem=False): a stemmed vocabulary
+      has suffixes rewritten, so raw substrings can miss;
+    - the fragment must be one letter/digit run: a fragment containing
+      a separator char can span token boundaries;
+    - the fragment must not be a substring of any analyzer stopword:
+      stopword tokens are absent from the index, so a match hiding
+      inside one is invisible to the prefilter.
+
+    ``max_candidate_terms`` bounds the driver-side expansion the same
+    way fuzzy max_expansions does — past it the fragment is effectively
+    unselective and the scan is the better plan anyway (raised, never
+    silently truncated). The candidate→payload fetch is a semi-join
+    into the docstore (candidate-sized; AQE broadcasts a small key
+    side), not a collect."""
+    import unicodedata
+
+    from ..functions.text import ALL_STOPWORDS
+
+    meta = read_posting_meta(path)
+    if meta.get("stem", True):
+        raise ValueError(
+            "icontains_from_index needs an UNSTEMMED index (stem=False): "
+            "a stemmed vocabulary rewrites suffixes, so raw substrings "
+            "can miss — fall back to the corpus scan"
+        )
+    if field not in (meta.get("store_cols") or []):
+        raise ValueError(
+            f"field {field!r} is not stored with the index "
+            f"(store_cols={meta.get('store_cols')}) — the residual "
+            "verify needs the raw payload"
+        )
+    frag = fragment.lower()
+    if not frag or not all(
+        unicodedata.category(c).startswith("L")
+        or unicodedata.category(c) == "Nd"
+        for c in frag
+    ):
+        raise ValueError(
+            f"fragment {fragment!r} is not a single letter/digit run — "
+            "it can span token boundaries; fall back to the corpus scan"
+        )
+    if any(frag in sw for sw in ALL_STOPWORDS):
+        raise ValueError(
+            f"fragment {fragment!r} occurs inside an analyzer stopword "
+            "— stopword tokens are absent from the index; fall back to "
+            "the corpus scan"
+        )
+    td = read_termdict(spark, path, fields=(field,)).filter(
+        F.col("token").contains(frag)
+    )
+    terms = [r["token"] for r in td.limit(max_candidate_terms + 1).collect()]
+    if len(terms) > max_candidate_terms:
+        raise ValueError(
+            f"fragment {fragment!r} matches more than "
+            f"{max_candidate_terms} dictionary terms — unselective; "
+            "fall back to the corpus scan"
+        )
+    if not terms:
+        return spark.createDataFrame([], f"doc_id long, {field} string")
+    posts = read_postings(spark, path, live_only=False).filter(
+        (F.col("field") == field)
+        & F.col("tkb").isin(term_buckets(terms, meta["n_buckets"]))
+    )
+    if len(terms) <= 64:
+        posts = posts.filter(F.col("token").isin(terms))
+    else:
+        # a big IN-literal bloats Catalyst analysis and never reaches
+        # parquet row-group filters — broadcast-join the term list
+        tdf = spark.createDataFrame([(t,) for t in terms], "token string")
+        posts = posts.join(F.broadcast(tdf), "token")
+    cand = posts.select("doc_id").distinct()
+    # dead/stale candidate rows are fine here: fetch_docs applies
+    # tombstones (deleted docs vanish) and the residual verify runs on
+    # the CURRENT stored payload (upserted docs re-checked)
+    stored = fetch_docs(spark, path, cand)
+    return stored.filter(F.lower(F.col(field)).contains(frag)).select(
+        "doc_id", field
+    )
 
 
 def build_posting_index(
@@ -1895,6 +2001,7 @@ def posting_index_cached(
     n_buckets: int = N_TOKEN_BUCKETS,
     cache_root: str | None = None,
     store_cols: tuple[str, ...] | None = None,
+    stem: bool = True,
 ) -> str:
     """Build-once persisted posting index over a corpus table (the
     `analyzed_corpus_cached` / `ivfpq_index_cached` posture applied to
@@ -1920,7 +2027,7 @@ def posting_index_cached(
         ) or [src]
     ident = [
         os.path.abspath(src), _analyzer_version(), id_col, text_col,
-        ",".join(extra_fields), f"nb={n_buckets}",
+        ",".join(extra_fields), f"nb={n_buckets}", f"stem={stem}",
         # layout generation rides the cache identity: an r12-built (v1)
         # cached index must not satisfy a v2 build request — it would
         # silently serve through the legacy doclens-join path
@@ -1939,7 +2046,7 @@ def posting_index_cached(
         return path
     toks = analyzed_corpus_cached(
         spark, sf_dir, table=table, id_col=id_col, text_col=text_col,
-        cache_root=cache_root, extra_fields=extra_fields,
+        cache_root=cache_root, extra_fields=extra_fields, stem=stem,
     )
     if store_cols:
         # stored fields come from the corpus payload, joined once at
@@ -1954,7 +2061,7 @@ def posting_index_cached(
     shutil.rmtree(tmp, ignore_errors=True)
     build_posting_index(
         toks, tmp, fields=fields, id_col=id_col, tokens_col=tokens_col,
-        n_buckets=n_buckets, store_cols=store_cols,
+        n_buckets=n_buckets, store_cols=store_cols, stem=stem,
     )
     try:
         os.rename(tmp, path)

@@ -1,0 +1,129 @@
+"""r14: the admin icontains surface served from the index tier
+(termdict-contains prefilter → pruned posting probe → docstore
+semi-join → residual raw-text verify) — reference admin.py:21 /
+views.py:92 run `ILIKE '%q%'` corpus scans; this is the same result
+set with every input file inside the index directory."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+    build_posting_index,
+    delete_from_posting_index,
+    icontains_from_index,
+    upsert_posting_index,
+)
+from djangoadmin_postgresql_2_elasticseach_spark.functions import text as T
+from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 80)
+        .localCheckpoint(eager=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def idx(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("icontains") / "idx")
+    toks = docs.withColumn("tokens", T.analyze(F.col("text"), stem=False))
+    build_posting_index(
+        toks, path, tokens_col={"text": "tokens"}, stem=False,
+        store_cols=("text",),
+    )
+    return path
+
+
+def _scan(docs, frag):
+    return sorted(
+        (r["doc_id"], r["text"])
+        for r in docs.filter(
+            F.lower(F.col("text")).contains(frag.lower())
+        ).collect()
+    )
+
+
+def _serve(spark, idx, frag):
+    return sorted(
+        (r["doc_id"], r["text"])
+        for r in icontains_from_index(spark, idx, frag).collect()
+    )
+
+
+def test_equals_scan_and_reads_only_index(spark, docs, idx):
+    for frag in ("ue", "UE", "usto", "tre"):
+        assert _serve(spark, idx, frag) == _scan(docs, frag), frag
+    df = icontains_from_index(spark, idx, "ue")
+    assert df.inputFiles() and all(idx in f for f in df.inputFiles())
+
+
+def test_no_hit_fragment_returns_typed_empty(spark, docs, idx):
+    df = icontains_from_index(spark, idx, "zzqqx")
+    assert df.columns == ["doc_id", "text"] and df.count() == 0
+
+
+def test_tracks_upsert_and_delete(spark, docs, idx):
+    """The residual verify runs on the CURRENT stored payload: a doc
+    upserted to no longer contain the fragment drops out even though
+    its old posting rows still name it; a deleted doc vanishes; a doc
+    gaining the fragment appears."""
+    victim = int(
+        docs.filter(F.lower("text").contains("ue")).first()["doc_id"]
+    )
+    new = spark.createDataFrame(
+        [(victim, "nothing here"), (9001, "a shiny new QUEue doc")],
+        "doc_id long, text string",
+    )
+    upsert_posting_index(
+        new.withColumn("tokens", T.analyze(F.col("text"), stem=False)),
+        idx,
+        tokens_col={"text": "tokens"},
+        store_cols=("text",),
+    )
+    got = dict(_serve(spark, idx, "ue"))
+    assert victim not in got
+    assert got[9001] == "a shiny new QUEue doc"
+    delete_from_posting_index(
+        spark.createDataFrame([(9001,)], "doc_id long"), idx
+    )
+    assert 9001 not in dict(_serve(spark, idx, "ue"))
+
+
+def test_preconditions_raise_loudly(spark, docs, idx, tmp_path):
+    with pytest.raises(ValueError, match="letter/digit"):
+        icontains_from_index(spark, idx, "two words")
+    with pytest.raises(ValueError, match="letter/digit"):
+        icontains_from_index(spark, idx, "semi-colon")
+    with pytest.raises(ValueError, match="stopword"):
+        icontains_from_index(spark, idx, "th")  # inside 'the'/'that'...
+    with pytest.raises(ValueError, match="dictionary terms"):
+        icontains_from_index(spark, idx, "ue", max_candidate_terms=1)
+    # a STEMMED index refuses (suffix rewriting breaks raw substrings)
+    stemmed = str(tmp_path / "stemmed")
+    build_posting_index(
+        docs.withColumn("tokens", T.analyze(F.col("text"))),
+        stemmed,
+        tokens_col={"text": "tokens"},
+        store_cols=("text",),
+    )
+    with pytest.raises(ValueError, match="UNSTEMMED"):
+        icontains_from_index(spark, stemmed, "ue")
+    # an index without the stored payload refuses (no residual verify)
+    bare = str(tmp_path / "bare")
+    build_posting_index(
+        docs.withColumn("tokens", T.analyze(F.col("text"), stem=False)),
+        bare,
+        tokens_col={"text": "tokens"},
+        stem=False,
+    )
+    with pytest.raises(ValueError, match="not stored"):
+        icontains_from_index(spark, bare, "ue")
