@@ -1987,12 +1987,10 @@ def _q_streaming_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = analyzed_corpus_cached(spark, sf_dir).select("doc_id", "tokens")
     scratch = _audit_scratch(sf_dir, "streamidx")
     src = os.path.join(scratch, "incoming")
-    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+    # ONE ranged write emits the two chunk files (r14: was two
+    # sequential filter+coalesce jobs — pure fixed cost in a composite
+    # whose point is the per-tick cadence, not the source layout)
+    docs.repartitionByRange(2, "doc_id").write.mode("append").parquet(src)
     q = posting_index_stream(
         spark,
         src,

@@ -678,25 +678,28 @@ def _write_posting_batch(
       dictionary fuzzy expansion scans (vocabulary-sized, sublinear in
       corpus; Lucene's FST term dict is the same idea).
 
-    The slim artifact writes (doclens, termdict, legacy stats, plus any
-    ``extra_writes`` thunks — the docstore tier) all read the one
-    eagerly-materialized batch checkpoint, so they run CONCURRENTLY in
-    a thread pool: per-tick wall is the largest write, not the sum of
-    4-5 small fixed-overhead Spark jobs (the r12-measured per-tick
-    commit-protocol regression). None of these writes is visible until
-    the caller's commit_index_seq — a crash between them can't serve a
-    torn view."""
+    ALL artifact writes — postings, doclens, termdict, legacy stats,
+    plus any ``extra_writes`` thunks (docstore tier, upsert
+    tombstones) — read the one eagerly-materialized batch checkpoint
+    (or the raw batch), so they run CONCURRENTLY in a thread pool:
+    per-tick wall is the LARGEST write (the postings shuffle), not the
+    sum of 5-6 small fixed-overhead Spark jobs (the r12-measured
+    per-tick commit-protocol regression; r14 folds the postings write
+    and the upsert tombstones into the same pool). None of these
+    writes is visible until the caller's commit_index_seq — a crash
+    between them can't serve a torn view."""
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.sql import Observation
 
     from ..session import free_local_checkpoint
 
-    posts.repartition("field", "tkb").sortWithinPartitions(
-        "field", "tkb", "token"
-    ).write.mode(mode).partitionBy("field", "tkb").parquet(
-        os.path.join(path, "postings")
-    )
+    def w_postings():
+        posts.repartition("field", "tkb").sortWithinPartitions(
+            "field", "tkb", "token"
+        ).write.mode(mode).partitionBy("field", "tkb").parquet(
+            os.path.join(path, "postings")
+        )
 
     obs = None
     lens_w = lens
@@ -749,7 +752,7 @@ def _write_posting_batch(
                 os.path.join(path, "termdict")
             )
 
-    writes = [w_doclens, w_termdict, *extra_writes]
+    writes = [w_postings, w_doclens, w_termdict, *extra_writes]
     if layout_v < 2:
         writes.append(w_stats_legacy)
     with ThreadPoolExecutor(max_workers=len(writes)) as ex:
@@ -1503,6 +1506,15 @@ def upsert_posting_index(
         layout_v = 1
     else:
         layout_v = LAYOUT_V
+    # a genuinely FRESH path (no sidecar, no postings — the first CDC/
+    # streaming tick) has no older doc versions for tombstones to
+    # retire: skip the write — one less per-tick job, and the serving
+    # dead-correction join stays off until real churn exists. A
+    # CRASHED first tick already left the sidecar (alloc writes it),
+    # so this branch can never skip a tombstone that matters.
+    fresh = meta is None and not os.path.isdir(
+        os.path.join(path, "postings")
+    )
     seq_t = alloc_index_seqs(
         mpath,
         2,
@@ -1519,17 +1531,24 @@ def upsert_posting_index(
     )
     seq_a = seq_t + 1
     with _release_lease_on_error(mpath):
-        new_docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.lit(int(seq_t)).cast("long").alias("seq"),
-        ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
         posts, lens = _posting_partials(
             new_docs, fields, id_col, stem, tokens_col, seq=seq_a,
             n_buckets=n_buckets, with_dl=layout_v >= 2,
         )
-        extra = ()
+
+        def w_tombstones():
+            # independent of the posting partials (reads only the batch
+            # keys) and invisible until commit, so it rides the
+            # concurrent slim-write pool instead of a sequential
+            # leading job — one less serial fixed cost per tick
+            new_docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.lit(int(seq_t)).cast("long").alias("seq"),
+            ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
+
+        extra = () if fresh else (w_tombstones,)
         if store_cols:
-            extra = (
+            extra = extra + (
                 lambda: _write_docstore_batch(
                     new_docs, id_col, store_cols, seq_a, path, "append",
                     n_store,

@@ -662,3 +662,34 @@ def test_v2_index_ticks_keep_flat_termdict_and_compaction_migrates(
         spark, path, fields=("text",), length_between=(4, 6)
     )
     assert "PartitionFilters" in _plan(got2)
+
+
+def test_tick_spark_job_budget(spark, toks, tmp_path):
+    """r13 verdict #7: the per-tick Spark JOB COUNT is a fixed cost
+    multiplied by every micro-batch at streaming cadence — pin it so a
+    change that quietly adds per-tick jobs (a new sequential write, a
+    lost concurrency, an extra shuffle) fails here instead of showing
+    up as a bench regression two rounds later. Current composition
+    (AQE materializes each shuffle as its own job): batch checkpoint
+    ≈3, postings write 2, doclens 2, termdict 3, tombstones 1 — all
+    but the checkpoint run in ONE concurrent pool; docstore adds 2.
+    Job ids are global and monotonic, so the count is the id delta
+    between two probe jobs (job groups can't see pool threads)."""
+    import uuid
+
+    sc = spark.sparkContext
+
+    def probe_id():
+        g = f"probe-{uuid.uuid4()}"
+        sc.setJobGroup(g, g)
+        spark.range(1).count()
+        sc.setJobGroup("other", "other")
+        return max(sc.statusTracker().getJobIdsForGroup(g))
+
+    path = str(tmp_path / "idx")
+    build_posting_index(toks, path, tokens_col={"text": "tokens"})
+    batch = toks.filter(F.col("doc_id") < 5).localCheckpoint(eager=True)
+    n0 = probe_id()
+    upsert_posting_index(batch, path, tokens_col={"text": "tokens"})
+    tick_jobs = probe_id() - n0 - 1
+    assert tick_jobs <= 14, f"per-tick job budget blown: {tick_jobs}"
