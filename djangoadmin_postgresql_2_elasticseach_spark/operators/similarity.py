@@ -1282,19 +1282,43 @@ def append_ivfpq_index(
     mpath = _ivfpq_meta_path(path)
     seq = alloc_index_seqs(mpath, 1, legacy_probe=("_SUCCESS",))
     with _release_lease_on_error(mpath):
-        (
-            _ivfpq_rows(new_emb, books, planes, id_col, vec_col, seq=seq)
-            .repartition("bucket")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(path)
-        )
-        if store_cols:
-            _ivfpq_store_batch(
-                new_emb, id_col, tuple(store_cols), seq, path, "append",
-                n_store,
+        # both writes read only the batch and are invisible until the
+        # commit — run them concurrently (the posting-tick pool
+        # discipline: per-tick wall is the largest write, not the sum)
+        def w_codes():
+            (
+                _ivfpq_rows(new_emb, books, planes, id_col, vec_col, seq=seq)
+                .repartition("bucket")
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(path)
             )
+
+        writes = [w_codes]
+        if store_cols:
+            writes.append(
+                lambda: _ivfpq_store_batch(
+                    new_emb, id_col, tuple(store_cols), seq, path, "append",
+                    n_store,
+                )
+            )
+        _run_concurrently(writes)
         commit_index_seq(mpath, seq)
+
+
+def _run_concurrently(writes) -> None:
+    """Run independent batch writes in one thread pool (the posting
+    tick's slim-write discipline): all are invisible until the commit,
+    so ordering between them is immaterial and the wall is max(write),
+    not sum."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(writes) == 1:
+        writes[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(writes)) as ex:
+        for fut in [ex.submit(w) for w in writes]:
+            fut.result()
 
 
 def delete_from_ivfpq_index(
@@ -1348,21 +1372,33 @@ def upsert_ivfpq_index(
     seq_t = alloc_index_seqs(mpath, 2, legacy_probe=("_SUCCESS",))
     seq_a = seq_t + 1
     with _release_lease_on_error(mpath):
-        new_emb.select(
-            F.col(id_col), F.lit(int(seq_t)).cast("long").alias("seq")
-        ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
-        (
-            _ivfpq_rows(new_emb, books, planes, id_col, vec_col, seq=seq_a)
-            .repartition("bucket")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(path)
-        )
-        if store_cols:
-            _ivfpq_store_batch(
-                new_emb, id_col, tuple(store_cols), seq_a, path, "append",
-                n_store,
+        # tombstones, codes, and the stored tier are all batch-derived
+        # and invisible until the single commit — one concurrent pool
+        def w_tombstones():
+            new_emb.select(
+                F.col(id_col), F.lit(int(seq_t)).cast("long").alias("seq")
+            ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
+
+        def w_codes():
+            (
+                _ivfpq_rows(
+                    new_emb, books, planes, id_col, vec_col, seq=seq_a
+                )
+                .repartition("bucket")
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(path)
             )
+
+        writes = [w_tombstones, w_codes]
+        if store_cols:
+            writes.append(
+                lambda: _ivfpq_store_batch(
+                    new_emb, id_col, tuple(store_cols), seq_a, path, "append",
+                    n_store,
+                )
+            )
+        _run_concurrently(writes)
         commit_index_seq(mpath, seq_a)
 
 

@@ -1842,12 +1842,13 @@ def _swap_leaf(
     enc = quote(os.path.relpath(leaf.rstrip("/"), path), safe="")
     tmp = os.path.join(path, f"_fold-{enc}")
     old = os.path.join(path, f"_fold-old-{enc}")
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    store = get_metastore()
+    store.remove_tree(tmp)
+    store.remove_tree(old)
     w.write.mode("overwrite").parquet(tmp)
-    os.rename(leaf, old)
-    os.rename(tmp, leaf)
-    shutil.rmtree(old, ignore_errors=True)
+    store.rename(leaf, old)
+    store.rename(tmp, leaf)
+    store.remove_tree(old)
 
 
 def _recover_folds(path: str) -> None:
@@ -1863,18 +1864,19 @@ def _recover_folds(path: str) -> None:
        and serves the committed view."""
     from urllib.parse import unquote
 
-    entries = [d for d in os.listdir(path) if d.startswith("_fold-")]
+    store = get_metastore()
+    entries = [d for d in store.listdir(path) if d.startswith("_fold-")]
     for d in entries:
         if not d.startswith("_fold-old-"):
             continue
         leaf = os.path.join(path, unquote(d[len("_fold-old-"):]))
-        if not os.path.exists(leaf):
+        if not store.exists(leaf):
             try:
-                os.rename(os.path.join(path, d), leaf)
+                store.rename(os.path.join(path, d), leaf)
             except OSError:
                 pass  # a concurrent recoverer won the rename — fine
     for d in entries:
-        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        store.remove_tree(os.path.join(path, d))
 
 
 def _maybe_recover_folds(path: str) -> None:
