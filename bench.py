@@ -237,9 +237,9 @@ BENCH_QUERIES = [
 # per-query comparison against git history (r13 verdict #8). ~1.0 =
 # healthy host; sustained >1.2 = degraded window, read totals accordingly.
 HOST_CONTROLS = {
-    "pricing_summary": 1.31,
-    "revenue_by_nation": 1.17,
-    "ann_brute_topk": 0.29,
+    "pricing_summary": 1.48,
+    "revenue_by_nation": 1.23,
+    "ann_brute_topk": 0.28,
 }
 
 
