@@ -28,12 +28,144 @@ from djangoadmin_postgresql_2_elasticseach_spark.metastore import (
     make_token,
 )
 
-BACKENDS = [LocalPosixMetastore]
+class InMemoryMetastore(MS.IndexMetastore):
+    """Second, deliberately storage-free backend: a dict guarded by one
+    lock — the shape of a lock-table/conditional-PUT service. It exists
+    to PROVE the contract is implementation-agnostic (nothing in the
+    index protocols or this file assumes a filesystem): a real
+    object-store backend replaces the dict with conditional PUTs and
+    server-side timestamps and must pass this same suite."""
+
+    name = "in-memory"
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.RLock()
+        self._files: dict[str, tuple[str, float]] = {}
+        self._dirs: set[str] = set()
+
+    def load_meta(self, meta_path):
+        with self._lock:
+            got = self._files.get(meta_path)
+            return json.loads(got[0]) if got else None
+
+    def publish_meta(self, meta_path, meta):
+        doc = json.dumps(meta)  # serialize OUTSIDE the swap: atomic
+        with self._lock:
+            self._files[meta_path] = (doc, time.time())
+
+    def try_claim_lease(self, lease_path, token):
+        with self._lock:
+            got = self._files.get(lease_path)
+            if got is not None:
+                return got[0]
+            self._files[lease_path] = (token, time.time())
+            return None
+
+    def read_lease(self, lease_path):
+        with self._lock:
+            got = self._files.get(lease_path)
+            if got is None:
+                return None
+            return got[0], max(0.0, time.time() - got[1])
+
+    def break_lease(self, lease_path):
+        with self._lock:
+            self._files.pop(lease_path, None)
+
+    def release_lease(self, lease_path, token):
+        with self._lock:
+            got = self._files.get(lease_path)
+            if got is None:
+                return
+            if got[0].strip() != token:
+                raise MS.LeaseOwnershipError(
+                    f"lease {lease_path} held by {got[0].strip()!r}, "
+                    f"not {token!r}"
+                )
+            self._files.pop(lease_path, None)
+
+    def heartbeat_lease(self, lease_path, token):
+        with self._lock:
+            got = self._files.get(lease_path)
+            if got is not None and got[0].strip() == token:
+                self._files[lease_path] = (got[0], time.time())
+
+    def _children(self, path):
+        prefix = path.rstrip("/") + "/"
+        names = set()
+        with self._lock:
+            for p in list(self._files) + list(self._dirs):
+                if p.startswith(prefix):
+                    names.add(p[len(prefix):].split("/", 1)[0])
+        return names
+
+    def listdir(self, path):
+        if not self.exists(path):
+            raise FileNotFoundError(path)
+        return sorted(self._children(path))
+
+    def exists(self, path):
+        p = path.rstrip("/")
+        with self._lock:
+            return (
+                p in self._files
+                or p in self._dirs
+                or bool(self._children(p))
+            )
+
+    def rename(self, src, dst):
+        s, d = src.rstrip("/"), dst.rstrip("/")
+        with self._lock:
+            if not self.exists(s):
+                raise FileNotFoundError(src)
+            for coll, setter in ((self._files, self._files), ):
+                for p in list(coll):
+                    if p == s or p.startswith(s + "/"):
+                        setter[d + p[len(s):]] = coll.pop(p)
+            for p in list(self._dirs):
+                if p == s or p.startswith(s + "/"):
+                    self._dirs.discard(p)
+                    self._dirs.add(d + p[len(s):])
+
+    def remove_tree(self, path):
+        p = path.rstrip("/")
+        with self._lock:
+            for q in list(self._files):
+                if q == p or q.startswith(p + "/"):
+                    self._files.pop(q, None)
+            for q in list(self._dirs):
+                if q == p or q.startswith(p + "/"):
+                    self._dirs.discard(q)
+
+    def makedirs(self, path):
+        with self._lock:
+            self._dirs.add(path.rstrip("/"))
+
+    def put_text(self, path, content):
+        with self._lock:
+            self._files[path] = (content, time.time())
+
+
+BACKENDS = [LocalPosixMetastore, InMemoryMetastore]
 
 
 @pytest.fixture(params=BACKENDS, ids=lambda c: c().name)
 def store(request):
     return request.param()
+
+
+def _age_lease(store, lease_path, seconds):
+    """Backend-specific clock rewind (tests only — real backends age
+    naturally)."""
+    if isinstance(store, InMemoryMetastore):
+        with store._lock:
+            c, t = store._files[lease_path]
+            store._files[lease_path] = (c, t - seconds)
+    else:
+        past = time.time() - seconds
+        os.utime(lease_path, (past, past))
 
 
 # ---------------------------------------------------------------------------
@@ -138,7 +270,7 @@ def test_release_is_ownership_checked(store, tmp_path):
 def test_heartbeat_resets_age_and_ignores_non_owner(store, tmp_path):
     lp = str(tmp_path / "idx" / "_writer.lease")
     assert store.try_claim_lease(lp, "owner") is None
-    os.utime(lp, (time.time() - 100, time.time() - 100))
+    _age_lease(store, lp, 100)
     _c, age = store.read_lease(lp)
     assert age > 50
     store.heartbeat_lease(lp, "intruder")  # non-owner: no effect
@@ -168,8 +300,8 @@ def test_namespace_ops(store, tmp_path):
     assert store.listdir(root) == ["a"]
     store.rename(os.path.join(root, "a"), os.path.join(root, "b"))
     assert not store.exists(os.path.join(root, "a"))
-    with open(os.path.join(root, "b", "f.txt")) as fh:
-        assert fh.read() == "hello"
+    # read back through the store (read_lease reads any control file)
+    assert store.read_lease(os.path.join(root, "b", "f.txt"))[0] == "hello"
     store.remove_tree(os.path.join(root, "b"))
     assert not store.exists(os.path.join(root, "b"))
     store.remove_tree(os.path.join(root, "b"))  # absent: no-op
