@@ -2040,9 +2040,9 @@ def _q_icontains_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .search.index import icontains_from_index, posting_index_cached
 
     path = posting_index_cached(
-        spark, sf_dir, stem=False, store_cols=("text",)
+        spark, sf_dir, stem=False, store_cols=("text",), char_ngrams=True
     )
-    return icontains_from_index(spark, path, "UE")
+    return icontains_from_index(spark, path, "USTO")
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4705,7 +4705,7 @@ LIMIT {PQ_K}
     # — see search/index.icontains_from_index's exactness argument)
     o["icontains_from_index"] = """
 SELECT doc_id, text FROM documents
-WHERE contains(lower(text), 'ue')
+WHERE contains(lower(text), 'usto')
 """
 
     # r11: the index-build manifest — per-bucket vector counts, bucket

@@ -271,6 +271,12 @@ POSTINGS_SCHEMA = (
 DOCLENS_SCHEMA = "doc_id long, dl long, seq long, field string"
 STATS_SCHEMA = "n_docs long, sum_dl long, seq long, field string"
 TERMDICT_SCHEMA = "token string, seq long, field string"
+CHARDICT_SCHEMA = "gram string, token string, seq long, field string, gkb int"
+
+# character n-gram width for the opt-in chardict/ tier (PostgreSQL
+# pg_trgm's choice): wide enough to be selective, narrow enough that
+# any fragment of length >= 3 decomposes into indexed grams
+NGRAM_W = 3
 
 
 def _token_bucket(token, n_buckets: int) -> "F.Column":
@@ -302,6 +308,28 @@ def tlen_bands(lo: int, hi: int) -> list[int]:
     if hi < lo:
         return []
     return sorted({min(n, TLEN_CAP) for n in range(lo, hi + 1)})
+
+
+def _token_grams(token) -> "F.Column":
+    """Distinct character NGRAM_W-grams of a token column (empty array
+    below NGRAM_W chars — sequence() would run DESCENDING there)."""
+    t = F.col(token) if isinstance(token, str) else token
+    return F.when(
+        F.length(t) >= NGRAM_W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (NGRAM_W - 1)),
+                lambda i: t.substr(i, F.lit(NGRAM_W)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fragment_grams(fragment: str) -> list[str]:
+    """Driver-side twin of _token_grams for query fragments."""
+    return sorted(
+        {fragment[i:i + NGRAM_W] for i in range(len(fragment) - NGRAM_W + 1)}
+    ) if len(fragment) >= NGRAM_W else []
 
 
 def _load_meta(meta_path: str) -> dict | None:
@@ -536,6 +564,9 @@ def read_posting_meta(path: str) -> dict:
     # fields whose positions were flattened across array elements
     # (element_tokens) — they serve `match` but NOT phrase queries
     meta.setdefault("element_fields", [])
+    # opt-in pg_trgm-style character-3-gram dictionary (gram-bucket
+    # count, or None): serves icontains without a vocabulary scan
+    meta.setdefault("char_ngrams", None)
     return meta
 
 
@@ -651,6 +682,7 @@ def _write_posting_batch(
     fields: tuple[str, ...] = (),
     layout_v: int = LAYOUT_V,
     extra_writes: tuple = (),
+    char_ngrams: int | None = None,
 ) -> dict | None:
     """One batch's writes, REPARTITIONED BY the partition columns
     first: without it every task holds an open parquet writer per
@@ -752,7 +784,26 @@ def _write_posting_batch(
                 os.path.join(path, "termdict")
             )
 
+    def w_chardict():
+        # opt-in pg_trgm-style tier: the batch's distinct terms exploded
+        # into character 3-grams, partitioned (field, gram-bucket) — an
+        # icontains serve prunes to its fragment's gram buckets instead
+        # of scanning the field's whole vocabulary
+        td = posts.select("token", "seq", "field").distinct()
+        td.select(
+            F.explode(_token_grams("token")).alias("gram"),
+            "token", "seq", "field",
+        ).withColumn(
+            "gkb", _token_bucket(F.col("gram"), int(char_ngrams))
+        ).repartition("field", "gkb").sortWithinPartitions(
+            "field", "gkb", "gram", "token"
+        ).write.mode(mode).partitionBy("field", "gkb").parquet(
+            os.path.join(path, "chardict")
+        )
+
     writes = [w_postings, w_doclens, w_termdict, *extra_writes]
+    if char_ngrams:
+        writes.append(w_chardict)
     if layout_v < 2:
         writes.append(w_stats_legacy)
     with ThreadPoolExecutor(max_workers=len(writes)) as ex:
@@ -899,6 +950,38 @@ def fetch_docs(
     return df.drop("seq", "dsb")
 
 
+def _chardict_candidates(
+    spark: SparkSession, path: str, meta: dict, field: str, frag: str
+) -> DataFrame:
+    """Candidate index terms containing ``frag`` via the trigram
+    dictionary (the pg_trgm plan): prune chardict/ to the fragment's
+    gram BUCKETS (a partition filter — never the field's whole
+    vocabulary), keep tokens carrying ALL the fragment's grams (the
+    necessary condition), then the exact contains residual. Plan
+    pinned in tests/test_icontains_index.py (PartitionFilters on
+    gkb)."""
+    grams = fragment_grams(frag)
+    cd = _visible(
+        _read_or_empty(
+            spark, os.path.join(path, "chardict"), CHARDICT_SCHEMA
+        ),
+        meta,
+    ).filter(
+        (F.col("field") == field)
+        & F.col("gkb").isin(term_buckets(grams, int(meta["char_ngrams"])))
+        & F.col("gram").isin(grams)
+    )
+    return (
+        cd.select("gram", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ng"))
+        .filter(F.col("ng") == len(grams))
+        .filter(F.col("token").contains(frag))
+        .select("token")
+    )
+
+
 def icontains_from_index(
     spark: SparkSession,
     path: str,
@@ -909,9 +992,14 @@ def icontains_from_index(
     """Serve the admin ``icontains`` surface (reference admin.py:21 /
     views.py:92 — ``ILIKE '%q%'``) from the INDEX tier instead of a
     corpus scan (the r13 verdict #6 item: fine at PG scale, a full
-    scan at 100×): termdict-contains prefilter → pruned posting probe
-    → docstore fetch → residual raw-text verify. Every read is an
-    index directory; the corpus table is never in the plan.
+    scan at 100×): candidate terms → pruned posting probe → docstore
+    fetch → residual raw-text verify. Every read is an index
+    directory; the corpus table is never in the plan. Candidate terms
+    come from the opt-in pg_trgm-style trigram dictionary when the
+    index carries one (``chardict/`` — the probe prunes to the
+    fragment's gram buckets, never the vocabulary) and from a
+    termdict-contains scan (vocabulary-sized, sublinear in corpus)
+    otherwise.
 
     Exactness argument (why this equals the scan): tokens are MAXIMAL
     [letter|digit] runs lowercased (tokenize), so any occurrence of a
@@ -971,10 +1059,17 @@ def icontains_from_index(
             "— stopword tokens are absent from the index; fall back to "
             "the corpus scan"
         )
-    td = read_termdict(spark, path, fields=(field,)).filter(
-        F.col("token").contains(frag)
-    )
-    terms = [r["token"] for r in td.limit(max_candidate_terms + 1).collect()]
+    if meta.get("char_ngrams") and fragment_grams(frag):
+        cand = _chardict_candidates(spark, path, meta, field, frag)
+    else:
+        # no trigram tier (or a sub-3-char fragment): vocabulary-sized
+        # termdict scan — sublinear in corpus, the pre-r14 plan
+        cand = read_termdict(spark, path, fields=(field,)).filter(
+            F.col("token").contains(frag)
+        )
+    terms = [
+        r["token"] for r in cand.limit(max_candidate_terms + 1).collect()
+    ]
     if len(terms) > max_candidate_terms:
         raise ValueError(
             f"fragment {fragment!r} matches more than "
@@ -1015,6 +1110,7 @@ def build_posting_index(
     store_cols: tuple[str, ...] | None = None,
     n_store_buckets: int = N_STORE_BUCKETS,
     element_fields: tuple[str, ...] = (),
+    char_ngrams: bool = False,
 ) -> None:
     """Persist the serving search index: `postings/` PARTITIONED BY
     (field, token-bucket) — a term query prunes to one bucket directory
@@ -1071,6 +1167,7 @@ def build_posting_index(
                 "store_cols": list(store_cols) if store_cols else None,
                 "n_store_buckets": int(n_store_buckets),
                 "element_fields": list(element_fields),
+                "char_ngrams": int(n_buckets) if char_ngrams else None,
                 "layout_v": LAYOUT_V,
                 "field_stats": None,
                 "next_seq": 1,
@@ -1091,7 +1188,8 @@ def build_posting_index(
                 ),
             )
         stats_delta = _write_posting_batch(
-            posts, lens, path, "overwrite", fields=fields, extra_writes=extra
+            posts, lens, path, "overwrite", fields=fields, extra_writes=extra,
+            char_ngrams=int(n_buckets) if char_ngrams else None,
         )
         commit_index_seq(_posting_meta_path(path), 1, stats_delta=stats_delta)
 
@@ -1230,6 +1328,7 @@ def append_posting_index(
         stats_delta = _write_posting_batch(
             posts, lens, path, "append", fields=fields, layout_v=layout_v,
             extra_writes=extra,
+            char_ngrams=(meta or {}).get("char_ngrams"),
         )
         commit_index_seq(mpath, seq, stats_delta=stats_delta)
 
@@ -1557,6 +1656,7 @@ def upsert_posting_index(
         stats_delta = _write_posting_batch(
             posts, lens, path, "append", fields=fields, layout_v=layout_v,
             extra_writes=extra,
+            char_ngrams=(meta or {}).get("char_ngrams"),
         )
         commit_index_seq(mpath, seq_a, stats_delta=stats_delta)
 
@@ -1747,6 +1847,22 @@ def compact_posting_index(spark: SparkSession, path: str) -> None:
         ).write.mode("overwrite").partitionBy("field", "tlen").parquet(
             os.path.join(tmp, "termdict")
         )
+        if meta.get("char_ngrams"):
+            # the trigram dictionary rides the swap, rebuilt from the
+            # live terms (tokens whose last doc died are retired here,
+            # exactly like termdict)
+            posts.select(
+                "token", F.lit(committed).cast("long").alias("seq"), "field"
+            ).distinct().select(
+                F.explode(_token_grams("token")).alias("gram"),
+                "token", "seq", "field",
+            ).withColumn(
+                "gkb", _token_bucket(F.col("gram"), int(meta["char_ngrams"]))
+            ).repartition("field", "gkb").sortWithinPartitions(
+                "field", "gkb", "gram", "token"
+            ).write.mode("overwrite").partitionBy("field", "gkb").parquet(
+                os.path.join(tmp, "chardict")
+            )
         if os.path.isdir(os.path.join(path, "docstore")):
             # the stored-fields tier rides the swap: live payload rows
             # only (dead doc versions leave with their postings)
@@ -1995,6 +2111,19 @@ def _compact_tiered_locked(
             .select("token", F.lit(committed).cast("long").alias("seq"))
         )
         _swap_leaf(folded, leaf, path, ("token",))
+    for leaf in _leaf_partition_dirs(os.path.join(path, "chardict")):
+        if len(_leaf_parquet_files(leaf)) <= max_files:
+            continue
+        folded = (
+            _visible(spark.read.parquet(leaf), meta)
+            .select("gram", "token")
+            .distinct()
+            .select(
+                "gram", "token",
+                F.lit(committed).cast("long").alias("seq"),
+            )
+        )
+        _swap_leaf(folded, leaf, path, ("gram", "token"))
     for leaf in _leaf_partition_dirs(os.path.join(path, "docstore")):
         if len(_leaf_parquet_files(leaf)) <= max_files:
             continue
@@ -2023,6 +2152,7 @@ def posting_index_cached(
     cache_root: str | None = None,
     store_cols: tuple[str, ...] | None = None,
     stem: bool = True,
+    char_ngrams: bool = False,
 ) -> str:
     """Build-once persisted posting index over a corpus table (the
     `analyzed_corpus_cached` / `ivfpq_index_cached` posture applied to
@@ -2049,6 +2179,7 @@ def posting_index_cached(
     ident = [
         os.path.abspath(src), _analyzer_version(), id_col, text_col,
         ",".join(extra_fields), f"nb={n_buckets}", f"stem={stem}",
+        f"trgm={char_ngrams}",
         # layout generation rides the cache identity: an r12-built (v1)
         # cached index must not satisfy a v2 build request — it would
         # silently serve through the legacy doclens-join path
@@ -2083,6 +2214,7 @@ def posting_index_cached(
     build_posting_index(
         toks, tmp, fields=fields, id_col=id_col, tokens_col=tokens_col,
         n_buckets=n_buckets, store_cols=store_cols, stem=stem,
+        char_ngrams=char_ngrams,
     )
     try:
         os.rename(tmp, path)

@@ -127,3 +127,81 @@ def test_preconditions_raise_loudly(spark, docs, idx, tmp_path):
     )
     with pytest.raises(ValueError, match="not stored"):
         icontains_from_index(spark, bare, "ue")
+
+
+# ---------------------------------------------------------------------------
+# trigram (pg_trgm-style) candidate tier
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def trgm_idx(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("icontains_trgm") / "idx")
+    toks = docs.withColumn("tokens", T.analyze(F.col("text"), stem=False))
+    build_posting_index(
+        toks, path, tokens_col={"text": "tokens"}, stem=False,
+        store_cols=("text",), char_ngrams=True,
+    )
+    return path
+
+
+def test_trgm_equals_scan_and_tracks_ticks(spark, docs, trgm_idx):
+    """The trigram-served result equals the raw scan for multi-gram
+    fragments, across case and through upsert ticks (chardict is
+    maintained by the same commits)."""
+    for frag in ("usto", "USTO", "tre", "indow", "park"):
+        assert _serve(spark, trgm_idx, frag) == _scan(docs, frag), frag
+    upsert_posting_index(
+        spark.createDataFrame(
+            [(9100, "zzqqxx appears here")], "doc_id long, text string"
+        ).withColumn("tokens", T.analyze(F.col("text"), stem=False)),
+        trgm_idx,
+        tokens_col={"text": "tokens"},
+        store_cols=("text",),
+    )
+    got = dict(_serve(spark, trgm_idx, "zqqx"))
+    assert got == {9100: "zzqqxx appears here"}
+
+
+def test_trgm_probe_prunes_gram_buckets_and_skips_termdict(
+    spark, docs, trgm_idx
+):
+    """The candidate probe reads ONLY pruned chardict gram-bucket
+    directories (PartitionFilters on gkb), and the served query never
+    opens termdict/ — the vocabulary scan is gone from the plan."""
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        _chardict_candidates,
+        read_posting_meta,
+    )
+
+    meta = read_posting_meta(trgm_idx)
+    assert meta["char_ngrams"]
+    cand = _chardict_candidates(spark, trgm_idx, meta, "text", "usto")
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert pf and "gkb" in pf[0], plan[:3000]
+    assert all("/chardict/" in f for f in cand.inputFiles())
+    served = icontains_from_index(spark, trgm_idx, "usto")
+    assert served.count() > 0
+    assert not any("/termdict/" in f for f in served.inputFiles())
+
+
+def test_trgm_short_fragment_falls_back_to_termdict_scan(
+    spark, docs, trgm_idx
+):
+    """A sub-3-char fragment has no grams — served via the termdict
+    scan, same results."""
+    assert _serve(spark, trgm_idx, "ue") == _scan(docs, "ue")
+
+
+def test_trgm_survives_full_compaction(spark, docs, trgm_idx, tmp_path):
+    """Compaction rebuilds chardict inside the atomic swap; the served
+    result is invariant."""
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        compact_posting_index,
+    )
+
+    before = _serve(spark, trgm_idx, "usto")
+    compact_posting_index(spark, trgm_idx)
+    assert os.path.isdir(os.path.join(trgm_idx, "chardict"))
+    assert _serve(spark, trgm_idx, "usto") == before
