@@ -35,6 +35,12 @@ before trusting it):
   deleting and raises ``LeaseOwnershipError`` otherwise — an
   out-of-protocol release can never silently drop a LIVE writer's
   lease (r13 verdict #4).
+- ``break_lease`` is CONDITIONAL on content (compare-and-delete):
+  the steal path removes only the exact holder it judged dead, so
+  two acquirers acting on the same stale verdict can never interleave
+  into two live writers (r14 advice #2). Object store: If-Match
+  DELETE or a conditional lock-row delete; POSIX emulates it by
+  rename-aside + verify + restore-on-mismatch.
 - ``rename`` is atomic within the namespace. Object stores have NO
   atomic rename: a backend for them must either route the swap
   protocols through a manifest pointer (write new generation dirs,
@@ -121,9 +127,19 @@ class IndexMetastore(abc.ABC):
         """(content, age_seconds) of the current lease, or None."""
 
     @abc.abstractmethod
-    def break_lease(self, lease_path: str) -> None:
-        """Unconditional delete — used only after holder_state() says
-        the holder is dead (the steal path)."""
+    def break_lease(self, lease_path: str, expected: str) -> None:
+        """CONDITIONAL delete: remove the lease only if its content
+        still equals ``expected`` (the holder the caller just judged
+        dead). An unconditional delete re-opens the steal race the
+        lease exists to close: two acquirers that both observed the
+        same dead holder can interleave — A breaks, claims, proceeds;
+        B (holding its stale 'dead' verdict) then breaks A's freshly
+        claimed LIVE lease and claims too, and both writers run. A
+        backend with compare-and-delete (lock table, If-Match DELETE)
+        implements this directly; POSIX emulates it by atomically
+        renaming the lease aside, verifying, and restoring on
+        mismatch. No-op if the lease is absent or holds other
+        content."""
 
     @abc.abstractmethod
     def release_lease(self, lease_path: str, token: str) -> None:
@@ -213,11 +229,44 @@ class LocalPosixMetastore(IndexMetastore):
         except OSError:
             return None
 
-    def break_lease(self, lease_path: str) -> None:
+    def break_lease(self, lease_path: str, expected: str) -> None:
+        # POSIX has no compare-and-delete, so emulate it with the one
+        # atomic primitive it does have: rename the lease ASIDE (a
+        # unique private name), verify the displaced content matches
+        # the holder the caller judged dead, and restore it via
+        # os.link (atomic create-if-absent) when it does not — a racer
+        # that already stole-and-reclaimed keeps its live claim. The
+        # residual window (three actors: our rename displaces a live
+        # claim AND a fourth claims before our restore) leaves the
+        # displaced holder lease-less, and its next commit/release
+        # fails LOUDLY on the ownership check — never a silent
+        # two-writer interleave.
+        import threading
+
+        aside = (
+            f"{lease_path}.break-{os.getpid()}-{threading.get_ident()}"
+        )
         try:
-            os.unlink(lease_path)
+            os.rename(lease_path, aside)
         except FileNotFoundError:
-            pass
+            return  # already broken/released — nothing to do
+        try:
+            try:
+                with open(aside, encoding="utf-8") as fh:
+                    content = fh.read()
+            except OSError:
+                content = None
+            if content is not None and content.strip() == expected.strip():
+                return  # it WAS the dead holder: the break stands
+            try:
+                os.link(aside, lease_path)  # restore the live claim
+            except FileExistsError:
+                pass  # a racer claimed the gap; see docstring
+        finally:
+            try:
+                os.unlink(aside)
+            except FileNotFoundError:
+                pass
 
     def release_lease(self, lease_path: str, token: str) -> None:
         got = self.read_lease(lease_path)
@@ -352,9 +401,18 @@ def holder_state(content: str, age: float) -> str:
                     pid = int(pid_s)
                 except ValueError:
                     pid = 0
-                if _pid_alive(pid) and _proc_start(pid) == start:
-                    return tag
-                return "dead"
+                if not _pid_alive(pid):
+                    return "dead"
+                cur = _proc_start(pid)
+                if start != "0" and cur != "0":
+                    # /proc available on both sides: EXACT liveness
+                    return tag if cur == start else "dead"
+                # /proc unavailable (non-Linux writer or reader): the
+                # start-time compare degrades to '0' == '0', which
+                # without a backstop lets pid reuse wedge the index
+                # FOREVER — strictly worse than legacy tokens. Fall
+                # back to the legacy policy: pid probe + TTL.
+                return tag if age <= LEASE_TTL_S else "dead"
             return tag if age <= LEASE_TTL_S else "dead"
         return "live" if age <= LEASE_TTL_S else "dead"
     pid = _legacy_pid(content)
@@ -390,7 +448,11 @@ def acquire_lease(
             return token  # reentrant
         state = holder_state(holder, age)
         if state == "dead":
-            store.break_lease(lease_path)
+            # conditional steal: only the EXACT content we judged dead
+            # is removed — a racer that broke-and-reclaimed in the
+            # meantime keeps its live lease (its content differs), and
+            # this loop re-reads and re-judges on the next pass
+            store.break_lease(lease_path, holder)
             continue
         if state == "recovery" and waits < RECOVERY_WAIT_TRIES:
             waits += 1

@@ -1259,6 +1259,48 @@ def _tick_store_cols(
     return tuple(cols)
 
 
+def _tick_defaults(
+    meta: dict | None,
+    path: str,
+    fields: tuple[str, ...],
+    stem: bool,
+    store_cols,
+) -> dict:
+    """The meta document a tick would ESTABLISH on a fresh path —
+    setdefault-merged by alloc_index_seqs, so an existing sidecar's
+    config always wins. Computed from the pre-alloc snapshot (cheap);
+    the tick then re-reads the authoritative sidecar UNDER the lease
+    and derives its actual layout/store config from that, because the
+    snapshot can be stale (r14 advice #1: two first-tick racers both
+    see meta=None).
+
+    meta absent: only a genuinely FRESH path takes the current layout
+    — a pre-meta legacy index (postings exist, no sidecar) must keep
+    writing dl-less v1 rows or the dataset schema-splits and the v2
+    serve reads NULL dl for legacy docs."""
+    if meta is not None:
+        layout_v = meta.get("layout_v", 1)
+        n_buckets = meta.get("n_buckets", N_TOKEN_BUCKETS)
+        n_store = meta.get("n_store_buckets", N_STORE_BUCKETS)
+        cols = meta.get("store_cols") or (
+            list(store_cols) if store_cols else None
+        )
+    else:
+        legacy = os.path.isdir(os.path.join(path, "postings"))
+        layout_v = 1 if legacy else LAYOUT_V
+        n_buckets, n_store = N_TOKEN_BUCKETS, N_STORE_BUCKETS
+        cols = list(store_cols) if store_cols else None
+    return {
+        "stem": stem,
+        "fields": list(fields),
+        "n_buckets": int(n_buckets),
+        "store_cols": cols,
+        "n_store_buckets": int(n_store),
+        "layout_v": layout_v,
+        "element_fields": [],
+    }
+
+
 def append_posting_index(
     new_docs: DataFrame,
     path: str,
@@ -1280,39 +1322,32 @@ def append_posting_index(
     On a path with no meta (first CDC tick) the call establishes the
     index config."""
     mpath = _posting_meta_path(path)
+    requested_store = store_cols
     meta = _load_meta(mpath)
+    # fast-fail a visibly mismatched tick before taking the lease
+    # (re-validated against the AUTHORITATIVE sidecar below)
     if meta is not None:
         _validate_tick_config(meta, fields, stem, tokens_col, path)
-    store_cols = _tick_store_cols(meta, new_docs, path, requested=store_cols)
-    n_buckets = (meta or {}).get("n_buckets", N_TOKEN_BUCKETS)
-    n_store = (meta or {}).get("n_store_buckets", N_STORE_BUCKETS)
-    # a tick writes the LAYOUT the index was built with: mixing dl-on-
-    # posting rows into a v1 index would leave its files schema-split
-    # meta absent: only a genuinely FRESH path (first CDC tick) takes
-    # the v2 layout — a pre-meta legacy index (postings exist, no
-    # sidecar) must keep writing dl-less v1 rows or the dataset
-    # schema-splits and the v2 serve reads NULL dl for legacy docs
-    if meta is not None:
-        layout_v = meta.get("layout_v", 1)
-    elif os.path.isdir(os.path.join(path, "postings")):
-        layout_v = 1
-    else:
-        layout_v = LAYOUT_V
+    _tick_store_cols(meta, new_docs, path, requested=requested_store)
     seq = alloc_index_seqs(
         mpath,
         1,
-        defaults={
-            "stem": stem,
-            "fields": list(fields),
-            "n_buckets": int(n_buckets),
-            "store_cols": list(store_cols) if store_cols else None,
-            "n_store_buckets": int(n_store),
-            "layout_v": layout_v,
-            "element_fields": [],
-        },
+        defaults=_tick_defaults(meta, path, fields, stem, requested_store),
         legacy_probe=("postings", "_tombstones"),
     )
     with _release_lease_on_error(mpath):
+        # config comes from the sidecar as it stands UNDER our claim —
+        # the pre-alloc snapshot is a TOCTOU (see upsert_posting_index)
+        meta = _load_meta(mpath) or {}
+        _validate_tick_config(meta, fields, stem, tokens_col, path)
+        store_cols = _tick_store_cols(
+            meta, new_docs, path, requested=requested_store
+        )
+        n_buckets = meta.get("n_buckets", N_TOKEN_BUCKETS)
+        n_store = meta.get("n_store_buckets", N_STORE_BUCKETS)
+        # a tick writes the LAYOUT the index was built with: mixing
+        # dl-on-posting rows into a v1 index would schema-split it
+        layout_v = meta.get("layout_v", 1)
         posts, lens = _posting_partials(
             new_docs, fields, id_col, stem, tokens_col, seq=seq,
             n_buckets=n_buckets, with_dl=layout_v >= 2,
@@ -1589,47 +1624,49 @@ def upsert_posting_index(
     the pre-tick view. Config validation runs before anything is
     written (a rejected upsert is a clean no-op)."""
     mpath = _posting_meta_path(path)
+    requested_store = store_cols
     meta = _load_meta(mpath)
+    # fast-fail a visibly mismatched tick before taking the lease
+    # (re-validated against the AUTHORITATIVE sidecar below)
     if meta is not None:
         _validate_tick_config(meta, fields, stem, tokens_col, path)
-    store_cols = _tick_store_cols(meta, new_docs, path, requested=store_cols)
-    n_buckets = (meta or {}).get("n_buckets", N_TOKEN_BUCKETS)
-    n_store = (meta or {}).get("n_store_buckets", N_STORE_BUCKETS)
-    # meta absent: only a genuinely FRESH path (first CDC tick) takes
-    # the v2 layout — a pre-meta legacy index (postings exist, no
-    # sidecar) must keep writing dl-less v1 rows or the dataset
-    # schema-splits and the v2 serve reads NULL dl for legacy docs
-    if meta is not None:
-        layout_v = meta.get("layout_v", 1)
-    elif os.path.isdir(os.path.join(path, "postings")):
-        layout_v = 1
-    else:
-        layout_v = LAYOUT_V
-    # a genuinely FRESH path (no sidecar, no postings — the first CDC/
-    # streaming tick) has no older doc versions for tombstones to
-    # retire: skip the write — one less per-tick job, and the serving
-    # dead-correction join stays off until real churn exists. A
-    # CRASHED first tick already left the sidecar (alloc writes it),
-    # so this branch can never skip a tombstone that matters.
-    fresh = meta is None and not os.path.isdir(
-        os.path.join(path, "postings")
-    )
+    _tick_store_cols(meta, new_docs, path, requested=requested_store)
     seq_t = alloc_index_seqs(
         mpath,
         2,
-        defaults={
-            "stem": stem,
-            "fields": list(fields),
-            "n_buckets": int(n_buckets),
-            "store_cols": list(store_cols) if store_cols else None,
-            "n_store_buckets": int(n_store),
-            "layout_v": layout_v,
-            "element_fields": [],
-        },
+        defaults=_tick_defaults(
+            meta, path, fields, stem, requested_store
+        ),
         legacy_probe=("postings", "_tombstones"),
     )
     seq_a = seq_t + 1
     with _release_lease_on_error(mpath):
+        # re-derive EVERYTHING config-shaped from the sidecar as it
+        # stands under our claim (r14 advice #1): the pre-alloc
+        # snapshot is a TOCTOU — two processes racing the first tick
+        # both see meta=None, and the loser re-allocates only after
+        # the winner commits. Deciding layout/store/freshness from
+        # the stale snapshot would skip a tombstone that matters
+        # (two live versions of any doc in both batches), write
+        # wrong-layout rows, or drop the winner's stored tier.
+        meta = _load_meta(mpath) or {}
+        _validate_tick_config(meta, fields, stem, tokens_col, path)
+        store_cols = _tick_store_cols(
+            meta, new_docs, path, requested=requested_store
+        )
+        n_buckets = meta.get("n_buckets", N_TOKEN_BUCKETS)
+        n_store = meta.get("n_store_buckets", N_STORE_BUCKETS)
+        layout_v = meta.get("layout_v", 1)
+        # a genuinely FRESH path (the first CDC/streaming tick) has no
+        # older doc versions for tombstones to retire: skip the write
+        # — one less per-tick job, and the serving dead-correction
+        # join stays off until real churn exists. Fresh iff this claim
+        # drew the counter's very first seqs (seq_t == 1 — the counter
+        # started at 0 under OUR claim, so no earlier tick can have
+        # committed) and postings/ is still absent.
+        fresh = seq_t == 1 and not os.path.isdir(
+            os.path.join(path, "postings")
+        )
         posts, lens = _posting_partials(
             new_docs, fields, id_col, stem, tokens_col, seq=seq_a,
             n_buckets=n_buckets, with_dl=layout_v >= 2,

@@ -152,6 +152,45 @@ def test_torn_tick_is_invisible_and_redelivery_heals(spark, toks, tmp_path):
     assert _df_map(spark, path) == _df_map(spark, oneshot)
 
 
+def test_first_tick_race_loser_still_tombstones(
+    spark, toks, tmp_path, monkeypatch
+):
+    """r14 advice #1 (TOCTOU): two processes race the FIRST tick of a
+    path; both read meta=None before allocating. The loser allocates
+    only after the winner commits, but deciding 'freshness' from its
+    stale pre-alloc snapshot would skip the tombstone write and leave
+    TWO live versions of any doc present in both batches (duplicate
+    fetch rows, double-counted BM25 df/tf). Freshness — and the
+    layout/store config — must be decided UNDER the lease, from the
+    sidecar as it stands after allocation."""
+    path = str(tmp_path / "idx")
+    batch = toks.filter(F.col("doc_id") < 30)
+    # the winner's first tick commits normally
+    upsert_posting_index(batch, path, tokens_col="tokens")
+    # the loser re-delivers the same docs, but its pre-alloc meta
+    # snapshot is STALE (None) — exactly what it observed before the
+    # winner committed; only the reads under the lease see the truth
+    real_load = IX._load_meta
+    calls = {"n": 0}
+
+    def stale_first(mpath):
+        calls["n"] += 1
+        return None if calls["n"] == 1 else real_load(mpath)
+
+    monkeypatch.setattr(IX, "_load_meta", stale_first)
+    upsert_posting_index(batch, path, tokens_col="tokens")
+    monkeypatch.undo()
+    # exactly one live version per doc: df/tf == the one-shot oracle
+    oneshot = str(tmp_path / "oneshot")
+    build_posting_index(batch, oneshot, tokens_col="tokens")
+    assert _df_map(spark, path) == _df_map(spark, oneshot)
+    # and the loser wrote the WINNER's layout, not its stale default
+    assert read_posting_meta(path)["layout_v"] == IX.LAYOUT_V
+    assert "dl" in spark.read.parquet(
+        os.path.join(path, "postings")
+    ).columns
+
+
 def test_upsert_survives_backwards_clock(spark, tmp_path, monkeypatch):
     """Liveness ordering comes from the persisted counter, not wall
     clock (verdict trap #2): an NTP step BACKWARDS between the

@@ -70,9 +70,13 @@ class InMemoryMetastore(MS.IndexMetastore):
                 return None
             return got[0], max(0.0, time.time() - got[1])
 
-    def break_lease(self, lease_path):
+    def break_lease(self, lease_path, expected):
+        # compare-and-delete — exactly what a lock-table backend's
+        # conditional DELETE (If-Match) does in one server-side op
         with self._lock:
-            self._files.pop(lease_path, None)
+            got = self._files.get(lease_path)
+            if got is not None and got[0].strip() == expected.strip():
+                self._files.pop(lease_path, None)
 
     def release_lease(self, lease_path, token):
         with self._lock:
@@ -279,11 +283,75 @@ def test_heartbeat_resets_age_and_ignores_non_owner(store, tmp_path):
     assert store.read_lease(lp)[1] < 5
 
 
-def test_break_lease(store, tmp_path):
+def test_break_lease_is_conditional(store, tmp_path):
     lp = str(tmp_path / "idx" / "_writer.lease")
-    store.break_lease(lp)  # absent: no-op
+    store.break_lease(lp, "dead-guy")  # absent: no-op
     assert store.try_claim_lease(lp, "dead-guy") is None
-    store.break_lease(lp)
+    # wrong expected content: the break must NOT remove the lease —
+    # this is the steal race (two acquirers judged the SAME old holder
+    # dead; the second must not break the first's fresh claim)
+    store.break_lease(lp, "someone-else")
+    assert store.read_lease(lp)[0].strip() == "dead-guy"
+    store.break_lease(lp, "dead-guy")
+    assert store.read_lease(lp) is None
+
+
+def test_break_lease_never_kills_a_reclaimed_lease(store, tmp_path):
+    """The r14-advice steal interleave, step by step: A and B both read
+    holder 'corpse' and judge it dead; A breaks and claims; B's break
+    (still conditioned on 'corpse') must leave A's live claim intact,
+    and B's subsequent claim attempt must see A as the holder."""
+    lp = str(tmp_path / "idx" / "_writer.lease")
+    assert store.try_claim_lease(lp, "corpse") is None
+    # A steals
+    store.break_lease(lp, "corpse")
+    assert store.try_claim_lease(lp, "tok-A") is None
+    # B acts on its STALE 'corpse is dead' verdict
+    store.break_lease(lp, "corpse")
+    got = store.read_lease(lp)
+    assert got is not None and got[0].strip() == "tok-A"
+    assert store.try_claim_lease(lp, "tok-B") == "tok-A"
+    store.release_lease(lp, "tok-A")
+
+
+def test_concurrent_steals_one_live_holder_losers_fail_loudly(
+    store, tmp_path
+):
+    """Many threads that all saw the same dead holder race break+claim.
+    The contract is NOT that only one claim ever succeeds (POSIX's
+    rename-aside emulation has a documented residual window where a
+    displaced claim is lost) — it is that the end state has exactly ONE
+    live holder and every other self-styled winner fails LOUDLY on its
+    next ownership-checked operation, never silently co-writes."""
+    lp = str(tmp_path / "idx" / "_writer.lease")
+    assert store.try_claim_lease(lp, "corpse") is None
+    barrier = threading.Barrier(8)
+    claimed: list[str | None] = [None] * 8
+
+    def steal(i):
+        barrier.wait()
+        store.break_lease(lp, "corpse")
+        if store.try_claim_lease(lp, f"tok-{i}") is None:
+            claimed[i] = f"tok-{i}"
+
+    threads = [threading.Thread(target=steal, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [h for h in claimed if h]
+    assert winners, "someone must have claimed the broken lease"
+    final = store.read_lease(lp)
+    assert final is not None, "the lease must survive the melee"
+    assert final[0].strip() in winners  # never 'corpse', never torn
+    for tok in winners:
+        if tok == final[0].strip():
+            continue
+        # a displaced winner's commit/release path must raise, not
+        # silently proceed as a second writer
+        with pytest.raises(LeaseOwnershipError):
+            store.release_lease(lp, tok)
+    store.release_lease(lp, final[0].strip())
     assert store.read_lease(lp) is None
 
 
@@ -341,6 +409,21 @@ def test_foreign_host_uses_ttl_not_pid():
     assert holder_state(fresh, MS.LEASE_TTL_S + 1) == "dead"
 
 
+def test_proc_less_v2_token_gets_ttl_backstop():
+    """A v2 token written where /proc was unavailable carries start
+    time '0'; the same-host compare then degrades to a bare pid probe,
+    so WITHOUT a backstop pid reuse could wedge the index forever —
+    strictly worse than legacy tokens. The policy must fall back to
+    pid probe + TTL (r14 advice #3)."""
+    import socket
+
+    procless = f"v2;{socket.gethostname()};{os.getpid()};0;77"
+    assert holder_state(procless, 0.0) == "live"  # pid alive, fresh
+    assert holder_state(procless, MS.LEASE_TTL_S + 1) == "dead"  # capped
+    dead_pid = f"v2;{socket.gethostname()};999999999;0;77"
+    assert holder_state(dead_pid, 0.0) == "dead"
+
+
 def test_legacy_and_garbage_tokens_get_ttl_backstop():
     assert holder_state("1", 0.0) == "live"  # live pid, fresh
     assert holder_state("1", MS.LEASE_TTL_S + 1) == "dead"  # pid-reuse cap
@@ -367,7 +450,7 @@ def test_acquire_reentrant_steals_dead_rejects_live(store, tmp_path):
     assert store.try_claim_lease(lp, "1") is None
     with pytest.raises(LeaseHeldError):
         acquire_lease(lp, store=store)
-    store.break_lease(lp)
+    store.break_lease(lp, "1")
 
 
 def test_acquire_waits_out_reader_recovery_claim(store, tmp_path):
