@@ -1189,6 +1189,7 @@ def build_ivfpq_index(
     from ..metastore import get_metastore
     from ..search.index import (
         _acquire_writer_lease,
+        _lease_heartbeats,
         _lease_path,
         _lease_token,
         _release_lease_on_error,
@@ -1197,7 +1198,7 @@ def build_ivfpq_index(
 
     mpath = _ivfpq_meta_path(path)
     _acquire_writer_lease(mpath)
-    with _release_lease_on_error(mpath):
+    with _release_lease_on_error(mpath), _lease_heartbeats(mpath):
         store = get_metastore()
         tmp = f"{path}.build-{os.getpid()}"
         store.remove_tree(tmp)
@@ -1271,6 +1272,7 @@ def append_ivfpq_index(
     sidecar commit: a crash mid-append is invisible, and a re-delivered
     batch lands under fresh seqs with the orphans fenced dead."""
     from ..search.index import (
+        _lease_heartbeats,
         _release_lease_on_error,
         alloc_index_seqs,
         commit_index_seq,
@@ -1281,7 +1283,7 @@ def append_ivfpq_index(
     n_store = _ivfpq_meta(path).get("n_store_buckets", 16)
     mpath = _ivfpq_meta_path(path)
     seq = alloc_index_seqs(mpath, 1, legacy_probe=("_SUCCESS",))
-    with _release_lease_on_error(mpath):
+    with _release_lease_on_error(mpath), _lease_heartbeats(mpath):
         # both writes read only the batch and are invisible until the
         # commit — run them concurrently (the posting-tick pool
         # discipline: per-tick wall is the largest write, not the sum)
@@ -1332,6 +1334,7 @@ def delete_from_ivfpq_index(
     import os
 
     from ..search.index import (
+        _lease_heartbeats,
         _release_lease_on_error,
         alloc_index_seqs,
         commit_index_seq,
@@ -1339,7 +1342,7 @@ def delete_from_ivfpq_index(
 
     mpath = _ivfpq_meta_path(path)
     seq = alloc_index_seqs(mpath, 1, legacy_probe=("_SUCCESS",))
-    with _release_lease_on_error(mpath):
+    with _release_lease_on_error(mpath), _lease_heartbeats(mpath):
         ids.select(
             F.col(id_col), F.lit(int(seq)).cast("long").alias("seq")
         ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
@@ -1360,6 +1363,7 @@ def upsert_ivfpq_index(
     import os
 
     from ..search.index import (
+        _lease_heartbeats,
         _release_lease_on_error,
         alloc_index_seqs,
         commit_index_seq,
@@ -1371,7 +1375,7 @@ def upsert_ivfpq_index(
     mpath = _ivfpq_meta_path(path)
     seq_t = alloc_index_seqs(mpath, 2, legacy_probe=("_SUCCESS",))
     seq_a = seq_t + 1
-    with _release_lease_on_error(mpath):
+    with _release_lease_on_error(mpath), _lease_heartbeats(mpath):
         # tombstones, codes, and the stored tier are all batch-derived
         # and invisible until the single commit — one concurrent pool
         def w_tombstones():
@@ -1425,11 +1429,16 @@ def compact_ivfpq_index(spark, path: str, id_col: str = "vec_id") -> None:
     committing mid-pass would otherwise have its watermark bump
     silently replaced by the stale copy (rows invisible AND their seqs
     re-allocatable: corruption, not staleness)."""
-    from ..search.index import _acquire_writer_lease, _release_writer_lease
+    from ..search.index import (
+        _acquire_writer_lease,
+        _lease_heartbeats,
+        _release_writer_lease,
+    )
 
     _acquire_writer_lease(_ivfpq_meta_path(path))
     try:
-        _compact_ivfpq_locked(spark, path, id_col)
+        with _lease_heartbeats(_ivfpq_meta_path(path)):
+            _compact_ivfpq_locked(spark, path, id_col)
     finally:
         _release_writer_lease(_ivfpq_meta_path(path))
 

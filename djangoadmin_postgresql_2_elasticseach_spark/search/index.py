@@ -418,6 +418,55 @@ def _heartbeat_writer_lease(meta_path: str) -> None:
     get_metastore().heartbeat_lease(_lease_path(meta_path), _lease_token())
 
 
+def _lease_heartbeats(meta_path: str, interval: float | None = None):
+    """Context manager: a daemon thread refreshes the writer lease
+    every TTL/3 for the life of the block. Long INGEST passes need
+    this (r14 what's-wrong #2): only compactions heartbeat per folded
+    leaf, but an initial build or a bulk tick is often ONE Spark write
+    — at 100 TB potentially hours — during which the owning thread is
+    blocked inside py4j and cannot beat per-write. Without a beat, a
+    foreign host on shared storage reads the lease as TTL-dead at
+    LEASE_TTL_S and steals mid-write, re-opening the torn-writer
+    window the lease exists to close. The token is captured on the
+    OWNING thread (tokens are per-thread; a pool thread's token would
+    make the beat a silent no-op)."""
+    import contextlib
+    import threading
+
+    from .. import metastore as _ms
+
+    token = _lease_token()
+    lp = _lease_path(meta_path)
+    # read the TTL dynamically so tests (and deployments) that shrink
+    # it get proportionally faster beats
+    wait_s = interval if interval is not None else max(
+        0.2, _ms.LEASE_TTL_S / 3.0
+    )
+
+    @contextlib.contextmanager
+    def guard():
+        stop = threading.Event()
+
+        def beat():
+            while not stop.wait(wait_s):
+                try:
+                    get_metastore().heartbeat_lease(lp, token)
+                except OSError:
+                    pass  # storage hiccup — the next beat retries
+
+        t = threading.Thread(
+            target=beat, name="index-lease-heartbeat", daemon=True
+        )
+        t.start()
+        try:
+            yield
+        finally:
+            stop.set()
+            t.join(timeout=2.0)
+
+    return guard()
+
+
 def _release_lease_on_error(meta_path: str):
     """Context manager for the span between alloc and commit: a tick
     whose writes fail releases the lease before re-raising — its orphan
@@ -1150,7 +1199,8 @@ def build_posting_index(
     # release the lease, not wedge every other writer on this host for
     # the life of this process (r13 advice #2).
     _acquire_writer_lease(_posting_meta_path(path))
-    with _release_lease_on_error(_posting_meta_path(path)):
+    with _release_lease_on_error(_posting_meta_path(path)), \
+            _lease_heartbeats(_posting_meta_path(path)):
         shutil.rmtree(os.path.join(path, "_tombstones"), ignore_errors=True)
         if not store_cols:
             # a rebuild that drops the stored tier must remove the
@@ -1335,7 +1385,7 @@ def append_posting_index(
         defaults=_tick_defaults(meta, path, fields, stem, requested_store),
         legacy_probe=("postings", "_tombstones"),
     )
-    with _release_lease_on_error(mpath):
+    with _release_lease_on_error(mpath), _lease_heartbeats(mpath):
         # config comes from the sidecar as it stands UNDER our claim —
         # the pre-alloc snapshot is a TOCTOU (see upsert_posting_index)
         meta = _load_meta(mpath) or {}
@@ -1596,7 +1646,7 @@ def delete_from_posting_index(
     # doc_id keeps the caller's key type (long testdata ids, the
     # reference's UUID strings) — the liveness join must type-match the
     # postings' doc_id
-    with _release_lease_on_error(mpath):
+    with _release_lease_on_error(mpath), _lease_heartbeats(mpath):
         doc_ids.select(
             F.col(id_col).alias("doc_id"),
             F.lit(int(seq)).cast("long").alias("seq"),
@@ -1640,7 +1690,7 @@ def upsert_posting_index(
         legacy_probe=("postings", "_tombstones"),
     )
     seq_a = seq_t + 1
-    with _release_lease_on_error(mpath):
+    with _release_lease_on_error(mpath), _lease_heartbeats(mpath):
         # re-derive EVERYTHING config-shaped from the sidecar as it
         # stands under our claim (r14 advice #1): the pre-alloc
         # snapshot is a TOCTOU — two processes racing the first tick
@@ -1832,114 +1882,124 @@ def compact_posting_index(spark: SparkSession, path: str) -> None:
     the rewrite and its only committed copy deleted with the old
     generation). Also MIGRATES v1 indexes to layout v2: dl is
     recomputed onto every posting row and the per-field stats fold
-    into the meta sidecar (the stats/ dataset is retired)."""
-    from ..session import free_local_checkpoint
+    into the meta sidecar (the stats/ dataset is retired).
 
+    A daemon heartbeat covers the WHOLE pass (r14 what's-wrong #2):
+    the per-stage beats below refresh between Spark jobs, but a single
+    O(index) rewrite job can outlast the TTL on its own."""
     mpath = _posting_meta_path(path)
     _acquire_writer_lease(mpath)
     try:
-        _recover_folds(path)
-        _heartbeat_writer_lease(mpath)
-        meta = read_posting_meta(path)
-        committed = int(meta.get("committed_seq") or 0)
-        posts = read_postings(spark, path)
-        if "dl" not in posts.columns:
-            # v1 → v2 migration: the live rows gain dl here, once
-            from pyspark.sql import Window
-
-            posts = posts.withColumn(
-                "dl", F.sum("tf").over(Window.partitionBy("field", "doc_id"))
-            )
-        posts = posts.localCheckpoint(eager=True)
-        lens = read_doclens(spark, path).localCheckpoint(eager=True)
-        tmp = f"{path}.compact-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        posts.repartition("field", "tkb").sortWithinPartitions(
-            "field", "tkb", "token"
-        ).write.mode("overwrite").partitionBy("field", "tkb").parquet(
-            os.path.join(tmp, "postings")
-        )
-        lens.repartition("field").sortWithinPartitions(
-            "field", "doc_id"
-        ).write.mode("overwrite").partitionBy("field").parquet(
-            os.path.join(tmp, "doclens")
-        )
-        field_stats = {
-            r["field"]: [int(r["n_docs"]), int(r["sum_dl"] or 0)]
-            for r in lens.groupBy("field")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("dl").alias("sum_dl"),
-            )
-            .collect()
-        }
-        for f in meta.get("fields") or []:
-            field_stats.setdefault(f, [0, 0])
-        posts.select(
-            "token", F.lit(committed).cast("long").alias("seq"), "field"
-        ).distinct().withColumn(
-            "tlen", _tlen_band(F.col("token"))
-        ).repartition("field", "tlen").sortWithinPartitions(
-            "field", "tlen", "token"
-        ).write.mode("overwrite").partitionBy("field", "tlen").parquet(
-            os.path.join(tmp, "termdict")
-        )
-        if meta.get("char_ngrams"):
-            # the trigram dictionary rides the swap, rebuilt from the
-            # live terms (tokens whose last doc died are retired here,
-            # exactly like termdict)
-            posts.select(
-                "token", F.lit(committed).cast("long").alias("seq"), "field"
-            ).distinct().select(
-                F.explode(_token_grams("token")).alias("gram"),
-                "token", "seq", "field",
-            ).withColumn(
-                "gkb", _token_bucket(F.col("gram"), int(meta["char_ngrams"]))
-            ).repartition("field", "gkb").sortWithinPartitions(
-                "field", "gkb", "gram", "token"
-            ).write.mode("overwrite").partitionBy("field", "gkb").parquet(
-                os.path.join(tmp, "chardict")
-            )
-        if os.path.isdir(os.path.join(path, "docstore")):
-            # the stored-fields tier rides the swap: live payload rows
-            # only (dead doc versions leave with their postings)
-            store = _apply_tombstones(
-                spark, path,
-                spark.read.parquet(os.path.join(path, "docstore")),
-                meta=meta,
-            ).localCheckpoint(eager=True)
-            store.repartition("dsb").sortWithinPartitions(
-                "dsb", "doc_id"
-            ).write.mode("overwrite").partitionBy("dsb").parquet(
-                os.path.join(tmp, "docstore")
-            )
-            free_local_checkpoint(store)
-        free_local_checkpoint(posts)
-        free_local_checkpoint(lens)
-        _heartbeat_writer_lease(mpath)
-        _write_meta(
-            _posting_meta_path(tmp),
-            {
-                **meta,
-                "dead_ranges": [],
-                "layout_v": LAYOUT_V,
-                "field_stats": field_stats,
-            },
-        )
-        # carry the lease INTO the new generation before the swap: the
-        # swapped-in directory holds our claim from its first instant,
-        # so no window exists where the live path is lease-less and a
-        # racing tick could acquire mid-swap (r13 advice #4 pattern)
-        store = get_metastore()
-        store.put_text(
-            _lease_path(_posting_meta_path(tmp)), _lease_token()
-        )
-        old = f"{path}.compact-old-{os.getpid()}"
-        store.rename(path, old)
-        store.rename(tmp, path)
-        store.remove_tree(old)
+        with _lease_heartbeats(mpath):
+            return _compact_posting_locked(spark, path)
     finally:
         _release_writer_lease(mpath)
+
+
+def _compact_posting_locked(spark: SparkSession, path: str) -> None:
+    from ..session import free_local_checkpoint
+
+    mpath = _posting_meta_path(path)
+    _recover_folds(path)
+    _heartbeat_writer_lease(mpath)
+    meta = read_posting_meta(path)
+    committed = int(meta.get("committed_seq") or 0)
+    posts = read_postings(spark, path)
+    if "dl" not in posts.columns:
+        # v1 → v2 migration: the live rows gain dl here, once
+        from pyspark.sql import Window
+
+        posts = posts.withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy("field", "doc_id"))
+        )
+    posts = posts.localCheckpoint(eager=True)
+    lens = read_doclens(spark, path).localCheckpoint(eager=True)
+    tmp = f"{path}.compact-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    posts.repartition("field", "tkb").sortWithinPartitions(
+        "field", "tkb", "token"
+    ).write.mode("overwrite").partitionBy("field", "tkb").parquet(
+        os.path.join(tmp, "postings")
+    )
+    lens.repartition("field").sortWithinPartitions(
+        "field", "doc_id"
+    ).write.mode("overwrite").partitionBy("field").parquet(
+        os.path.join(tmp, "doclens")
+    )
+    field_stats = {
+        r["field"]: [int(r["n_docs"]), int(r["sum_dl"] or 0)]
+        for r in lens.groupBy("field")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
+        .collect()
+    }
+    for f in meta.get("fields") or []:
+        field_stats.setdefault(f, [0, 0])
+    posts.select(
+        "token", F.lit(committed).cast("long").alias("seq"), "field"
+    ).distinct().withColumn(
+        "tlen", _tlen_band(F.col("token"))
+    ).repartition("field", "tlen").sortWithinPartitions(
+        "field", "tlen", "token"
+    ).write.mode("overwrite").partitionBy("field", "tlen").parquet(
+        os.path.join(tmp, "termdict")
+    )
+    if meta.get("char_ngrams"):
+        # the trigram dictionary rides the swap, rebuilt from the
+        # live terms (tokens whose last doc died are retired here,
+        # exactly like termdict)
+        posts.select(
+            "token", F.lit(committed).cast("long").alias("seq"), "field"
+        ).distinct().select(
+            F.explode(_token_grams("token")).alias("gram"),
+            "token", "seq", "field",
+        ).withColumn(
+            "gkb", _token_bucket(F.col("gram"), int(meta["char_ngrams"]))
+        ).repartition("field", "gkb").sortWithinPartitions(
+            "field", "gkb", "gram", "token"
+        ).write.mode("overwrite").partitionBy("field", "gkb").parquet(
+            os.path.join(tmp, "chardict")
+        )
+    if os.path.isdir(os.path.join(path, "docstore")):
+        # the stored-fields tier rides the swap: live payload rows
+        # only (dead doc versions leave with their postings)
+        store = _apply_tombstones(
+            spark, path,
+            spark.read.parquet(os.path.join(path, "docstore")),
+            meta=meta,
+        ).localCheckpoint(eager=True)
+        store.repartition("dsb").sortWithinPartitions(
+            "dsb", "doc_id"
+        ).write.mode("overwrite").partitionBy("dsb").parquet(
+            os.path.join(tmp, "docstore")
+        )
+        free_local_checkpoint(store)
+    free_local_checkpoint(posts)
+    free_local_checkpoint(lens)
+    _heartbeat_writer_lease(mpath)
+    _write_meta(
+        _posting_meta_path(tmp),
+        {
+            **meta,
+            "dead_ranges": [],
+            "layout_v": LAYOUT_V,
+            "field_stats": field_stats,
+        },
+    )
+    # carry the lease INTO the new generation before the swap: the
+    # swapped-in directory holds our claim from its first instant,
+    # so no window exists where the live path is lease-less and a
+    # racing tick could acquire mid-swap (r13 advice #4 pattern)
+    store = get_metastore()
+    store.put_text(
+        _lease_path(_posting_meta_path(tmp)), _lease_token()
+    )
+    old = f"{path}.compact-old-{os.getpid()}"
+    store.rename(path, old)
+    store.rename(tmp, path)
+    store.remove_tree(old)
 
 
 def _leaf_partition_dirs(root: str) -> list[str]:
@@ -2099,7 +2159,8 @@ def compact_posting_index_tiered(
     mpath = _posting_meta_path(path)
     _acquire_writer_lease(mpath)
     try:
-        _compact_tiered_locked(spark, path, max_files)
+        with _lease_heartbeats(mpath):
+            _compact_tiered_locked(spark, path, max_files)
     finally:
         _release_writer_lease(mpath)
 

@@ -152,6 +152,67 @@ def test_torn_tick_is_invisible_and_redelivery_heals(spark, toks, tmp_path):
     assert _df_map(spark, path) == _df_map(spark, oneshot)
 
 
+def test_long_ingest_heartbeats_keep_lease_ttl_fresh(
+    spark, toks, tmp_path, monkeypatch
+):
+    """r14 what's-wrong #2: a long build/tick with the index on shared
+    storage must HEARTBEAT its lease — a foreign host judges liveness
+    purely by TTL, and a silent >TTL ingest reads as dead and gets
+    stolen mid-write. With the TTL shrunk below the build duration, a
+    sampler must never observe the lease older than the TTL, and a
+    foreign host's verdict (TTL policy, simulated by swapping the
+    hostname in the token) must stay 'live' for the whole pass."""
+    import threading
+    import time as _time
+
+    import djangoadmin_postgresql_2_elasticseach_spark.metastore as MS
+
+    monkeypatch.setattr(MS, "LEASE_TTL_S", 1.5)
+    path = str(tmp_path / "idx")
+    lp = IX._lease_path(IX._posting_meta_path(path))
+    store = MS.get_metastore()
+    stop = threading.Event()
+    seen: list[float] = []
+    violations: list[str] = []
+
+    def sample():
+        while not stop.wait(0.1):
+            got = store.read_lease(lp)
+            if got is None:
+                continue
+            content, age = got
+            seen.append(age)
+            if age > MS.LEASE_TTL_S:
+                violations.append(f"lease age {age:.2f}s > TTL")
+            foreign = content.strip().replace(
+                MS.socket.gethostname(), "some-other-host", 1
+            )
+            if MS.holder_state(foreign, age) != "live":
+                violations.append(
+                    f"foreign host judged holder dead at age {age:.2f}s"
+                )
+
+    t = threading.Thread(target=sample, daemon=True)
+    t.start()
+    t0 = _time.time()
+    build_posting_index(
+        toks.filter(F.col("doc_id") < 30), path, tokens_col="tokens"
+    )
+    upsert_posting_index(
+        toks.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+        path, tokens_col="tokens",
+    )
+    elapsed = _time.time() - t0
+    stop.set()
+    t.join(timeout=2)
+    assert not violations, violations
+    # the scenario must be real: the pass outlived the TTL and the
+    # sampler actually observed the lease
+    assert elapsed > MS.LEASE_TTL_S
+    assert seen, "sampler never saw the lease"
+    assert store.read_lease(lp) is None  # released at commit
+
+
 def test_first_tick_race_loser_still_tombstones(
     spark, toks, tmp_path, monkeypatch
 ):
