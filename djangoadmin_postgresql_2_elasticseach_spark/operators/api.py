@@ -100,17 +100,45 @@ def paginate(listing: DataFrame, page: int = 1, page_size: int = 50) -> dict:
     }
 
 
-def film_detail(listing: DataFrame, pk_fragment: str) -> dict | None:
+def film_detail(
+    listing: DataFrame,
+    pk_fragment: str,
+    spark=None,
+    index_path: str | None = None,
+) -> dict | None:
     """Detail endpoint (reference views.py:92-93): case-insensitive
     CONTAINS on the stringified pk — the reference's odd ``icontains``
-    semantics preserved — first match in id order."""
-    row = (
-        listing.filter(
+    semantics preserved — first match in id order.
+
+    With ``spark`` + ``index_path`` (an unstemmed index whose indexed
+    field is the stringified pk, pk stored), the fragment lookup
+    dispatches to the index tier: candidate ids come from the pruned
+    dictionary probe and the listing is SEMI-JOINED on exact ids
+    (broadcast — candidate-sized) instead of contains-scanned. Any
+    precondition ValueError falls back to the literal scan, so the
+    endpoint's semantics never change."""
+    base = None
+    if index_path is not None and spark is not None:
+        from ..search.index import icontains_from_index
+
+        try:
+            hits = icontains_from_index(
+                spark, index_path, pk_fragment.lower(), field="id"
+            )
+            base = listing.join(
+                F.broadcast(
+                    hits.select(F.col("doc_id").cast("string").alias("id"))
+                ),
+                "id",
+                "left_semi",
+            )
+        except ValueError:
+            base = None  # precondition miss — scan below
+    if base is None:
+        base = listing.filter(
             F.lower(F.col("id")).contains(pk_fragment.lower())
         )
-        .orderBy("id")
-        .first()
-    )
+    row = base.orderBy("id").first()
     return row.asDict() if row else None
 
 
@@ -140,3 +168,45 @@ def admin_filter(
     if created_to is not None:
         out = out.filter(F.col("created") < F.lit(created_to).cast("timestamp"))
     return out
+
+
+def icontains_auto(
+    spark,
+    docs: DataFrame,
+    fragment: str,
+    field: str = "text",
+    index_path: str | None = None,
+    id_col: str = "doc_id",
+    **index_kw,
+) -> DataFrame:
+    """Admin icontains (reference admin.py:21 / views.py:92 — ``ILIKE
+    '%q%'``) with AUTOMATIC plan dispatch: serve from the index tier
+    (search/index.icontains_from_index — candidate terms from the
+    trigram/termdict dictionaries → pruned posting probe → docstore
+    fetch → residual verify, zero corpus reads) when the index's
+    exactness preconditions hold, and fall back to the literal corpus
+    scan on any precondition ValueError (stemmed index, multi-run or
+    stopword-substring fragment, unselective fragment past
+    max_candidate_terms, field not stored). The two plans return
+    identical rows by the serve path's exactness argument, so the API
+    layer gets the index's O(fragment-buckets) read at scale without
+    giving up the reference's semantics on the awkward inputs.
+
+    Returns ``(id_col, field)`` rows — the scan branch projects the
+    same two columns so callers (and the parity test) see one schema
+    regardless of which plan served."""
+    if index_path is not None:
+        from ..search.index import icontains_from_index
+
+        try:
+            hits = icontains_from_index(
+                spark, index_path, fragment, field=field, **index_kw
+            )
+            if id_col != "doc_id":
+                hits = hits.withColumnRenamed("doc_id", id_col)
+            return hits
+        except ValueError:
+            pass  # precondition miss — the scan IS the right plan
+    return docs.filter(
+        F.lower(F.col(field).cast("string")).contains(fragment.lower())
+    ).select(id_col, field)

