@@ -1,4 +1,15 @@
-.PHONY: test test-full bench smoke lint
+.PHONY: test test-full test-norename bench smoke lint
+
+# the object-store semantics gate (r15): the full index / docstore /
+# IVF-PQ / compaction suites against the rename-less backend
+# (metastore.NoRenameMetastore — generation-pointer swaps, no atomic
+# rename anywhere). Proves the durability protocols' cloud form.
+test-norename:
+	SPARK_GRAFT_METASTORE=norename python -m pytest \
+	  tests/test_metastore_contract.py tests/test_metastore_norename.py \
+	  tests/test_index_commits.py tests/test_index_v2.py \
+	  tests/test_docstore.py tests/test_ivfpq_store.py tests/test_pq.py \
+	  tests/test_icontains_index.py tests/test_search_index.py -q
 
 # fast suite: oracle parity at sf0.001 + unit/property/plan/streaming tests
 test:

@@ -105,9 +105,23 @@ class LeaseHeldError(RuntimeError):
     """The lease is held by a live foreign writer."""
 
 
+class RenameUnsupported(OSError):
+    """This backend has no atomic rename (the object-store reality).
+    Protocol code must route swaps through the manifest-pointer
+    generation scheme instead of catching and retrying this."""
+
+
 class IndexMetastore(abc.ABC):
     """Metadata/lock/namespace backend for the index tiers. See module
-    docstring for the semantic contract each method must satisfy."""
+    docstring for the semantic contract each method must satisfy.
+
+    ``supports_rename``: whether ``rename`` is atomic-and-available.
+    Object stores answer False, and the index swap protocols then use
+    their GENERATION form — write a complete new generation directory,
+    CAS the sidecar's generation pointer (one ``publish_meta``), delete
+    the superseded generation — instead of the two-rename dance."""
+
+    supports_rename: bool = True
 
     # -- manifest sidecar -------------------------------------------------
     @abc.abstractmethod
@@ -311,7 +325,42 @@ class LocalPosixMetastore(IndexMetastore):
             fh.write(content)
 
 
-_STORE: IndexMetastore = LocalPosixMetastore()
+class NoRenameMetastore(LocalPosixMetastore):
+    """LocalPosixMetastore MINUS atomic rename — the object-store
+    semantics profile, runnable on a local filesystem. publish_meta
+    stays a whole-document CAS (= conditional PUT of a single object),
+    try_claim_lease stays create-if-absent-with-content (= If-None-
+    Match PUT), break_lease stays compare-and-delete; ``rename``
+    RAISES. Exists to PROVE the index tiers' durability protocols
+    never need a rename: with this backend installed
+    (``set_metastore(NoRenameMetastore())`` or
+    ``SPARK_GRAFT_METASTORE=norename``), every swap — full compaction,
+    staged IVF-PQ rebuild, posting rebuild — runs its GENERATION form:
+    stage a complete new generation directory under the index root,
+    CAS the sidecar's ``generation`` pointer, delete the superseded
+    generation. A crash anywhere leaves the pointer on a complete
+    generation; unreferenced generation debris is reclaimed under the
+    writer lease by the next maintenance pass. The full index /
+    docstore / IVF-PQ / compaction test suites run against this
+    backend in CI (make test-norename)."""
+
+    name = "norename-posix"
+    supports_rename = False
+
+    def rename(self, src: str, dst: str) -> None:
+        raise RenameUnsupported(
+            f"{self.name}: no atomic rename ({src!r} -> {dst!r}) — "
+            "object-store semantics; use the generation-pointer swap"
+        )
+
+
+def _default_store() -> IndexMetastore:
+    if os.environ.get("SPARK_GRAFT_METASTORE", "").lower() == "norename":
+        return NoRenameMetastore()
+    return LocalPosixMetastore()
+
+
+_STORE: IndexMetastore = _default_store()
 
 
 def get_metastore() -> IndexMetastore:

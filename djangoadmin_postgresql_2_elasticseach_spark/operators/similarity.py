@@ -983,6 +983,51 @@ def read_ivfpq_meta(path: str) -> tuple[list, list]:
     return meta["codebooks"], meta["planes"]
 
 
+def _ivfpq_root(path: str, meta: dict | None = None) -> str:
+    """Physical root of the codes table: ``path`` itself until a
+    no-rename generation swap moves the pointer (search/index._gen_root
+    — the manifest-pointer form of the metastore contract). Readers
+    resolve through the sidecar's ``generation``; POSIX indexes never
+    set it, so their plans are unchanged."""
+    import os
+
+    from ..search.index import _gen_root
+
+    if meta is None:
+        meta = (
+            _ivfpq_meta(path)
+            if os.path.exists(_ivfpq_meta_path(path))
+            else None
+        )
+    return _gen_root(path, meta)
+
+
+def _ivfpq_reclaim(path: str, keep: int) -> None:
+    """Remove superseded generations (and, once the pointer left the
+    bare root, the root-level codes/docstore/tombstones a pre-swap
+    history left). Under the writer lease only, after the pointer
+    publish."""
+    import os
+
+    from ..metastore import get_metastore
+
+    store = get_metastore()
+    try:
+        entries = store.listdir(path)
+    except OSError:
+        return
+    for d in entries:
+        if d.startswith("_gen-") and d != f"_gen-{int(keep)}":
+            store.remove_tree(os.path.join(path, d))
+    if keep:
+        for d in entries:
+            if (
+                d.startswith("bucket=")
+                or d in ("_docstore", "_tombstones", "_SUCCESS")
+            ):
+                store.remove_tree(os.path.join(path, d))
+
+
 def _ivfpq_store_batch(
     emb: DataFrame,
     id_col: str,
@@ -1045,7 +1090,9 @@ def ivfpq_fetch_payload(
             "it with store_cols to serve payload from the index"
         )
     ids = list(ids)
-    store = spark.read.parquet(os.path.join(path, "_docstore")).filter(
+    store = spark.read.parquet(
+        os.path.join(_ivfpq_root(path, meta), "_docstore")
+    ).filter(
         F.col("vsb").isin(store_buckets(ids, meta.get("n_store_buckets", 16)))
         & F.col(id_col).isin(ids)
     )
@@ -1085,7 +1132,9 @@ def ivfpq_topk_stored(
         # typed-empty with the STORE's real payload schema (string
         # guesses would schema-split against the non-empty case)
         empty = (
-            spark.read.parquet(os.path.join(path, "_docstore"))
+            spark.read.parquet(
+                os.path.join(_ivfpq_root(path, meta), "_docstore")
+            )
             .drop("seq", "vsb")
             .filter(F.lit(False))
         )
@@ -1200,6 +1249,44 @@ def build_ivfpq_index(
     _acquire_writer_lease(mpath)
     with _release_lease_on_error(mpath), _lease_heartbeats(mpath):
         store = get_metastore()
+        if not store.supports_rename:
+            # GENERATION form (no atomic rename): stage the complete
+            # new generation under the root, publish the sidecar (the
+            # pointer CAS **is** the swap — a crash before it leaves
+            # the old generation served, after it leaves reclaimable
+            # debris), then reclaim superseded generations under the
+            # lease. The lease file at the root is untouched, so no
+            # lease-carry is needed. A genuinely FRESH path (no
+            # sidecar) needs no swap: write at the bare root exactly
+            # like POSIX — a crash mid-build leaves no sidecar, which
+            # reads as no index (loud), never a torn one.
+            has_data = os.path.exists(mpath) or (
+                store.exists(path)
+                and any(
+                    d.startswith(("bucket=", "_gen-")) or d == "_SUCCESS"
+                    for d in store.listdir(path)
+                )
+            )
+            if not has_data:
+                groot, gen = path, 0
+            else:
+                prev_gen = 0
+                if os.path.exists(mpath):
+                    prev_gen = int(
+                        _ivfpq_meta(path).get("generation") or 0
+                    )
+                gen = prev_gen + 1
+                groot = os.path.join(path, f"_gen-{gen}")
+                store.remove_tree(groot)
+            planes = _build_ivfpq_staged(
+                emb, groot, codebooks, id_col, vec_col, n_planes,
+                store_cols, n_store_buckets, meta_path=mpath,
+                generation=gen,
+            )
+            if gen:
+                _ivfpq_reclaim(path, gen)
+            _release_writer_lease(mpath)
+            return planes
         tmp = f"{path}.build-{os.getpid()}"
         store.remove_tree(tmp)
         planes = _build_ivfpq_staged(
@@ -1219,8 +1306,13 @@ def build_ivfpq_index(
 
 def _build_ivfpq_staged(
     emb, path, codebooks, id_col, vec_col, n_planes, store_cols,
-    n_store_buckets,
+    n_store_buckets, meta_path: str | None = None, generation: int = 0,
 ):
+    """Write one complete index generation into ``path``. POSIX
+    staging passes the default meta_path (sidecar INSIDE the staging
+    dir — the rename carries it); the generation form passes the LIVE
+    sidecar path plus the generation number, making the publish itself
+    the pointer swap."""
     from ..metastore import get_metastore
 
     m = len(codebooks)
@@ -1238,10 +1330,12 @@ def _build_ivfpq_staged(
             emb, id_col, tuple(store_cols), 1, path, "overwrite",
             n_store_buckets,
         )
-    # meta lands AFTER the data within the staging dir: a crash in
-    # between leaves no sidecar there and the LIVE path untouched
+    # meta lands AFTER the data: a crash in between leaves no new
+    # sidecar (POSIX: none in the staging dir; generation form: the
+    # pointer still on the previous generation) and the LIVE view
+    # untouched
     get_metastore().publish_meta(
-        _ivfpq_meta_path(path),
+        meta_path or _ivfpq_meta_path(path),
         {
             "codebooks": codebooks,
             "planes": planes,
@@ -1250,6 +1344,7 @@ def _build_ivfpq_staged(
             "next_seq": 1,
             "committed_seq": 1,
             "dead_ranges": [],
+            **({"generation": int(generation)} if generation else {}),
         },
     )
     return planes
@@ -1284,6 +1379,8 @@ def append_ivfpq_index(
     mpath = _ivfpq_meta_path(path)
     seq = alloc_index_seqs(mpath, 1, legacy_probe=("_SUCCESS",))
     with _release_lease_on_error(mpath), _lease_heartbeats(mpath):
+        root = _ivfpq_root(path)
+
         # both writes read only the batch and are invisible until the
         # commit — run them concurrently (the posting-tick pool
         # discipline: per-tick wall is the largest write, not the sum)
@@ -1293,14 +1390,14 @@ def append_ivfpq_index(
                 .repartition("bucket")
                 .write.mode("append")
                 .partitionBy("bucket")
-                .parquet(path)
+                .parquet(root)
             )
 
         writes = [w_codes]
         if store_cols:
             writes.append(
                 lambda: _ivfpq_store_batch(
-                    new_emb, id_col, tuple(store_cols), seq, path, "append",
+                    new_emb, id_col, tuple(store_cols), seq, root, "append",
                     n_store,
                 )
             )
@@ -1345,7 +1442,9 @@ def delete_from_ivfpq_index(
     with _release_lease_on_error(mpath), _lease_heartbeats(mpath):
         ids.select(
             F.col(id_col), F.lit(int(seq)).cast("long").alias("seq")
-        ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
+        ).write.mode("append").parquet(
+            os.path.join(_ivfpq_root(path), "_tombstones")
+        )
         commit_index_seq(mpath, seq)
 
 
@@ -1376,12 +1475,16 @@ def upsert_ivfpq_index(
     seq_t = alloc_index_seqs(mpath, 2, legacy_probe=("_SUCCESS",))
     seq_a = seq_t + 1
     with _release_lease_on_error(mpath), _lease_heartbeats(mpath):
+        root = _ivfpq_root(path)
+
         # tombstones, codes, and the stored tier are all batch-derived
         # and invisible until the single commit — one concurrent pool
         def w_tombstones():
             new_emb.select(
                 F.col(id_col), F.lit(int(seq_t)).cast("long").alias("seq")
-            ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
+            ).write.mode("append").parquet(
+                os.path.join(root, "_tombstones")
+            )
 
         def w_codes():
             (
@@ -1391,14 +1494,14 @@ def upsert_ivfpq_index(
                 .repartition("bucket")
                 .write.mode("append")
                 .partitionBy("bucket")
-                .parquet(path)
+                .parquet(root)
             )
 
         writes = [w_tombstones, w_codes]
         if store_cols:
             writes.append(
                 lambda: _ivfpq_store_batch(
-                    new_emb, id_col, tuple(store_cols), seq_a, path, "append",
+                    new_emb, id_col, tuple(store_cols), seq_a, root, "append",
                     n_store,
                 )
             )
@@ -1451,24 +1554,35 @@ def _compact_ivfpq_locked(spark, path: str, id_col: str) -> None:
     from ..search.index import _apply_tombstones, _read_or_empty
     from ..session import free_local_checkpoint
 
+    from ..metastore import get_metastore
+    from ..search.index import _lease_path, _lease_token
+
+    ms = get_metastore()
     meta = _ivfpq_meta(path)
+    cur_root = _ivfpq_root(path, meta)
     raw = _read_or_empty(
-        spark, path, f"{id_col} long, codes array<int>, seq long, bucket string"
+        spark, cur_root,
+        f"{id_col} long, codes array<int>, seq long, bucket string",
     )
     live = _apply_tombstones(
         spark, path, raw, key=id_col, meta=meta
     ).localCheckpoint(eager=True)
-    tmp = f"{path}.compact-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
+    if ms.supports_rename:
+        new_gen = 0
+        tmp = f"{path}.compact-{os.getpid()}"
+    else:
+        new_gen = int(meta.get("generation") or 0) + 1
+        tmp = os.path.join(path, f"_gen-{new_gen}")
+    ms.remove_tree(tmp)
     live.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(tmp)
     free_local_checkpoint(live)
-    if os.path.isdir(os.path.join(path, "_docstore")):
+    if os.path.isdir(os.path.join(cur_root, "_docstore")):
         # the stored-fields tier rides the swap: live payload only
         store = _apply_tombstones(
             spark, path,
-            spark.read.parquet(os.path.join(path, "_docstore")),
+            spark.read.parquet(os.path.join(cur_root, "_docstore")),
             key=id_col, meta=meta,
         ).localCheckpoint(eager=True)
         store.repartition("vsb").sortWithinPartitions(
@@ -1478,19 +1592,24 @@ def _compact_ivfpq_locked(spark, path: str, id_col: str) -> None:
         )
         free_local_checkpoint(store)
     # counters carry across the swap (seq monotonicity outlives any
-    # number of compactions); the applied orphan ranges reset. The
-    # swapped-in generation carries OUR lease so the live path is
-    # never lease-less mid-swap (see build_ivfpq_index)
-    from ..metastore import get_metastore
-    from ..search.index import _lease_path, _lease_token
-
-    store = get_metastore()
-    store.publish_meta(_ivfpq_meta_path(tmp), {**meta, "dead_ranges": []})
-    store.put_text(_lease_path(_ivfpq_meta_path(tmp)), _lease_token())
+    # number of compactions); the applied orphan ranges reset
+    if not ms.supports_rename:
+        # the pointer CAS is the swap; superseded generations reclaimed
+        # under the lease (see build_ivfpq_index's generation form)
+        ms.publish_meta(
+            _ivfpq_meta_path(path),
+            {**meta, "dead_ranges": [], "generation": new_gen},
+        )
+        _ivfpq_reclaim(path, new_gen)
+        return
+    # POSIX: the swapped-in generation carries OUR lease so the live
+    # path is never lease-less mid-swap (see build_ivfpq_index)
+    ms.publish_meta(_ivfpq_meta_path(tmp), {**meta, "dead_ranges": []})
+    ms.put_text(_lease_path(_ivfpq_meta_path(tmp)), _lease_token())
     old = f"{path}.compact-old-{os.getpid()}"
-    store.rename(path, old)
-    store.rename(tmp, path)
-    store.remove_tree(old)
+    ms.rename(path, old)
+    ms.rename(tmp, path)
+    ms.remove_tree(old)
 
 
 def ivfpq_index_cached(
@@ -1548,12 +1667,15 @@ def ivfpq_index_cached(
     )
     path = os.path.join(root, f"ivfpq-{table}-{key}")
     meta_path = os.path.join(path, "_ivfpq_meta.json")
-    if os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
-        meta_path
-    ):
+    if os.path.exists(meta_path):
         with open(meta_path, encoding="utf-8") as fh:
             meta = json.load(fh)
-        return path, meta["codebooks"], meta["planes"]
+        # the build's codes land under the current generation root
+        # (bare path on POSIX; _gen-<g> on no-rename backends)
+        if os.path.exists(
+            os.path.join(_ivfpq_root(path, meta), "_SUCCESS")
+        ):
+            return path, meta["codebooks"], meta["planes"]
     emb = spark.read.parquet(src)
     books = pq_codebooks_deterministic(
         emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
@@ -1606,7 +1728,8 @@ def ivfpq_query_indexed(
     )
     probes = probe_buckets(query_vec, planes, probe_hamming)
     codes_df = _read_or_empty(
-        spark, path, f"{id_col} long, codes array<int>, seq long, bucket string"
+        spark, _ivfpq_root(path, meta),
+        f"{id_col} long, codes array<int>, seq long, bucket string",
     ).filter(F.col("bucket").isin(sorted(probes)))
     codes_df = _apply_tombstones(spark, path, codes_df, key=id_col, meta=meta)
     return pq_topk(codes_df, codebooks, query_vec, k=k, id_col=id_col)

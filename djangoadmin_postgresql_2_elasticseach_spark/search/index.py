@@ -619,6 +619,52 @@ def read_posting_meta(path: str) -> dict:
     return meta
 
 
+def _gen_root(path: str, meta: dict | None) -> str:
+    """Physical BASE directory of an index's artifacts. POSIX-backed
+    indexes keep artifacts directly under ``path`` forever (atomic
+    ``rename`` swaps — today's layout, byte-identical). On a backend
+    WITHOUT atomic rename (object stores — metastore.supports_rename
+    False) every whole-index swap instead writes a complete new
+    GENERATION directory ``<path>/_gen-<g>`` and CASes the sidecar's
+    ``generation`` pointer in one publish — the manifest-pointer form
+    the metastore contract promises. Readers resolve through the
+    pointer here; an absent pointer (every POSIX index, and a
+    norename index before its first swap) resolves to ``path`` itself,
+    so the POSIX read path is PLAN-NEUTRAL. The underscore prefix
+    keeps stale/staged generations invisible to any direct Spark scan
+    of ``path`` (hidden-file filter)."""
+    g = (meta or {}).get("generation")
+    return path if not g else os.path.join(path, f"_gen-{int(g)}")
+
+
+def _art(path: str, name: str, meta: dict | None) -> str:
+    """Physical directory of one artifact (postings/, doclens/, ...)
+    under the index's current generation root."""
+    return os.path.join(_gen_root(path, meta), name)
+
+
+def _reclaim_generations(path: str, keep: int) -> None:
+    """Remove superseded generation directories (and, once the pointer
+    has moved off the bare root, the root-level artifact dirs a
+    pre-swap history left behind). Runs ONLY under the writer lease,
+    AFTER the pointer publish — a crash before this leaves harmless
+    unreferenced debris that the next maintenance pass reclaims."""
+    store = get_metastore()
+    try:
+        entries = store.listdir(path)
+    except OSError:
+        return
+    for d in entries:
+        if d.startswith("_gen-") and d != f"_gen-{int(keep)}":
+            store.remove_tree(os.path.join(path, d))
+    if keep:
+        for d in (
+            "postings", "doclens", "stats", "termdict", "chardict",
+            "docstore", "_tombstones",
+        ):
+            store.remove_tree(os.path.join(path, d))
+
+
 def _posting_partials(
     docs: DataFrame,
     fields: tuple[str, ...],
@@ -728,6 +774,7 @@ def _write_posting_batch(
     lens: DataFrame,
     path: str,
     mode: str,
+    dest_root: str | None = None,
     fields: tuple[str, ...] = (),
     layout_v: int = LAYOUT_V,
     extra_writes: tuple = (),
@@ -775,11 +822,15 @@ def _write_posting_batch(
 
     from ..session import free_local_checkpoint
 
+    # artifacts land under the index's CURRENT generation root — the
+    # bare path until a no-rename generation swap moves the pointer
+    root = dest_root or path
+
     def w_postings():
         posts.repartition("field", "tkb").sortWithinPartitions(
             "field", "tkb", "token"
         ).write.mode(mode).partitionBy("field", "tkb").parquet(
-            os.path.join(path, "postings")
+            os.path.join(root, "postings")
         )
 
     obs = None
@@ -802,7 +853,7 @@ def _write_posting_batch(
         lens_w.repartition("field").sortWithinPartitions(
             "field", "doc_id"
         ).write.mode(mode).partitionBy("field").parquet(
-            os.path.join(path, "doclens")
+            os.path.join(root, "doclens")
         )
 
     def w_stats_legacy():
@@ -811,7 +862,7 @@ def _write_posting_batch(
         ).select("n_docs", "sum_dl", "seq", "field").repartition(
             "field"
         ).write.mode(mode).partitionBy("field").parquet(
-            os.path.join(path, "stats")
+            os.path.join(root, "stats")
         )
 
     def w_termdict():
@@ -824,13 +875,13 @@ def _write_posting_batch(
             ).sortWithinPartitions("field", "tlen", "token").write.mode(
                 mode
             ).partitionBy("field", "tlen").parquet(
-                os.path.join(path, "termdict")
+                os.path.join(root, "termdict")
             )
         else:
             td.repartition("field").sortWithinPartitions(
                 "field", "token"
             ).write.mode(mode).partitionBy("field").parquet(
-                os.path.join(path, "termdict")
+                os.path.join(root, "termdict")
             )
 
     def w_chardict():
@@ -847,7 +898,7 @@ def _write_posting_batch(
         ).repartition("field", "gkb").sortWithinPartitions(
             "field", "gkb", "gram", "token"
         ).write.mode(mode).partitionBy("field", "gkb").parquet(
-            os.path.join(path, "chardict")
+            os.path.join(root, "chardict")
         )
 
     writes = [w_postings, w_doclens, w_termdict, *extra_writes]
@@ -949,9 +1000,10 @@ def read_docstore(
     one field reads one field). This is the `docs` frame for fully
     index-resident serving: `search_indexed(spark, read_docstore(...),
     body, path)` answers a DSL body with NO source-corpus read."""
-    df = spark.read.parquet(os.path.join(path, "docstore"))
+    meta = read_posting_meta(path)
+    df = spark.read.parquet(_art(path, "docstore", meta))
     if live_only:
-        df = _apply_tombstones(spark, path, df, meta=read_posting_meta(path))
+        df = _apply_tombstones(spark, path, df, meta=meta)
     if columns is not None:
         df = df.select("doc_id", *columns)
     else:
@@ -975,7 +1027,7 @@ def fetch_docs(
     instead (the bulk path: one shuffle-free broadcast join when the
     key side is small, AQE otherwise)."""
     meta = read_posting_meta(path)
-    store = spark.read.parquet(os.path.join(path, "docstore"))
+    store = spark.read.parquet(_art(path, "docstore", meta))
     if isinstance(ids, DataFrame):
         key = ids.columns[0]
         df = store.join(
@@ -1012,7 +1064,7 @@ def _chardict_candidates(
     grams = fragment_grams(frag)
     cd = _visible(
         _read_or_empty(
-            spark, os.path.join(path, "chardict"), CHARDICT_SCHEMA
+            spark, _art(path, "chardict", meta), CHARDICT_SCHEMA
         ),
         meta,
     ).filter(
@@ -1201,13 +1253,46 @@ def build_posting_index(
     _acquire_writer_lease(_posting_meta_path(path))
     with _release_lease_on_error(_posting_meta_path(path)), \
             _lease_heartbeats(_posting_meta_path(path)):
-        shutil.rmtree(os.path.join(path, "_tombstones"), ignore_errors=True)
-        if not store_cols:
-            # a rebuild that drops the stored tier must remove the
-            # previous generation's docstore — the fresh seq counter
-            # would otherwise make its rows (incl. tombstone-retired
-            # versions) visible again
-            shutil.rmtree(os.path.join(path, "docstore"), ignore_errors=True)
+        store = get_metastore()
+        gen = 0
+        if store.supports_rename:
+            # POSIX form: artifacts live at the bare root; a rebuild
+            # overwrites in place (mode=overwrite per artifact) and
+            # must clear the previous generation's tombstones — the
+            # fresh seq counter would otherwise make stale tombstones
+            # hide the re-added rows of any previously deleted doc
+            root = path
+            shutil.rmtree(
+                os.path.join(path, "_tombstones"), ignore_errors=True
+            )
+            if not store_cols:
+                # a rebuild that drops the stored tier must remove the
+                # previous generation's docstore — the fresh seq
+                # counter would otherwise make its rows (incl.
+                # tombstone-retired versions) visible again
+                shutil.rmtree(
+                    os.path.join(path, "docstore"), ignore_errors=True
+                )
+        elif _load_meta(_posting_meta_path(path)) is None and not any(
+            os.path.isdir(os.path.join(path, d))
+            for d in ("postings", "_tombstones")
+        ):
+            # no-rename backend, genuinely FRESH path: a first build
+            # needs no swap at all — write at the bare root exactly
+            # like POSIX (the generation pointer only exists once a
+            # REBUILD or compaction has to supersede live data)
+            root = path
+        else:
+            # GENERATION form (no atomic rename — object stores): the
+            # rebuild writes a complete NEW generation directory and
+            # the initial meta publish below moves the pointer in one
+            # CAS; the old generation's artifacts (incl. tombstones
+            # and docstore) simply fall out of resolution, and their
+            # directories are reclaimed after the commit
+            prev = _load_meta(_posting_meta_path(path)) or {}
+            gen = int(prev.get("generation") or 0) + 1
+            root = os.path.join(path, f"_gen-{gen}")
+            store.remove_tree(root)
         _write_meta(
             _posting_meta_path(path),
             {
@@ -1223,8 +1308,16 @@ def build_posting_index(
                 "next_seq": 1,
                 "committed_seq": 0,
                 "dead_ranges": [],
+                **({"generation": gen} if gen else {}),
             },
         )
+        if gen:
+            # the pointer publish above already made the previous
+            # generation unreachable (committed_seq 0 on the new one —
+            # a crash from here reads as an empty index, exactly like
+            # the POSIX in-place rebuild); reclaim it UNDER the lease
+            # so no concurrent rebuild can be staging a newer gen yet
+            _reclaim_generations(path, gen)
         posts, lens = _posting_partials(
             docs, fields, id_col, stem, tokens_col, seq=1,
             n_buckets=n_buckets,
@@ -1233,12 +1326,13 @@ def build_posting_index(
         if store_cols:
             extra = (
                 lambda: _write_docstore_batch(
-                    docs, id_col, tuple(store_cols), 1, path, "overwrite",
+                    docs, id_col, tuple(store_cols), 1, root, "overwrite",
                     n_store_buckets,
                 ),
             )
         stats_delta = _write_posting_batch(
-            posts, lens, path, "overwrite", fields=fields, extra_writes=extra,
+            posts, lens, path, "overwrite", dest_root=root, fields=fields,
+            extra_writes=extra,
             char_ngrams=int(n_buckets) if char_ngrams else None,
         )
         commit_index_seq(_posting_meta_path(path), 1, stats_delta=stats_delta)
@@ -1398,6 +1492,7 @@ def append_posting_index(
         # a tick writes the LAYOUT the index was built with: mixing
         # dl-on-posting rows into a v1 index would schema-split it
         layout_v = meta.get("layout_v", 1)
+        root = _gen_root(path, meta)
         posts, lens = _posting_partials(
             new_docs, fields, id_col, stem, tokens_col, seq=seq,
             n_buckets=n_buckets, with_dl=layout_v >= 2,
@@ -1406,13 +1501,13 @@ def append_posting_index(
         if store_cols:
             extra = (
                 lambda: _write_docstore_batch(
-                    new_docs, id_col, store_cols, seq, path, "append",
+                    new_docs, id_col, store_cols, seq, root, "append",
                     n_store,
                 ),
             )
         stats_delta = _write_posting_batch(
-            posts, lens, path, "append", fields=fields, layout_v=layout_v,
-            extra_writes=extra,
+            posts, lens, path, "append", dest_root=root, fields=fields,
+            layout_v=layout_v, extra_writes=extra,
             char_ngrams=(meta or {}).get("char_ngrams"),
         )
         commit_index_seq(mpath, seq, stats_delta=stats_delta)
@@ -1444,7 +1539,7 @@ def _apply_tombstones(
     visibility to BOTH sides (None = legacy full visibility). Shared
     by the posting index (key=doc_id) and the IVF-PQ vector index
     (key=vec_id, operators/similarity.py)."""
-    tpath = os.path.join(path, "_tombstones")
+    tpath = _art(path, "_tombstones", meta)
     df = _visible(df, meta)
     if not os.path.exists(tpath):
         return df
@@ -1486,19 +1581,21 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
 def read_postings(
     spark: SparkSession, path: str, live_only: bool = True
 ) -> DataFrame:
-    df = _read_or_empty(spark, os.path.join(path, "postings"), POSTINGS_SCHEMA)
+    meta = read_posting_meta(path)
+    df = _read_or_empty(spark, _art(path, "postings", meta), POSTINGS_SCHEMA)
     if not live_only:
         return df
-    return _apply_tombstones(spark, path, df, meta=read_posting_meta(path))
+    return _apply_tombstones(spark, path, df, meta=meta)
 
 
 def read_doclens(
     spark: SparkSession, path: str, live_only: bool = True
 ) -> DataFrame:
-    df = _read_or_empty(spark, os.path.join(path, "doclens"), DOCLENS_SCHEMA)
+    meta = read_posting_meta(path)
+    df = _read_or_empty(spark, _art(path, "doclens", meta), DOCLENS_SCHEMA)
     if not live_only:
         return df
-    return _apply_tombstones(spark, path, df, meta=read_posting_meta(path))
+    return _apply_tombstones(spark, path, df, meta=meta)
 
 
 def read_termdict(
@@ -1523,8 +1620,8 @@ def read_termdict(
     verdict's last unpruned serve read); v1/v2 termdicts fall back to
     the post-read length filter, which still cuts the distinct shuffle
     from vocabulary-sized to band-sized."""
-    tdir = os.path.join(path, "termdict")
     meta = read_posting_meta(path)
+    tdir = _art(path, "termdict", meta)
     if not os.path.isdir(tdir):
         td = read_postings(spark, path).select("field", "token")
     else:
@@ -1565,7 +1662,7 @@ def index_stats(spark: SparkSession, path: str) -> DataFrame:
     FILES without dropping dead rows; the full compaction drops dead
     rows and recomputes stats/ inside one atomic swap."""
     meta = read_posting_meta(path)
-    sdir = os.path.join(path, "stats")
+    sdir = _art(path, "stats", meta)
     if meta.get("field_stats") is not None:
         # layout v2: the per-field sums live in the meta sidecar,
         # folded in atomically at each commit — the base is a pure
@@ -1589,7 +1686,7 @@ def index_stats(spark: SparkSession, path: str) -> DataFrame:
                 F.sum("sum_dl").alias("sum_dl"),
             )
         )
-    tpath = os.path.join(path, "_tombstones")
+    tpath = _art(path, "_tombstones", meta)
     if not os.path.exists(tpath):
         return base
     tomb = (
@@ -1598,7 +1695,7 @@ def index_stats(spark: SparkSession, path: str) -> DataFrame:
         .agg(F.max("seq").alias("_tomb_seq"))
     )
     lens = _visible(
-        _read_or_empty(spark, os.path.join(path, "doclens"), DOCLENS_SCHEMA),
+        _read_or_empty(spark, _art(path, "doclens", meta), DOCLENS_SCHEMA),
         meta,
     )
     dead = (
@@ -1647,10 +1744,11 @@ def delete_from_posting_index(
     # reference's UUID strings) — the liveness join must type-match the
     # postings' doc_id
     with _release_lease_on_error(mpath), _lease_heartbeats(mpath):
+        root = _gen_root(path, _load_meta(mpath))
         doc_ids.select(
             F.col(id_col).alias("doc_id"),
             F.lit(int(seq)).cast("long").alias("seq"),
-        ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
+        ).write.mode("append").parquet(os.path.join(root, "_tombstones"))
         commit_index_seq(mpath, seq)
 
 
@@ -1714,8 +1812,9 @@ def upsert_posting_index(
         # drew the counter's very first seqs (seq_t == 1 — the counter
         # started at 0 under OUR claim, so no earlier tick can have
         # committed) and postings/ is still absent.
+        root = _gen_root(path, meta)
         fresh = seq_t == 1 and not os.path.isdir(
-            os.path.join(path, "postings")
+            os.path.join(root, "postings")
         )
         posts, lens = _posting_partials(
             new_docs, fields, id_col, stem, tokens_col, seq=seq_a,
@@ -1730,19 +1829,19 @@ def upsert_posting_index(
             new_docs.select(
                 F.col(id_col).alias("doc_id"),
                 F.lit(int(seq_t)).cast("long").alias("seq"),
-            ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
+            ).write.mode("append").parquet(os.path.join(root, "_tombstones"))
 
         extra = () if fresh else (w_tombstones,)
         if store_cols:
             extra = extra + (
                 lambda: _write_docstore_batch(
-                    new_docs, id_col, store_cols, seq_a, path, "append",
+                    new_docs, id_col, store_cols, seq_a, root, "append",
                     n_store,
                 ),
             )
         stats_delta = _write_posting_batch(
-            posts, lens, path, "append", fields=fields, layout_v=layout_v,
-            extra_writes=extra,
+            posts, lens, path, "append", dest_root=root, fields=fields,
+            layout_v=layout_v, extra_writes=extra,
             char_ngrams=(meta or {}).get("char_ngrams"),
         )
         commit_index_seq(mpath, seq_a, stats_delta=stats_delta)
@@ -1914,8 +2013,17 @@ def _compact_posting_locked(spark: SparkSession, path: str) -> None:
         )
     posts = posts.localCheckpoint(eager=True)
     lens = read_doclens(spark, path).localCheckpoint(eager=True)
-    tmp = f"{path}.compact-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
+    store = get_metastore()
+    if store.supports_rename:
+        new_gen = 0
+        tmp = f"{path}.compact-{os.getpid()}"
+    else:
+        # generation form: stage the rewrite as the NEXT generation
+        # under the index root; the single meta publish below is the
+        # swap (no renames anywhere)
+        new_gen = int(meta.get("generation") or 0) + 1
+        tmp = os.path.join(path, f"_gen-{new_gen}")
+    store.remove_tree(tmp)
     posts.repartition("field", "tkb").sortWithinPartitions(
         "field", "tkb", "token"
     ).write.mode("overwrite").partitionBy("field", "tkb").parquet(
@@ -1962,37 +2070,47 @@ def _compact_posting_locked(spark: SparkSession, path: str) -> None:
         ).write.mode("overwrite").partitionBy("field", "gkb").parquet(
             os.path.join(tmp, "chardict")
         )
-    if os.path.isdir(os.path.join(path, "docstore")):
+    if os.path.isdir(_art(path, "docstore", meta)):
         # the stored-fields tier rides the swap: live payload rows
         # only (dead doc versions leave with their postings)
-        store = _apply_tombstones(
+        ds = _apply_tombstones(
             spark, path,
-            spark.read.parquet(os.path.join(path, "docstore")),
+            spark.read.parquet(_art(path, "docstore", meta)),
             meta=meta,
         ).localCheckpoint(eager=True)
-        store.repartition("dsb").sortWithinPartitions(
+        ds.repartition("dsb").sortWithinPartitions(
             "dsb", "doc_id"
         ).write.mode("overwrite").partitionBy("dsb").parquet(
             os.path.join(tmp, "docstore")
         )
-        free_local_checkpoint(store)
+        free_local_checkpoint(ds)
     free_local_checkpoint(posts)
     free_local_checkpoint(lens)
     _heartbeat_writer_lease(mpath)
-    _write_meta(
-        _posting_meta_path(tmp),
-        {
-            **meta,
-            "dead_ranges": [],
-            "layout_v": LAYOUT_V,
-            "field_stats": field_stats,
-        },
-    )
+    folded = {
+        **meta,
+        "dead_ranges": [],
+        "layout_v": LAYOUT_V,
+        "field_stats": field_stats,
+    }
+    if not store.supports_rename:
+        # the SWAP is one CAS of the generation pointer: readers
+        # resolve the complete new generation or the complete old one,
+        # never a mix; a crash before this publish leaves unreferenced
+        # staging (reclaimed by the next pass), a crash after it
+        # leaves the superseded generation as debris — same reclaim.
+        # The lease file lives at the index root and is untouched, so
+        # no lease-carry is needed (the r13 advice-#4 window does not
+        # exist in this form).
+        folded["generation"] = new_gen
+        _write_meta(_posting_meta_path(path), folded)
+        _reclaim_generations(path, new_gen)
+        return
+    _write_meta(_posting_meta_path(tmp), folded)
     # carry the lease INTO the new generation before the swap: the
     # swapped-in directory holds our claim from its first instant,
     # so no window exists where the live path is lease-less and a
     # racing tick could acquire mid-swap (r13 advice #4 pattern)
-    store = get_metastore()
     store.put_text(
         _lease_path(_posting_meta_path(tmp)), _lease_token()
     )
@@ -2156,6 +2274,15 @@ def compact_posting_index_tiered(
     seeing mid-swap staging dirs leaves them alone
     (_maybe_recover_folds checks the lease); after a crash the stale
     lease is stealable and the debris recoverable by anyone."""
+    if not get_metastore().supports_rename:
+        # the per-leaf fold protocol is two atomic renames per leaf —
+        # on a backend without rename the maintenance answer is the
+        # GENERATION rewrite (one staged new generation + one pointer
+        # CAS). O(index) rather than O(hot leaves): the honest current
+        # cost on object stores; a file-granularity manifest tier
+        # (Iceberg/Delta OPTIMIZE's shape) is the named refinement in
+        # SCALING.md. Correctness and the served view are identical.
+        return compact_posting_index(spark, path)
     mpath = _posting_meta_path(path)
     _acquire_writer_lease(mpath)
     try:

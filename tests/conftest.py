@@ -39,3 +39,15 @@ def register_views(con, sf_dir: str) -> None:
             con.execute(
                 f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
             )
+
+
+# True when the default metastore is the POSIX one (atomic rename).
+# SPARK_GRAFT_METASTORE=norename (the `make test-norename` gate) swaps
+# in the object-store semantics profile, under which a handful of tests
+# that pin the POSIX rename-swap PHYSICAL layout are skipped — their
+# generation-form equivalents are pinned in test_metastore_norename.py.
+import os as _os
+
+POSIX_METASTORE = (
+    _os.environ.get("SPARK_GRAFT_METASTORE", "").lower() != "norename"
+)

@@ -305,7 +305,14 @@ def test_trgm_survives_full_compaction(spark, docs, trgm_idx, tmp_path):
         compact_posting_index,
     )
 
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        _art,
+        read_posting_meta,
+    )
+
     before = _serve(spark, trgm_idx, "usto")
     compact_posting_index(spark, trgm_idx)
-    assert os.path.isdir(os.path.join(trgm_idx, "chardict"))
+    assert os.path.isdir(
+        _art(trgm_idx, "chardict", read_posting_meta(trgm_idx))
+    )
     assert _serve(spark, trgm_idx, "usto") == before

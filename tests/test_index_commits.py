@@ -33,7 +33,7 @@ from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
     upsert_posting_index,
 )
 from djangoadmin_postgresql_2_elasticseach_spark.sources.readers import load_table
-from tests.conftest import SF_SMOKE
+from tests.conftest import POSIX_METASTORE, SF_SMOKE
 
 
 @pytest.fixture(scope="module")
@@ -167,7 +167,10 @@ def test_long_ingest_heartbeats_keep_lease_ttl_fresh(
 
     import djangoadmin_postgresql_2_elasticseach_spark.metastore as MS
 
-    monkeypatch.setattr(MS, "LEASE_TTL_S", 1.5)
+    # short enough that the pass outlives it even on a WARM session
+    # (build+tick ≈ 2.3 s there), long enough that the ~TTL/3 beat
+    # cadence has 2× slack against scheduler starvation on a loaded box
+    monkeypatch.setattr(MS, "LEASE_TTL_S", 1.2)
     path = str(tmp_path / "idx")
     lp = IX._lease_path(IX._posting_meta_path(path))
     store = MS.get_metastore()
@@ -474,6 +477,12 @@ def test_posting_files_are_token_sorted_row_groups(spark, toks, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.skipif(
+    not POSIX_METASTORE,
+    reason="pins the POSIX per-leaf carry-by-name fold; no-rename "
+    "backends fold via the generation rewrite "
+    "(test_metastore_norename.py)",
+)
 def test_tiered_compaction_folds_hot_partition_only(spark, tmp_path):
     """The Lucene merge-policy posture: only partitions past the
     small-file threshold fold; cold partitions carry BY NAME (their

@@ -656,7 +656,11 @@ def test_v2_index_ticks_keep_flat_termdict_and_compaction_migrates(
     )
     assert all(4 <= len(r["token"]) <= 6 for r in got.collect())
     compact_posting_index(spark, path)
-    assert read_posting_meta(path)["layout_v"] == IX.LAYOUT_V
+    meta = read_posting_meta(path)
+    assert meta["layout_v"] == IX.LAYOUT_V
+    # resolve through the generation pointer: identical dir on POSIX,
+    # _gen-<g>/termdict after a no-rename pointer swap
+    td_field = os.path.join(IX._art(path, "termdict", meta), "field=text")
     assert any(d.startswith("tlen=") for d in os.listdir(td_field))
     got2 = IX.read_termdict(
         spark, path, fields=("text",), length_between=(4, 6)

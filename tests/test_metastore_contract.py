@@ -23,6 +23,8 @@ from djangoadmin_postgresql_2_elasticseach_spark.metastore import (
     LeaseHeldError,
     LeaseOwnershipError,
     LocalPosixMetastore,
+    NoRenameMetastore,
+    RenameUnsupported,
     acquire_lease,
     holder_state,
     make_token,
@@ -152,7 +154,7 @@ class InMemoryMetastore(MS.IndexMetastore):
             self._files[path] = (content, time.time())
 
 
-BACKENDS = [LocalPosixMetastore, InMemoryMetastore]
+BACKENDS = [LocalPosixMetastore, InMemoryMetastore, NoRenameMetastore]
 
 
 @pytest.fixture(params=BACKENDS, ids=lambda c: c().name)
@@ -366,6 +368,15 @@ def test_namespace_ops(store, tmp_path):
     store.put_text(os.path.join(root, "a", "f.txt"), "hello")
     assert store.exists(os.path.join(root, "a", "f.txt"))
     assert store.listdir(root) == ["a"]
+    if not store.supports_rename:
+        # the object-store profile: rename must REFUSE loudly, and the
+        # swap protocols route through the generation pointer instead
+        with pytest.raises(RenameUnsupported):
+            store.rename(os.path.join(root, "a"), os.path.join(root, "b"))
+        assert store.exists(os.path.join(root, "a"))  # untouched
+        store.remove_tree(os.path.join(root, "a"))
+        assert not store.exists(os.path.join(root, "a"))
+        return
     store.rename(os.path.join(root, "a"), os.path.join(root, "b"))
     assert not store.exists(os.path.join(root, "a"))
     # read back through the store (read_lease reads any control file)

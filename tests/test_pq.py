@@ -263,10 +263,14 @@ def test_ivfpq_index_ticks_upsert_equal_one_shot(spark, emb, vecs, tmp_path):
     assert after[: len(want) - 1] == [r for r in want if r[0] != top_id][:9]
 
     # compaction: physical drop, tombstones cleared, served values same
-    n_raw = spark.read.parquet(tick).count()
+    n_raw = spark.read.parquet(S._ivfpq_root(tick)).count()
     S.compact_ivfpq_index(spark, tick)
-    assert spark.read.parquet(tick).count() < n_raw
-    assert not os.path.exists(os.path.join(tick, "_tombstones"))
+    # resolve through the generation pointer: same dir on POSIX,
+    # _gen-<g> after a no-rename pointer swap
+    assert spark.read.parquet(S._ivfpq_root(tick)).count() < n_raw
+    assert not os.path.exists(
+        os.path.join(S._ivfpq_root(tick), "_tombstones")
+    )
     assert [
         tuple(r)
         for r in S.ivfpq_query_indexed(
