@@ -189,10 +189,23 @@ def kmeans(
     Returns (final assignment DataFrame, per-iteration inertia list —
     non-increasing by Lloyd's guarantee, pinned in tests).
     """
+    centroids, inertia = _kmeans_iterate(emb, k, iters, id_col, vec_col)
+    return (
+        assign_clusters(emb, centroids, id_col, vec_col).drop("_dist"),
+        inertia,
+    )
+
+
+def _kmeans_iterate(
+    emb: DataFrame, k: int, iters: int, id_col: str, vec_col: str
+) -> tuple[list[list[float]], list[float]]:
+    """Lloyd's loop, returning the CENTROID MATRIX (k×dim floats) and
+    the inertia trace — shared by kmeans (which returns the final
+    assignment frame) and the residual-IVF coarse quantizer (which
+    needs the centroids themselves, frozen into the index sidecar)."""
     first = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in first]
     inertia: list[float] = []
-    assigned = None
     dim = len(centroids[0])
     for _ in range(iters):
         assigned = assign_clusters(emb, centroids, id_col, vec_col)
@@ -225,7 +238,7 @@ def kmeans(
             else centroids[c]  # empty cluster keeps its centroid
             for c in range(k)
         ]
-    return assign_clusters(emb, centroids, id_col, vec_col).drop("_dist"), inertia
+    return centroids, inertia
 
 
 def knn_join(
@@ -620,11 +633,17 @@ def pq_train(
     return books
 
 
-def _pq_codes_col(vec_col: str, codebooks, m: int, ds: int):
+def _pq_codes_col(vec_col, codebooks, m: int, ds: int):
     """codes array<int>: per subspace, argmin centroid (squared L2,
     lowest code wins ties) — computed against the broadcast `_books`
-    column (array<array<array<double>>>), pure native expressions."""
-    v = F.col(vec_col).cast("array<double>")
+    column (array<array<array<double>>>), pure native expressions.
+    ``vec_col``: a column name OR a Column (the residual form passes
+    the already-computed x − centroid expression)."""
+    v = (
+        vec_col.cast("array<double>")
+        if isinstance(vec_col, Column)
+        else F.col(vec_col).cast("array<double>")
+    )
 
     def code_j(j: int):
         sub = F.slice(v, j * ds + 1, ds)
@@ -924,25 +943,80 @@ def ivf_pq_topk(
     return pq_topk(codes, codebooks, query_vec, k=k, id_col=id_col)
 
 
+def _cell_expr(vec, centroids_col) -> "F.Column":
+    """Coarse cell of a vector: argmin squared-L2 over the broadcast
+    centroid matrix column (array<array<double>>), lowest cell wins
+    ties — the same native argmin shape as _pq_codes_col."""
+    dists = F.transform(
+        centroids_col,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    structs = F.zip_with(
+        dists,
+        F.sequence(F.lit(0), F.size(centroids_col) - 1),
+        lambda d, i: F.struct(d.alias("d"), i.alias("c")),
+    )
+    return F.array_min(structs)["c"].cast("int")
+
+
 def _ivfpq_rows(
     emb: DataFrame,
     codebooks: list[list[list[float]]],
-    planes: list[list[float]],
+    planes: list[list[float]] | None,
     id_col: str,
     vec_col: str,
     seq: int,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """One batch's index rows (id, bucket, codes, seq) — shared by the
     one-shot build and the append tick so the encode expression exists
     once. ``seq`` is the batch liveness stamp from the index's
     PERSISTED monotonic counter (search/index.alloc_index_seqs — the
     posting index's tombstone model: a row is live iff newer than its
-    id's latest tombstone, by counter order, never wall clock)."""
+    id's latest tombstone, by counter order, never wall clock).
+
+    Two coarse-quantizer forms, selected by the index's frozen
+    sidecar:
+
+    - hyperplane (``planes``): bucket = the sign-bit string, codes
+      encode the RAW vector;
+    - k-means RESIDUAL (``centroids`` — IVFADC, Jégou et al. 2011
+      §V.A): bucket = ``r<cell>`` (argmin centroid), codes encode the
+      residual x − centroid(x). At the same code budget the residual
+      has far less variance than the raw vector, which is where
+      IVFADC's recall advantage comes from.
+    """
     m = len(codebooks)
     ds = len(codebooks[0][0])
     spark = emb.sparkSession
+    books_lit = [[[float(x) for x in c] for c in book] for book in codebooks]
+    v = F.col(vec_col).cast("array<double>")
+    if centroids is not None:
+        bdf = spark.createDataFrame(
+            [(1, books_lit, [[float(x) for x in c] for c in centroids])],
+            "_bk int, _books array<array<array<double>>>, "
+            "_cents array<array<double>>",
+        )
+        cell = _cell_expr(v, F.col("_cents"))
+        residual = F.zip_with(
+            v, F.element_at(F.col("_cents"), cell + 1), lambda a, b: a - b
+        )
+        return (
+            emb.withColumn("_bk", F.lit(1))
+            .join(F.broadcast(bdf), "_bk")
+            .select(
+                F.col(id_col),
+                F.concat(F.lit("r"), cell.cast("string")).alias("bucket"),
+                _pq_codes_col(residual, codebooks, m, ds).alias("codes"),
+                F.lit(int(seq)).cast("long").alias("seq"),
+            )
+        )
     bdf = spark.createDataFrame(
-        [(1, [[[float(x) for x in c] for c in book] for book in codebooks])],
+        [(1, books_lit)],
         "_bk int, _books array<array<array<double>>>",
     )
     return (
@@ -950,9 +1024,7 @@ def _ivfpq_rows(
         .join(F.broadcast(bdf), "_bk")
         .select(
             F.col(id_col),
-            hyperplane_bucket(
-                F.col(vec_col).cast("array<double>"), planes
-            ).alias("bucket"),
+            hyperplane_bucket(v, planes).alias("bucket"),
             _pq_codes_col(vec_col, codebooks, m, ds).alias("codes"),
             F.lit(int(seq)).cast("long").alias("seq"),
         )
@@ -1194,6 +1266,320 @@ def ivfpq_serve_rerank(
     return _exact_l2_rerank(vecs, keys, query_vec, k, id_col, vec_col)
 
 
+
+# --- Residual-encoding IVF-PQ (IVFADC, Jégou et al. 2011 §V.A) ------------
+#
+# The r14 hyperplane-coarse IVF-PQ encodes RAW vectors; FAISS's IVFADC
+# encodes the RESIDUAL x − centroid(x) against a k-means coarse
+# quantizer, which at the same code budget sharply improves recall
+# (the residual's variance is a fraction of the vector's). Same
+# persisted layout, commit protocol, tombstones, docstore, compaction
+# and generation swaps as the hyperplane form — only the bucket rule
+# (argmin centroid, `r<cell>` partitions) and the per-cell ADC table
+# differ. Reference scope note: the reference app has no vector tier
+# at all; this is part of the engine's LLM-data-pipeline surface.
+
+
+def coarse_centroids_deterministic(
+    emb: DataFrame,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: the ``nlist`` lowest-id vectors
+    — the pq_codebooks_deterministic init rule applied to the coarse
+    stage, which keeps assignment + residual + ADC fully
+    SQL-expressible for the DuckDB oracles. Quality deployments use
+    train_coarse_centroids (Lloyd) instead."""
+    first = emb.orderBy(id_col).limit(nlist).select(vec_col).collect()
+    return [[float(x) for x in r[0]] for r in first]
+
+
+def train_coarse_centroids(
+    emb: DataFrame,
+    nlist: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd-trained coarse quantizer (the FAISS IVF training step):
+    deterministic (lowest-id init, argmin ties by cell), one scan +
+    one k×dim partial-agg collect per iteration — the driver only ever
+    holds the centroid matrix."""
+    centroids, _inertia = _kmeans_iterate(emb, nlist, iters, id_col, vec_col)
+    return centroids
+
+
+def residual_codebooks_deterministic(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """codebooks[j][c] = subvector j of the RESIDUAL of the c-th
+    lowest-id vector — deterministic and SQL-expressible (the oracle
+    derives the identical books). Collection bounded by ksub rows;
+    residuals computed driver-side from the frozen centroid matrix."""
+    first = emb.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    vecs = [[float(x) for x in r[0]] for r in first]
+    d = len(vecs[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+
+    def _residual(v):
+        best = min(
+            range(len(centroids)),
+            key=lambda c: (
+                sum((v[p] - centroids[c][p]) ** 2 for p in range(d)),
+                c,
+            ),
+        )
+        return [v[p] - centroids[best][p] for p in range(d)]
+
+    res = [_residual(v) for v in vecs]
+    return [[r[j * ds:(j + 1) * ds] for r in res] for j in range(m)]
+
+
+def train_residual_codebooks(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """pq_train over the RESIDUAL frame (x − centroid(x), computed
+    engine-side against the broadcast centroid matrix) — the IVFADC
+    training recipe: the product quantizer learns the residual
+    distribution, not the raw vectors'."""
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(1, [[float(x) for x in c] for c in centroids])],
+        "_ck int, _cents array<array<double>>",
+    )
+    v = F.col(vec_col).cast("array<double>")
+    cell = _cell_expr(v, F.col("_cents"))
+    residuals = (
+        emb.withColumn("_ck", F.lit(1))
+        .join(F.broadcast(cdf), "_ck")
+        .select(
+            F.col(id_col),
+            F.zip_with(
+                v,
+                F.element_at(F.col("_cents"), cell + 1),
+                lambda a, b: a - b,
+            ).alias(vec_col),
+        )
+    )
+    return pq_train(
+        residuals, m=m, ksub=ksub, iters=iters, id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def residual_probe_cells(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` nearest coarse cells to the query (squared L2,
+    ties by cell id) — driver-side over the nlist×dim matrix, the
+    partition filter of every residual probe."""
+    d = len(query_vec)
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda c: (
+            sum((query_vec[p] - centroids[c][p]) ** 2 for p in range(d)),
+            c,
+        ),
+    )
+    return ranked[: max(1, int(nprobe))]
+
+
+def residual_ivfpq_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC serve over the persisted residual index: prune to the
+    ``nprobe`` nearest cells (a PARTITION-column predicate — directory
+    pruning before any file opens), then rank the probed codes by the
+    PER-CELL ADC table (the residual form's one extra piece: the
+    lookup table depends on q − centroid(cell), so each probed cell
+    gets its own m×ksub table — nprobe·m·ksub doubles, broadcast).
+    Tombstone liveness + commit visibility as everywhere. Output:
+    (id, approx_dist) rounded 6dp, ties by id."""
+    from ..search.index import _apply_tombstones, _read_or_empty
+
+    meta = _ivfpq_meta(path)
+    centroids = meta.get("centroids")
+    if centroids is None:
+        raise ValueError(
+            f"ivfpq index at {path} is not residual-encoded (no coarse "
+            "centroids in the sidecar) — use ivfpq_query_indexed"
+        )
+    books = meta["codebooks"]
+    m = len(books)
+    ds = len(books[0][0])
+    cells = residual_probe_cells(query_vec, centroids, nprobe)
+    # per-cell ADC tables: table[j][c] = || (q - cent)_j - book_j[c] ||²
+    luts = []
+    for cell in cells:
+        qr = [query_vec[p] - centroids[cell][p] for p in range(len(query_vec))]
+        luts.append((
+            f"r{cell}",
+            [
+                [
+                    sum((qr[j * ds + p] - c[p]) ** 2 for p in range(ds))
+                    for c in books[j]
+                ]
+                for j in range(m)
+            ],
+        ))
+    tdf = spark.createDataFrame(
+        luts, "bucket string, _lut array<array<double>>"
+    )
+    codes_df = _read_or_empty(
+        spark, _ivfpq_root(path, meta),
+        f"{id_col} long, codes array<int>, seq long, bucket string",
+    ).filter(F.col("bucket").isin([b for b, _ in luts]))
+    codes_df = _apply_tombstones(spark, path, codes_df, key=id_col, meta=meta)
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("_lut"),
+            lambda code, row: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes_df.join(F.broadcast(tdf), "bucket")
+        .select(F.col(id_col), F.round(dist, 6).alias("approx_dist"))
+        .orderBy("approx_dist", id_col)
+        .limit(k)
+    )
+
+
+def residual_ivfpq_serve_rerank(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full residual IVFADC with exact re-rank, entirely
+    index-resident: per-cell ADC shortlist → exact squared-L2 over
+    full-precision vectors fetched from the index's OWN stored tier
+    (build with the vector column in store_cols). The deployed-FAISS
+    serving shape; shares _exact_l2_rerank's rounding contract."""
+    meta = _ivfpq_meta(path)
+    stored = meta.get("store_cols") or []
+    if vec_col not in stored:
+        raise ValueError(
+            f"ivfpq index at {path} stores {stored}; exact re-rank "
+            f"needs {vec_col!r} in store_cols at build time"
+        )
+    cand = residual_ivfpq_topk(
+        spark, path, query_vec, k=shortlist, nprobe=nprobe, id_col=id_col
+    ).select(id_col).collect()
+    ids = [r[id_col] for r in cand]
+    if not ids:
+        return spark.createDataFrame([], f"{id_col} long, dist double")
+    vecs = ivfpq_fetch_payload(spark, path, ids, id_col=id_col)
+    keys = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    return _exact_l2_rerank(vecs, keys, query_vec, k, id_col, vec_col)
+
+
+def residual_ivfpq_index_cached(
+    spark,
+    sf_dir: str,
+    nlist: int = 8,
+    m: int = 4,
+    ksub: int = 16,
+    trained: bool = False,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_root: str | None = None,
+    store_cols: tuple[str, ...] | None = None,
+) -> tuple[str, list[list[float]], list[list[list[float]]]]:
+    """Build-once persisted RESIDUAL IVF-PQ index (the
+    ivfpq_index_cached posture). ``trained`` selects Lloyd centroids +
+    residual-trained codebooks (the quality/recall path, still fully
+    deterministic) over the lowest-id deterministic quantizers (the
+    SQL-oracle path). Returns (path, centroids, codebooks)."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    parts = [src]
+    if os.path.isdir(src):
+        parts = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(src)
+            for f in fs
+            if f.endswith(".parquet")
+        ) or [src]
+    ident = [os.path.abspath(src), f"nlist={nlist}", f"m={m}",
+             f"ksub={ksub}", f"trained={trained}", id_col, vec_col,
+             f"store={','.join(store_cols or ())}", "residual-v1"]
+    for pth in parts:
+        st = os.stat(pth)
+        ident.append(f"{pth}:{st.st_mtime_ns}:{st.st_size}")
+    key = hashlib.md5("\x1f".join(ident).encode()).hexdigest()[:16]
+    root = cache_root or os.environ.get(
+        "SPARK_GRAFT_INDEX_CACHE",
+        os.path.join(tempfile.gettempdir(), "spark_graft_index_cache"),
+    )
+    path = os.path.join(root, f"rivfpq-{table}-{key}")
+    meta_path = os.path.join(path, "_ivfpq_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path, encoding="utf-8") as fh:
+            meta = json.load(fh)
+        if os.path.exists(
+            os.path.join(_ivfpq_root(path, meta), "_SUCCESS")
+        ):
+            return path, meta["centroids"], meta["codebooks"]
+    emb = spark.read.parquet(src)
+    if trained:
+        centroids = train_coarse_centroids(
+            emb, nlist=nlist, id_col=id_col, vec_col=vec_col
+        )
+        books = train_residual_codebooks(
+            emb, centroids, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        centroids = coarse_centroids_deterministic(
+            emb, nlist=nlist, id_col=id_col, vec_col=vec_col
+        )
+        books = residual_codebooks_deterministic(
+            emb, centroids, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+        )
+    tmp = f"{path}.build-{os.getpid()}"
+    build_ivfpq_index(
+        emb, tmp, books, id_col=id_col, vec_col=vec_col,
+        store_cols=store_cols, coarse_centroids=centroids,
+    )
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path, centroids, books
+
+
 def build_ivfpq_index(
     emb: DataFrame,
     path: str,
@@ -1203,7 +1589,8 @@ def build_ivfpq_index(
     n_planes: int = 4,
     store_cols: tuple[str, ...] | None = None,
     n_store_buckets: int = 16,
-) -> list[list[float]]:
+    coarse_centroids: list[list[float]] | None = None,
+) -> list[list[float]] | None:
     """Persist the IVF-PQ index: (id, codes) PARTITIONED BY the coarse
     bucket — REPARTITIONED by it first, so each bucket directory is
     written by one task (bounded writer memory, one file per bucket per
@@ -1281,7 +1668,7 @@ def build_ivfpq_index(
             planes = _build_ivfpq_staged(
                 emb, groot, codebooks, id_col, vec_col, n_planes,
                 store_cols, n_store_buckets, meta_path=mpath,
-                generation=gen,
+                generation=gen, centroids=coarse_centroids,
             )
             if gen:
                 _ivfpq_reclaim(path, gen)
@@ -1291,7 +1678,7 @@ def build_ivfpq_index(
         store.remove_tree(tmp)
         planes = _build_ivfpq_staged(
             emb, tmp, codebooks, id_col, vec_col, n_planes, store_cols,
-            n_store_buckets,
+            n_store_buckets, centroids=coarse_centroids,
         )
         store.put_text(_lease_path(_ivfpq_meta_path(tmp)), _lease_token())
         old = f"{path}.build-old-{os.getpid()}"
@@ -1307,6 +1694,7 @@ def build_ivfpq_index(
 def _build_ivfpq_staged(
     emb, path, codebooks, id_col, vec_col, n_planes, store_cols,
     n_store_buckets, meta_path: str | None = None, generation: int = 0,
+    centroids: list[list[float]] | None = None,
 ):
     """Write one complete index generation into ``path``. POSIX
     staging passes the default meta_path (sidecar INSIDE the staging
@@ -1317,9 +1705,12 @@ def _build_ivfpq_staged(
 
     m = len(codebooks)
     ds = len(codebooks[0][0])
-    planes = fixed_planes(m * ds, n_planes)
+    planes = None if centroids is not None else fixed_planes(m * ds, n_planes)
     (
-        _ivfpq_rows(emb, codebooks, planes, id_col, vec_col, seq=1)
+        _ivfpq_rows(
+            emb, codebooks, planes, id_col, vec_col, seq=1,
+            centroids=centroids,
+        )
         .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -1339,6 +1730,11 @@ def _build_ivfpq_staged(
         {
             "codebooks": codebooks,
             "planes": planes,
+            **(
+                {"centroids": [[float(x) for x in c] for c in centroids]}
+                if centroids is not None
+                else {}
+            ),
             "store_cols": list(store_cols) if store_cols else None,
             "n_store_buckets": int(n_store_buckets),
             "next_seq": 1,
@@ -1374,6 +1770,7 @@ def append_ivfpq_index(
     )
 
     books, planes = read_ivfpq_meta(path)
+    centroids = _ivfpq_meta(path).get("centroids")
     store_cols = _ivfpq_meta(path).get("store_cols")
     n_store = _ivfpq_meta(path).get("n_store_buckets", 16)
     mpath = _ivfpq_meta_path(path)
@@ -1386,7 +1783,10 @@ def append_ivfpq_index(
         # discipline: per-tick wall is the largest write, not the sum)
         def w_codes():
             (
-                _ivfpq_rows(new_emb, books, planes, id_col, vec_col, seq=seq)
+                _ivfpq_rows(
+                    new_emb, books, planes, id_col, vec_col, seq=seq,
+                    centroids=centroids,
+                )
                 .repartition("bucket")
                 .write.mode("append")
                 .partitionBy("bucket")
@@ -1469,6 +1869,7 @@ def upsert_ivfpq_index(
     )
 
     books, planes = read_ivfpq_meta(path)
+    centroids = _ivfpq_meta(path).get("centroids")
     store_cols = _ivfpq_meta(path).get("store_cols")
     n_store = _ivfpq_meta(path).get("n_store_buckets", 16)
     mpath = _ivfpq_meta_path(path)
@@ -1489,7 +1890,8 @@ def upsert_ivfpq_index(
         def w_codes():
             (
                 _ivfpq_rows(
-                    new_emb, books, planes, id_col, vec_col, seq=seq_a
+                    new_emb, books, planes, id_col, vec_col, seq=seq_a,
+                    centroids=centroids,
                 )
                 .repartition("bucket")
                 .write.mode("append")

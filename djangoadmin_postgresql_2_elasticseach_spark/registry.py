@@ -2069,6 +2069,54 @@ def _q_icontains_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RIVF_NLIST, RIVF_NPROBE, RIVF_SHORTLIST = 8, 2, 50
+
+
+def _q_residual_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 RESIDUAL-encoding IVF-PQ (the true IVFADC, Jégou et al.
+    2011 §V.A): k-means-shaped coarse cells, PQ codes over the
+    residual x − centroid(x), per-cell ADC tables at query time —
+    at the same code budget the residual's variance is a fraction of
+    the raw vector's, which is where FAISS's recall advantage lives.
+    This entry uses the DETERMINISTIC quantizers (lowest-id centroids
+    + residual codebooks — SQL-expressible, so the whole probe is
+    value-oracled); the Lloyd-TRAINED quality path is pinned by recall
+    floors in tests/test_ann_recall.py (rerank@10 ≥ 0.7 on the same
+    synthetic). Served from the persisted cell-partitioned index —
+    the probe prunes to nprobe cell directories."""
+    from .operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    path, _cents, _books = S.residual_ivfpq_index_cached(
+        spark, sf_dir, nlist=RIVF_NLIST, m=PQ_M, ksub=PQ_KSUB,
+        store_cols=("embedding",),
+    )
+    return S.residual_ivfpq_topk(
+        spark, path, q, k=PQ_K, nprobe=RIVF_NPROBE
+    )
+
+
+def _q_residual_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15: the full residual IVFADC serving shape — per-cell ADC
+    shortlist, then EXACT squared-L2 re-rank over full-precision
+    vectors fetched from the index's OWN stored tier (zero float-table
+    reads in the serve plan). Oracle = the same shortlist SQL re-ranked
+    by the same exact-L2 expression."""
+    from .operators import similarity as S
+
+    path, _cents, _books = S.residual_ivfpq_index_cached(
+        spark, sf_dir, nlist=RIVF_NLIST, m=PQ_M, ksub=PQ_KSUB,
+        store_cols=("embedding",),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    return S.residual_ivfpq_serve_rerank(
+        spark, path, q, k=PQ_K, shortlist=RIVF_SHORTLIST,
+        nprobe=RIVF_NPROBE,
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # core relational (reference ETL/API semantics on testdata)
     "denorm_orders": R.denorm_orders,
@@ -2263,6 +2311,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # layer's auto-dispatcher over the same surface (index when the
     # exactness preconditions hold, corpus scan otherwise)
     "icontains_auto": _q_icontains_auto,
+    # r15: residual-encoding IVF-PQ (true IVFADC) — cell-pruned
+    # per-cell-ADC probe and the exact-rerank serve, both value-oracled
+    # via the deterministic (SQL-expressible) quantizers
+    "residual_ivfpq_topk": _q_residual_ivfpq_topk,
+    "residual_ivfpq_rerank": _q_residual_ivfpq_rerank,
 }
 
 # Flatten array outputs on EVERY query (no-op select for scalar-only
@@ -4743,6 +4796,116 @@ WHERE contains(lower(text), 'usto')
 SELECT doc_id, text FROM documents
 WHERE contains(lower(text), 'usto')
 """
+
+    # r15 residual IVFADC (Jégou et al. 2011 §V.A), fully in SQL via
+    # the DETERMINISTIC quantizers: centroids = the nlist lowest-id
+    # vectors, codebooks = residual-subvectors of the ksub lowest-id
+    # vectors; assignment/probe ties break (distance, cell) in both
+    # engines; per-cell LUTs because the ADC table depends on
+    # q − centroid(cell).
+    def _residual_adc_sql(limit: int) -> str:
+        l2 = (
+            "list_sum(list_transform(list_zip({a}, {b}), "
+            "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+            "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+        )
+        sub = "list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        return f"""
+WITH qv AS (
+  SELECT embedding AS q FROM embeddings ORDER BY vec_id LIMIT 1
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {RIVF_NLIST})
+),
+assign AS (
+  SELECT vec_id, cell, cv FROM (
+    SELECT e.vec_id, c.cell, c.cv,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {l2.format(a="e.embedding", b="c.cv")}, c.cell
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+base AS (
+  SELECT row_number() OVER (ORDER BY b.vec_id) - 1 AS c,
+         {sub.format(a="b.embedding", b="a.cv")} AS rv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_KSUB}) b
+  JOIN assign a ON a.vec_id = b.vec_id
+),
+books AS (
+  SELECT j.j, base.c,
+         list_slice(base.rv, j.j * {_pq_ds} + 1, j.j * {_pq_ds} + {_pq_ds}) AS cv
+  FROM base CROSS JOIN (VALUES (0), (1), (2), (3)) j(j)
+),
+probes AS (
+  SELECT cell, cv FROM (
+    SELECT c.cell, c.cv,
+           row_number() OVER (
+             ORDER BY {l2.format(a="qv.q", b="c.cv")}, c.cell
+           ) AS rn
+    FROM cents c, qv
+  ) WHERE rn <= {RIVF_NPROBE}
+),
+pruned AS (
+  SELECT e.vec_id, a.cell,
+         {sub.format(a="e.embedding", b="a.cv")} AS rv
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN probes p ON p.cell = a.cell
+),
+subd AS (
+  SELECT pr.vec_id, pr.cell, b.j, b.c,
+    list_sum(list_transform(
+      list_zip(list_slice(pr.rv, b.j * {_pq_ds} + 1, b.j * {_pq_ds} + {_pq_ds}), b.cv),
+      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM pruned pr CROSS JOIN books b
+),
+codes AS (
+  SELECT vec_id, cell, j, c AS code FROM (
+    SELECT vec_id, cell, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM subd
+  ) WHERE rn = 1
+),
+tbl AS (
+  SELECT p.cell, b.j, b.c,
+    list_sum(list_transform(
+      list_zip(
+        list_slice({sub.format(a="qv.q", b="p.cv")},
+                   b.j * {_pq_ds} + 1, b.j * {_pq_ds} + {_pq_ds}),
+        b.cv),
+      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM probes p CROSS JOIN books b, qv
+),
+adc AS (
+  SELECT codes.vec_id, round(SUM(tbl.d), 6) AS approx_dist
+  FROM codes
+  JOIN tbl ON tbl.cell = codes.cell AND tbl.j = codes.j
+          AND tbl.c = codes.code
+  GROUP BY codes.vec_id
+)
+SELECT vec_id, approx_dist FROM adc
+ORDER BY approx_dist, vec_id LIMIT {limit}
+"""
+
+    o["residual_ivfpq_topk"] = _residual_adc_sql(PQ_K)
+    # the rerank form: the same shortlist re-ranked by the exact
+    # squared-L2 expression every rerank oracle shares — the engine
+    # reads the vectors from its own stored tier, the oracle from the
+    # table (same values)
+    o["residual_ivfpq_rerank"] = f"""
+WITH sl AS (SELECT vec_id FROM ({{_RSL_}})),
+qx AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1)
+SELECT e.vec_id,
+       round(list_sum(list_transform(list_zip(e.embedding, qx.qe),
+         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS dist
+FROM embeddings e JOIN sl ON e.vec_id = sl.vec_id CROSS JOIN qx
+ORDER BY dist, e.vec_id
+LIMIT {PQ_K}
+""".replace("{_RSL_}", _residual_adc_sql(RIVF_SHORTLIST))
 
     # r11: the index-build manifest — per-bucket vector counts, bucket
     # = the same sign-concat hyperplane hash the probes prune on

@@ -86,6 +86,61 @@ def test_rerank_and_adc_recall_bounds(spark, corpus, idx):
         assert rr >= adc, f"re-rank below raw ADC at h={h}: {rr} < {adc}"
 
 
+@pytest.fixture(scope="module")
+def residual_idx(spark):
+    """The TRAINED residual index (Lloyd coarse centroids + residual-
+    trained codebooks — deterministic, not SQL-expressible; the
+    deterministic variant backs the value oracles instead)."""
+    path, cents, books = S.residual_ivfpq_index_cached(
+        spark, SF_CORRECT, nlist=8, m=4, ksub=16, trained=True,
+        store_cols=("embedding",),
+    )
+    return path
+
+
+def test_residual_ivfpq_recall_floors(spark, corpus, residual_idx):
+    """r15 (r14 verdict next #2): residual encoding raises the recall
+    floors the hyperplane-coarse index could not reach. Measured
+    (sf0.01, same 5 fixed queries, trained quantizers, m=4/ksub=16 —
+    the SAME code budget as the hyperplane index): rerank@10
+    nprobe=4/shortlist=100 mean 0.78 (hyperplane shortlist=100: 0.70);
+    raw per-cell ADC@10 nprobe=4 mean ~0.28 (hyperplane: 0.30-0.32 at
+    a much larger probe volume). Floors pinned with margin: rerank ≥
+    0.7 — the verdict's stated target — and ADC ≥ 0.2."""
+    rr = _mean_recall(
+        spark, corpus,
+        lambda sp, q: S.residual_ivfpq_serve_rerank(
+            sp, residual_idx, q, k=K, shortlist=100, nprobe=4
+        ),
+    )
+    adc = _mean_recall(
+        spark, corpus,
+        lambda sp, q: S.residual_ivfpq_topk(
+            sp, residual_idx, q, k=K, nprobe=4
+        ),
+    )
+    assert rr >= 0.7, f"residual rerank recall@{K} degraded: {rr}"
+    assert adc >= 0.2, f"residual ADC recall@{K} degraded: {adc}"
+    assert rr >= adc
+
+
+def test_residual_recall_grows_with_nprobe(spark, corpus, residual_idx):
+    """nprobe is the residual form's recall/cost dial: probing every
+    cell must not retrieve worse than probing two, and with the full
+    probe set + a generous shortlist the re-rank recovers ≥ 0.9."""
+    def at(npb, sl):
+        return _mean_recall(
+            spark, corpus,
+            lambda sp, q: S.residual_ivfpq_serve_rerank(
+                sp, residual_idx, q, k=K, shortlist=sl, nprobe=npb
+            ),
+        )
+
+    r2, r8 = at(2, 100), at(8, 200)
+    assert r8 >= r2, (r2, r8)
+    assert r8 >= 0.9, f"full-probe rerank recall degraded: {r8}"
+
+
 def test_rerank_recall_grows_with_shortlist(spark, corpus, idx):
     """The shortlist is the recall/cost dial (measured: 50 → 0.58,
     100 → 0.70, 200 → 0.74): a widened shortlist must not retrieve

@@ -292,3 +292,87 @@ def test_ivfpq_index_empty_build_serves_empty(spark, tmp_path):
         spark, path, books, [0.1] * 16, planes, k=5
     )
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r15: residual-encoding IVF-PQ (IVFADC, Jégou et al. 2011 §V.A)
+# ---------------------------------------------------------------------------
+
+
+def test_residual_ivfpq_ticks_upsert_equal_one_shot(spark, emb, vecs, tmp_path):
+    """The residual index under the SAME tick machinery: frozen
+    centroids + codebooks make build-third + append + upsert == the
+    one-shot probe exactly; deletes tombstone out; compaction is
+    value-invariant; the probe prunes to the nprobe cell DIRECTORIES
+    (PartitionFilters on the bucket column)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    cents = S.coarse_centroids_deterministic(emb, nlist=8)
+    books = S.residual_codebooks_deterministic(emb, cents, m=4, ksub=16)
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+
+    one = str(tmp_path / "one_shot")
+    S.build_ivfpq_index(emb, one, books, coarse_centroids=cents)
+    want = [
+        tuple(r)
+        for r in S.residual_ivfpq_topk(spark, one, q, k=10, nprobe=3).collect()
+    ]
+    assert len(want) == 10
+
+    tick = str(tmp_path / "ticks")
+    S.build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 3 == 0), tick, books,
+        coarse_centroids=cents,
+    )
+    S.append_ivfpq_index(emb.filter(F.col("vec_id") % 3 == 1), tick)
+    S.upsert_ivfpq_index(emb.filter(F.col("vec_id") % 3 == 2), tick)
+    got_df = S.residual_ivfpq_topk(spark, tick, q, k=10, nprobe=3)
+    got = [tuple(r) for r in got_df.collect()]
+    assert got == want
+
+    # the probe is a partition filter over the cell directories
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "bucket" in pf[0], plan[:3000]
+
+    # delete the top hit -> gone; compaction -> values invariant
+    top_id = got[0][0]
+    S.delete_from_ivfpq_index(
+        spark.createDataFrame([(top_id,)], "vec_id long"), tick
+    )
+    after = [
+        tuple(r)
+        for r in S.residual_ivfpq_topk(spark, tick, q, k=10, nprobe=3).collect()
+    ]
+    assert top_id not in {r[0] for r in after}
+    S.compact_ivfpq_index(spark, tick)
+    assert [
+        tuple(r)
+        for r in S.residual_ivfpq_topk(spark, tick, q, k=10, nprobe=3).collect()
+    ] == after
+
+
+def test_residual_rerank_serves_from_stored_tier(spark, emb, tmp_path):
+    """The rerank path reads full-precision vectors from the index's
+    OWN stored tier — the embeddings table is not in the plan — and a
+    payload-less index refuses loudly."""
+    cents = S.coarse_centroids_deterministic(emb, nlist=8)
+    books = S.residual_codebooks_deterministic(emb, cents, m=4, ksub=16)
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    path = str(tmp_path / "ridx")
+    S.build_ivfpq_index(
+        emb, path, books, coarse_centroids=cents,
+        store_cols=("embedding",),
+    )
+    got = S.residual_ivfpq_serve_rerank(
+        spark, path, q, k=5, shortlist=30, nprobe=3
+    )
+    rows = got.collect()
+    assert len(rows) == 5 and rows[0]["vec_id"] == 0  # self-query
+    assert all(path in f for f in got.inputFiles())
+    bare = str(tmp_path / "bare")
+    S.build_ivfpq_index(emb, bare, books, coarse_centroids=cents)
+    with pytest.raises(ValueError, match="store_cols"):
+        S.residual_ivfpq_serve_rerank(spark, bare, q, k=5)
