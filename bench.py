@@ -194,6 +194,15 @@ BENCH_QUERIES = [
     # residual verify — zero corpus reads; cold pays the one-time
     # unstemmed-index cache build, warm is the serving number)
     "icontains_from_index",
+    # r15: the API-layer auto-dispatcher over the same surface — one
+    # conditional above the served form; benched so the dispatch
+    # layer's cost (and any future fallback regression) stays visible
+    # (r14 verdict task #8)
+    "icontains_auto",
+    # r15: residual IVFADC — cell-pruned per-cell-ADC probe and the
+    # stored-tier exact re-rank (cold pays the cached build+train)
+    "residual_ivfpq_topk",
+    "residual_ivfpq_rerank",
     # r13 (r12 verdict #8): the headline reference-API shapes — the
     # admin/REST surface (SURVEY P7-P9, O2/O3, A8) and the scan-based
     # ES-DSL bool body — benched directly; all sub-second

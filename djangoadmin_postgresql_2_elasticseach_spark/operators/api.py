@@ -177,6 +177,7 @@ def icontains_auto(
     field: str = "text",
     index_path: str | None = None,
     id_col: str = "doc_id",
+    index_field: str | None = None,
     **index_kw,
 ) -> DataFrame:
     """Admin icontains (reference admin.py:21 / views.py:92 — ``ILIKE
@@ -194,13 +195,21 @@ def icontains_auto(
 
     Returns ``(id_col, field)`` rows — the scan branch projects the
     same two columns so callers (and the parity test) see one schema
-    regardless of which plan served."""
+    regardless of which plan served.
+
+    ``index_field``: the INDEXED token stream to probe when it differs
+    from the payload column — a combined stemmed+raw index (ES
+    multi-fields: title + title.raw) names its raw stream e.g.
+    ``text_raw`` while the payload stays stored once under ``text``;
+    the scan branch always filters the payload ``field``."""
     if index_path is not None:
         from ..search.index import icontains_from_index
 
         try:
             hits = icontains_from_index(
-                spark, index_path, fragment, field=field, **index_kw
+                spark, index_path, fragment,
+                field=index_field or field, store_field=field,
+                **index_kw,
             )
             if id_col != "doc_id":
                 hits = hits.withColumnRenamed("doc_id", id_col)

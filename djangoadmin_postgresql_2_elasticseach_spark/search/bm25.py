@@ -157,14 +157,15 @@ def bm25_topk_from_index(
     from .index import (
         index_field_stats,
         read_doclens,
+        field_stem as IX_field_stem,
         read_posting_meta,
         read_postings,
         term_buckets,
     )
 
     meta = read_posting_meta(path)
-    if stem is None:  # default to the index's build-time analyzer
-        stem = meta["stem"]
+    if stem is None:  # default to the FIELD's build-time analyzer
+        stem = IX_field_stem(meta, field)
     qterms = analyze_query(query, stem=stem)
     if not qterms:
         raise ValueError("empty query after analysis")
@@ -364,6 +365,7 @@ def multimatch_bm25_from_index(
     from .index import (
         index_field_stats,
         read_doclens,
+        field_stem as IX_field_stem,
         read_posting_meta,
         read_postings,
         read_termdict,
@@ -372,7 +374,17 @@ def multimatch_bm25_from_index(
 
     meta = read_posting_meta(path)
     if stem is None:
-        stem = meta["stem"]
+        stems = {IX_field_stem(meta, f) for f in fields}
+        if len(stems) > 1:
+            # one query string is analyzed ONCE; fields indexed under
+            # different analyzers cannot share that stream — serve the
+            # mixed case per-field (or from the scan) instead
+            raise ValueError(
+                f"fields {list(fields)} were indexed under different "
+                "analyzers — a single multi_match query stream cannot "
+                "serve both"
+            )
+        stem = stems.pop()
     qterms = analyze_query(query, stem=stem)
     if not qterms:
         raise ValueError("empty query after analysis")

@@ -468,6 +468,12 @@ def _token_candidates(spark, path: str, meta: dict, fields, tokens):
     )
 
 
+def _stemmed_field(meta: dict, field: str) -> bool:
+    from .index import field_stem
+
+    return field_stem(meta, field) is True
+
+
 def _index_candidates(
     spark, path: str, q: dict, meta: dict
 ) -> tuple[DataFrame | None, dict | None]:
@@ -497,7 +503,10 @@ def _index_candidates(
         field, value = next(iter(q["match"].items()))
         if isinstance(value, dict):
             value = value["query"]
-        if field not in meta["fields"]:
+        if field not in meta["fields"] or not _stemmed_field(meta, field):
+            # fields indexed under a non-default analyzer (a combined
+            # index's raw field) fall back to the scan — the candidate
+            # probe below analyzes with the default stemmer
             return None, q
         toks = analyze_query(str(value))
         return _token_candidates(spark, path, meta, [field], toks), None
@@ -507,7 +516,11 @@ def _index_candidates(
         if isinstance(value, dict):
             slop = int(value.get("slop", 0))
             value = value["query"]
-        if field not in meta["fields"] or not analyze_query(str(value)):
+        if (
+            field not in meta["fields"]
+            or not _stemmed_field(meta, field)
+            or not analyze_query(str(value))
+        ):
             return None, q
         if field in (meta.get("element_fields") or []):
             # element_tokens positions span element boundaries — a
@@ -529,14 +542,21 @@ def _index_candidates(
         # the no-fields form searches EVERY string column of the docs
         # frame (keyword columns included) — only the explicit-fields
         # form over indexed fields is servable
-        if qs == "*:*" or not fields or not set(fields) <= set(meta["fields"]):
+        if (
+            qs == "*:*"
+            or not fields
+            or not set(fields) <= set(meta["fields"])
+            or not all(_stemmed_field(meta, f) for f in fields)
+        ):
             return None, q
         toks = analyze_query(qs)
         return _token_candidates(spark, path, meta, list(fields), toks), None
     if "multi_match" in q:
         mm = q["multi_match"]
         flds = list(mm["fields"])
-        if not set(flds) <= set(meta["fields"]):
+        if not set(flds) <= set(meta["fields"]) or not all(
+            _stemmed_field(meta, f) for f in flds
+        ):
             return None, q
         qtoks = analyze_query(mm["query"])
         if not qtoks:

@@ -76,6 +76,7 @@ def analyzed_corpus_cached(
     cache_root: str | None = None,
     extra_fields: tuple[str, ...] = (),
     stem: bool = True,
+    raw_field: str | None = None,
 ) -> DataFrame:
     """Index-time analysis, persisted: the (id, tokens) projection of the
     corpus with the full ru_en analyzer applied ONCE per corpus version,
@@ -96,6 +97,12 @@ def analyzed_corpus_cached(
     artifact per field set) — the multi-field search queries
     (multi_match / query_string over text+source) read ALL their
     per-field token arrays from the one artifact.
+
+    ``raw_field`` additionally analyzes the PRIMARY text column with
+    stem=False into ``<raw_field>_tokens`` — both analyzer outputs in
+    ONE projection over ONE corpus scan (the ES multi-fields shape,
+    title + title.raw): the combined stemmed+raw index ingests the
+    corpus once instead of once per analyzer.
     """
     src = os.path.join(sf_dir, f"{table}.parquet")
     parts = [src]
@@ -108,7 +115,7 @@ def analyzed_corpus_cached(
         ) or [src]
     ident = [
         os.path.abspath(src), _analyzer_version(), id_col, text_col,
-        ",".join(extra_fields), f"stem={stem}",
+        ",".join(extra_fields), f"stem={stem}", f"raw={raw_field or ''}",
     ]
     for p in parts:
         st = os.stat(p)
@@ -135,6 +142,15 @@ def analyzed_corpus_cached(
                 T.analyze(F.col(f), stem=stem).alias(f"{f}_tokens")
                 for f in extra_fields
             ],
+            *(
+                [
+                    T.analyze(F.col(text_col), stem=False).alias(
+                        f"{raw_field}_tokens"
+                    )
+                ]
+                if raw_field
+                else []
+            ),
         ).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)
@@ -616,7 +632,23 @@ def read_posting_meta(path: str) -> dict:
     # opt-in pg_trgm-style character-3-gram dictionary (gram-bucket
     # count, or None): serves icontains without a vocabulary scan
     meta.setdefault("char_ngrams", None)
+    # restrict the trigram tier to these fields (None = all) — a
+    # combined stemmed+raw index only needs grams for the raw field
+    meta.setdefault("char_fields", None)
+    # per-field analyzer override ({field: bool}); fields absent from
+    # it use the index-wide "stem" — the ES multi-fields shape
+    # (title + title.raw): one posting store, two analyzers
+    meta.setdefault("field_stem", None)
     return meta
+
+
+def field_stem(meta: dict, field: str) -> bool:
+    """The analyzer a FIELD was indexed with: its field_stem entry,
+    else the index-wide stem flag. Every query-side analyzer default
+    resolves through this, so a combined stemmed+raw index serves each
+    field with the right analysis."""
+    fs = meta.get("field_stem") or {}
+    return bool(fs.get(field, meta.get("stem", True)))
 
 
 def _gen_root(path: str, meta: dict | None) -> str:
@@ -779,6 +811,7 @@ def _write_posting_batch(
     layout_v: int = LAYOUT_V,
     extra_writes: tuple = (),
     char_ngrams: int | None = None,
+    char_fields: tuple[str, ...] | None = None,
 ) -> dict | None:
     """One batch's writes, REPARTITIONED BY the partition columns
     first: without it every task holds an open parquet writer per
@@ -888,8 +921,13 @@ def _write_posting_batch(
         # opt-in pg_trgm-style tier: the batch's distinct terms exploded
         # into character 3-grams, partitioned (field, gram-bucket) — an
         # icontains serve prunes to its fragment's gram buckets instead
-        # of scanning the field's whole vocabulary
-        td = posts.select("token", "seq", "field").distinct()
+        # of scanning the field's whole vocabulary. ``char_fields``
+        # restricts the tier (a combined stemmed+raw index only needs
+        # grams for the raw field — half the gram writes)
+        src = posts
+        if char_fields:
+            src = src.filter(F.col("field").isin(list(char_fields)))
+        td = src.select("token", "seq", "field").distinct()
         td.select(
             F.explode(_token_grams("token")).alias("gram"),
             "token", "seq", "field",
@@ -1089,6 +1127,7 @@ def icontains_from_index(
     fragment: str,
     field: str = "text",
     max_candidate_terms: int = 10_000,
+    store_field: str | None = None,
 ) -> DataFrame:
     """Serve the admin ``icontains`` surface (reference admin.py:21 /
     views.py:92 — ``ILIKE '%q%'``) from the INDEX tier instead of a
@@ -1132,15 +1171,22 @@ def icontains_from_index(
     from ..functions.text import ALL_STOPWORDS
 
     meta = read_posting_meta(path)
-    if meta.get("stem", True):
+    # ``store_field``: the STORED payload column the residual verify
+    # (and the returned rows) read — defaults to the indexed field; a
+    # combined index names its raw token stream `text_raw` while the
+    # payload stays stored once under `text` (the ES multi-fields
+    # shape: one _source, two analyzers)
+    store_field = store_field or field
+    if field_stem(meta, field):
         raise ValueError(
-            "icontains_from_index needs an UNSTEMMED index (stem=False): "
-            "a stemmed vocabulary rewrites suffixes, so raw substrings "
-            "can miss — fall back to the corpus scan"
+            f"icontains_from_index needs an UNSTEMMED field (field "
+            f"{field!r} was indexed stemmed): a stemmed vocabulary "
+            "rewrites suffixes, so raw substrings can miss — fall "
+            "back to the corpus scan"
         )
-    if field not in (meta.get("store_cols") or []):
+    if store_field not in (meta.get("store_cols") or []):
         raise ValueError(
-            f"field {field!r} is not stored with the index "
+            f"field {store_field!r} is not stored with the index "
             f"(store_cols={meta.get('store_cols')}) — the residual "
             "verify needs the raw payload"
         )
@@ -1195,9 +1241,9 @@ def icontains_from_index(
     # tombstones (deleted docs vanish) and the residual verify runs on
     # the CURRENT stored payload (upserted docs re-checked)
     stored = fetch_docs(spark, path, cand)
-    return stored.filter(F.lower(F.col(field)).contains(frag)).select(
-        "doc_id", field
-    )
+    return stored.filter(
+        F.lower(F.col(store_field)).contains(frag)
+    ).select("doc_id", store_field)
 
 
 def build_posting_index(
@@ -1212,6 +1258,8 @@ def build_posting_index(
     n_store_buckets: int = N_STORE_BUCKETS,
     element_fields: tuple[str, ...] = (),
     char_ngrams: bool = False,
+    field_stem: dict[str, bool] | None = None,
+    char_fields: tuple[str, ...] | None = None,
 ) -> None:
     """Persist the serving search index: `postings/` PARTITIONED BY
     (field, token-bucket) — a term query prunes to one bucket directory
@@ -1243,6 +1291,31 @@ def build_posting_index(
     bad_el = sorted(set(element_fields) - set(fields))
     if bad_el:
         raise ValueError(f"element_fields {bad_el} not in fields {fields}")
+    if field_stem:
+        bad_fs = sorted(set(field_stem) - set(fields))
+        if bad_fs:
+            raise ValueError(f"field_stem keys {bad_fs} not in {fields}")
+        covered = (
+            set(tokens_col) if isinstance(tokens_col, dict)
+            else set(fields[:1]) if isinstance(tokens_col, str)
+            else set()
+        )
+        bad_mix = sorted(
+            f for f, fs in field_stem.items()
+            if fs != stem and f not in covered
+        )
+        if bad_mix:
+            # in-plan analysis runs with the single ``stem`` flag; a
+            # field declaring the OTHER analyzer must arrive
+            # pre-analyzed or its postings silently mix analyzers
+            raise ValueError(
+                f"fields {bad_mix} declare field_stem != stem but have "
+                "no tokens_col entry — pass their pre-analyzed stream"
+            )
+    if char_fields:
+        bad_cf = sorted(set(char_fields) - set(fields))
+        if bad_cf:
+            raise ValueError(f"char_fields {bad_cf} not in {fields}")
     # a REBUILD resets the seq counter — racing a live writer's ticks
     # here is counter corruption, not just staleness, so the build
     # claims the same single-writer lease ticks use (commit releases).
@@ -1303,6 +1376,8 @@ def build_posting_index(
                 "n_store_buckets": int(n_store_buckets),
                 "element_fields": list(element_fields),
                 "char_ngrams": int(n_buckets) if char_ngrams else None,
+                "char_fields": list(char_fields) if char_fields else None,
+                "field_stem": dict(field_stem) if field_stem else None,
                 "layout_v": LAYOUT_V,
                 "field_stats": None,
                 "next_seq": 1,
@@ -1334,6 +1409,7 @@ def build_posting_index(
             posts, lens, path, "overwrite", dest_root=root, fields=fields,
             extra_writes=extra,
             char_ngrams=int(n_buckets) if char_ngrams else None,
+            char_fields=char_fields,
         )
         commit_index_seq(_posting_meta_path(path), 1, stats_delta=stats_delta)
 
@@ -1351,15 +1427,19 @@ def _validate_tick_config(
     elif isinstance(tokens_col, dict):
         covered = set(tokens_col)
     uncovered = [f for f in fields if f not in covered]
-    if "stem" in meta and uncovered and stem != meta["stem"]:
-        # fields without a pre-analyzed column are analyzed in-plan
-        # with ``stem`` — a mismatch there writes mixed-analyzer
-        # postings no query can match consistently
-        raise ValueError(
-            f"index at {path} was built with stem={meta['stem']}; "
-            f"appending stem={stem} rows for {uncovered} would mix "
-            "analyzers"
-        )
+    if "stem" in meta:
+        for f in uncovered:
+            # fields without a pre-analyzed column are analyzed
+            # in-plan with ``stem`` — a mismatch against the FIELD's
+            # configured analyzer writes mixed-analyzer postings no
+            # query can match consistently
+            want = field_stem(meta, f)
+            if stem != want:
+                raise ValueError(
+                    f"index at {path} built field {f!r} with "
+                    f"stem={want}; appending stem={stem} rows for it "
+                    "would mix analyzers"
+                )
     known = set(meta.get("fields") or [])
     unknown = [f for f in fields if f not in known]
     if known and unknown:
@@ -1509,6 +1589,7 @@ def append_posting_index(
             posts, lens, path, "append", dest_root=root, fields=fields,
             layout_v=layout_v, extra_writes=extra,
             char_ngrams=(meta or {}).get("char_ngrams"),
+            char_fields=tuple((meta or {}).get("char_fields") or ()) or None,
         )
         commit_index_seq(mpath, seq, stats_delta=stats_delta)
 
@@ -1843,6 +1924,7 @@ def upsert_posting_index(
             posts, lens, path, "append", dest_root=root, fields=fields,
             layout_v=layout_v, extra_writes=extra,
             char_ngrams=(meta or {}).get("char_ngrams"),
+            char_fields=tuple((meta or {}).get("char_fields") or ()) or None,
         )
         commit_index_seq(mpath, seq_a, stats_delta=stats_delta)
 
@@ -1901,8 +1983,8 @@ def match_phrase_from_index(
             "span element boundaries); phrase queries are not servable "
             "from the index for it"
         )
-    if stem is None:  # default to the index's build-time analyzer
-        stem = meta["stem"]
+    if stem is None:  # default to the FIELD's build-time analyzer
+        stem = field_stem(meta, field)
     qterms = analyze_query(phrase, stem=stem)
     if not qterms:
         raise ValueError("empty phrase after analysis")
@@ -2057,8 +2139,13 @@ def _compact_posting_locked(spark: SparkSession, path: str) -> None:
     if meta.get("char_ngrams"):
         # the trigram dictionary rides the swap, rebuilt from the
         # live terms (tokens whose last doc died are retired here,
-        # exactly like termdict)
-        posts.select(
+        # exactly like termdict); char_fields keeps the tier scoped
+        cposts = posts
+        if meta.get("char_fields"):
+            cposts = cposts.filter(
+                F.col("field").isin(list(meta["char_fields"]))
+            )
+        cposts.select(
             "token", F.lit(committed).cast("long").alias("seq"), "field"
         ).distinct().select(
             F.explode(_token_grams("token")).alias("gram"),
@@ -2378,6 +2465,7 @@ def posting_index_cached(
     store_cols: tuple[str, ...] | None = None,
     stem: bool = True,
     char_ngrams: bool = False,
+    raw_field: str | None = None,
 ) -> str:
     """Build-once persisted posting index over a corpus table (the
     `analyzed_corpus_cached` / `ivfpq_index_cached` posture applied to
@@ -2404,7 +2492,7 @@ def posting_index_cached(
     ident = [
         os.path.abspath(src), _analyzer_version(), id_col, text_col,
         ",".join(extra_fields), f"nb={n_buckets}", f"stem={stem}",
-        f"trgm={char_ngrams}",
+        f"trgm={char_ngrams}", f"raw={raw_field or ''}",
         # layout generation rides the cache identity: an r12-built (v1)
         # cached index must not satisfy a v2 build request — it would
         # silently serve through the legacy doclens-join path
@@ -2424,6 +2512,7 @@ def posting_index_cached(
     toks = analyzed_corpus_cached(
         spark, sf_dir, table=table, id_col=id_col, text_col=text_col,
         cache_root=cache_root, extra_fields=extra_fields, stem=stem,
+        raw_field=raw_field,
     )
     if store_cols:
         # stored fields come from the corpus payload, joined once at
@@ -2434,12 +2523,27 @@ def posting_index_cached(
     fields = ("text", *extra_fields)
     tokens_col = {"text": "tokens"}
     tokens_col.update({f: f"{f}_tokens" for f in extra_fields})
+    field_stem = None
+    char_fields = None
+    if raw_field:
+        # ONE index, both analyzers (the ES multi-fields shape): the
+        # raw field shares the posting store, docstore, trigram tier,
+        # and the single analyze pass with the stemmed text field —
+        # the combined serving tier ingests the corpus once, not once
+        # per analyzer (r14 what's-wrong #4)
+        fields = fields + (raw_field,)
+        tokens_col[raw_field] = f"{raw_field}_tokens"
+        field_stem = {raw_field: False}
+        # grams only for the raw field — icontains never probes a
+        # stemmed vocabulary
+        char_fields = (raw_field,) if char_ngrams else None
     tmp = f"{path}.build-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     build_posting_index(
         toks, tmp, fields=fields, id_col=id_col, tokens_col=tokens_col,
         n_buckets=n_buckets, store_cols=store_cols, stem=stem,
-        char_ngrams=char_ngrams,
+        char_ngrams=char_ngrams, field_stem=field_stem,
+        char_fields=char_fields,
     )
     try:
         os.rename(tmp, path)

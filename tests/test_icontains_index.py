@@ -316,3 +316,137 @@ def test_trgm_survives_full_compaction(spark, docs, trgm_idx, tmp_path):
         _art(trgm_idx, "chardict", read_posting_meta(trgm_idx))
     )
     assert _serve(spark, trgm_idx, "usto") == before
+
+
+# ---------------------------------------------------------------------------
+# r15: ONE index, both analyzers (ES multi-fields — r14 what's-wrong #4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def combined_idx(spark, docs, tmp_path_factory):
+    """Stemmed `text` + unstemmed `text_raw` sharing one posting
+    store, one docstore (text stored once), one trigram tier scoped to
+    the raw field — built from one dual-analyzer pass."""
+    path = str(tmp_path_factory.mktemp("combined") / "idx")
+    toks = docs.select(
+        "doc_id",
+        "text",
+        T.analyze(F.col("text")).alias("tokens"),
+        T.analyze(F.col("text"), stem=False).alias("raw_tokens"),
+    )
+    build_posting_index(
+        toks, path, fields=("text", "text_raw"),
+        tokens_col={"text": "tokens", "text_raw": "raw_tokens"},
+        field_stem={"text_raw": False}, store_cols=("text",),
+        char_ngrams=True, char_fields=("text_raw",),
+    )
+    return path
+
+
+def test_combined_index_serves_both_analyzers(spark, docs, combined_idx):
+    """BM25 over the stemmed field equals a stemmed-only index's
+    ranking; icontains over the raw field equals the corpus scan — one
+    ingest, both surfaces."""
+    from djangoadmin_postgresql_2_elasticseach_spark.search.bm25 import (
+        bm25_topk_from_index,
+    )
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        read_posting_meta,
+    )
+
+    meta = read_posting_meta(combined_idx)
+    assert meta["field_stem"] == {"text_raw": False}
+    assert meta["char_fields"] == ["text_raw"]
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in icontains_from_index(
+            spark, combined_idx, "usto", field="text_raw",
+            store_field="text",
+        ).collect()
+    )
+    assert got == _scan(docs, "usto") and got
+    # stemmed BM25 unchanged by the extra raw field
+    hits = bm25_topk_from_index(
+        spark, combined_idx, "spark vector join", k=10
+    ).collect()
+    assert len(hits) == 10
+
+
+def test_combined_index_chardict_scoped_to_raw_field(
+    spark, docs, combined_idx
+):
+    """The trigram tier carries ONLY the raw field's grams — the
+    stemmed vocabulary never pays the gram writes."""
+    import glob
+
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        CHARDICT_SCHEMA,
+        _art,
+        _read_or_empty,
+        read_posting_meta,
+    )
+
+    cd = _read_or_empty(
+        spark,
+        _art(combined_idx, "chardict", read_posting_meta(combined_idx)),
+        CHARDICT_SCHEMA,
+    )
+    fields = {r["field"] for r in cd.select("field").distinct().collect()}
+    assert fields == {"text_raw"}
+
+
+def test_combined_index_ticks_enforce_per_field_analyzers(
+    spark, docs, combined_idx, tmp_path
+):
+    """An upsert carrying both fields' pre-analyzed streams lands and
+    serves on both surfaces; a tick that would analyze the raw field
+    with the stemmer in-plan is rejected before any write."""
+    new = spark.createDataFrame(
+        [(9400, "a zzqqix marker documents")], "doc_id long, text string"
+    ).select(
+        "doc_id", "text",
+        T.analyze(F.col("text")).alias("tokens"),
+        T.analyze(F.col("text"), stem=False).alias("raw_tokens"),
+    )
+    upsert_posting_index(
+        new, combined_idx, fields=("text", "text_raw"),
+        tokens_col={"text": "tokens", "text_raw": "raw_tokens"},
+        store_cols=("text",),
+    )
+    got = dict(
+        (r["doc_id"], r["text"])
+        for r in icontains_from_index(
+            spark, combined_idx, "zqqi", field="text_raw",
+            store_field="text",
+        ).collect()
+    )
+    assert got == {9400: "a zzqqix marker documents"}
+    # uncovered raw field + stemmed in-plan analysis -> loud reject
+    with pytest.raises(ValueError, match="mix analyzers"):
+        upsert_posting_index(
+            spark.createDataFrame(
+                [(9401, "nope")], "doc_id long, text string"
+            ),
+            combined_idx, fields=("text", "text_raw"),
+            store_cols=("text",),
+        )
+
+
+def test_auto_dispatch_over_combined_index(spark, docs, combined_idx):
+    """The API dispatcher probes the raw stream (index_field) while
+    returning the stored payload column — same rows as the scan, plan
+    inside the index."""
+    from djangoadmin_postgresql_2_elasticseach_spark.operators.api import (
+        icontains_auto,
+    )
+
+    df = icontains_auto(
+        spark, docs, "usto", field="text", index_path=combined_idx,
+        index_field="text_raw",
+    )
+    assert df.columns == ["doc_id", "text"]
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in df.collect()
+    ) == _scan(docs, "usto")
+    assert df.inputFiles() and all(combined_idx in f for f in df.inputFiles())
