@@ -450,3 +450,81 @@ def test_auto_dispatch_over_combined_index(spark, docs, combined_idx):
         (r["doc_id"], r["text"]) for r in df.collect()
     ) == _scan(docs, "usto")
     assert df.inputFiles() and all(combined_idx in f for f in df.inputFiles())
+
+
+# ---------------------------------------------------------------------------
+# r15 scale sweep (r14 verdict task #6): probe bytes vs corpus growth
+# ---------------------------------------------------------------------------
+
+
+def _du(p):
+    if not os.path.exists(p):
+        return 0
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    return sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(p)
+        for f in fs
+    )
+
+
+def test_probe_bytes_stay_dictionary_sized_across_scale(spark):
+    """The icontains candidate probe reads the fragment's gram buckets
+    of the trigram DICTIONARY, and the fuzzy expansion reads tlen
+    bands of the term dictionary — both vocabulary-sized, never
+    corpus-sized. Measured across ~9× corpus growth (sf0.001 → sf0.1)
+    on the shared cached combined index: the probed directories'
+    bytes must not grow faster than the vocabulary does (the synthetic
+    corpus draws from a fixed word list, so the dictionary SATURATES —
+    the Heaps'-law limit — and the probed bytes stay flat while the
+    corpus grows ~9×). The PartitionFilters plan pins elsewhere in
+    this file prove the scans select exactly these directories, so
+    directory bytes ARE the scan's post-pruning selection."""
+    from tests.conftest import TESTDATA
+    from djangoadmin_postgresql_2_elasticseach_spark.search.index import (
+        _gen_root,
+        fragment_grams,
+        posting_index_cached,
+        read_posting_meta,
+        term_buckets,
+        tlen_bands,
+    )
+
+    sizes = {}
+    for sf in (SF_SMOKE, os.path.join(TESTDATA, "sf0.1")):
+        path = posting_index_cached(
+            spark, sf, store_cols=("text",), char_ngrams=True,
+            raw_field="text_raw",
+        )
+        meta = read_posting_meta(path)
+        root = _gen_root(path, meta)
+        gkbs = term_buckets(
+            fragment_grams("usto"), int(meta["char_ngrams"])
+        )
+        probe = sum(
+            _du(os.path.join(root, "chardict", "field=text_raw", f"gkb={b}"))
+            for b in gkbs
+        )
+        band = sum(
+            _du(os.path.join(root, "termdict", "field=text", f"tlen={b}"))
+            for b in tlen_bands(4, 6)
+        )
+        sizes[sf] = {
+            "corpus": _du(os.path.join(sf, "documents.parquet")),
+            "probe": probe,
+            "band": band,
+            "td_full": _du(os.path.join(root, "termdict", "field=text")),
+            "cd_full": _du(os.path.join(root, "chardict")),
+        }
+    small, big = sizes[SF_SMOKE], sizes[os.path.join(TESTDATA, "sf0.1")]
+    corpus_growth = big["corpus"] / small["corpus"]
+    assert corpus_growth > 5  # the sweep is real
+    # probed bytes grow no faster than the dictionary itself — here
+    # the dictionary is saturated, so they are FLAT across the sweep
+    assert big["probe"] <= small["probe"] * 1.5
+    assert big["band"] <= small["band"] * 1.5
+    # and the probes are strict subsets of their dictionaries
+    for s in (small, big):
+        assert 0 < s["probe"] < s["cd_full"]
+        assert 0 < s["band"] < s["td_full"]
