@@ -522,8 +522,18 @@ def semantic_dedup(
     # the precomputed values is bit-identical to cosine() over per-pair
     # casts — same doubles, same operation order.
     vecd = F.col(vec_col).cast("array<double>")
-    assigned = assign_clusters(emb, centroids, id_col, vec_col).select(
-        id_col, "cluster", vecd.alias("_vecd"), norm(vecd).alias("_nrm")
+    # persist: the frame is referenced THREE times below (both pair-join
+    # sides + the keep-flag left side), and lazy evaluation re-ran the
+    # centroid-argmin scan for each — measured 3× ~1 s per call at
+    # sf0.1 while the cluster-scoped pair join itself was ~0.6 s
+    # (OPTIMIZATION_r15.md). One materialization, three readers; the
+    # ContextCleaner reclaims the blocks when the result frame dies.
+    assigned = (
+        assign_clusters(emb, centroids, id_col, vec_col)
+        .select(
+            id_col, "cluster", vecd.alias("_vecd"), norm(vecd).alias("_nrm")
+        )
+        .persist()
     )
     a, b = assigned.alias("_a"), assigned.alias("_b")
     cs = dot(F.col("_a._vecd"), F.col("_b._vecd")) / (

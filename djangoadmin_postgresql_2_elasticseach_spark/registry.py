@@ -843,6 +843,15 @@ PIPELINE_ASSEMBLY_SPEC = [
 ]
 
 
+# the previous invocation's pipeline, so its penultimate-stage
+# checkpoint (which the returned lazy tail reads — it cannot be freed
+# before the caller's action) is released on the NEXT call instead of
+# leaking one half-corpus block set per invocation (the r11
+# free_survivors discipline, applied to run()'s tail checkpoint;
+# bounded at ≤1 outstanding)
+_PIPE_ASSEMBLY_PREV: list = []
+
+
 def _q_pipeline_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CorpusPipeline (operators/pipeline.py) driven end-to-end by a
     fixed declarative spec: clean → decontaminate(13-gram vs the
@@ -854,9 +863,13 @@ def _q_pipeline_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .operators.pipeline import CorpusPipeline
 
+    while _PIPE_ASSEMBLY_PREV:
+        _PIPE_ASSEMBLY_PREV.pop().free_survivors()
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
-    out = CorpusPipeline(PIPELINE_ASSEMBLY_SPEC).run(docs, benchmark=bench)
+    pipe = CorpusPipeline(PIPELINE_ASSEMBLY_SPEC)
+    out = pipe.run(docs, benchmark=bench)
+    _PIPE_ASSEMBLY_PREV.append(pipe)
     return out.select("doc_id", "split")
 
 

@@ -751,10 +751,27 @@ def _posting_partials(
     post_parts = []
     for f in fields:
         col = tokens_col.get(f)
+        # layout v2: dl rides every posting row (the Lucene norms
+        # posture) so BM25 serves from the pruned bucket probe alone
+        # and never joins the O(corpus) doclens table. dl is the doc's
+        # TOTAL analyzed-token count — for a pre-analyzed stored array
+        # that is just size(col), computed in the SAME projection as
+        # the explode: the (field, doc_id) window the r13 layout used
+        # here cost every tick a second exchange + sort of the whole
+        # postings delta after the (doc_id, token) aggregation (r15:
+        # one shuffle per tick field, not two). The in-plan analyzer
+        # path keeps the window — a size(analyze(..)) twin would let
+        # CollapseProject duplicate the very large Snowball expression.
+        dl_at_source = with_dl and col is not None
         if col is not None:
             toks = spread(docs.select(id_col, col)).select(
                 F.col(id_col).alias("doc_id"),
                 F.posexplode(F.col(col)).alias("pos", "token"),
+                *(
+                    [F.size(F.col(col)).cast("long").alias("dl")]
+                    if dl_at_source
+                    else []
+                ),
             )
         else:
             toks = spread(docs.select(id_col, f)).select(
@@ -763,19 +780,27 @@ def _posting_partials(
                     "pos", "token"
                 ),
             )
-        post_parts.append(
-            toks.groupBy("doc_id", "token")
-            .agg(
-                F.count(F.lit(1)).alias("tf"),
-                F.sort_array(F.collect_list("pos")).alias("positions"),
+        part = toks.groupBy("doc_id", "token").agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+            # dl is constant per doc — max() just carries it through
+            *([F.max("dl").alias("dl")] if dl_at_source else []),
+        )
+        if with_dl and not dl_at_source:
+            from pyspark.sql import Window
+
+            part = part.withColumn(
+                "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
             )
-            .select(
+        post_parts.append(
+            part.select(
                 F.lit(f).alias("field"),
                 "token",
                 "doc_id",
                 "tf",
                 "positions",
                 _token_bucket("token", n_buckets).alias("tkb"),
+                *(["dl"] if with_dl else []),
             )
         )
     posts = post_parts[0]
@@ -783,21 +808,26 @@ def _posting_partials(
         posts = posts.unionByName(p)
     posts = posts.withColumn("seq", F.lit(int(seq)).cast("long"))
     if with_dl:
-        # layout v2: dl rides every posting row (the Lucene norms
-        # posture) — one window over the batch-delta-sized frame, so
-        # BM25 serves from the pruned bucket probe alone and never
-        # joins the O(corpus) doclens table
-        from pyspark.sql import Window
-
-        posts = posts.withColumn(
-            "dl", F.sum("tf").over(Window.partitionBy("field", "doc_id"))
+        # keep the persisted column order of the pre-r15 layout
+        # (field..tkb, seq, dl) so fresh tick files match the files an
+        # existing index already holds column-for-column
+        posts = posts.select(
+            "field", "token", "doc_id", "tf", "positions", "tkb",
+            "seq", "dl",
         )
     posts = posts.localCheckpoint(eager=True)
-    lens = (
-        posts.groupBy("field", "doc_id", "seq")
-        .agg(F.sum("tf").alias("dl"))
-        .select("field", "doc_id", "dl", "seq")
-    )
+    if with_dl:
+        lens = (
+            posts.groupBy("field", "doc_id", "seq")
+            .agg(F.max("dl").alias("dl"))
+            .select("field", "doc_id", "dl", "seq")
+        )
+    else:
+        lens = (
+            posts.groupBy("field", "doc_id", "seq")
+            .agg(F.sum("tf").alias("dl"))
+            .select("field", "doc_id", "dl", "seq")
+        )
     return posts, lens
 
 

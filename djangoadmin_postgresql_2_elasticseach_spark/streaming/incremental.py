@@ -255,7 +255,18 @@ def merge_rollup_delta(spark, delta: DataFrame, rollup_path: str):
         .cache()
     )
     try:
-        days = [r["p_day"] for r in part.select("p_day").distinct().collect()]
+        # ONE bounded driver action for everything the tick needs from
+        # the delta aggregate — affected days, absorbed-row count, new
+        # checkpoint — instead of the three separate jobs (days
+        # distinct-collect + n sum + max-ts) the r5 shape paid; the
+        # result is affected-days × |event types| rows by construction,
+        # never corpus-sized (see the rollup_tick docstring)
+        summary = part.agg(
+            F.collect_set("p_day").alias("days"),
+            F.sum("n_events").alias("n"),
+            F.max("_max_ts").alias("m"),
+        ).first()
+        days = sorted(summary["days"])
         if not days:
             return 0, None
         merged = part.drop("_max_ts")
@@ -292,9 +303,7 @@ def merge_rollup_delta(spark, delta: DataFrame, rollup_path: str):
             # dead once the rewrite lands; DataFrame.unpersist would NOT
             # free localCheckpoint blocks (see session.free_local_checkpoint)
             free_local_checkpoint(merged)
-        n = int(part.agg(F.sum("n_events")).first()[0] or 0)
-        new_ckpt = part.agg(F.max("_max_ts")).first()[0]
-        return n, new_ckpt
+        return int(summary["n"] or 0), summary["m"]
     finally:
         part.unpersist()
 
