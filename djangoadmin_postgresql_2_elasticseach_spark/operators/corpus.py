@@ -270,6 +270,12 @@ def split_corpus_leakage_safe(
     )
 
 
+# previous invocation's materialized tf frame: the returned lazy tail
+# reads it, so it can only be freed on the NEXT call (the registry's
+# _PIPE_ASSEMBLY_PREV discipline; bounded at <=1 outstanding)
+_TFIDF_TF_PREV: list = []
+
+
 def tfidf_vectors(
     docs: DataFrame,
     dim: int = 64,
@@ -282,16 +288,28 @@ def tfidf_vectors(
     fixed-width array<double> that composes with the similarity
     operators (brute_force_topk / ivf_topk / embedding_neardup_*).
 
-    Plan: explode → (doc, term) tf agg → broadcast df + N → per-slot
-    sum → one map_from_entries per doc. Two aggregations over postings,
-    dims broadcast; no UDF.
+    Plan: explode → (doc, term) tf agg, materialized ONCE
+    (localCheckpoint — the df branch and the weight branch both read
+    it; left lazy, Spark re-ran the whole tokenize→explode→aggregate
+    subtree for each, and exchange reuse does not fire across the
+    broadcast boundary: 2 Generate nodes in the executed plan, r15
+    measured ~0.74 s per duplicate evaluation at sf0.1) → broadcast
+    df + N → per-slot sum → one map_from_entries per doc. No UDF.
     """
     from ..functions.text import tokenize
+    from ..session import free_local_checkpoint
 
     toks = spread(docs.select(id_col, text_col)).select(
         F.col(id_col), F.explode(tokenize(text_col)).alias("term")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    while _TFIDF_TF_PREV:
+        free_local_checkpoint(_TFIDF_TF_PREV.pop())
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    _TFIDF_TF_PREV.append(tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     slot = (
