@@ -2311,6 +2311,15 @@ def mmr_rerank(
                 6,
             ),
         )
+    # persist: cv is read THREE times below (both pair-join sides + the
+    # solo branch), and cand is typically an EXPENSIVE shortlist — a
+    # BM25 score over the corpus, a knn_join scan, or an IVF-PQ probe.
+    # Left lazy, the whole shortlist subtree executed once per reader
+    # (mmr_hybrid_topk's plan carried the BM25 scoring tree 3×,
+    # plans/r15/mmr_hybrid_topk_before.txt). One materialization of the
+    # Q×shortlist-row frame; the ContextCleaner reclaims the blocks
+    # when the result frame dies (the semantic_dedup discipline).
+    cv = cv.persist()
     a = cv.select(
         "qid",
         F.col("id").alias("id_a"),
