@@ -1101,7 +1101,9 @@ def embedding_neardup_lsh(
     bucketed = emb.select(
         F.col(id_col),
         F.col(vec_col),
-        hyperplane_bucket(v, planes).alias("bucket"),
+        hyperplane_bucket(
+            f"cast(`{vec_col}` as array<double>)", planes
+        ).alias("bucket"),
         norm(v).alias("nrm"),
     ).localCheckpoint(eager=True)
     a = bucketed.select(

@@ -94,11 +94,44 @@ def label_centroid_sums(
     )
 
 
+def _sql_double_matrix(mat: list[list[float]]) -> str:
+    """SQL array<array<double>> literal text. repr() is the shortest
+    round-trip decimal, which Spark's correctly-rounded parse maps back
+    to the identical double — bit-for-bit the same constants the Column
+    API would embed."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")"
+            for r in mat
+        )
+        + ")"
+    )
+
+
 def hyperplane_bucket(
-    vec: Column, planes: list[list[float]]
+    vec: Column | str, planes: list[list[float]]
 ) -> Column:
     """Deterministic random-hyperplane LSH bucket id: bit i = sign(v·hᵢ).
-    Returns a bitstring column — the IVF partition key."""
+    Returns a bitstring column — the IVF partition key.
+
+    ``vec`` as a SQL fragment (column name or cast expression) takes the
+    ONE-expr path: the whole bucket expression — planes matrix included —
+    is built as a single SQL string parsed server-side in one py4j call.
+    The Column form builds n_planes×dim literal nodes through py4j
+    (~0.3 s of driver time per call at dim 64), which was the dominant
+    fixed cost of every IVF-PQ tick's plan construction; the SQL parse is
+    ~1 ms. Bit-identical output: same per-plane zip_with/aggregate fold,
+    same cast-to-double element math, CASE == when/otherwise, and
+    array_join over the in-order transform == concat of the per-plane
+    bits (pinned in tests/test_ann_recall.py::test_hyperplane_sql_parity)."""
+    if isinstance(vec, str):
+        return F.expr(
+            f"array_join(transform({_sql_double_matrix(planes)}, "
+            f"h -> CASE WHEN aggregate(zip_with({vec}, h, "
+            "(a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, "
+            "(acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END), '')"
+        )
     bits = []
     for h in planes:
         hcol = F.array(*[F.lit(float(x)) for x in h])
@@ -298,7 +331,7 @@ def knn_join(
     )
 
 
-def _probe_buckets(vec: Column, planes: list[list[float]]) -> Column:
+def _probe_buckets(vec: Column | str, planes: list[list[float]]) -> Column:
     """Array of bucket ids within Hamming distance 1 of the vector's own
     hyperplane bucket (own bucket first) — the query-side probe set."""
     n = len(planes)
@@ -363,7 +396,7 @@ def knn_join_lsh(
         "query_id",
         "_qv",
         norm(F.col("_qv")).alias("_qn"),
-        F.explode(_probe_buckets(F.col("_qv"), planes)).alias("_bucket"),
+        F.explode(_probe_buckets("_qv", planes)).alias("_bucket"),
     )
     r = right.select(
         F.col(right_id).alias("neighbor_id"),
@@ -372,7 +405,7 @@ def knn_join_lsh(
         "neighbor_id",
         "_nv",
         norm(F.col("_nv")).alias("_nn"),
-        hyperplane_bucket(F.col("_nv"), planes).alias("_bucket"),
+        hyperplane_bucket("_nv", planes).alias("_bucket"),
     )
     pairs = r.join(F.broadcast(l) if broadcast_queries else l, "_bucket")
     if exclude_self:
@@ -419,7 +452,7 @@ def build_ivf_index(
     bucketed = emb.select(
         F.col(id_col),
         F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col).cast("array<double>"), planes).alias(
+        hyperplane_bucket(f"cast(`{vec_col}` as array<double>)", planes).alias(
             "bucket"
         ),
     )
@@ -477,7 +510,7 @@ def ivf_topk(
     bucketed = emb.select(
         F.col(id_col),
         F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col).cast("array<double>"), planes).alias("bucket"),
+        hyperplane_bucket(f"cast(`{vec_col}` as array<double>)", planes).alias("bucket"),
     )
     # query bucket + all buckets within `probe_hamming` bit flips
     probes = probe_buckets(query_vec, planes, probe_hamming)
@@ -945,7 +978,7 @@ def ivf_pq_topk(
     planes = fixed_planes(dim, n_planes)
     probes = probe_buckets(query_vec, planes, probe_hamming)
     pruned = emb.filter(
-        hyperplane_bucket(F.col(vec_col).cast("array<double>"), planes).isin(
+        hyperplane_bucket(f"cast(`{vec_col}` as array<double>)", planes).isin(
             sorted(probes)
         )
     )
@@ -1034,7 +1067,9 @@ def _ivfpq_rows(
         .join(F.broadcast(bdf), "_bk")
         .select(
             F.col(id_col),
-            hyperplane_bucket(v, planes).alias("bucket"),
+            hyperplane_bucket(
+                f"cast(`{vec_col}` as array<double>)", planes
+            ).alias("bucket"),
             _pq_codes_col(vec_col, codebooks, m, ds).alias("codes"),
             F.lit(int(seq)).cast("long").alias("seq"),
         )

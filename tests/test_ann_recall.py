@@ -159,3 +159,27 @@ def test_rerank_recall_grows_with_shortlist(spark, corpus, idx):
     r50, r200 = at(50), at(200)
     assert r200 >= r50, (r50, r200)
     assert r200 >= 0.6, f"shortlist=200 recall degraded: {r200}"
+
+
+def test_hyperplane_sql_parity(spark, corpus):
+    """r15: hyperplane_bucket's SQL fast path (one server-side parse —
+    the Column form built n_planes x dim literal nodes through py4j,
+    ~0.3 s of per-tick plan-construction time) must stay BIT-identical
+    to the Column form: same fold order, same cast-to-double element
+    math, array_join(transform) == concat of per-plane sign bits. Run
+    over the real sf0.01 embeddings — every vector, both forms."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    planes = S.fixed_planes(64, 4)
+    both = emb.select(
+        "vec_id",
+        S.hyperplane_bucket(
+            F.col("embedding").cast("array<double>"), planes
+        ).alias("b_col"),
+        S.hyperplane_bucket(
+            "cast(`embedding` as array<double>)", planes
+        ).alias("b_sql"),
+    )
+    assert both.filter(F.col("b_col") != F.col("b_sql")).count() == 0
+    assert both.filter(F.col("b_sql").isNull()).count() == 0
