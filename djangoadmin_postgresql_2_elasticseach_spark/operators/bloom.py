@@ -77,29 +77,40 @@ def bloom_build(
     return spark.createDataFrame([(dense,)], "bloom_bits array<long>")
 
 
-def _pos_sql(value_col: str, i: int, m: int) -> str:
-    """SQL text of position i — the same md5-window hash `_positions`
-    builds as a Column (both sides stay in lock-step). The repeated
-    md5(...) subexpression is CSE'd by codegen — one digest per row."""
+def _pos_sql(digest_col: str, i: int, m: int) -> str:
+    """SQL text of position i over a PRECOMPUTED md5-hex column — the
+    same windowing `_positions` builds as a Column (both sides stay in
+    lock-step)."""
     return (
-        f"(cast(conv(substring(md5(cast({value_col} as string)), "
+        f"(cast(conv(substring({digest_col}, "
         f"{i * 8 + 1}, 8), 16, 10) as bigint) % {m})"
     )
 
 
-def bloom_might_contain(value_col: str, m: int, k: int):
+def bloom_might_contain(digest_col: str, m: int, k: int):
     """Boolean column: all k positions set in the broadcast
     ``bloom_bits`` array (which must be in scope via the cross join in
-    ``bloom_prune``). Pure integer expressions — whole-stage codegen."""
+    ``bloom_prune``). ``digest_col`` holds md5(cast(key as string)),
+    computed ONCE per row in a projection BELOW the join: because this
+    predicate references both the fact key and the broadcast bitset,
+    Catalyst necessarily places it in the join CONDITION, where
+    codegen's common-subexpression elimination does not apply — an
+    inline md5 would be re-evaluated per position reference (2k times;
+    measured as the wall-clock of the sf0.1 prune). Windowing the
+    stored digest keeps the condition to cheap substring/conv/shift
+    integer work."""
     cond = F.lit(True)
     for i in range(k):
-        pos = _pos_sql(value_col, i, m)
+        pos = _pos_sql(digest_col, i, m)
         test = F.expr(
             f"(element_at(bloom_bits, cast({pos} div 64 as int) + 1) "
             f">> cast({pos} % 64 as int)) & 1 = 1"
         )
         cond = cond & test
     return cond
+
+
+_DIGEST = "_bloom_md5"
 
 
 def bloom_prune(
@@ -111,14 +122,15 @@ def bloom_prune(
 ) -> DataFrame:
     """Fact rows whose key MIGHT be in the dimension (bloom pass).
     Broadcast-of-one-row cross join carries the bitset into the fact
-    scan; the filter itself never shuffles the fact."""
+    scan; the filter itself never shuffles the fact. The md5 digest is
+    projected on the fact side before the join so the join-condition
+    membership test reads it as a column (see bloom_might_contain)."""
     return (
-        fact.crossJoin(F.broadcast(bloom))
-        .filter(
-            F.col(key_col).isNotNull()
-            & bloom_might_contain(key_col, m, k)
-        )
-        .drop("bloom_bits")
+        fact.filter(F.col(key_col).isNotNull())
+        .withColumn(_DIGEST, F.md5(F.col(key_col).cast("string")))
+        .crossJoin(F.broadcast(bloom))
+        .filter(bloom_might_contain(_DIGEST, m, k))
+        .drop("bloom_bits", _DIGEST)
     )
 
 

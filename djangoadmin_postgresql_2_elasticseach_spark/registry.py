@@ -776,20 +776,35 @@ def _q_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority") == "1-URGENT"
     ).select("o_orderkey")
     bloom = bloom_build(urgent, "o_orderkey", m=BLOOM_M, k=3)
+    # spread: the sf0.1 lineitem parquet is one row group, so the
+    # digest+probe scan otherwise runs as ONE task (r15; same posture
+    # as _docs). Slim key column only crosses the round-robin exchange;
+    # at real scale the fact arrives multi-partition and spread no-ops.
     pruned = bloom_prune(
-        li.select("l_orderkey"), bloom, "l_orderkey", m=BLOOM_M, k=3
-    ).localCheckpoint(eager=True)  # survivors only — referenced twice
-    p = pruned.groupBy().agg(F.count(F.lit(1)).alias("bloom_pass"))
-    # the exact pass runs on the PRUNED set (no false negatives makes
-    # this equivalent to joining the full fact — and it is the whole
-    # point of the operator: the fact is scanned once, the exact join
-    # touches survivors only)
-    e = (
-        pruned.join(urgent, pruned.l_orderkey == urgent.o_orderkey, "leftsemi")
-        .groupBy()
-        .agg(F.count(F.lit(1)).alias("exact_rows"))
+        spread(li.select("l_orderkey")), bloom, "l_orderkey", m=BLOOM_M, k=3
     )
-    return p.crossJoin(e)
+    # BOTH counts in ONE pass over the fact (r15: was an eager
+    # localCheckpoint of every survivor row + two separate aggregation
+    # jobs + a crossJoin of the 1-row results — the checkpoint
+    # materialized the md5-scanned survivors just to read them twice).
+    # o_orderkey is orders' primary key, so the left join against the
+    # urgent keys cannot multiply survivor rows: count(1) is the bloom
+    # pass-through, count(_hit) the exact semi-join count. The exact
+    # check still runs on the PRUNED set only (no false negatives makes
+    # this equivalent to joining the full fact — the operator's whole
+    # point: the fact is scanned once, the exact join touches survivors
+    # only), and the join strategy stays planner-chosen so an
+    # unbroadcastable dimension degrades to a survivors-only shuffle,
+    # never a fact shuffle.
+    hit = urgent.withColumn("_hit", F.lit(1))
+    return (
+        pruned.join(hit, pruned.l_orderkey == hit.o_orderkey, "left")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("bloom_pass"),
+            F.count("_hit").alias("exact_rows"),
+        )
+    )
 
 
 def _q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
