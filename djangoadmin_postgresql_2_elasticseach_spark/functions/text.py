@@ -116,8 +116,51 @@ def stem_sql(arr_sql: str) -> str:
     return snowball.stem_array_sql(arr_sql)
 
 
+def _tokenize_sql(col_sql: str) -> str:
+    """``tokenize`` as Spark SQL text over a string expression — parses
+    to the same split/lower/filter tree the Column form builds."""
+    from .snowball import _spark_str
+
+    return (
+        f"filter(split(lower({col_sql}), {_spark_str(TOKEN_SPLIT_RE)}), "
+        "sbt -> sbt != '')"
+    )
+
+
+def _stopwords_sql(arr_sql: str) -> str:
+    """``remove_stopwords`` (full en+ru stop set) as Spark SQL text."""
+    from .snowball import _spark_str
+
+    sw = ", ".join(_spark_str(s) for s in ALL_STOPWORDS)
+    return (
+        f"filter({arr_sql}, sbs -> NOT array_contains(array({sw}), sbs))"
+    )
+
+
 def analyze(col: Column | str, stem: bool = True) -> Column:
-    """Full ru_en analyzer chain → array<string> of analyzed tokens."""
+    """Full ru_en analyzer chain → array<string> of analyzed tokens.
+
+    ``col`` as a SQL fragment (a backtick-quoted column name or any
+    string-typed SQL expression) takes the ONE-parse path: the whole
+    chain — tokenizer, stop sets, and the full Snowball pair — is
+    emitted as a single SQL string (~10 ms of Python) and parsed
+    server-side by ``F.expr`` in ONE py4j call (~0.1 s). The Column
+    form builds the same tree through tens of thousands of py4j
+    round-trips (~10-60 s of driver time per fresh process — it was
+    the engine's single largest plan-construction cost, paid by every
+    cold process that touches the analyzer). Identical output: each
+    emitter stage maps to the same Catalyst expression, pinned
+    bit-for-bit over the full corpus + the published Snowball
+    vocabularies (tests/test_unicode_tokens.py::test_analyze_sql_parity,
+    tests/test_snowball.py). Column inputs (e.g. a higher-order lambda
+    variable) keep the Column path."""
+    if isinstance(col, str):
+        from .snowball import stem_array_spark_sql
+
+        sql = _stopwords_sql(_tokenize_sql(col))
+        if stem:
+            sql = stem_array_spark_sql(sql)
+        return F.expr(sql)
     toks = remove_stopwords(tokenize(col))
     if stem:
         toks = stem_tokens(toks)

@@ -52,7 +52,7 @@ def analyzed_docs(
     out = docs
     for f in fields:
         out = out.withColumn(
-            f"{f}_tokens", F.array_distinct(T.analyze(F.col(f), stem=stem))
+            f"{f}_tokens", F.array_distinct(T.analyze(f"`{f}`", stem=stem))
         )
     return out
 
@@ -137,14 +137,14 @@ def analyzed_corpus_cached(
         tmp = f"{path}.build-{os.getpid()}"
         docs.select(
             id_col,
-            T.analyze(F.col(text_col), stem=stem).alias("tokens"),
+            T.analyze(f"`{text_col}`", stem=stem).alias("tokens"),
             *[
-                T.analyze(F.col(f), stem=stem).alias(f"{f}_tokens")
+                T.analyze(f"`{f}`", stem=stem).alias(f"{f}_tokens")
                 for f in extra_fields
             ],
             *(
                 [
-                    T.analyze(F.col(text_col), stem=False).alias(
+                    T.analyze(f"`{text_col}`", stem=False).alias(
                         f"{raw_field}_tokens"
                     )
                 ]
@@ -173,7 +173,7 @@ def posting_table(
         parts.append(
             docs.select(
                 F.lit(f).alias("field"),
-                F.explode(F.array_distinct(T.analyze(F.col(f), stem=stem))).alias(
+                F.explode(F.array_distinct(T.analyze(f"`{f}`", stem=stem))).alias(
                     "token"
                 ),
                 F.col(id_col).alias("doc_id"),
@@ -776,7 +776,7 @@ def _posting_partials(
         else:
             toks = spread(docs.select(id_col, f)).select(
                 F.col(id_col).alias("doc_id"),
-                F.posexplode(T.analyze(F.col(f), stem=stem)).alias(
+                F.posexplode(T.analyze(f"`{f}`", stem=stem)).alias(
                     "pos", "token"
                 ),
             )

@@ -141,7 +141,7 @@ def field_tokens(docs: DataFrame, field: str):
         return F.col(tok_col)
     if dtypes.get(field, "").startswith("array"):
         return F.flatten(F.transform(F.col(field), lambda e: analyze(e)))
-    return analyze(F.col(field))
+    return analyze(f"`{field}`")
 
 
 def term_query(docs: DataFrame, field: str, value: str) -> DataFrame:

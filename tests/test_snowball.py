@@ -150,6 +150,56 @@ def test_spark_backend_matches_reference(spark):
     assert not bad, f"{len(bad)} spark mismatches, first: {bad[:5]}"
 
 
+def test_spark_sql_backend_matches_reference(spark):
+    """r15: the Spark SQL text emission (stem_array_spark_sql — the
+    one-parse fast path analyze() takes for SQL-fragment inputs) must
+    match the pure-Python reference over the same generated vocabulary
+    the Column backend is held to — the FOURTH realization of the one
+    rule set, same ground truth."""
+    vocab = _gen_vocab()
+    py = [S.stem(w) for w in vocab]
+    chunks = [vocab[i:i + 500] for i in range(0, len(vocab), 500)]
+    df = spark.createDataFrame(
+        list(enumerate(chunks)), "id long, toks array<string>"
+    )
+    rows = df.select(
+        "id", F.expr(S.stem_array_spark_sql("toks")).alias("r")
+    ).collect()
+    out: list[str] = []
+    for r in sorted(rows, key=lambda r: r["id"]):
+        out.extend(r["r"])
+    bad = [(w, p, s) for w, p, s in zip(vocab, py, out) if p != s]
+    assert not bad, f"{len(bad)} spark-sql mismatches, first: {bad[:5]}"
+
+
+def test_analyze_sql_parity_full_corpus(spark):
+    """r15: analyze()'s SQL-fragment fast path must stay BIT-identical
+    to the Column path — full chain (tokenize → stop sets → snowball),
+    both stem modes, over every real sf0.01 document body (the corpus
+    the oracles run on, mixed en/ru/unicode)."""
+    import os
+
+    from djangoadmin_postgresql_2_elasticseach_spark.functions import text as T
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if not os.path.isdir(sf):
+        sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    both = docs.select(
+        T.analyze(F.col("text")).alias("a_col"),
+        T.analyze("`text`").alias("a_sql"),
+        T.analyze(F.col("text"), stem=False).alias("r_col"),
+        T.analyze("`text`", stem=False).alias("r_sql"),
+    )
+    diff = both.filter(
+        (F.col("a_col") != F.col("a_sql"))
+        | (F.col("r_col") != F.col("r_sql"))
+        | F.col("a_sql").isNull()
+        | F.col("r_sql").isNull()
+    )
+    assert diff.count() == 0
+
+
 def test_markers_cannot_collide_with_tokens():
     """The in-band '!', '#', '%' markers are unreachable: the tokenizer
     splits on every non-alphanumeric character."""
