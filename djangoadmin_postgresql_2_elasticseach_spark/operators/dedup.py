@@ -213,6 +213,17 @@ def _lsh_candidates_from_sig(
             .filter(F.col("_bn") <= max_bucket)
             .drop("_bn")
         )
+    # persist: the band frame feeds BOTH sides of the self-join below,
+    # and the b-side sits under a BroadcastExchange where runtime
+    # exchange reuse cannot fire — left lazy, the whole signature
+    # pipeline (one md5 per shingle + the num_hashes-way min agg + the
+    # hot-bucket window) executed once PER SIDE
+    # (plans/r15/minhash_dedup_pairs_before.txt carries it twice). The
+    # frame is slim (sid, band_idx, band_key) × n_bands rows per doc —
+    # O(corpus) like the shingle checkpoint above it; the
+    # ContextCleaner reclaims the blocks when the result frame dies
+    # (the mmr/semantic_dedup discipline).
+    exploded = exploded.persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -275,7 +286,13 @@ def minhash_dedup_pairs(
     )
     sig = _signatures_from_shingles(sh, id_col, num_hashes)
     cands = _lsh_candidates_from_sig(sig, id_col, num_hashes, band_size, max_bucket)
-    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # persist: sizes broadcasts into TWO joins (id_a and id_b sides) —
+    # two BroadcastExchanges that cannot share, so the per-doc count
+    # aggregation over the shingle checkpoint ran twice; one slim
+    # O(N_docs)-row materialization instead
+    sizes = (
+        sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles")).persist()
+    )
     # count common shingles per candidate pair: join candidates to both
     # posting lists on (id, shingle). Broadcast ONLY the slim (id_a,
     # id_b) candidate list — Catalyst can't size it through the LSH

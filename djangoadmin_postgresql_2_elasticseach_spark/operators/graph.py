@@ -61,11 +61,20 @@ def triangle_count(
     # |E| (measured 5.4→3.5 s on the sf0.1 co-occurrence query; blocks
     # are reclaimed by the context cleaner with the result's lineage)
     e = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    # persist: deg broadcasts into BOTH orientation joins (a- and
+    # b-side) and each BroadcastExchange rebuilds the union+agg over
+    # the edge checkpoint; oriented likewise feeds both wedge-join
+    # sides under broadcast boundaries where exchange reuse cannot
+    # fire (plans/r15/triangle_part_pairs_before.txt carries the
+    # degree agg four times). Both frames are slim and edge-bounded —
+    # deg ≤ |V| rows, oriented = |E| rows; the ContextCleaner reclaims
+    # the blocks when the result frame dies.
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
@@ -77,7 +86,7 @@ def triangle_count(
     oriented = withd.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
-    )
+    ).persist()
     o2 = oriented.select(F.col("u"), F.col("w").alias("w2"))
     # id-ordered out-neighbor pairs: exactly one wedge per triangle (its
     # minimum vertex in the degree order owns both out-edges)

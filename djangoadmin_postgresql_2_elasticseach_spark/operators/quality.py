@@ -208,10 +208,27 @@ def profile_table(
     numeric = {"int", "bigint", "smallint", "tinyint", "double", "float",
                "decimal"}
 
+    # integer min/max aggregate on the NATIVE type and canonicalize the
+    # one winning value afterwards: int→decimal(38,6) is exact and
+    # monotone, so min(cast(x)) == cast(min(x)) — but a decimal(38,6)
+    # aggregation buffer is not hash-aggregable (precision > 18 has no
+    # mutable UnsafeRow slot), and one such column forced the WHOLE
+    # profile scan into a non-codegen SortAggregate
+    # (plans/r15/profile_orders_before.txt node 2). float/double keep
+    # the in-aggregate cast: cast-to-decimal nulls NaN/Infinity, so
+    # pushing it outside would change which value wins on pathological
+    # inputs — correctness over the plan there.
+    _int_types = {"int", "bigint", "smallint", "tinyint"}
+
     def _minmax(c: str):
         dt = dict(df.dtypes)[c]
         base = dt.split("(")[0]
         col = F.col(c)
+        if base in _int_types:
+            return (
+                F.min(col).cast("decimal(38,6)").cast("string"),
+                F.max(col).cast("decimal(38,6)").cast("string"),
+            )
         if base in numeric:
             col = col.cast("decimal(38,6)")
         return F.min(col).cast("string"), F.max(col).cast("string")

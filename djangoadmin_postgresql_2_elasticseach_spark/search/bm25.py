@@ -66,7 +66,9 @@ def bm25_topk(
             F.sum((F.col("term") == F.lit(t)).cast("long")).alias(f"tf{i}")
             for i, t in enumerate(qterms)
         ],
-    )
+    ).persist()
+    # persist: same double-read as multi_match_bm25 — the stats branch
+    # re-ran the explode+aggregate under its BroadcastExchange
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -278,7 +280,14 @@ def multi_match_bm25(
                 for i, m in enumerate(matched)
             ],
             *[F.max(m).alias(f"bo{i}") for i, m in enumerate(matched)],
-        )
+        ).persist()
+        # persist: per_doc feeds BOTH the 1-row stats aggregate and the
+        # scored branch, and stats crosses back in under a
+        # BroadcastExchange — left lazy, the fuzzy-expansion scan
+        # (per-token threshold-bounded OSA distance against every query
+        # term, the dominant cost of this ranker) executed once per
+        # branch per field. Slim O(N_docs)-row frame; the
+        # ContextCleaner reclaims the blocks when the result dies.
         stats = per_doc.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.avg("dl").alias("avgdl"),
