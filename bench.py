@@ -326,14 +326,32 @@ def main() -> None:
         "host_factor": host_factor(timings),
         "sf": float(sf) if sf else None,
     }
-    detail_file = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_file = os.path.join(here, "bench_detail.json")
     with open(detail_file, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    # ALSO write a per-core-count copy: the driver runs the bench at two
+    # core counts back-to-back, and in r15 the second (8-core) run
+    # clobbered the 32-core detail — PERF_r15 could then diff nothing
+    # (n_common: 0, r15 verdict what's-wrong #4). The per-cpus file
+    # survives the second run, so per-query round-over-round comparison
+    # stays possible from the committed artifacts.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    detail_file_c = os.path.join(here, f"bench_detail_c{cpus}.json")
+    with open(detail_file_c, "w") as fh:
         json.dump(detail, fh, indent=1)
     # full detail first (greppable in logs), compact summary LAST so the
     # driver's 2000-char tail capture always contains one whole JSON line
     print(json.dumps(detail))
+    # second-to-last line: the slowest queries as a compact map, so the
+    # driver's 2000-char tail capture usually retains SOME per-query
+    # numbers even though the full detail line overflows it (r15 verdict
+    # what's-wrong #4). Capped at 25 — the final summary line must
+    # always fit in the tail whole.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:25]
+    )
+    print(json.dumps({"metric": "slowest_queries_sec", "queries": slowest}))
     print(
         json.dumps(
             {

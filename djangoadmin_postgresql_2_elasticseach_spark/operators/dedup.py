@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 
 from ..functions.textstats import fingerprint
 from ..plans.tuning import spread
-from ..session import free_local_checkpoint
+from ..session import (
+    free_local_checkpoint,
+    local_checkpoint_scoped,
+    persist_scoped,
+)
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2  # 8 hashes / 2 = 4 bands → catches J≳0.5 pairs
@@ -220,10 +224,11 @@ def _lsh_candidates_from_sig(
     # hot-bucket window) executed once PER SIDE
     # (plans/r15/minhash_dedup_pairs_before.txt carries it twice). The
     # frame is slim (sid, band_idx, band_key) × n_bands rows per doc —
-    # O(corpus) like the shingle checkpoint above it; the
-    # ContextCleaner reclaims the blocks when the result frame dies
-    # (the mmr/semantic_dedup discipline).
-    exploded = exploded.persist()
+    # O(corpus) like the shingle checkpoint above it. persist_scoped:
+    # the previous invocation's CacheManager entry is released on the
+    # next call (r15 wrongly relied on the ContextCleaner, which never
+    # fires on persist() — see session.persist_scoped).
+    exploded = persist_scoped(exploded, "dedup.lsh_bands")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -281,17 +286,20 @@ def minhash_dedup_pairs(
     (~3× wall-clock on the bench corpus). ``tokens_col``: reuse an
     already-materialized token array instead of tokenizing text_col
     (see _shingled)."""
-    sh = _shingled(docs, id_col, text_col, n, tokens_col).localCheckpoint(
-        eager=True
+    sh = local_checkpoint_scoped(
+        _shingled(docs, id_col, text_col, n, tokens_col),
+        "dedup.minhash_shingles",
     )
     sig = _signatures_from_shingles(sh, id_col, num_hashes)
     cands = _lsh_candidates_from_sig(sig, id_col, num_hashes, band_size, max_bucket)
     # persist: sizes broadcasts into TWO joins (id_a and id_b sides) —
     # two BroadcastExchanges that cannot share, so the per-doc count
     # aggregation over the shingle checkpoint ran twice; one slim
-    # O(N_docs)-row materialization instead
-    sizes = (
-        sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles")).persist()
+    # O(N_docs)-row materialization, previous invocation's entry
+    # released on the next call (session.persist_scoped)
+    sizes = persist_scoped(
+        sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles")),
+        "dedup.minhash_sizes",
     )
     # count common shingles per candidate pair: join candidates to both
     # posting lists on (id, shingle). Broadcast ONLY the slim (id_a,
@@ -988,8 +996,9 @@ def simhash_neardup_pairs(
 
     Output: (id_a, id_b, hamming) with hamming ≤ max_hamming.
     """
-    sig = simhash(docs, id_col, text_col, bits, tokens_col).localCheckpoint(
-        eager=True
+    sig = local_checkpoint_scoped(
+        simhash(docs, id_col, text_col, bits, tokens_col),
+        "dedup.simhash_sig",
     )
     width = bits // n_bands
     bands = F.array(
@@ -1115,14 +1124,17 @@ def embedding_neardup_lsh(
     # (once each) instead of per candidate pair — value-identical (same
     # fold, same operands), 3 aggregates per pair become 1.
     v = F.col(vec_col).cast("array<double>")
-    bucketed = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        hyperplane_bucket(
-            f"cast(`{vec_col}` as array<double>)", planes
-        ).alias("bucket"),
-        norm(v).alias("nrm"),
-    ).localCheckpoint(eager=True)
+    bucketed = local_checkpoint_scoped(
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            hyperplane_bucket(
+                f"cast(`{vec_col}` as array<double>)", planes
+            ).alias("bucket"),
+            norm(v).alias("nrm"),
+        ),
+        "dedup.embedding_lsh_bucketed",
+    )
     a = bucketed.select(
         "bucket",
         F.col(id_col).alias("id_a"),

@@ -28,6 +28,7 @@ uniformly so ranks sum to N every iteration (the standard closed form).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from ..session import local_checkpoint_scoped, persist_scoped
 from pyspark.sql import functions as F
 
 
@@ -58,23 +59,27 @@ def triangle_count(
     # ×2, orientation join, closing probe); if `edges` is itself an
     # expensive derivation (e.g. a co-occurrence self-join), the lazy
     # form re-executes it per reference — materialize once, bounded by
-    # |E| (measured 5.4→3.5 s on the sf0.1 co-occurrence query; blocks
-    # are reclaimed by the context cleaner with the result's lineage)
-    e = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    # |E| (measured 5.4→3.5 s on the sf0.1 co-occurrence query);
+    # previous invocation's blocks freed on the next call
+    # (session.local_checkpoint_scoped)
+    e = local_checkpoint_scoped(
+        undirected_edges(edges, src, dst), "graph.triangle_edges"
+    )
     # persist: deg broadcasts into BOTH orientation joins (a- and
     # b-side) and each BroadcastExchange rebuilds the union+agg over
     # the edge checkpoint; oriented likewise feeds both wedge-join
     # sides under broadcast boundaries where exchange reuse cannot
     # fire (plans/r15/triangle_part_pairs_before.txt carries the
     # degree agg four times). Both frames are slim and edge-bounded —
-    # deg ≤ |V| rows, oriented = |E| rows; the ContextCleaner reclaims
-    # the blocks when the result frame dies.
-    deg = (
+    # deg ≤ |V| rows, oriented = |E| rows; previous invocation's
+    # CacheManager entries released on the next call
+    # (session.persist_scoped — persist() is never ContextCleaner-reclaimed).
+    deg = persist_scoped(
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
         .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .persist()
+        .agg(F.count(F.lit(1)).alias("d")),
+        "graph.triangle_deg",
     )
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
@@ -83,10 +88,13 @@ def triangle_count(
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = withd.select(
-        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
-    ).persist()
+    oriented = persist_scoped(
+        withd.select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        ),
+        "graph.triangle_oriented",
+    )
     o2 = oriented.select(F.col("u"), F.col("w").alias("w2"))
     # id-ordered out-neighbor pairs: exactly one wedge per triangle (its
     # minimum vertex in the degree order owns both out-edges)

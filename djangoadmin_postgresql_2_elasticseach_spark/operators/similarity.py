@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import persist_scoped
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double, sequential fold (native, codegen-friendly)."""
@@ -559,14 +561,14 @@ def semantic_dedup(
     # sides + the keep-flag left side), and lazy evaluation re-ran the
     # centroid-argmin scan for each — measured 3× ~1 s per call at
     # sf0.1 while the cluster-scoped pair join itself was ~0.6 s
-    # (OPTIMIZATION_r15.md). One materialization, three readers; the
-    # ContextCleaner reclaims the blocks when the result frame dies.
-    assigned = (
-        assign_clusters(emb, centroids, id_col, vec_col)
-        .select(
+    # (OPTIMIZATION_r15.md). One materialization, three readers;
+    # previous invocation's CacheManager entry released on the next
+    # call (session.persist_scoped).
+    assigned = persist_scoped(
+        assign_clusters(emb, centroids, id_col, vec_col).select(
             id_col, "cluster", vecd.alias("_vecd"), norm(vecd).alias("_nrm")
-        )
-        .persist()
+        ),
+        "similarity.semantic_dedup_assigned",
     )
     a, b = assigned.alias("_a"), assigned.alias("_b")
     cs = dot(F.col("_a._vecd"), F.col("_b._vecd")) / (
@@ -2352,9 +2354,9 @@ def mmr_rerank(
     # Left lazy, the whole shortlist subtree executed once per reader
     # (mmr_hybrid_topk's plan carried the BM25 scoring tree 3×,
     # plans/r15/mmr_hybrid_topk_before.txt). One materialization of the
-    # Q×shortlist-row frame; the ContextCleaner reclaims the blocks
-    # when the result frame dies (the semantic_dedup discipline).
-    cv = cv.persist()
+    # Q×shortlist-row frame; previous invocation's CacheManager entry
+    # released on the next call (session.persist_scoped).
+    cv = persist_scoped(cv, "similarity.mmr_cv")
     a = cv.select(
         "qid",
         F.col("id").alias("id_a"),

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.tuning import spread
+from ..session import persist_scoped
 from .query import analyze_query, field_tokens, fuzzy_distance
 
 K1 = 1.2
@@ -60,15 +61,20 @@ def bm25_topk(
     toks = spread(base).select(
         F.col(id_col), F.explode(field_tokens(base, text_col)).alias("term")
     )
-    per_doc = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("dl"),
-        *[
-            F.sum((F.col("term") == F.lit(t)).cast("long")).alias(f"tf{i}")
-            for i, t in enumerate(qterms)
-        ],
-    ).persist()
+    per_doc = persist_scoped(
+        toks.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum((F.col("term") == F.lit(t)).cast("long")).alias(f"tf{i}")
+                for i, t in enumerate(qterms)
+            ],
+        ),
+        "bm25.scan_per_doc",
+    )
     # persist: same double-read as multi_match_bm25 — the stats branch
-    # re-ran the explode+aggregate under its BroadcastExchange
+    # re-ran the explode+aggregate under its BroadcastExchange;
+    # previous invocation's entry released on the next call
+    # (session.persist_scoped)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -271,23 +277,30 @@ def multi_match_bm25(
             )
             m = F.when(cond, boost).otherwise(F.lit(None)).alias(f"b{i}")
             matched = [m] if matched is None else matched + [m]
-        per_doc = base.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("dl"),
-            # tf of matched terms and max boost per query term
-            *[
-                F.sum(F.when(F.col("term").isNotNull() & m.isNotNull(), 1)
-                      .otherwise(0)).alias(f"tf{i}")
-                for i, m in enumerate(matched)
-            ],
-            *[F.max(m).alias(f"bo{i}") for i, m in enumerate(matched)],
-        ).persist()
+        per_doc = persist_scoped(
+            base.groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("dl"),
+                # tf of matched terms and max boost per query term
+                *[
+                    F.sum(F.when(F.col("term").isNotNull() & m.isNotNull(), 1)
+                          .otherwise(0)).alias(f"tf{i}")
+                    for i, m in enumerate(matched)
+                ],
+                *[F.max(m).alias(f"bo{i}") for i, m in enumerate(matched)],
+            ),
+            # slot per field: one invocation persists one frame per
+            # scored field, all read by the same final action — a
+            # shared slot would release a sibling mid-query
+            f"bm25.multimatch_per_doc.{field}",
+        )
         # persist: per_doc feeds BOTH the 1-row stats aggregate and the
         # scored branch, and stats crosses back in under a
         # BroadcastExchange — left lazy, the fuzzy-expansion scan
         # (per-token threshold-bounded OSA distance against every query
         # term, the dominant cost of this ranker) executed once per
-        # branch per field. Slim O(N_docs)-row frame; the
-        # ContextCleaner reclaims the blocks when the result dies.
+        # branch per field. Slim O(N_docs)-row frame; previous
+        # invocation's CacheManager entry released on the next call
+        # (session.persist_scoped).
         stats = per_doc.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.avg("dl").alias("avgdl"),

@@ -1,0 +1,112 @@
+"""Persist lifecycle contract (r15 verdict #1): operator-internal
+``persist()`` goes through ``session.persist_scoped``, which releases
+the previous invocation's CacheManager entry on the next call — so a
+long-lived session holds at most ONE cached copy per call site, and a
+timed re-run never silently reads the previous run's cache.
+
+The assertion is the verdict's "done" criterion: zero growth in
+``getRDDStorageInfo()`` (and the CacheManager) across 3 back-to-back
+invocations of each persist-bearing query.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from djangoadmin_postgresql_2_elasticseach_spark import registry
+from djangoadmin_postgresql_2_elasticseach_spark.session import (
+    _SCOPED_PERSISTS,
+    persist_scoped,
+    release_scoped_persists,
+)
+
+from conftest import SF_SMOKE
+
+# every registry query whose plan contains a persist_scoped site
+PERSIST_BEARING = [
+    "minhash_dedup_pairs",        # dedup.lsh_bands + dedup.minhash_sizes
+    #   + dedup.minhash_shingles checkpoint
+    "semantic_dedup",             # similarity.semantic_dedup_assigned
+    "triangle_part_pairs",        # graph.triangle_deg + graph.triangle_oriented
+    #   + graph.triangle_edges checkpoint
+    "bm25_topk",                  # bm25.scan_per_doc
+    "multimatch_bm25",            # bm25.multimatch_per_doc.<field>
+    "mmr_rerank_topk",            # similarity.mmr_cv
+    "embedding_neardup_lsh",      # dedup.embedding_lsh_bucketed checkpoint
+    "simhash",                    # (banded signature — no persist; guard)
+]
+
+
+def _cached_rdds(spark):
+    """ids of RDDs currently holding storage (cached blocks)."""
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    return sorted(
+        info.id() for info in infos if info.numCachedPartitions() > 0
+    )
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+@pytest.mark.parametrize("name", PERSIST_BEARING)
+def test_no_storage_growth_across_invocations(spark, name):
+    """3 back-to-back invocations: storage after run 3 == after run 1
+    (each site keeps exactly one outstanding entry, never accumulates)."""
+    fn = registry.QUERIES[name]
+    release_scoped_persists()
+    _force(fn(spark, SF_SMOKE))
+    after_first = _cached_rdds(spark)
+    for _ in range(2):
+        _force(fn(spark, SF_SMOKE))
+    after_third = _cached_rdds(spark)
+    assert len(after_third) <= len(after_first), (
+        f"{name}: cached-RDD count grew across invocations "
+        f"({len(after_first)} -> {len(after_third)})"
+    )
+    # and the slots registry itself is bounded: one entry per site
+    release_scoped_persists()
+
+
+def test_persist_scoped_releases_previous(spark):
+    """The helper itself: persisting twice under one slot leaves exactly
+    one cached plan; release_scoped_persists drops it."""
+    release_scoped_persists()
+    df1 = persist_scoped(spark.range(100).select(F.sum("id")), "t.slot")
+    _force(df1)
+    assert df1.storageLevel.useMemory
+    df2 = persist_scoped(spark.range(200).select(F.sum("id")), "t.slot")
+    _force(df2)
+    # df1's entry was released when df2 took the slot
+    assert not df1.storageLevel.useMemory
+    assert df2.storageLevel.useMemory
+    assert _SCOPED_PERSISTS == {"t.slot": df2}
+    assert release_scoped_persists() == 1
+    assert not df2.storageLevel.useMemory
+    assert _SCOPED_PERSISTS == {}
+
+
+def test_rerun_recomputes_not_cache_read(spark):
+    """A re-run of a persist-bearing query must COMPUTE, not read the
+    previous run's cache: after run N+1 starts, run N's persisted frame
+    is no longer cached (the exact bench-contamination mode the r15
+    verdict flagged)."""
+    release_scoped_persists()
+    fn = registry.QUERIES["bm25_topk"]
+    _force(fn(spark, SF_SMOKE))
+    assert "bm25.scan_per_doc" in _SCOPED_PERSISTS
+    first_ids = set(_cached_rdds(spark))
+    _force(fn(spark, SF_SMOKE))
+    second_ids = set(_cached_rdds(spark))
+    # run 2 released run 1's entry and materialized a FRESH one: the
+    # cached-RDD id set must have turned over completely, not merely
+    # stayed the same size (a surviving id means the warm run read the
+    # cold run's blocks). NOTE storageLevel on the old handle cannot be
+    # used here — it resolves by canonicalized-plan match and would see
+    # the new identical-plan entry.
+    assert not (first_ids & second_ids), (
+        f"run 1's cached blocks survived into run 2: {first_ids & second_ids}"
+    )
+    assert len(second_ids) <= len(first_ids)
+    release_scoped_persists()
