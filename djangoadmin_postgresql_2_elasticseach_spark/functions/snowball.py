@@ -602,6 +602,38 @@ class SparkSqlBackend:
             + "))"
         )
 
+    # Suffix/prefix tests as the engine primitives: endswith(t, s) is
+    # value-identical to the generic (length >= k AND substr(...) = s)
+    # form — false for too-short strings, NULL-propagating — in a
+    # quarter of the text (the chain holds ~450 suffix tests; guide §7.3
+    # plan-size discipline). Only this emitter overrides; the Column and
+    # DuckDB trees stay exactly as before.
+    @staticmethod
+    def ends(t, s: str):
+        return _SqlExpr(f"endswith({_sq(t)}, {_spark_str(s)})")
+
+    @staticmethod
+    def starts(t, s: str):
+        return _SqlExpr(f"startswith({_sq(t)}, {_spark_str(s)})")
+
+    # LET-binding via a single-element higher-order transform: the value
+    # expression is emitted once and the body references the lambda
+    # variable (lexical capture of outer lambda vars is part of Spark's
+    # higher-order-function semantics). Variable names sbb<N> are
+    # analyzer-token-impossible like sbw/sb0../sbz; the counter is reset
+    # by stem_array_spark_sql so the emitted text is deterministic (plan
+    # canonicalization and text-keyed caches see one stable string).
+    _bind_seq = 0
+
+    @classmethod
+    def bind(cls, val, fn):
+        v = f"sbb{cls._bind_seq}"
+        cls._bind_seq += 1
+        return _SqlExpr(
+            f"element_at(transform(array({_sq(val)}), "
+            f"{v} -> {_sq(fn(_SqlExpr(v)))}), 1)"
+        )
+
 
 class ColBackend:
     """PySpark Column emitter."""
@@ -653,7 +685,26 @@ class ColBackend:
 
 # --- shared expression helpers (B = backend, t = current-token expr) ---
 
+def _bind(B, val, fn):
+    """Evaluate ``fn`` with ``val`` bound to a single name — a LET.
+
+    Backends that define ``bind`` (the Spark SQL emitter) get a real
+    binding, so a region expression (R1/R2/RV — one regexp each) that a
+    stage consults once per candidate suffix appears ONCE in the
+    emitted tree instead of once per suffix test. Every other backend
+    (Column, DuckDB SQL — including the oracle emission the analyzer
+    version hash pins) inlines, producing exactly the tree it produced
+    before this helper existed (r16: the 135 KB Spark analyzer tree was
+    ~75% duplicated region expressions, and single-threaded Catalyst
+    analysis of it dominated every fresh process's first execution)."""
+    b = getattr(B, "bind", None)
+    return b(val, fn) if b is not None else fn(val)
+
+
 def _ends(B, t, s: str):
+    e = getattr(B, "ends", None)
+    if e is not None:
+        return e(t, s)
     k = len(s)
     return (B.length(t) >= B.i(k)) & (
         B.substr(t, B.length(t) - B.i(k - 1), B.i(k)) == B.lit(s)
@@ -661,6 +712,9 @@ def _ends(B, t, s: str):
 
 
 def _starts(B, t, s: str):
+    st = getattr(B, "starts", None)
+    if st is not None:
+        return st(t, s)
     return B.substr(t, B.i(1), B.i(len(s))) == B.lit(s)
 
 
@@ -693,18 +747,24 @@ def _en_r1x(B, t):
     return w.otherwise(_vc_after(B, t, EN_V))
 
 
-def _en_r2x(B, t):
-    r1 = _en_r1x(B, t)
+def _en_r2x(B, t, r1=None):
+    """R2 position; ``r1`` — an already-bound R1 expression (else inline)."""
+    if r1 is None:
+        r1 = _en_r1x(B, t)
     rest = B.substr(t, r1 + B.i(1), B.length(t))
     return r1 + _vc_after(B, rest, EN_V)
 
 
-def _in_r1(B, t, k: int):
-    return (B.length(t) - B.i(k)) >= _en_r1x(B, t)
+def _in_r1(B, t, k: int, r1=None):
+    return (B.length(t) - B.i(k)) >= (
+        _en_r1x(B, t) if r1 is None else r1
+    )
 
 
-def _in_r2(B, t, k: int):
-    return (B.length(t) - B.i(k)) >= _en_r2x(B, t)
+def _in_r2(B, t, k: int, r2=None):
+    return (B.length(t) - B.i(k)) >= (
+        _en_r2x(B, t) if r2 is None else r2
+    )
 
 
 def _has_vowel_before(B, t, k: int, vowels: str = EN_V):
@@ -781,39 +841,59 @@ def _st_en2(B, t):
     matters — see module docstring)."""
     from functools import reduce
 
-    def after_del(k):
-        d = _chop(B, t, k)
-        atbliz = _ends(B, d, "at") | _ends(B, d, "bl") | _ends(B, d, "iz")
-        dbl = reduce(
-            lambda a, b: a | b, [_ends(B, d, x) for x in EN_DOUBLES]
-        )
-        short = (_en_r1x(B, t) >= B.length(d)) & B.rlike(d, _SHORT_SYLL_END)
+    def body_of(r1):
+        def after_del(k):
+            d = _chop(B, t, k)
+            atbliz = (
+                _ends(B, d, "at") | _ends(B, d, "bl") | _ends(B, d, "iz")
+            )
+            dbl = reduce(
+                lambda a, b: a | b, [_ends(B, d, x) for x in EN_DOUBLES]
+            )
+            short = (r1 >= B.length(d)) & B.rlike(d, _SHORT_SYLL_END)
+            return (
+                B.when(atbliz, B.concat(d, B.lit("e")))
+                .when(dbl, _chop(B, d, 1))
+                .when(short, B.concat(d, B.lit("e")))
+                .otherwise(d)
+            )
+
         return (
-            B.when(atbliz, B.concat(d, B.lit("e")))
-            .when(dbl, _chop(B, d, 1))
-            .when(short, B.concat(d, B.lit("e")))
-            .otherwise(d)
+            B.when(
+                _ends(B, t, "eedly"),
+                B.when(
+                    _in_r1(B, t, 5, r1), _chop_add(B, t, 5, "ee")
+                ).otherwise(t),
+            )
+            .when(
+                _ends(B, t, "eed"),
+                B.when(
+                    _in_r1(B, t, 3, r1), _chop_add(B, t, 3, "ee")
+                ).otherwise(t),
+            )
+            .when(
+                _ends(B, t, "ingly") & _has_vowel_before(B, t, 5),
+                after_del(5),
+            )
+            .when(_ends(B, t, "ingly"), t)
+            .when(
+                _ends(B, t, "edly") & _has_vowel_before(B, t, 4),
+                after_del(4),
+            )
+            .when(_ends(B, t, "edly"), t)
+            .when(
+                _ends(B, t, "ing") & _has_vowel_before(B, t, 3),
+                after_del(3),
+            )
+            .when(_ends(B, t, "ing"), t)
+            .when(
+                _ends(B, t, "ed") & _has_vowel_before(B, t, 2),
+                after_del(2),
+            )
+            .otherwise(t)
         )
 
-    body = (
-        B.when(
-            _ends(B, t, "eedly"),
-            B.when(_in_r1(B, t, 5), _chop_add(B, t, 5, "ee")).otherwise(t),
-        )
-        .when(
-            _ends(B, t, "eed"),
-            B.when(_in_r1(B, t, 3), _chop_add(B, t, 3, "ee")).otherwise(t),
-        )
-        .when(_ends(B, t, "ingly") & _has_vowel_before(B, t, 5), after_del(5))
-        .when(_ends(B, t, "ingly"), t)
-        .when(_ends(B, t, "edly") & _has_vowel_before(B, t, 4), after_del(4))
-        .when(_ends(B, t, "edly"), t)
-        .when(_ends(B, t, "ing") & _has_vowel_before(B, t, 3), after_del(3))
-        .when(_ends(B, t, "ing"), t)
-        .when(_ends(B, t, "ed") & _has_vowel_before(B, t, 2), after_del(2))
-        .otherwise(t)
-    )
-    return _pass_marked(B, t, body)
+    return _pass_marked(B, t, _bind(B, _en_r1x(B, t), body_of))
 
 
 def _st_en3(B, t):
@@ -831,81 +911,112 @@ def _st_en3(B, t):
 
 def _st_en4(B, t):
     """Step 2: longest suffix first, then the R1 gate (no fallback)."""
-    w = None
-    for suf, repl in EN_STEP2:
-        cond = _ends(B, t, suf)
-        if suf == "ogi":
-            val = B.when(
-                _in_r1(B, t, 3) & _ends(B, t, "logi"), _chop(B, t, 1)
-            ).otherwise(t)
-        elif suf == "li":
-            val = B.when(
-                _in_r1(B, t, 2)
-                & (B.length(t) >= B.i(3))
-                & B.in_strs(_char_from_end(B, t, 3), list(EN_LI_ENDING)),
-                _chop(B, t, 2),
-            ).otherwise(t)
-        else:
-            val = B.when(
-                _in_r1(B, t, len(suf)), _chop_add(B, t, len(suf), repl)
-            ).otherwise(t)
-        w = B.when(cond, val) if w is None else w.when(cond, val)
-    return _pass_marked(B, t, w.otherwise(t))
+
+    def body_of(r1):
+        w = None
+        for suf, repl in EN_STEP2:
+            cond = _ends(B, t, suf)
+            if suf == "ogi":
+                val = B.when(
+                    _in_r1(B, t, 3, r1) & _ends(B, t, "logi"),
+                    _chop(B, t, 1),
+                ).otherwise(t)
+            elif suf == "li":
+                val = B.when(
+                    _in_r1(B, t, 2, r1)
+                    & (B.length(t) >= B.i(3))
+                    & B.in_strs(
+                        _char_from_end(B, t, 3), list(EN_LI_ENDING)
+                    ),
+                    _chop(B, t, 2),
+                ).otherwise(t)
+            else:
+                val = B.when(
+                    _in_r1(B, t, len(suf), r1),
+                    _chop_add(B, t, len(suf), repl),
+                ).otherwise(t)
+            w = B.when(cond, val) if w is None else w.when(cond, val)
+        return w.otherwise(t)
+
+    return _pass_marked(B, t, _bind(B, _en_r1x(B, t), body_of))
 
 
 def _st_en5(B, t):
     """Step 3 (R1 gate; 'ative' needs R2)."""
-    w = None
-    for suf, repl in EN_STEP3:
-        cond = _ends(B, t, suf)
-        if suf == "ative":
-            val = B.when(
-                _in_r1(B, t, 5) & _in_r2(B, t, 5), _chop(B, t, 5)
-            ).otherwise(t)
-        elif repl is None:
-            val = B.when(
-                _in_r1(B, t, len(suf)), _chop(B, t, len(suf))
-            ).otherwise(t)
-        else:
-            val = B.when(
-                _in_r1(B, t, len(suf)), _chop_add(B, t, len(suf), repl)
-            ).otherwise(t)
-        w = B.when(cond, val) if w is None else w.when(cond, val)
-    return _pass_marked(B, t, w.otherwise(t))
+
+    def body_of(r1):
+        w = None
+        for suf, repl in EN_STEP3:
+            cond = _ends(B, t, suf)
+            if suf == "ative":
+                val = B.when(
+                    _in_r1(B, t, 5, r1)
+                    & _in_r2(B, t, 5, _en_r2x(B, t, r1)),
+                    _chop(B, t, 5),
+                ).otherwise(t)
+            elif repl is None:
+                val = B.when(
+                    _in_r1(B, t, len(suf), r1), _chop(B, t, len(suf))
+                ).otherwise(t)
+            else:
+                val = B.when(
+                    _in_r1(B, t, len(suf), r1),
+                    _chop_add(B, t, len(suf), repl),
+                ).otherwise(t)
+            w = B.when(cond, val) if w is None else w.when(cond, val)
+        return w.otherwise(t)
+
+    return _pass_marked(B, t, _bind(B, _en_r1x(B, t), body_of))
 
 
 def _st_en6(B, t):
     """Step 4 (R2 gate; 'ion' additionally needs preceding s/t)."""
-    w = None
-    for suf in EN_STEP4:
-        cond = _ends(B, t, suf)
-        if suf == "ion":
-            val = B.when(
-                _in_r2(B, t, 3)
-                & B.in_strs(_char_from_end(B, t, 4), ["s", "t"]),
-                _chop(B, t, 3),
-            ).otherwise(t)
-        else:
-            val = B.when(
-                _in_r2(B, t, len(suf)), _chop(B, t, len(suf))
-            ).otherwise(t)
-        w = B.when(cond, val) if w is None else w.when(cond, val)
-    return _pass_marked(B, t, w.otherwise(t))
+
+    def body_of(r2):
+        w = None
+        for suf in EN_STEP4:
+            cond = _ends(B, t, suf)
+            if suf == "ion":
+                val = B.when(
+                    _in_r2(B, t, 3, r2)
+                    & B.in_strs(_char_from_end(B, t, 4), ["s", "t"]),
+                    _chop(B, t, 3),
+                ).otherwise(t)
+            else:
+                val = B.when(
+                    _in_r2(B, t, len(suf), r2), _chop(B, t, len(suf))
+                ).otherwise(t)
+            w = B.when(cond, val) if w is None else w.when(cond, val)
+        return w.otherwise(t)
+
+    return _pass_marked(
+        B,
+        t,
+        _bind(
+            B,
+            _en_r1x(B, t),
+            lambda r1: _bind(B, _en_r2x(B, t, r1), body_of),
+        ),
+    )
 
 
 def _st_en7(B, t):
     """Step 5 (final e / double-l), postlude Y->y, strip the '!' marker."""
-    e_del = _in_r2(B, t, 1) | (
-        _in_r1(B, t, 1) & ~B.rlike(t, _SHORT_E_END)
-    )
-    body = (
-        B.when(_ends(B, t, "e") & e_del, _chop(B, t, 1))
-        .when(_ends(B, t, "ll") & _in_r2(B, t, 1), _chop(B, t, 1))
-        .otherwise(t)
-    )
+
+    def body_of(r1):
+        r2 = _en_r2x(B, t, r1)
+        e_del = _in_r2(B, t, 1, r2) | (
+            _in_r1(B, t, 1, r1) & ~B.rlike(t, _SHORT_E_END)
+        )
+        return (
+            B.when(_ends(B, t, "e") & e_del, _chop(B, t, 1))
+            .when(_ends(B, t, "ll") & _in_r2(B, t, 1, r2), _chop(B, t, 1))
+            .otherwise(t)
+        )
+
     unmarked = B.when(
         _marked(B, t, "!"), B.substr(t, B.i(2), B.length(t))
-    ).otherwise(body)
+    ).otherwise(_bind(B, _en_r1x(B, t), body_of))
     return B.rrepl(unmarked, "Y", "y")
 
 
@@ -918,15 +1029,17 @@ def _rv_rux(B, t):
     ).otherwise(B.length(t))
 
 
-def _fits_rv(B, t, k: int):
-    return (B.length(t) - B.i(k)) >= _rv_rux(B, t)
+def _fits_rv(B, t, k: int, rv=None):
+    return (B.length(t) - B.i(k)) >= (
+        _rv_rux(B, t) if rv is None else rv
+    )
 
 
-def _prev_aya(B, t, k: int):
+def _prev_aya(B, t, k: int, rv=None):
     """Group-1 pre-condition: а/я immediately before the k-suffix, and
     itself inside RV (the limit test can't cross pV)."""
     return (
-        (B.length(t) - B.i(k + 1)) >= _rv_rux(B, t)
+        (B.length(t) - B.i(k + 1)) >= (_rv_rux(B, t) if rv is None else rv)
     ) & B.in_strs(_char_from_end(B, t, k + 1), ["а", "я"])
 
 
@@ -936,17 +1049,20 @@ def _ru_r2x(B, t):
     return r1 + _vc_after(B, rest, RU_V)
 
 
-def _ru_among(B, t, entries, on_match, cond_fail_val):
+def _ru_among(B, t, entries, on_match, cond_fail_val, rv=None):
     """RV-limited longest-match WHEN chain: an entry that does not fit
     inside RV falls through to shorter entries (Snowball setlimit);
-    a failing а/я pre-condition yields cond_fail_val (no fallback)."""
+    a failing а/я pre-condition yields cond_fail_val (no fallback).
+    ``rv`` — an already-bound RV expression for ``t`` (else inline)."""
     w = None
     for e in entries:
         suf, needs = (e, False) if isinstance(e, str) else e
-        cond = _ends(B, t, suf) & _fits_rv(B, t, len(suf))
+        cond = _ends(B, t, suf) & _fits_rv(B, t, len(suf), rv)
         hit = on_match(suf)
         val = (
-            B.when(_prev_aya(B, t, len(suf)), hit).otherwise(cond_fail_val)
+            B.when(_prev_aya(B, t, len(suf), rv), hit).otherwise(
+                cond_fail_val
+            )
             if needs
             else hit
         )
@@ -960,61 +1076,86 @@ def _st_ru0(B, t):
 
 def _st_ru1a(B, t):
     """Step 1, perfective gerund: success resolves step 1 ('#')."""
-    w = _ru_among(
-        B, t, RU_PERFECTIVE_GERUND,
-        lambda suf: _mark(B, _chop(B, t, len(suf)), "#"),
-        cond_fail_val=t,
+    return _bind(
+        B,
+        _rv_rux(B, t),
+        lambda rv: _ru_among(
+            B, t, RU_PERFECTIVE_GERUND,
+            lambda suf: _mark(B, _chop(B, t, len(suf)), "#"),
+            cond_fail_val=t, rv=rv,
+        ).otherwise(t),
     )
-    return w.otherwise(t)
 
 
 def _st_ru1b(B, t):
     """try reflexive (ся/сь) before the adjectival|verb|noun chain."""
-    body_w = _ru_among(
-        B, t, RU_REFLEXIVE, lambda suf: _chop(B, t, len(suf)),
-        cond_fail_val=t,
+    body = _bind(
+        B,
+        _rv_rux(B, t),
+        lambda rv: _ru_among(
+            B, t, RU_REFLEXIVE, lambda suf: _chop(B, t, len(suf)),
+            cond_fail_val=t, rv=rv,
+        ).otherwise(t),
     )
-    return _pass_marked(B, t, body_w.otherwise(t), marks=("#",))
+    return _pass_marked(B, t, body, marks=("#",))
 
 
 def _st_ru1c(B, t):
     """Adjective endings: match resolves into '%' (participle pending)."""
-    w = _ru_among(
-        B, t, RU_ADJECTIVE,
-        lambda suf: _mark(B, _chop(B, t, len(suf)), "%"),
-        cond_fail_val=t,
+    body = _bind(
+        B,
+        _rv_rux(B, t),
+        lambda rv: _ru_among(
+            B, t, RU_ADJECTIVE,
+            lambda suf: _mark(B, _chop(B, t, len(suf)), "%"),
+            cond_fail_val=t, rv=rv,
+        ).otherwise(t),
     )
-    return _pass_marked(B, t, w.otherwise(t), marks=("#",))
+    return _pass_marked(B, t, body, marks=("#",))
 
 
 def _st_ru1cp(B, t):
     """'%'-marked words try a preceding participle, then resolve ('#')."""
     d = B.substr(t, B.i(2), B.length(t))
-    w = _ru_among(
-        B, d, RU_PARTICIPLE, lambda suf: _chop(B, d, len(suf)),
-        cond_fail_val=d,
+    resolved = _bind(
+        B,
+        _rv_rux(B, d),
+        lambda rv: _ru_among(
+            B, d, RU_PARTICIPLE, lambda suf: _chop(B, d, len(suf)),
+            cond_fail_val=d, rv=rv,
+        ).otherwise(d),
     )
-    return B.when(_marked(B, t, "%"), _mark(B, w.otherwise(d), "#")).otherwise(t)
+    return B.when(
+        _marked(B, t, "%"), _mark(B, resolved, "#")
+    ).otherwise(t)
 
 
 def _st_ru1d(B, t):
     """Verb endings (а/я-conditional group fails the whole verb step)."""
-    w = _ru_among(
-        B, t, RU_VERB,
-        lambda suf: _mark(B, _chop(B, t, len(suf)), "#"),
-        cond_fail_val=t,
+    body = _bind(
+        B,
+        _rv_rux(B, t),
+        lambda rv: _ru_among(
+            B, t, RU_VERB,
+            lambda suf: _mark(B, _chop(B, t, len(suf)), "#"),
+            cond_fail_val=t, rv=rv,
+        ).otherwise(t),
     )
-    return _pass_marked(B, t, w.otherwise(t), marks=("#",))
+    return _pass_marked(B, t, body, marks=("#",))
 
 
 def _st_ru1e(B, t):
     """Noun endings — the last alternative of step 1."""
-    w = _ru_among(
-        B, t, RU_NOUN,
-        lambda suf: _mark(B, _chop(B, t, len(suf)), "#"),
-        cond_fail_val=t,
+    body = _bind(
+        B,
+        _rv_rux(B, t),
+        lambda rv: _ru_among(
+            B, t, RU_NOUN,
+            lambda suf: _mark(B, _chop(B, t, len(suf)), "#"),
+            cond_fail_val=t, rv=rv,
+        ).otherwise(t),
     )
-    return _pass_marked(B, t, w.otherwise(t), marks=("#",))
+    return _pass_marked(B, t, body, marks=("#",))
 
 
 def _st_ru2(B, t):
@@ -1029,35 +1170,48 @@ def _st_ru2(B, t):
 
 def _st_ru3(B, t):
     """Step 3: derivational ость/ост, RV-limited match + R2 gate."""
-    w = None
-    for suf in RU_DERIVATIONAL:
-        cond = _ends(B, t, suf) & _fits_rv(B, t, len(suf))
-        val = B.when(
-            (B.length(t) - B.i(len(suf))) >= _ru_r2x(B, t),
-            _chop(B, t, len(suf)),
-        ).otherwise(t)
-        w = B.when(cond, val) if w is None else w.when(cond, val)
-    return w.otherwise(t)
+
+    def body_of(r2):
+        w = None
+        for suf in RU_DERIVATIONAL:
+            cond = _ends(B, t, suf) & _fits_rv(B, t, len(suf))
+            val = B.when(
+                (B.length(t) - B.i(len(suf))) >= r2,
+                _chop(B, t, len(suf)),
+            ).otherwise(t)
+            w = B.when(cond, val) if w is None else w.when(cond, val)
+        return w.otherwise(t)
+
+    return _bind(B, _ru_r2x(B, t), body_of)
 
 
 def _st_ru4(B, t):
     """Step 4: undouble нн | superlative (+undouble) | drop ь."""
 
     def undouble(d):
+        # d differs per branch (chop-4 vs chop-3) — its RV stays inline
         return B.when(
             _ends(B, d, "нн") & _fits_rv(B, d, 2), _chop(B, d, 1)
         ).otherwise(d)
 
-    return (
-        B.when(_ends(B, t, "нн") & _fits_rv(B, t, 2), _chop(B, t, 1))
-        .when(
-            _ends(B, t, "ейше") & _fits_rv(B, t, 4), undouble(_chop(B, t, 4))
-        )
-        .when(
-            _ends(B, t, "ейш") & _fits_rv(B, t, 3), undouble(_chop(B, t, 3))
-        )
-        .when(_ends(B, t, "ь") & _fits_rv(B, t, 1), _chop(B, t, 1))
-        .otherwise(t)
+    return _bind(
+        B,
+        _rv_rux(B, t),
+        lambda rv: (
+            B.when(
+                _ends(B, t, "нн") & _fits_rv(B, t, 2, rv), _chop(B, t, 1)
+            )
+            .when(
+                _ends(B, t, "ейше") & _fits_rv(B, t, 4, rv),
+                undouble(_chop(B, t, 4)),
+            )
+            .when(
+                _ends(B, t, "ейш") & _fits_rv(B, t, 3, rv),
+                undouble(_chop(B, t, 3)),
+            )
+            .when(_ends(B, t, "ь") & _fits_rv(B, t, 1, rv), _chop(B, t, 1))
+            .otherwise(t)
+        ),
     )
 
 
@@ -1130,8 +1284,9 @@ def stem_array_spark_sql(arr_sql: str) -> str:
     per stage, struct-carried script flags), emitted through
     ``SparkSqlBackend`` so ``F.expr`` parses it in one server-side call
     instead of building the tree through py4j. Lambda variables sbw /
-    sb0..sbN / sbz are analyzer-token-impossible names, so they cannot
-    shadow a caller's columns."""
+    sb0..sbN / sbz / sbb<K> are analyzer-token-impossible names, so they
+    cannot shadow a caller's columns."""
+    SparkSqlBackend._bind_seq = 0  # deterministic emitted text
     out = (
         f"transform({arr_sql}, sbw -> named_struct('t', sbw, "
         f"'en', sbw RLIKE {_spark_str(EN_GATE_RE)}, "
