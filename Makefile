@@ -11,13 +11,16 @@ test-norename:
 	  tests/test_docstore.py tests/test_ivfpq_store.py tests/test_pq.py \
 	  tests/test_icontains_index.py tests/test_search_index.py -q
 
-# fast suite: oracle parity at sf0.001 + unit/property/plan/streaming tests
+# fast suite: oracle parity at sf0.001 + unit/property/plan/streaming
+# tests, MINUS the `full`-marked slow long-tail (pytest.ini deselects
+# them so the driver's verification window fits — r16 verdict #3)
 test:
 	python -m pytest tests/ -q
 
-# CI gate: parity at BOTH sf0.001 and sf0.01 (driver correctness scale)
+# CI gate: EVERYTHING — the `full`-marked slow tests plus parity at
+# BOTH sf0.001 and sf0.01 (driver correctness scale)
 test-full:
-	SPARK_GRAFT_FULL=1 python -m pytest tests/ -q
+	SPARK_GRAFT_FULL=1 python -m pytest tests/ -q -m "full or not full"
 
 # one JSON line of per-query wall times at $(or $(SPARK_GRAFT_SF_DIR),/root/testdata/sf0.1)
 bench:

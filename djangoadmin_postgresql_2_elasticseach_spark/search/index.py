@@ -763,8 +763,17 @@ def _posting_partials(
         # path keeps the window — a size(analyze(..)) twin would let
         # CollapseProject duplicate the very large Snowball expression.
         dl_at_source = with_dl and col is not None
+        # spread is KEYED BY doc_id (not round-robin): every row of a
+        # doc lands in one partition, so the (doc_id, token) tf
+        # aggregation below — and the doclens dedup derived from it —
+        # are satisfied by this one slim pre-explode exchange and plan
+        # with NO exchange of their own. The exploded posting stream
+        # (the batch's heaviest intermediate, ~dl rows per doc) never
+        # crosses the network; ~2 AQE shuffle jobs per tick gone. At
+        # scale spread() is a no-op and the agg inserts its usual
+        # exchange — local fixed cost is what this removes.
         if col is not None:
-            toks = spread(docs.select(id_col, col)).select(
+            toks = spread(docs.select(id_col, col), [id_col]).select(
                 F.col(id_col).alias("doc_id"),
                 F.posexplode(F.col(col)).alias("pos", "token"),
                 *(
@@ -774,7 +783,7 @@ def _posting_partials(
                 ),
             )
         else:
-            toks = spread(docs.select(id_col, f)).select(
+            toks = spread(docs.select(id_col, f), [id_col]).select(
                 F.col(id_col).alias("doc_id"),
                 F.posexplode(T.analyze(f"`{f}`", stem=stem)).alias(
                     "pos", "token"
@@ -843,9 +852,9 @@ def _write_posting_batch(
     char_ngrams: int | None = None,
     char_fields: tuple[str, ...] | None = None,
 ) -> dict | None:
-    """One batch's writes, REPARTITIONED BY the partition columns
-    first: without it every task holds an open parquet writer per
-    partition directory it touches (tasks × ~17 dirs of concurrent
+    """One batch's writes. POSTINGS are repartitioned by the partition
+    columns first: without it every task holds an open parquet writer
+    per partition directory it touches (tasks × ~17 dirs of concurrent
     row-group buffers — enough to OOM a default heap on a tiny batch,
     and a files-per-tick explosion at scale). After the slim
     batch-delta-sized shuffle, each partition directory is written by
@@ -853,7 +862,12 @@ def _write_posting_batch(
     per tick. Postings are additionally SORTED by token within each
     file so parquet row-group min/max stats carry a probe's pushed
     ``token IN`` — a term reads only its row groups, not the whole
-    bucket directory.
+    bucket directory. The SLIM artifacts (doclens, termdict, chardict)
+    skip the second repartition shuffle: their dedup aggregation's own
+    exchange, AQE-coalesced to ~1 partition at tick size, already
+    bounds writers and file counts, and the local sort by the
+    partition columns satisfies the dynamic-partition write ordering
+    (r16: one exchange + one write job each, was two exchanges).
 
     Alongside postings/doclens the batch maintains the serving stats:
 
@@ -913,7 +927,15 @@ def _write_posting_batch(
         lens_w = lens.observe(obs, *exprs)
 
     def w_doclens():
-        lens_w.repartition("field").sortWithinPartitions(
+        # no repartition("field"): the doclens dedup aggregation
+        # upstream already has its own exchange, AQE-coalesced to ~1
+        # partition for a tick-sized delta — the post-hoc field
+        # repartition was a second full shuffle (+1 AQE job) buying
+        # nothing but file placement the local sort already gives.
+        # A full BUILD lands a few ~advisory-sized files per field
+        # instead of exactly one — the right trade at scale anyway
+        # (one writer task per field was the build bottleneck).
+        lens_w.sortWithinPartitions(
             "field", "doc_id"
         ).write.mode(mode).partitionBy("field").parquet(
             os.path.join(root, "doclens")
@@ -929,18 +951,28 @@ def _write_posting_batch(
         )
 
     def w_termdict():
-        td = posts.select("token", "seq", "field").distinct()
         if layout_v >= 3:
             # v3: (field, tlen) partition directories — the fuzzy
-            # expansion's length band becomes a partition filter
-            td.withColumn("tlen", _tlen_band(F.col("token"))).repartition(
-                "field", "tlen"
-            ).sortWithinPartitions("field", "tlen", "token").write.mode(
-                mode
-            ).partitionBy("field", "tlen").parquet(
-                os.path.join(root, "termdict")
+            # expansion's length band becomes a partition filter.
+            # tlen is a FUNCTION of token, so computing it before the
+            # distinct changes no cardinality, and the distinct's own
+            # exchange replaces the post-hoc repartition (r15 shape:
+            # distinct shuffle + repartition shuffle = 3 AQE jobs;
+            # now one shuffle = 2). AQE coalesces the vocabulary-delta
+            # sized shuffle to ~1 partition, so a tick still lands ~1
+            # file per touched (field, tlen) directory; the local sort
+            # satisfies the dynamic-partition write ordering.
+            (
+                posts.select("token", "seq", "field")
+                .withColumn("tlen", _tlen_band(F.col("token")))
+                .distinct()
+                .sortWithinPartitions("field", "tlen", "token")
+                .write.mode(mode)
+                .partitionBy("field", "tlen")
+                .parquet(os.path.join(root, "termdict"))
             )
         else:
+            td = posts.select("token", "seq", "field").distinct()
             td.repartition("field").sortWithinPartitions(
                 "field", "token"
             ).write.mode(mode).partitionBy("field").parquet(
@@ -957,13 +989,18 @@ def _write_posting_batch(
         src = posts
         if char_fields:
             src = src.filter(F.col("field").isin(list(char_fields)))
+        # one exchange: the distinct's own shuffle (AQE-coalesced to ~1
+        # partition for a vocab-delta batch); grams explode AFTER the
+        # dedup so only slim tokens cross the exchange, and the local
+        # sort by the partition columns replaces the r15 second
+        # repartition shuffle (3 AQE jobs → 2)
         td = src.select("token", "seq", "field").distinct()
         td.select(
             F.explode(_token_grams("token")).alias("gram"),
             "token", "seq", "field",
         ).withColumn(
             "gkb", _token_bucket(F.col("gram"), int(char_ngrams))
-        ).repartition("field", "gkb").sortWithinPartitions(
+        ).sortWithinPartitions(
             "field", "gkb", "gram", "token"
         ).write.mode(mode).partitionBy("field", "gkb").parquet(
             os.path.join(root, "chardict")

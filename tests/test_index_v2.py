@@ -674,11 +674,14 @@ def test_tick_spark_job_budget(spark, toks, tmp_path):
     change that quietly adds per-tick jobs (a new sequential write, a
     lost concurrency, an extra shuffle) fails here instead of showing
     up as a bench regression two rounds later. Current composition
-    (AQE materializes each shuffle as its own job): batch checkpoint
-    ≈3, postings write 2, doclens 2, termdict 3, tombstones 1 — all
-    but the checkpoint run in ONE concurrent pool; docstore adds 2.
-    Job ids are global and monotonic, so the count is the id delta
-    between two probe jobs (job groups can't see pool threads)."""
+    (AQE materializes each shuffle as its own job; r16 verdict #5 cut
+    11-12 → 8-9): batch checkpoint 2, postings write 2, doclens 2
+    (its post-agg field repartition dropped), termdict 2 (tlen moved
+    before the distinct so the distinct's own exchange replaces the
+    repartition), tombstones 1 (upsert only) — all but the checkpoint
+    run in ONE concurrent pool; docstore adds 2. Job ids are global
+    and monotonic, so the count is the id delta between two probe
+    jobs (job groups can't see pool threads)."""
     import uuid
 
     sc = spark.sparkContext
@@ -696,4 +699,4 @@ def test_tick_spark_job_budget(spark, toks, tmp_path):
     n0 = probe_id()
     upsert_posting_index(batch, path, tokens_col={"text": "tokens"})
     tick_jobs = probe_id() - n0 - 1
-    assert tick_jobs <= 14, f"per-tick job budget blown: {tick_jobs}"
+    assert tick_jobs <= 10, f"per-tick job budget blown: {tick_jobs}"

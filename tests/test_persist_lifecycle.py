@@ -94,19 +94,25 @@ def test_rerun_recomputes_not_cache_read(spark):
     verdict flagged)."""
     release_scoped_persists()
     fn = registry.QUERIES["bm25_topk"]
+    # snapshot BEFORE run 1: in a shared full-suite session other
+    # components legitimately hold long-lived cached RDDs (bounded
+    # operator checkpoints etc.) — only the ids THIS query adds are
+    # under test, or the assertion trips on unrelated survivors.
+    baseline = set(_cached_rdds(spark))
     _force(fn(spark, SF_SMOKE))
     assert "bm25.scan_per_doc" in _SCOPED_PERSISTS
-    first_ids = set(_cached_rdds(spark))
+    first_new = set(_cached_rdds(spark)) - baseline
+    assert first_new, "run 1 cached nothing — persist site vanished?"
     _force(fn(spark, SF_SMOKE))
     second_ids = set(_cached_rdds(spark))
-    # run 2 released run 1's entry and materialized a FRESH one: the
-    # cached-RDD id set must have turned over completely, not merely
-    # stayed the same size (a surviving id means the warm run read the
-    # cold run's blocks). NOTE storageLevel on the old handle cannot be
-    # used here — it resolves by canonicalized-plan match and would see
-    # the new identical-plan entry.
-    assert not (first_ids & second_ids), (
-        f"run 1's cached blocks survived into run 2: {first_ids & second_ids}"
+    # run 2 released run 1's entry and materialized a FRESH one: none
+    # of run 1's NEW ids may survive into run 2 (a surviving id means
+    # the warm run read the cold run's blocks). NOTE storageLevel on
+    # the old handle cannot be used here — it resolves by
+    # canonicalized-plan match and would see the new identical-plan
+    # entry.
+    assert not (first_new & second_ids), (
+        f"run 1's cached blocks survived into run 2: {first_new & second_ids}"
     )
-    assert len(second_ids) <= len(first_ids)
+    assert len(second_ids - baseline) <= len(first_new)
     release_scoped_persists()
